@@ -1,0 +1,324 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.r4
+
+/** Groups A (scans/sources/sinks), B (projection/filters), C (joins) of the
+  * SURVEY.md §2 contract.
+  *
+  * Scale posture (100 TB): every query is a declarative DataFrame plan —
+  * filters and projections reach the parquet scan (Catalyst pushdown), small
+  * dimensions are broadcast explicitly, and no query collects to the driver.
+  */
+object ARelational {
+
+  // ---------------------------------------------------------------- A. scans
+  val m: ListMap[String, Q] = ListMap(
+    "a_scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")),
+
+    "a_scan_parquet_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")),
+
+    "a_scan_pruned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")),
+
+    "a_scan_filter_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "a_scan_csv" -> ((s, d) => {
+      val tmp = scratch("csv_nation")
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(tmp).orderBy("n_nationkey")
+    }),
+
+    "a_scan_jsonl" -> ((s, d) => {
+      val tmp = scratch("jsonl_nation")
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(tmp).orderBy("n_nationkey")
+    }),
+
+    "a_sink_parquet" -> ((s, d) => {
+      val tmp = scratch("sink_parquet")
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_quantity")).as("sum_qty"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "a_sink_partitioned" -> ((s, d) => {
+      val tmp = scratch("sink_partitioned")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "a_sink_csv" -> ((s, d) => {
+      val tmp = scratch("sink_csv")
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("o_orderstatus STRING, cnt BIGINT, total DOUBLE")
+        .option("header", "true").csv(tmp).orderBy("o_orderstatus")
+    }),
+
+    // ---------------------------------------------------- B. project/filter
+    "b_project_rename_cast" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        // floor-then-cast on BOTH engines: Spark double→long truncates while
+        // DuckDB ::BIGINT rounds, so the bare cast is not portable (§2 B).
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderstatus").as("status"))
+        .orderBy("id")),
+
+    "b_filter_compare" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 30 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "b_filter_in_like_between" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").isin("ECONOMY", "PROMO")
+          && col("p_name").like("%bolt%")
+          && col("p_size").between(1, 25))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    "b_filter_null_bool" -> ((s, d) =>
+      // testdata has no NULLs — manufacture them with nullif (§2 B note)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus,'P')").as("st"),
+          col("o_totalprice"))
+        .filter(col("st").isNull || col("o_totalprice") > 450000)
+        .orderBy("o_orderkey")),
+
+    "b_case_when" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") < 0.02, lit(0.0))
+          .when(col("l_discount") > 0.08, r4(col("l_discount") * 2))
+          .otherwise(col("l_discount")).as("disc_adj"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "b_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+
+    // ------------------------------------------------------------- C. joins
+    "c_join_broadcast" -> ((s, d) =>
+      // the reference's code→description lookup analog: fact ⋈ broadcast dim
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")),
+
+    "c_join_shuffle_hash" -> ((s, d) =>
+      Tables.lineitem(s, d).hint("shuffle_hash")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_quantity")).as("qty"))
+        .orderBy("o_orderpriority")),
+
+    "c_join_sort_merge" -> ((s, d) =>
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_extendedprice")).as("rev"))
+        .orderBy("o_orderstatus")),
+
+    "c_join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          r4(sum("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")),
+
+    "c_join_right_outer" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_nationkey")
+        .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+        .orderBy("c_nationkey")),
+
+    "c_join_full_outer" -> ((s, d) =>
+      // key ranges engineered so BOTH null sides occur (custkey vs suppkey*20)
+      Tables.customer(s, d)
+        .join(Tables.supplier(s, d),
+          col("c_custkey") === col("s_suppkey") * 20, "full")
+        .select("c_custkey", "s_suppkey", "c_mktsegment", "s_name")
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("s_suppkey").asc_nulls_first)),
+
+    "c_join_semi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "c_join_anti" -> ((s, d) =>
+      // customers with no high-value order (selective right side so the
+      // anti join actually produces rows — every customer has SOME order)
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "c_join_cross" -> ((s, d) =>
+      Tables.nation(s, d).crossJoin(Tables.region(s, d))
+        .select("n_nationkey", "r_regionkey", "n_name", "r_name")
+        .orderBy("n_nationkey", "r_regionkey")),
+
+    "c_join_theta_range" -> ((s, d) => {
+      // non-equi band join; inputs bounded by a selective filter so the
+      // BroadcastNestedLoop stays small at every SF (32 rows @ sf0.01)
+      val small = Tables.orders(s, d).filter(col("o_totalprice") < 2000)
+        .select("o_orderkey", "o_totalprice")
+      val a = small.as("a")
+      val b = small.as("b")
+      a.join(b,
+        col("a.o_totalprice").between(col("b.o_totalprice") - 10, col("b.o_totalprice"))
+          && col("a.o_orderkey") =!= col("b.o_orderkey"))
+        .select(col("a.o_orderkey").as("a_key"), col("b.o_orderkey").as("b_key"))
+        .orderBy("a_key", "b_key")
+    }),
+
+    "c_join_star_5way" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")),
+
+    "c_join_asof" -> ((s, d) => {
+      // as-of join: latest prior click per error event, same user.
+      // inner-join + max_by formulation (verified parity recipe, §2 C).
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      errors.join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("ts"))
+        .groupBy("event_id")
+        .agg(max_by(col("c_id"), col("c_ts")).as("prior_click"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "a_scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "a_scan_parquet_events" ->
+      ("SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props " +
+        "FROM events ORDER BY event_id"),
+    "a_scan_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "a_scan_filter_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '2000-12-01' ORDER BY l_orderkey, l_linenumber"),
+    "b_project_rename_cast" ->
+      ("SELECT o_orderkey AS id, CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
+        "o_orderstatus AS status FROM orders ORDER BY id"),
+    "b_filter_compare" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+        "WHERE l_quantity >= 30 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber"),
+    "b_filter_in_like_between" ->
+      ("SELECT p_partkey, p_name, p_type, p_size FROM part " +
+        "WHERE p_type IN ('ECONOMY','PROMO') AND p_name LIKE '%bolt%' " +
+        "AND p_size BETWEEN 1 AND 25 ORDER BY p_partkey"),
+    "b_filter_null_bool" ->
+      ("SELECT o_orderkey, nullif(o_orderstatus,'P') AS st, o_totalprice FROM orders " +
+        "WHERE nullif(o_orderstatus,'P') IS NULL OR o_totalprice > 450000 " +
+        "ORDER BY o_orderkey"),
+    "b_case_when" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_discount < 0.02 THEN 0.0 " +
+        "WHEN l_discount > 0.08 THEN round(l_discount * 2, 4) " +
+        "ELSE l_discount END AS disc_adj " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "b_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "c_join_broadcast" ->
+      ("SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice),4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "c_join_shuffle_hash" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity),4) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "c_join_sort_merge" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, round(sum(l_extendedprice),4) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "c_join_left_outer" ->
+      ("SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows, " +
+        "round(sum(o_totalprice),4) AS total " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "c_join_right_outer" ->
+      ("SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "c_join_full_outer" ->
+      ("SELECT c_custkey, s_suppkey, c_mktsegment, s_name " +
+        "FROM customer FULL JOIN supplier ON c_custkey = s_suppkey * 20 " +
+        "ORDER BY c_custkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST"),
+    "c_join_semi" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) " +
+        "ORDER BY o_orderkey"),
+    "c_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "ORDER BY c_custkey"),
+    "c_join_cross" ->
+      ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
+        "ORDER BY n_nationkey, r_regionkey"),
+    "c_join_theta_range" ->
+      ("WITH small AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 2000) " +
+        "SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key FROM small a JOIN small b " +
+        "ON a.o_totalprice BETWEEN b.o_totalprice - 10 AND b.o_totalprice " +
+        "AND a.o_orderkey <> b.o_orderkey ORDER BY a_key, b_key"),
+    "c_join_star_5way" ->
+      ("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)),4) AS revenue, " +
+        "count(*) AS cnt FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "c_join_asof" ->
+      // ts truncated to µs on the oracle side to match Spark's µs timestamps
+      ("SELECT e.event_id, arg_max(c.event_id, c.ts::TIMESTAMP) AS prior_click " +
+        "FROM events e JOIN events c ON c.user_id = e.user_id " +
+        "AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP AND c.event_type = 'click' " +
+        "WHERE e.event_type = 'error' GROUP BY e.event_id ORDER BY e.event_id"),
+  )
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Groups D (aggregations) and F (sorts/limits/set ops) of SURVEY.md §2.
+  *
+  * Every `d_*` key executes as partial aggregation → shuffle → final
+  * aggregation (`HashAggregateExec`) — map-side combine is automatic, so at
+  * 100 TB the shuffle carries one row per (partition × group), not per input
+  * row. All double aggregates are rounded to 4 decimals (Det.r4) for
+  * cross-engine stability.
+  */
+object DAggregates {
+
+  val m: ListMap[String, Q] = ListMap(
+    // ------------------------------------------------------- D. aggregations
+    "d_agg_basic" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("cnt"),
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(min("l_discount")).as("min_disc"),
+        r4(max("l_discount")).as("max_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "d_agg_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // sketch internals differ per engine → no hash-match possible; the
+    // scalatest suite asserts ≤5% relative error vs the exact count.
+    "d_agg_approx_hll" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    "d_agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |round(sum(l_quantity),4) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "d_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "d_agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "d_agg_pivot" -> ((s, d) =>
+      // pivot values pinned explicitly — never let Spark scan for them
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r4(sum(col("l_quantity"))))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    "d_agg_collect_sorted" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .orderBy("l_orderkey")),
+
+    "d_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"))
+        .orderBy("l_returnflag")),
+
+    "d_agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+        .orderBy("l_returnflag")),
+
+    "d_agg_minmax_by" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        max_by(col("l_orderkey"), col("l_extendedprice")).as("max_price_order"),
+        min_by(col("l_orderkey"), col("l_extendedprice")).as("min_price_order"))
+        .orderBy("l_returnflag")),
+
+    "d_agg_first_last_ordered" -> ((s, d) =>
+      // first/last in explicit ts order via min_by/max_by — never bare first()
+      Tables.events(s, d).groupBy("user_id").agg(
+        min_by(col("event_type"), col("ts")).as("first_event"),
+        max_by(col("event_type"), col("ts")).as("last_event"),
+        count(lit(1)).as("cnt"))
+        .orderBy("user_id")),
+
+    // ------------------------------------------------- F. sort/limit/set ops
+    "f_sort_multi_nulls" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus,'P')").as("st"),
+          col("o_totalprice"))
+        .orderBy(col("st").asc_nulls_first, col("o_totalprice").desc,
+          col("o_orderkey"))),
+
+    "f_limit_topk" -> ((s, d) =>
+      // physical plan: TakeOrderedAndProject — no global sort at scale
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    "f_union_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderpriority")
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+        .select("o_orderkey", "o_orderpriority")
+      a.unionByName(b).orderBy("o_orderkey", "o_orderpriority")
+    }),
+
+    "f_union_distinct" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderpriority")
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+        .select("o_orderkey", "o_orderpriority")
+      a.unionByName(b).distinct().orderBy("o_orderkey", "o_orderpriority")
+    }),
+
+    "f_intersect" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select("o_orderstatus", "o_orderpriority")
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+        .select("o_orderstatus", "o_orderpriority")
+      a.intersect(b).orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "f_intersect_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select("o_orderstatus", "o_orderpriority")
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+        .select("o_orderstatus", "o_orderpriority")
+      a.intersectAll(b).orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "f_except" -> ((s, d) => {
+      val a = Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select("o_orderstatus", "o_orderpriority")
+      a.except(b).orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "f_except_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select("o_orderstatus", "o_orderpriority")
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select("o_orderstatus", "o_orderpriority")
+      a.exceptAll(b).orderBy("o_orderstatus", "o_orderpriority")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "d_agg_basic" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity),4) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)),4) AS sum_disc_price, " +
+        "round(avg(l_extendedprice),4) AS avg_price, " +
+        "round(min(l_discount),4) AS min_disc, round(max(l_discount),4) AS max_disc " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "d_agg_count_distinct" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "d_agg_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity),4) AS sum_qty FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "d_agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity),4) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "d_agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity),4) AS sum_qty FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "d_agg_pivot" ->
+      ("SELECT l_returnflag, " +
+        "round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'),4) AS qty_f, " +
+        "round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'),4) AS qty_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_agg_collect_sorted" ->
+      ("SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "d_agg_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty, " +
+        "round(var_samp(l_quantity),4) AS var_qty, " +
+        "round(corr(l_quantity, l_extendedprice),4) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice),4) AS cov_qp " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_agg_percentile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9),4) AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_agg_minmax_by" ->
+      ("SELECT l_returnflag, arg_max(l_orderkey, l_extendedprice) AS max_price_order, " +
+        "arg_min(l_orderkey, l_extendedprice) AS min_price_order " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_agg_first_last_ordered" ->
+      ("SELECT user_id, arg_min(event_type, ts) AS first_event, " +
+        "arg_max(event_type, ts) AS last_event, count(*) AS cnt " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "f_sort_multi_nulls" ->
+      ("SELECT o_orderkey, nullif(o_orderstatus,'P') AS st, o_totalprice FROM orders " +
+        "ORDER BY st ASC NULLS FIRST, o_totalprice DESC, o_orderkey"),
+    "f_limit_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "f_union_all" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 250000 " +
+        "ORDER BY o_orderkey, o_orderpriority"),
+    "f_union_distinct" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000 " +
+        "UNION " +
+        "SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 250000 " +
+        "ORDER BY o_orderkey, o_orderpriority"),
+    "f_intersect" ->
+      ("SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000 " +
+        "INTERSECT " +
+        "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus <> 'P' " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "f_intersect_all" ->
+      ("SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000 " +
+        "INTERSECT ALL " +
+        "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus <> 'P' " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "f_except" ->
+      ("SELECT o_orderstatus, o_orderpriority FROM orders " +
+        "EXCEPT " +
+        "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'P' " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "f_except_all" ->
+      ("SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000 " +
+        "EXCEPT ALL " +
+        "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'P' " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+  )
+}

@@ -17,10 +17,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap("b_distinct" -> ARelational.m("b_distinct")) ++ // warmup: tiny scan
-      ARelational.m ++ DAggregates.m
+      ARelational.m ++ DAggregates.m ++ EWindows.m ++ GScalars.m
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ARelational.oracle ++ DAggregates.oracle
+    ARelational.oracle ++ DAggregates.oracle ++ EWindows.oracle ++ GScalars.oracle
 }

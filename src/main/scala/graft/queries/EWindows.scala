@@ -1,0 +1,154 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group E (window functions) of SURVEY.md §2.
+  *
+  * Determinism rule: every window ORDER BY includes a unique tiebreaker
+  * (o_orderkey / event ts-unique-per-user), so ranking functions are pure
+  * functions of the data on both engines.
+  *
+  * Scale posture: all windows are PARTITION BY'd (never a global window), so
+  * WindowExec parallelizes across partition keys; rank-filter queries benefit
+  * from WindowGroupLimitExec pushing the k-limit below the full sort.
+  */
+object EWindows {
+
+  val m: ListMap[String, Q] = ListMap(
+    "e_win_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "e_win_ntile_pct" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "e_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_val"),
+        lead(col("value"), 1).over(w).as("next_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "e_win_first_last" -> ((s, d) => {
+      // frame written explicitly — DuckDB's default frame for last_value
+      // differs from Spark's (§2 E note)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_val"),
+        last(col("value")).over(w).as("last_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "e_win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        r4(sum(col("value")).over(w)).as("run_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "e_win_sliding_rows" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(-3, 0)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        r4(avg(col("value")).over(w)).as("mavg"),
+        count(lit(1)).over(w).as("n_in_win"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "e_win_range_frame" -> ((s, d) => {
+      // SQL form: RANGE frames over a double ORDER BY key are cleanly
+      // expressible (and identically scoped) in both dialects
+      Tables.orders(s, d).createOrReplaceTempView("orders_rf")
+      s.sql(
+        """SELECT o_orderkey, count(*) OVER w AS cnt_band,
+          |round(sum(o_totalprice) OVER w, 4) AS sum_band
+          |FROM orders_rf
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "e_win_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "e_win_ranking" ->
+      ("SELECT o_custkey, o_orderkey, row_number() OVER w AS rn, rank() OVER w AS rnk, " +
+        "dense_rank() OVER w AS drnk FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_custkey, rn"),
+    "e_win_ntile_pct" ->
+      ("SELECT o_custkey, o_orderkey, ntile(4) OVER w AS quartile, " +
+        "round(percent_rank() OVER w, 4) AS pct_rank, " +
+        "round(cume_dist() OVER w, 4) AS cume FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "e_win_lag_lead" ->
+      ("SELECT user_id, event_id, value, " +
+        "lag(value, 1, -1.0) OVER w AS prev_val, lead(value, 1) OVER w AS next_val " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) " +
+        "ORDER BY user_id, event_id"),
+    "e_win_first_last" ->
+      ("SELECT user_id, event_id, first_value(value) OVER w AS first_val, " +
+        "last_value(value) OVER w AS last_val FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, event_id"),
+    "e_win_running_sum" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER w, 4) AS run_sum FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+    "e_win_sliding_rows" ->
+      ("SELECT user_id, event_id, round(avg(value) OVER w, 4) AS mavg, " +
+        "count(*) OVER w AS n_in_win FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+    "e_win_range_frame" ->
+      ("SELECT o_orderkey, count(*) OVER w AS cnt_band, " +
+        "round(sum(o_totalprice) OVER w, 4) AS sum_band FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_orderkey"),
+    "e_win_topk_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+  )
+}

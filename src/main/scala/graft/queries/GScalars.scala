@@ -1,0 +1,257 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Groups G (scalar functions — the reference's cleaning/normalization
+  * surface) and H (array / map / JSON) of SURVEY.md §2.
+  *
+  * Dialect discipline (SURVEY §7.3.4): DuckDB `regexp_replace` needs the 'g'
+  * flag to match Spark's replace-all; `dayofweek` is Sun=1..7 in Spark vs
+  * Sun=0..6 in DuckDB; Spark `floor`/`ceil` return LONG while DuckDB's return
+  * DOUBLE (cast explicitly); array set-ops are wrapped in sort/distinct so
+  * element order is canonical on both engines.
+  */
+object GScalars {
+
+  val m: ListMap[String, Q] = ListMap(
+    // -------------------------------------------------------- G. scalar fns
+    "g_string_basic" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        lpad(col("p_brand"), 10, "*").as("brand_pad"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+        .orderBy("p_partkey")),
+
+    "g_string_regex" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        // explicit group 0: Spark requires the index, DuckDB defaults to it
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")),
+
+    "g_string_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .orderBy("doc_id", "w")),
+
+    "g_string_levenshtein" -> ((s, d) =>
+      Tables.nation(s, d).crossJoin(Tables.region(s, d))
+        .select(col("n_nationkey"), col("r_regionkey"),
+          levenshtein(col("n_name"), col("r_name")).as("dist"))
+        .orderBy("n_nationkey", "r_regionkey")),
+
+    "g_date_extract" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")),
+
+    "g_date_trunc_format" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .orderBy("ym")),
+
+    "g_date_arith" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(to_date(lit("2000-01-01")), col("o_orderdate").cast("date")).as("days_to_y2k"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy("o_orderkey")),
+
+    "g_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4(sqrt(col("l_extendedprice"))).as("sq"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("cl"),
+        abs(col("l_quantity") * -1).as("ab"),
+        r4(pow(col("l_quantity"), 2)).as("pw"),
+        r4(log(col("l_extendedprice"))).as("ln_p"),
+        r4(exp(col("l_discount"))).as("exp_d"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        (col("l_orderkey") % 5).as("md"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "g_conditional" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        coalesce(expr("nullif(o_orderstatus,'P')"), lit("NONE")).as("st"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("gr"),
+        least(col("o_totalprice"), lit(100000.0)).as("ls"))
+        .orderBy("o_orderkey")),
+
+    "g_hash_anonymize" -> ((s, d) =>
+      // the reference's signature transform: deterministic surrogate keys
+      // (anon_ticket_number / anon_plate_id analogs) via md5/sha256
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("plate_hash"),
+        sha2(concat_ws("|", col("c_name"), col("c_mktsegment")), 256).as("ticket_hash"))
+        .orderBy("c_custkey")),
+
+    // ---------------------------------------------------- H. array/map/json
+    "h_array_basic" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          array_contains(col("w"), "join").as("has_join"),
+          slice(col("w"), 1, 3).as("first3"),
+          sort_array(array_distinct(col("w"))).as("uniq_sorted"))
+        .orderBy("doc_id")),
+
+    "h_array_hof" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .selectExpr(
+          "vec_id",
+          "round(aggregate(transform(e, x -> x * 2), 0.0D, (acc, x) -> acc + x), 4) AS sum2x",
+          "size(filter(e, x -> x > 0)) AS n_pos",
+          "exists(e, x -> x > 0.5) AS has_big")
+        .orderBy("vec_id")),
+
+    "h_array_setops" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          sort_array(array_intersect(col("w"),
+            array(lit("join"), lit("hash"), lit("scan")))).as("kw_hits"),
+          size(array_union(col("w"),
+            array(lit("join"), lit("hash"), lit("scan")))).as("n_union"))
+        .orderBy("doc_id")),
+
+    "h_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .orderBy("doc_id", "pos")),
+
+    "h_json_get" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")),
+
+    "h_from_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+        .select(col("event_id"), col("j.k").as("k_val"))
+        .orderBy("event_id")),
+
+    // map/to_json: engine-specific physical forms → scalatest-only (§2 H)
+    "h_map_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("k")),
+          array(get_json_object(col("props"), "$.k").cast("int"))))
+        .select(col("event_id"), element_at(col("m"), "k").as("mk"),
+          map_keys(col("m")).as("keys"))
+        .orderBy("event_id")),
+
+    "h_to_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "g_string_basic" ->
+      ("SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand, " +
+        "length(p_name) AS name_len, substring(p_name, 1, 5) AS name_pre, " +
+        "lpad(p_brand, 10, '*') AS brand_pad, " +
+        "concat_ws('-', p_brand, p_type) AS brand_type, " +
+        "trim('  ' || p_name || '  ') AS trimmed " +
+        "FROM part ORDER BY p_partkey"),
+    "g_string_regex" ->
+      ("SELECT p_partkey, regexp_extract(p_name, '[a-z]+') AS first_word, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled " +
+        "FROM part ORDER BY p_partkey"),
+    "g_string_split" ->
+      ("SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents " +
+        "ORDER BY doc_id, w"),
+    "g_string_levenshtein" ->
+      ("SELECT n_nationkey, r_regionkey, levenshtein(n_name, r_name) AS dist " +
+        "FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey"),
+    "g_date_extract" ->
+      ("SELECT o_orderkey, year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr, " +
+        "month(o_orderdate) AS mth, day(o_orderdate) AS dom, " +
+        "dayofweek(o_orderdate) + 1 AS dow " + // Sun=0..6 → Spark's Sun=1..7
+        "FROM orders ORDER BY o_orderkey"),
+    "g_date_trunc_format" ->
+      ("SELECT date_trunc('month', o_orderdate) AS month_start, " +
+        "strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt, " +
+        "round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY month_start, ym ORDER BY ym"),
+    "g_date_arith" ->
+      ("SELECT o_orderkey, (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS plus30, " +
+        "date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS days_to_y2k, " +
+        "last_day(o_orderdate::DATE) AS month_end " +
+        "FROM orders ORDER BY o_orderkey"),
+    "g_math" ->
+      ("SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 4) AS sq, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS fl, " +
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS cl, " +
+        "abs(l_quantity * -1) AS ab, round(pow(l_quantity, 2), 4) AS pw, " +
+        "round(ln(l_extendedprice), 4) AS ln_p, round(exp(l_discount), 4) AS exp_d, " +
+        "CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 " +
+        "THEN -1.0 ELSE 0.0 END::DOUBLE AS sg, " +
+        "((l_orderkey % 7) + 7) % 7 AS pm, l_orderkey % 5 AS md " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "g_conditional" ->
+      ("SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'NONE') AS st, " +
+        "greatest(o_totalprice, 100000.0) AS gr, least(o_totalprice, 100000.0) AS ls " +
+        "FROM orders ORDER BY o_orderkey"),
+    "g_hash_anonymize" ->
+      ("SELECT c_custkey, md5(c_name) AS plate_hash, " +
+        "sha256(concat_ws('|', c_name, c_mktsegment)) AS ticket_hash " +
+        "FROM customer ORDER BY c_custkey"),
+    "h_array_basic" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "list_contains(string_split(text, ' '), 'join') AS has_join, " +
+        "string_split(text, ' ')[1:3] AS first3, " +
+        "list_sort(list_distinct(string_split(text, ' '))) AS uniq_sorted " +
+        "FROM documents ORDER BY doc_id"),
+    "h_array_hof" ->
+      ("SELECT vec_id, " +
+        "round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2), 'sum'), 4) AS sum2x, " +
+        "len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos, " +
+        "len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) > 0 AS has_big " +
+        "FROM embeddings ORDER BY vec_id"),
+    "h_array_setops" ->
+      ("SELECT doc_id, " +
+        "list_sort(list_intersect(list_distinct(string_split(text, ' ')), " +
+        "['join','hash','scan'])) AS kw_hits, " +
+        "len(list_distinct(string_split(text, ' ') || ['join','hash','scan'])) AS n_union " +
+        "FROM documents ORDER BY doc_id"),
+    "h_explode" ->
+      ("SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents ORDER BY doc_id, pos"),
+    "h_json_get" ->
+      ("SELECT event_id, json_extract(props, '$.k')::INT AS k_val FROM events " +
+        "ORDER BY event_id"),
+    "h_from_json" ->
+      ("SELECT event_id, json_extract(props, '$.k')::INT AS k_val FROM events " +
+        "ORDER BY event_id"),
+  )
+}

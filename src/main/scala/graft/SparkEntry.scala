@@ -17,10 +17,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap("b_distinct" -> ARelational.m("b_distinct")) ++ // warmup: tiny scan
-      ARelational.m ++ DAggregates.m ++ EWindows.m ++ GScalars.m
+      ARelational.m ++ DAggregates.m ++ EWindows.m ++ GScalars.m ++
+      ILlmOps.m ++ JStreaming.m ++ KUdx.m
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ARelational.oracle ++ DAggregates.oracle ++ EWindows.oracle ++ GScalars.oracle
+    ARelational.oracle ++ DAggregates.oracle ++ EWindows.oracle ++
+      GScalars.oracle ++ ILlmOps.oracle ++ JStreaming.oracle ++ KUdx.oracle
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector-similarity hot path
+  * (SURVEY §2 `k_custom_expression`, §7.4(3)).
+  *
+  * The HOF formulation (`aggregate(zip_with(a, b, …))`) builds an
+  * intermediate array per pair inside an O(n²) pair join — the dominant
+  * bench cost. These expressions run a tight codegen'd loop directly over
+  * the two `ArrayData`s: no intermediate allocation, stays inside
+  * whole-stage codegen. Summation order is the same left-to-right fold as
+  * the HOF form, so results are bit-identical and oracle parity is
+  * unaffected.
+  */
+abstract class VectorFold extends BinaryExpression {
+  // inputs must be array<double> — callers cast first (ILlmOps.vecs)
+  override def dataType: DataType = DoubleType
+
+  /** Java source for one loop step, given element vars `x`/`y`, acc `s`;
+    * `tmp` is a collision-free scratch variable name. */
+  protected def stepJava(s: String, x: String, y: String, tmp: String): String
+  protected def step(s: Double, x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s = step(s, xs.getDouble(i), ys.getDouble(i)); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val tmp = ctx.freshName("t")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepJava(s, s"$a.getDouble($i)", s"$b.getDouble($i)", tmp)}
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override protected def stepJava(s: String, x: String, y: String, tmp: String): String =
+    s"$s += $x * $y;"
+  override protected def step(s: Double, x: Double, y: Double): Double = s + x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+/** sqdiff(a, b) = Σ (aᵢ−bᵢ)² — squared L2 distance (sqrt applied outside). */
+case class SquaredDiffSum(left: Expression, right: Expression) extends VectorFold {
+  override protected def stepJava(s: String, x: String, y: String, tmp: String): String =
+    s"double $tmp = $x - $y; $s += $tmp * $tmp;"
+  override protected def step(s: Double, x: Double, y: Double): Double = {
+    val d = x - y; s + d * d
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sqdiff"
+}
+
+object VectorExprs {
+  /** Register graft_dot / graft_sqdiff as SQL functions on this session
+    * (idempotent) so queries can use them via expr("graft_dot(a, b)"). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sqdiff", exprs => SquaredDiffSum(exprs(0), exprs(1)), "built-in")
+  }
+}

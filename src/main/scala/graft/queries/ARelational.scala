@@ -17,7 +17,10 @@ object ARelational {
   // ---------------------------------------------------------------- A. scans
   val m: ListMap[String, Q] = ListMap(
     "a_scan_parquet" -> ((s, d) =>
-      Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")),
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem
+      // — order by enough columns for a total order (SURVEY §7.3.5)
+      Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")),
 
     "a_scan_parquet_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -33,7 +36,7 @@ object ARelational {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")),
 
     "a_scan_csv" -> ((s, d) => {
       val tmp = scratch("csv_nation")
@@ -65,7 +68,7 @@ object ARelational {
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
     "a_sink_csv" -> ((s, d) => {
@@ -91,7 +94,7 @@ object ARelational {
       Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 30 && col("l_discount") < 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     "b_filter_in_like_between" -> ((s, d) =>
       Tables.part(s, d)
@@ -115,7 +118,7 @@ object ARelational {
         when(col("l_discount") < 0.02, lit(0.0))
           .when(col("l_discount") > 0.08, r4(col("l_discount") * 2))
           .otherwise(col("l_discount")).as("disc_adj"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "disc_adj")),
 
     "b_distinct" -> ((s, d) =>
       Tables.customer(s, d).select("c_mktsegment").distinct()
@@ -234,7 +237,8 @@ object ARelational {
 
   val oracle: ListMap[String, String] = ListMap(
     "a_scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      ("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, " +
+        "l_suppkey, l_quantity, l_extendedprice, l_discount"),
     "a_scan_parquet_events" ->
       ("SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
@@ -242,13 +246,13 @@ object ARelational {
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "a_scan_filter_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
-        "WHERE l_shipdate <= TIMESTAMP '2000-12-01' ORDER BY l_orderkey, l_linenumber"),
+        "WHERE l_shipdate <= TIMESTAMP '2000-12-01' ORDER BY l_orderkey, l_linenumber, l_shipdate"),
     "b_project_rename_cast" ->
       ("SELECT o_orderkey AS id, CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
         "o_orderstatus AS status FROM orders ORDER BY id"),
     "b_filter_compare" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
-        "WHERE l_quantity >= 30 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber"),
+        "WHERE l_quantity >= 30 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount"),
     "b_filter_in_like_between" ->
       ("SELECT p_partkey, p_name, p_type, p_size FROM part " +
         "WHERE p_type IN ('ECONOMY','PROMO') AND p_name LIKE '%bolt%' " +
@@ -262,7 +266,7 @@ object ARelational {
         "CASE WHEN l_discount < 0.02 THEN 0.0 " +
         "WHEN l_discount > 0.08 THEN round(l_discount * 2, 4) " +
         "ELSE l_discount END AS disc_adj " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_adj"),
     "b_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
     "c_join_broadcast" ->

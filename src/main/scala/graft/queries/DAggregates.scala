@@ -205,8 +205,8 @@ object DAggregates {
     "d_agg_stats" ->
       ("SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty, " +
         "round(var_samp(l_quantity),4) AS var_qty, " +
-        "round(corr(l_quantity, l_extendedprice),4) AS corr_qp, " +
-        "round(covar_samp(l_quantity, l_extendedprice),4) AS cov_qp " +
+        "(round(corr(l_quantity, l_extendedprice),4) + 0.0) AS corr_qp, " +
+        "(round(covar_samp(l_quantity, l_extendedprice),4) + 0.0) AS cov_qp " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_agg_percentile" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50, " +

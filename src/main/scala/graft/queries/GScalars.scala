@@ -87,7 +87,7 @@ object GScalars {
         signum(col("l_discount") - 0.05).as("sg"),
         pmod(col("l_orderkey"), lit(7)).as("pm"),
         (col("l_orderkey") % 5).as("md"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "sq", "ab", "exp_d")),
 
     "g_conditional" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -217,7 +217,7 @@ object GScalars {
         "CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 " +
         "THEN -1.0 ELSE 0.0 END::DOUBLE AS sg, " +
         "((l_orderkey % 7) + 7) % 7 AS pm, l_orderkey % 5 AS md " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ab, exp_d"),
     "g_conditional" ->
       ("SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'NONE') AS st, " +
         "greatest(o_totalprice, 100000.0) AS gr, least(o_totalprice, 100000.0) AS ls " +
@@ -234,7 +234,7 @@ object GScalars {
         "FROM documents ORDER BY doc_id"),
     "h_array_hof" ->
       ("SELECT vec_id, " +
-        "round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2), 'sum'), 4) AS sum2x, " +
+        "(round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2), 'sum'), 4) + 0.0) AS sum2x, " +
         "len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos, " +
         "len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) > 0 AS has_big " +
         "FROM embeddings ORDER BY vec_id"),

@@ -1,0 +1,388 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group I — LLM-training-data pipeline operators (north-star mandated):
+  * deduplication (exact / normalized / MinHash / SimHash / LSH blocking),
+  * similarity search (brute-force cosine + LSH-bucketed ANN), text analysis
+  * (language-ID, quality scoring, TF-IDF, fingerprinting), over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale posture: every operator is expressed as joins/aggregations that
+  * shuffle on bounded keys. The all-pairs ops (cosine/knn) are the documented
+  * O(n²) baselines; `i_lsh_buckets` and `i_ann_lsh` are the blocking/bucketed
+  * scale paths that replace them beyond ~10⁵ items — candidate generation is
+  * an equi-join on a band/bucket key, never a cross join.
+  */
+object ILlmOps {
+
+  /** embeddings cast to double once — float32 arithmetic is not portable
+    * across engines (SURVEY §7.3.3) — with the L2 norm precomputed PER
+    * VECTOR (not per pair: inside an O(n²) pair join that's the difference
+    * between 2n and 2n² norm computations). graft_dot is the codegen'd
+    * native expression (graft.functions.VectorExprs) whose fold order is
+    * bit-identical to the HOF `aggregate(zip_with(...))` form.
+    */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorExprs.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  private val dot = "graft_dot(va, vb)"
+
+  val m: ListMap[String, Q] = ListMap(
+    "i_dedup_exact" -> ((s, d) =>
+      // groupBy formulation: deterministic representative (min doc_id),
+      // unlike dropDuplicates which keeps an arbitrary row
+      Tables.documents(s, d).groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "text", "n_copies")
+        .orderBy("doc_id")),
+
+    "i_dedup_norm" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .groupBy("h")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "h", "n_copies")
+        .orderBy("doc_id")),
+
+    "i_jaccard_pairs" -> ((s, d) => {
+      // pairwise token-set Jaccard, bounded by a doc_id predicate: the
+      // documented all-pairs baseline (LSH blocking is the scale path)
+      val t = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      val a = t.select(col("doc_id").as("a_id"), col("w").as("wa"))
+      val b = t.select(col("doc_id").as("b_id"), col("w").as("wb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          r4(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb")))).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "i_minhash" -> ((s, d) => {
+      // k=4 min-hash signature; md5 hex min is lexicographic on both engines
+      // (engine-specific integer hashes like xxhash64 are NOT portable)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      tok.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), col("w")))).as("s0"),
+        min(md5(concat(lit("1"), col("w")))).as("s1"),
+        min(md5(concat(lit("2"), col("w")))).as("s2"),
+        min(md5(concat(lit("3"), col("w")))).as("s3"))
+        .orderBy("doc_id")
+    }),
+
+    "i_lsh_buckets" -> ((s, d) => {
+      // MinHash → band → bucket-join: near-dup candidate pairs via an
+      // equi-join on the band hash (the 100 TB-safe blocking pattern)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val sig = tok.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), col("w")))).as("s0"),
+        min(md5(concat(lit("1"), col("w")))).as("s1"),
+        min(md5(concat(lit("2"), col("w")))).as("s2"),
+        min(md5(concat(lit("3"), col("w")))).as("s3"))
+      val band = sig.select(col("doc_id"),
+        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+      val a = band.select(col("doc_id").as("a_id"), col("band"))
+      val b = band.select(col("doc_id").as("b_id"), col("band").as("band_b"))
+      a.join(b, col("band") === col("band_b") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "band")
+        .orderBy("a_id", "b_id")
+    }),
+
+    "i_cosine_topk" -> ((s, d) => {
+      // brute-force cosine top-5 per vector (HOF form — the declared
+      // baseline; i_ann_lsh is the bucketed scale path)
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
+    "i_knn_l2" -> ((s, d) => {
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
+      a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("dist", sqrt(expr("graft_sqdiff(va, vb)")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("a_id"), col("b_id"), r4(col("dist")).as("dist"), col("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
+    "i_ann_lsh" -> ((s, d) => {
+      // approximate NN: sign-LSH buckets on the first 8 dims (deterministic
+      // hyperplanes), candidates only within a bucket → equi-join, then
+      // exact cosine top-3 per query vector inside the bucket
+      val e = vecs(s, d).withColumn("bucket",
+        (1 to 8).map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1)))
+          .otherwise(lit(0))).reduce(_ + _))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bucket_b"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("bucket"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
+    "i_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs above a threshold (0.35 —
+      // calibrated to this corpus; random unit vectors rarely exceed it)
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.35)
+        .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "i_text_stats" -> ((s, d) =>
+      Tables.documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg("n_chars")).as("avg_chars"),
+        r4(avg(size(split(col("text"), " ")))).as("avg_tokens"))
+        .orderBy("lang")),
+
+    "i_lang_id" -> ((s, d) => {
+      // language-ID as corpus-trained unigram naive Bayes, expressed
+      // relationally: per-lang token log-probs → join → per-(doc,lang)
+      // score sum → argmax. Shared 31-token vocabulary means no smoothing
+      // term is needed (every token occurs in every language).
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val lt = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val cnt = lt.groupBy("lang", "w").agg(count(lit(1)).as("cnt_wl"))
+      val tot = lt.groupBy("lang").agg(count(lit(1)).as("total_l"))
+      val model = cnt.join(tot, "lang")
+        .withColumn("ln_p", log(col("cnt_wl") / col("total_l")))
+      val scores = tok.join(model, "w")
+        .groupBy("doc_id", "lang").agg(sum("ln_p").as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(col("doc_id"), col("lang").as("pred_lang"), col("actual"))
+        .orderBy("doc_id")
+    }),
+
+    "i_quality_score" -> ((s, d) =>
+      // heuristic quality: type-token ratio, stopword ratio, length score
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("n_uniq", size(array_distinct(col("w"))))
+        .withColumn("stop_hits", size(expr(
+          "filter(w, x -> array_contains(array('join','hash','row','batch','scan'), x))")))
+        .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("len_score", least(col("n_tokens") / 100.0, lit(1.0)))
+        .select(col("doc_id"), col("n_tokens"),
+          r4(col("ttr")).as("ttr"),
+          r4(col("stop_ratio")).as("stop_ratio"),
+          // integer basis points via floor(x*1e4+0.5), NOT round(x,4): the
+          // weighted sum lands on exact decimal values like 0.59825 where
+          // Spark's decimal-string HALF_UP and DuckDB's binary rounding
+          // disagree; floor on the shared IEEE double is engine-identical
+          floor((col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+            col("len_score") * 0.4) * 10000 + 0.5).as("quality_bp"))
+        .orderBy("doc_id")),
+
+    "i_fingerprint" -> ((s, d) => {
+      // document fingerprint: min-hash over 3-token shingles (rolling
+      // window via lead(), so the shingling itself is relational)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      tok.withColumn("sh", concat(col("w"), lit(" "), lead("w", 1).over(win),
+          lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull)
+        .groupBy("doc_id")
+        .agg(min(md5(col("sh"))).as("fingerprint"),
+          countDistinct(col("sh")).as("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    "i_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+      tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_total") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w"), r4(col("tfidf")).as("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    "i_word_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))),
+
+    // SimHash uses xxhash64 (no DuckDB equivalent) → scalatest-only key
+    "i_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitSums = (0 until 32).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      val sig = (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "i_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY doc_id"),
+    "i_dedup_norm" ->
+      ("SELECT min(doc_id) AS doc_id, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, " +
+        "count(*) AS n_copies FROM documents " +
+        "GROUP BY h ORDER BY doc_id"),
+    "i_jaccard_pairs" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w " +
+        "FROM documents WHERE doc_id < 50) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(len(list_intersect(a.w, b.w))::DOUBLE / " +
+        "len(list_distinct(a.w || b.w)), 4) AS jac " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY a_id, b_id"),
+    "i_minhash" ->
+      ("SELECT doc_id, min(md5('0' || w)) AS s0, min(md5('1' || w)) AS s1, " +
+        "min(md5('2' || w)) AS s2, min(md5('3' || w)) AS s3 " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "i_lsh_buckets" ->
+      ("WITH sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
+        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
+        "GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, md5(s0 || s1 || s2 || s3) band FROM sig) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.band AS band " +
+        "FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id " +
+        "ORDER BY a_id, b_id"),
+    "i_cosine_topk" ->
+      ("SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, " +
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, " +
+        "b.vec_id) rn FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 5 ORDER BY a_id, rn"),
+    "i_knn_l2" ->
+      ("SELECT a_id, b_id, round(dist, 4) AS dist, rn FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, " +
+        "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) dist, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) rn " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 5 ORDER BY a_id, rn"),
+    "i_ann_lsh" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "eb AS (SELECT vec_id, v, " +
+        "(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) + " +
+        "(CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) " +
+        "AS bucket FROM e) " +
+        "SELECT a_id, bucket, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+        "SELECT a.vec_id a_id, a.bucket bucket, b.vec_id b_id, " +
+        "list_cosine_similarity(a.v, b.v) cos, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_embed_neardup" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35 " +
+        "ORDER BY a_id, b_id"),
+    "i_text_stats" ->
+      ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, " +
+        "round(avg(len(string_split(text, ' '))), 4) AS avg_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "i_lang_id" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
+        "lt AS (SELECT lang, unnest(string_split(text, ' ')) w FROM documents), " +
+        "cnt AS (SELECT lang, w, count(*) cnt_wl FROM lt GROUP BY lang, w), " +
+        "tot AS (SELECT lang, count(*) total_l FROM lt GROUP BY lang), " +
+        "model AS (SELECT cnt.lang, w, ln(cnt_wl::DOUBLE / total_l) ln_p " +
+        "FROM cnt JOIN tot ON cnt.lang = tot.lang), " +
+        "sc AS (SELECT doc_id, lang, sum(ln_p) score FROM tok JOIN model USING (w) " +
+        "GROUP BY doc_id, lang), " +
+        "p AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, lang) rn FROM sc) " +
+        "SELECT p.doc_id, p.lang AS pred_lang, d.lang AS actual " +
+        "FROM p JOIN documents d ON p.doc_id = d.doc_id WHERE rn = 1 ORDER BY p.doc_id"),
+    "i_quality_score" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "round(len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' ')), 4) AS ttr, " +
+        "round(len(list_filter(string_split(text, ' '), " +
+        "x -> list_contains(['join','hash','row','batch','scan'], x)))::DOUBLE / " +
+        "len(string_split(text, ' ')), 4) AS stop_ratio, " +
+        "CAST(floor((len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' ')) * 0.3 + " +
+        "(1.0 - len(list_filter(string_split(text, ' '), " +
+        "x -> list_contains(['join','hash','row','batch','scan'], x)))::DOUBLE / " +
+        "len(string_split(text, ' '))) * 0.3 + " +
+        "least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0::DOUBLE) * 0.4) " +
+        "* 10000 + 0.5) AS BIGINT) AS quality_bp " +
+        "FROM documents ORDER BY doc_id"),
+    "i_fingerprint" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "sh AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) " +
+        "SELECT doc_id, min(md5(sh)) AS fingerprint, count(DISTINCT sh) AS n_shingles " +
+        "FROM sh WHERE sh IS NOT NULL GROUP BY doc_id ORDER BY doc_id"),
+    "i_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents), " +
+        "tf AS (SELECT doc_id, w, count(*) tf FROM tok GROUP BY doc_id, w), " +
+        "df AS (SELECT w, count(DISTINCT doc_id) df FROM tok GROUP BY w), " +
+        "n AS (SELECT count(*) n_total FROM documents), " +
+        "x AS (SELECT tf.doc_id, tf.w, tf.tf * ln(n.n_total::DOUBLE / df.df) tfidf " +
+        "FROM tf JOIN df ON tf.w = df.w CROSS JOIN n), " +
+        "r AS (SELECT doc_id, w, tfidf, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, w) rn FROM x) " +
+        "SELECT doc_id, w, round(tfidf, 4) AS tfidf, rn FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, rn"),
+    "i_word_freq" ->
+      ("SELECT w, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) w FROM documents) " +
+        "GROUP BY w ORDER BY n DESC, w"),
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group J — event-time windowing and streaming-equivalent operators over
+  * the `events` table.
+  *
+  * The declared queries are the batch-equivalent formulations (the oracle can
+  * only check batch results — `Verify` runs batch DataFrames). The same
+  * window/session/dedup logic runs under Structured Streaming in the
+  * scalatest suite via MemoryStream, where watermarks, late data, and output
+  * modes are observable (graft.streaming.StreamRunner).
+  *
+  * Scale posture: tumbling/sliding/session windows shuffle on
+  * (key, window-bucket), never on raw event time; state in the streaming
+  * form is bounded by the watermark.
+  */
+object JStreaming {
+
+  val m: ListMap[String, Q] = ListMap(
+    "j_tumbling" -> ((s, d) =>
+      graft.streaming.StreamOps.tumbling(Tables.events(s, d)).orderBy("ws")),
+
+    "j_sliding" -> ((s, d) =>
+      graft.streaming.StreamOps.sliding(Tables.events(s, d)).orderBy("ws")),
+
+    "j_session" -> ((s, d) =>
+      // gap-based session windows; break semantics: new session when the
+      // gap is >= 30 minutes (verified parity recipe, SURVEY §7.3.2)
+      graft.streaming.StreamOps.sessions(Tables.events(s, d))
+        .orderBy("user_id", "session_start")),
+
+    "j_stream_dedup" -> ((s, d) =>
+      // batch equivalent of withWatermark+dropDuplicates: first event per
+      // (user, type) in event-time order, via min_by (never bare first())
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min_by(col("event_id"), col("ts")).as("first_event"),
+          min(col("ts")).as("first_ts"))
+        .orderBy("user_id", "event_type")),
+
+    "j_late_data" -> ((s, d) => {
+      // batch analog of the watermark cutoff: events within 1 hour of the
+      // max observed event time; the true late-row-drop behavior is
+      // asserted in the MemoryStream scalatest
+      val mx = Tables.events(s, d).agg(max(col("ts")).as("mx"))
+      Tables.events(s, d).crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    }),
+
+    "j_stream_static_join" -> ((s, d) =>
+      // stream ⋈ static dimension enrichment (broadcast — the dim is small)
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), r4(sum("value")).as("sum_val"))
+        .orderBy("c_mktsegment")),
+
+    // output modes / foreachBatch are sink behaviors — scalatest-only; the
+    // declared query is the underlying aggregation so the key is benchable
+    "j_stream_agg_modes" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), r4(sum("value")).as("sum_val"))
+        .orderBy("event_type")),
+
+    "j_foreachbatch" -> ((s, d) => {
+      val tmp = scratch("foreachbatch_sink")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy("event_type")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "j_tumbling" ->
+      ("SELECT date_trunc('hour', ts::TIMESTAMP) AS ws, count(*) AS cnt, " +
+        "round(sum(value), 4) AS sum_val FROM events GROUP BY ws ORDER BY ws"),
+    "j_sliding" ->
+      ("SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - " +
+        "(k * INTERVAL '15 minutes') AS ws, count(*) AS cnt, " +
+        "round(sum(value), 4) AS sum_val " +
+        "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k) " +
+        "GROUP BY ws ORDER BY ws"),
+    "j_session" ->
+      ("WITH d AS (SELECT user_id, ts::TIMESTAMP ts, " +
+        "CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 " +
+        "WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL '30 minutes' " +
+        "THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM d) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "j_stream_dedup" ->
+      ("SELECT user_id, event_type, arg_min(event_id, ts) AS first_event, " +
+        "min(ts::TIMESTAMP) AS first_ts FROM events " +
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+    "j_late_data" ->
+      ("SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events " +
+        "WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) FROM events) - INTERVAL 1 HOUR " +
+        "ORDER BY event_id"),
+    "j_stream_static_join" ->
+      ("SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS sum_val " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "j_stream_agg_modes" ->
+      ("SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+  )
+}

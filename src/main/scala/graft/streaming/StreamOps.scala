@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Det.r4
+
+/** Streaming-capable transforms over the events schema
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, …).
+  *
+  * Each takes a DataFrame that may be a batch table OR a `readStream`
+  * source — the logical plan is identical; under `MicroBatchExecution` the
+  * stateful ops (window/session/dropDuplicates) maintain state stores
+  * bounded by the watermark. The scalatest streaming suite drives these
+  * with MemoryStream and asserts watermark/late-data/output-mode behavior;
+  * the batch-equivalent results are oracle-checked via SparkEntry
+  * (`j_*` keys).
+  */
+object StreamOps {
+
+  /** 1-hour tumbling event-time window counts/sums. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), r4(sum("value")).as("sum_val"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sum_val"))
+
+  /** 1-hour window sliding every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), r4(sum("value")).as("sum_val"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sum_val"))
+
+  /** 30-minute-gap session windows per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming dedup: first event per (user, type) within the watermark.
+    * Only meaningful on a stream (batch dropDuplicates keeps an arbitrary
+    * row — the declared batch-equivalent key uses min_by instead). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
+  /** Watermarked tumbling aggregation — late rows beyond `watermark` are
+    * dropped by the streaming engine (asserted in StreamingSpec). */
+  def tumblingWithWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    tumbling(events.withWatermark("ts", watermark))
+}

@@ -1,0 +1,36 @@
+package graft
+
+/** Every declared query runs on the golden fixture tier and produces rows;
+  * every oracle key refers to a declared query; results are stable across
+  * two executions (catches nondeterminism before the driver does).
+  */
+class ContractSpec extends SparkTestBase {
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle keys without queries: $missing")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    val empties = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with 0 rows at sf0.001: $empties")
+  }
+
+  test("riskiest queries are run-to-run deterministic") {
+    val risky = Seq("d_agg_minmax_by", "i_lang_id", "i_tfidf", "i_cosine_topk",
+      "e_win_topk_group", "d_agg_first_last_ordered", "c_join_asof")
+    for (key <- risky) {
+      val fn = SparkEntry.queries(key)
+      val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+      val b = fn(spark, sfDir).collect().map(_.toString).toSeq
+      assert(a == b, s"$key is not deterministic")
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden/semantic assertions for the non-oracle keys and operator edge
+  * cases the DuckDB compare can't see.
+  */
+class OperatorSpec extends SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus").agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("d_agg_approx_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("map ops extract the json value") {
+    val rows = SparkEntry.queries("h_map_ops")(spark, sfDir).limit(10).collect()
+    val direct = SparkEntry.queries("h_json_get")(spark, sfDir).limit(10).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      direct.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    assert(rows.forall(_.getSeq[String](2) == Seq("k")))
+  }
+
+  test("to_json emits parseable json with both fields") {
+    val r = SparkEntry.queries("h_to_json")(spark, sfDir).limit(1).collect().head
+    val js = r.getString(1)
+    assert(js.contains("\"event_id\":" + r.getLong(0)) && js.contains("\"event_type\""))
+  }
+
+  test("csv and jsonl round-trips preserve the nation table") {
+    val src = Tables.nation(spark, sfDir).orderBy("n_nationkey")
+      .collect().map(_.toString).toSeq
+    val csv = SparkEntry.queries("a_scan_csv")(spark, sfDir).collect().map(_.toString).toSeq
+    val jsn = SparkEntry.queries("a_scan_jsonl")(spark, sfDir).collect().map(_.toString).toSeq
+    assert(csv == src && jsn == src)
+  }
+
+  test("partitioned sink round-trip preserves row content") {
+    val back = SparkEntry.queries("a_sink_partitioned")(spark, sfDir)
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    assert(back.collect().map(_.toString).toSeq ==
+      src.collect().map(_.toString).toSeq)
+  }
+
+  test("simhash: equal texts get equal signatures; signature is 32-bit") {
+    val df = SparkEntry.queries("i_simhash")(spark, sfDir)
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL))
+    // re-run: deterministic
+    val sigs2 = SparkEntry.queries("i_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == sigs2)
+  }
+
+  test("dayofweek parity convention (Spark Sun=1..Sat=7)") {
+    // 1995-01-01 was a Sunday → Spark dayofweek = 1
+    val r = spark.sql("SELECT dayofweek(TIMESTAMP '1995-01-01')").collect().head.getInt(0)
+    assert(r == 1)
+  }
+
+  test("lang_id predicts the actual language for most docs") {
+    val rows = SparkEntry.queries("i_lang_id")(spark, sfDir).collect()
+    val acc = rows.count(r => r.getString(1) == r.getString(2)).toDouble / rows.length
+    // unigram NB over a 31-token shared vocabulary: weak but must beat the
+    // 0.2 chance rate (measured ~0.33 on the fixture corpus)
+    assert(acc > 0.28, s"naive-Bayes lang-id accuracy $acc should beat chance (0.2)")
+  }
+
+  test("geo mean matches ln/exp formulation") {
+    val gm = SparkEntry.queries("k_udaf_aggregator")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_extendedprice")))), 4).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gm == ref)
+  }
+}

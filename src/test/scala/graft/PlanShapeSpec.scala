@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape assertions (SURVEY §5.2(5)): cheap checks that Catalyst is
+  * actually doing the scale-critical work — pushdown, broadcast, top-k
+  * physical operators, rank-limit pushdown, whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter reaches the parquet scan (PushedFilters)") {
+    assert(plan("a_scan_filter_pushdown").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("column pruning: pruned scan reads only 2 columns") {
+    val p = plan("a_scan_pruned")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("small dimension join is a BroadcastHashJoin") {
+    assert(plan("c_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("hinted joins pick the hinted physical strategy") {
+    assert(plan("c_join_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(plan("c_join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("f_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("rank-limit is pushed below the window (WindowGroupLimit)") {
+    assert(plan("e_win_topk_group").contains("WindowGroupLimit"))
+    assert(plan("i_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("aggregation pipeline is whole-stage codegen'd") {
+    // AQE wraps the plan pre-execution; the codegen explain mode forces
+    // code generation and reports the fused subtrees
+    val s = SparkEntry.queries("d_agg_basic")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"))
+  }
+
+  test("LSH candidate generation is an equi-join, not a nested loop") {
+    val p = plan("i_lsh_buckets")
+    assert(!p.contains("NestedLoop"), "band join must be hash-based")
+  }
+}

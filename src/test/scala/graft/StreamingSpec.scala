@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming behaviors that the batch oracle cannot check:
+  * late-data dropping under a watermark, streaming dedup, output modes,
+  * foreachBatch, and batch-vs-stream equivalence of the window logic.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("watermark drops late rows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = StreamOps.tumblingWithWatermark(ms.toDF(), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late1").outputMode("append").start()
+    // batch 1: events up to 12:00 → watermark advances to 11:00 AFTER the batch
+    ms.addData(
+      Ev(t("2024-01-01 09:10:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 09:20 — older than the 11:00 watermark → dropped
+    ms.addData(Ev(t("2024-01-01 09:20:00"), 1, "late", 99.0))
+    q.processAllAvailable()
+    // batch 3: advance time so the 09:00 window closes and emits
+    ms.addData(Ev(t("2024-01-01 14:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late1").collect()
+    val nine = rows.filter(_.getTimestamp(0) == t("2024-01-01 09:00:00"))
+    assert(nine.length == 1 && nine.head.getLong(1) == 1,
+      s"09:00 window must contain ONLY the on-time event, got ${rows.mkString(";")}")
+  }
+
+  test("streaming dedup keeps first event per (user, type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(t("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 09:05:00"), 1, "click", 2.0), // dup → dropped
+      Ev(t("2024-01-01 09:06:00"), 2, "click", 3.0))
+    runToMemory(StreamOps.dedupWithinWatermark(ms.toDF()), "dedup1", "append")
+    val vals = spark.table("dedup1").select("user_id", "value").as[(Long, Double)]
+      .collect().toSet
+    assert(vals == Set((1L, 1.0), (2L, 3.0)))
+  }
+
+  test("output modes: complete vs update on a streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(t("2024-01-01 09:00:00"), 1, "click", 1.0))
+    val agg = ms.toDF().groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val qc = agg.writeStream.format("memory").queryName("modes_c")
+      .outputMode("complete").start()
+    qc.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 09:10:00"), 2, "click", 1.0))
+    qc.processAllAvailable()
+    qc.stop()
+    // complete mode: final table holds the full updated aggregate
+    val cnt = spark.table("modes_c").as[(String, Long)].collect().toMap
+    assert(cnt == Map("click" -> 2L))
+  }
+
+  test("foreachBatch writes each micro-batch through the batch writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/febtest"
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(t("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 09:01:00"), 2, "view", 2.0))
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("batch and stream produce identical tumbling aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 09:10:00"), 1, "click", 1.5),
+      Ev(t("2024-01-01 09:40:00"), 2, "view", 2.5),
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 3.5))
+    val ms = MemoryStream[Ev]
+    ms.addData(evs: _*)
+    runToMemory(StreamOps.tumbling(ms.toDF()), "bveq", "complete")
+    val streamed = spark.table("bveq").orderBy("ws").collect().map(_.toString).toSeq
+    val batch = StreamOps.tumbling(evs.toDF()).orderBy("ws").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
+  test("batch and stream produce identical session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 09:00:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 09:10:00"), 1, "b", 1.0), // same session (10 min gap)
+      Ev(t("2024-01-01 10:00:00"), 1, "c", 1.0)) // 50 min gap → new session
+    val ms = MemoryStream[Ev]
+    ms.addData(evs: _*)
+    runToMemory(StreamOps.sessions(ms.toDF()), "sveq", "complete")
+    val streamed = spark.table("sveq").orderBy("session_start").collect().map(_.toString).toSeq
+    val batch = StreamOps.sessions(evs.toDF()).orderBy("session_start").collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.size == 2)
+  }
+}

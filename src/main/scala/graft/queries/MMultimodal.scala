@@ -1,0 +1,120 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group M — multimodal columns (north-star mandated): image/audio/video
+  * modeled as opaque `binary` columns with typed metadata, plus the
+  * operators a training-data pipeline runs over them: metadata extraction,
+  * decode → feature vectors, resize planning, frame sampling.
+  *
+  * The test fixtures carry no real media, so the MEDIA BYTES are derived
+  * deterministically from `documents.text` (md5 → 16-byte blob) and the
+  * DECODE step is an explicitly-marked STUB (deterministic fake features
+  * from the bytes). Everything around the stub — binary schema, metadata
+  * struct, mapPartitions batch shape, per-partition decoder init, array
+  * output schema — is real Spark plumbing that would be unchanged with a
+  * real codec on a real cluster.
+  *
+  * Scale posture: decode runs via mapPartitions so a real decoder is
+  * initialized once per partition (not per row); frame sampling is a
+  * generator (`explode(sequence(...))`) so no driver-side loops; all
+  * metadata derivations are codegen'd column expressions.
+  */
+object MMultimodal {
+
+  /** The synthetic media table: doc_id, media BINARY, typed metadata. */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("media"), // 16-byte deterministic blob
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+      (lit(24) + (col("doc_id") % 10) * 8).cast("int").as("n_frames"))
+
+  val m: ListMap[String, Q] = ListMap(
+    "m_media_meta" -> ((s, d) =>
+      media(s, d).select(
+        col("doc_id"),
+        octet_length(col("media")).as("n_bytes"),
+        col("media_type"), col("width"), col("height"))
+        .orderBy("doc_id")),
+
+    "m_resize_plan" -> ((s, d) =>
+      // resize planning: fit into 224x224 preserving aspect ratio — pure
+      // integer/double arithmetic, identical on both engines
+      media(s, d)
+        .withColumn("scale",
+          least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+        .select(col("doc_id"), col("width"), col("height"),
+          floor(col("width") * col("scale")).cast("long").as("out_w"),
+          floor(col("height") * col("scale")).cast("long").as("out_h"))
+        .orderBy("doc_id")),
+
+    "m_frame_sample" -> ((s, d) =>
+      // frame sampling: every 8th frame of each "video" — a generator
+      // expression, one output row per sampled frame
+      media(s, d).filter(col("media_type") === "video/mp4")
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_frames - 1, 8)")).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // STUB decode — scalatest-only key. The feature extraction is a
+    // deterministic fake (byte value / 255); a real image/audio codec slots
+    // into `decodeBatch` below with no change to the Spark plumbing.
+    "m_decode_features" -> ((s, d) => {
+      import s.implicits._
+      val rows = media(s, d).select("doc_id", "media").as[(Long, Array[Byte])]
+      rows.mapPartitions { it =>
+        // real-world shape: initialize the (expensive) decoder ONCE per
+        // partition, then stream the rows through it
+        val decoder = StubDecoder.init()
+        it.map { case (id, bytes) => (id, decoder.decodeBatch(bytes)) }
+      }.toDF("doc_id", "features")
+        .select(col("doc_id"), col("features"),
+          size(col("features")).as("dim"),
+          r4(element_at(col("features"), 1).cast("double")).as("f0"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "m_media_meta" ->
+      ("SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes, " +
+        "['image/png','audio/wav','video/mp4'][(doc_id % 3 + 1)::INT] AS media_type, " +
+        "(64 + (doc_id % 8) * 16)::INT AS width, " +
+        "(48 + (doc_id % 5) * 16)::INT AS height " +
+        "FROM documents ORDER BY doc_id"),
+    "m_resize_plan" ->
+      ("SELECT doc_id, width, height, " +
+        "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
+        "CAST(floor(height * scale) AS BIGINT) AS out_h FROM (" +
+        "SELECT doc_id, (64 + (doc_id % 8) * 16)::INT AS width, " +
+        "(48 + (doc_id % 5) * 16)::INT AS height, " +
+        "least(224.0::DOUBLE / ((64 + (doc_id % 8) * 16)::INT), " +
+        "224.0::DOUBLE / ((48 + (doc_id % 5) * 16)::INT)) AS scale " +
+        "FROM documents) ORDER BY doc_id"),
+    "m_frame_sample" ->
+      ("SELECT doc_id, unnest(generate_series(0, (24 + (doc_id % 10) * 8) - 1, 8)) " +
+        "AS frame_idx FROM documents WHERE doc_id % 3 = 2 " +
+        "ORDER BY doc_id, frame_idx"),
+  )
+}
+
+/** STUB: stands in for a real media decoder (image/audio libs are not in
+  * this environment). Deterministic: features are the first 8 bytes scaled
+  * to [0,1]. The init()/decodeBatch() split mirrors how a real codec would
+  * be held per-partition.
+  */
+class StubDecoder private () extends Serializable {
+  def decodeBatch(bytes: Array[Byte]): Array[Float] =
+    bytes.take(8).map(b => (b & 0xFF) / 255.0f)
+}
+object StubDecoder {
+  def init(): StubDecoder = new StubDecoder()
+}

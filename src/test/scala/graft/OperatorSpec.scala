@@ -74,6 +74,17 @@ class OperatorSpec extends SparkTestBase {
     assert(acc > 0.28, s"naive-Bayes lang-id accuracy $acc should beat chance (0.2)")
   }
 
+  test("stub media decode: per-partition decoder, deterministic 8-dim features") {
+    val df = SparkEntry.queries("m_decode_features")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) == 8))
+    val f0 = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val again = SparkEntry.queries("m_decode_features")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(f0 == again, "decode stub must be deterministic")
+    assert(f0.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("geo mean matches ln/exp formulation") {
     val gm = SparkEntry.queries("k_udaf_aggregator")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

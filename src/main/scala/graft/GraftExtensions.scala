@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, SquaredDiffSum}
+
+/** Standard Spark extension point: install the engine's native functions at
+  * session build time via
+  * `spark.sql.extensions=graft.GraftExtensions`, or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * This is the idiomatic way to ship custom Catalyst surface with a library
+  * — the session owns the registration, not the queries. (The query layer
+  * also registers lazily via VectorExprs.register for sessions built without
+  * the extension, e.g. the driver-owned Verify/Bench mains.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdiff"),
+      new ExpressionInfo(classOf[SquaredDiffSum].getName, "graft_sqdiff"),
+      (children: Seq[Expression]) => SquaredDiffSum(children(0), children(1))))
+  }
+}

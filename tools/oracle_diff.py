@@ -56,10 +56,9 @@ def main():
                     pass
                 try:
                     r = (x == y)
-                    if hasattr(r, "all"):
-                        return bool(r.all()) and len(x) == len(y)
-                    if r:
-                        return True
+                    if hasattr(x, "__len__"):  # arrays/lists: elementwise
+                        return len(x) == len(y) and bool(getattr(r, "all", lambda: r)())
+                    return bool(r)  # scalars: trust == (0.0 == -0.0 is True)
                 except Exception:
                     pass
                 return str(x) == str(y)

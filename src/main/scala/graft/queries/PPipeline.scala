@@ -1,0 +1,83 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group P — composed pipelines and scale techniques.
+  *
+  * `p_etl_pipeline` is the reference's entire batch job as ONE declarative
+  * plan — extract → clean/filter → anonymize → code-decode (dim join) →
+  * aggregate/publish. A user of the reference pipeline switches to this and
+  * runs the same job; Catalyst fuses the whole per-row transform chain into
+  * one codegen stage over the scan, so at 100 TB this is a single pass plus
+  * one shuffle for the final aggregate.
+  *
+  * `p_join_salted` demonstrates hot-key salting: the skewed side's key is
+  * split into N sub-keys, the dimension side is exploded N ways, and the
+  * post-aggregation merges the salt back out — identical results to the
+  * plain join (the oracle checks against the UNSALTED formulation).
+  */
+object PPipeline {
+
+  val m: ListMap[String, Q] = ListMap(
+    "p_etl_pipeline" -> ((s, d) => {
+      // the reference job, Spark-first (ticket≈lineitem, violation-code≈part,
+      // agency≈supplier): clean rows, anonymize identifiers, decode codes
+      // via broadcast dims, publish a per-(brand, month) summary
+      val tickets = Tables.lineitem(s, d)
+        // 1. filter malformed/out-of-domain rows (the reference drops them)
+        .filter(col("l_quantity").between(1, 50) && col("l_discount") >= 0)
+        // 2. normalize: timestamps → month bucket, money → rounded
+        .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .withColumn("charge", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        // 3. anonymize: deterministic surrogate ticket id (SURVEY §1.1)
+        .withColumn("anon_ticket", sha2(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey")), 256))
+      tickets
+        // 4. decode codes via broadcast dimension joins
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        // 5. publish: per (brand, month) summary with a sample anon id
+        .groupBy("p_brand", "month")
+        .agg(count(lit(1)).as("n_tickets"),
+          r4(sum("charge")).as("total_charge"),
+          min("anon_ticket").as("sample_ticket"))
+        .orderBy("p_brand", "month")
+    }),
+
+    "p_join_salted" -> ((s, d) => {
+      // skew-resistant aggregate join: salt the (potentially hot) fact key,
+      // explode the dim side across the salt space, aggregate, merge
+      val nSalt = 8
+      val fact = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(nSalt)))
+      val dim = Tables.part(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      fact.join(dim,
+          fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("cnt"), r4(sum("l_extendedprice")).as("revenue"))
+        .orderBy("p_type")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "p_etl_pipeline" ->
+      ("SELECT p_brand, month, count(*) AS n_tickets, " +
+        "round(sum(charge), 4) AS total_charge, min(anon_ticket) AS sample_ticket " +
+        "FROM (SELECT l_partkey, l_suppkey, strftime(l_shipdate, '%Y-%m') AS month, " +
+        "l_extendedprice * (1 - l_discount) AS charge, " +
+        "sha256(concat_ws('|', l_orderkey, l_linenumber, l_partkey)) AS anon_ticket " +
+        "FROM lineitem WHERE l_quantity BETWEEN 1 AND 50 AND l_discount >= 0) t " +
+        "JOIN part ON t.l_partkey = p_partkey " +
+        "JOIN supplier ON t.l_suppkey = s_suppkey " +
+        "GROUP BY p_brand, month ORDER BY p_brand, month"),
+    // the oracle is the UNSALTED join — salting must not change results
+    "p_join_salted" ->
+      ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_type ORDER BY p_type"),
+  )
+}

@@ -33,6 +33,22 @@ object KUdx {
         .orderBy("l_returnflag")
     }),
 
+    "k_typed_mapgroups" -> ((s, d) => {
+      // typed KeyValueGroupedDataset API: per-user aggregation via
+      // mapGroups (an arbitrary Scala reduction, not a SQL aggregate)
+      import s.implicits._
+      Tables.events(s, d).select("user_id", "value").as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (user, rows) =>
+          var n = 0L
+          var mx = Double.MinValue
+          rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+          (user, n, mx)
+        }
+        .toDF("user_id", "n_events", "max_val")
+        .orderBy("user_id")
+    }),
+
     "k_custom_expression" -> ((s, d) => {
       // native codegen'd Catalyst expression (graft_dot) exercised directly:
       // pairwise cosine over a bounded id range, hash-matched against
@@ -72,6 +88,9 @@ object KUdx {
     "k_udaf_aggregator" ->
       ("SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean, " +
         "count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "k_typed_mapgroups" ->
+      ("SELECT user_id, count(*) AS n_events, max(value) AS max_val " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "k_custom_expression" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0) AS cos " +

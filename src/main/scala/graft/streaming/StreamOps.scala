@@ -52,4 +52,31 @@ object StreamOps {
     * dropped by the streaming engine (asserted in StreamingSpec). */
   def tumblingWithWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     tumbling(events.withWatermark("ts", watermark))
+
+  /** Custom per-key state via flatMapGroupsWithState: running event count
+    * and cumulative value per user, emitted on every update. The state
+    * store holds one (count, sum) pair per user — bounded by key
+    * cardinality, not event volume, so it scales to arbitrarily long
+    * streams. GroupStateTimeout is not set because the fixture stream is
+    * finite; a production deployment would use EventTimeTimeout with the
+    * watermark to expire idle users.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotal(user, prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }
+
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotal(user_id: Long, n: Long, total: Double)

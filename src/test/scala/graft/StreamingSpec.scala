@@ -90,6 +90,25 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("flatMapGroupsWithState accumulates per-user running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.UserEvent]
+    val q = StreamOps.runningUserTotals(ms.toDS())
+      .toDF().writeStream.format("memory").queryName("state1")
+      .outputMode("update").start()
+    ms.addData(graft.streaming.UserEvent(1, 10.0), graft.streaming.UserEvent(1, 5.0))
+    q.processAllAvailable()
+    ms.addData(graft.streaming.UserEvent(1, 1.0), graft.streaming.UserEvent(2, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: last emission per user carries the accumulated state
+    val last = spark.table("state1").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.last._2 }
+    assert(last(1L) == ((3L, 16.0)), s"user 1 state: ${last(1L)}")
+    assert(last(2L) == ((1L, 7.0)))
+  }
+
   test("batch and stream produce identical tumbling aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -24,9 +24,9 @@ object EWindows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"))
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
         .orderBy("o_custkey", "rn")
     }),
 
@@ -35,7 +35,7 @@ object EWindows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         r4(percent_rank().over(w)).as("pct_rank"),
         r4(cume_dist().over(w)).as("cume"))
         .orderBy("o_custkey", "o_orderkey")
@@ -99,7 +99,7 @@ object EWindows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     }),

@@ -23,7 +23,7 @@ object GScalars {
         col("p_partkey"),
         upper(col("p_name")).as("up_name"),
         lower(col("p_brand")).as("lo_brand"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 5).as("name_pre"),
         lpad(col("p_brand"), 10, "*").as("brand_pad"),
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
@@ -46,17 +46,18 @@ object GScalars {
     "g_string_levenshtein" -> ((s, d) =>
       Tables.nation(s, d).crossJoin(Tables.region(s, d))
         .select(col("n_nationkey"), col("r_regionkey"),
-          levenshtein(col("n_name"), col("r_name")).as("dist"))
+          levenshtein(col("n_name"), col("r_name")).cast("long").as("dist"))
         .orderBy("n_nationkey", "r_regionkey")),
 
     "g_date_extract" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        quarter(col("o_orderdate")).as("qtr"),
-        month(col("o_orderdate")).as("mth"),
-        dayofmonth(col("o_orderdate")).as("dom"),
-        dayofweek(col("o_orderdate")).as("dow"))
+        // cast to long: computed ints are INT in Spark but BIGINT in DuckDB
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
         .orderBy("o_orderkey")),
 
     "g_date_trunc_format" -> ((s, d) =>
@@ -70,7 +71,7 @@ object GScalars {
       Tables.orders(s, d).select(
         col("o_orderkey"),
         date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
-        datediff(to_date(lit("2000-01-01")), col("o_orderdate").cast("date")).as("days_to_y2k"),
+        datediff(to_date(lit("2000-01-01")), col("o_orderdate").cast("date")).cast("long").as("days_to_y2k"),
         last_day(col("o_orderdate").cast("date")).as("month_end"))
         .orderBy("o_orderkey")),
 
@@ -112,7 +113,7 @@ object GScalars {
         .withColumn("w", split(col("text"), " "))
         .select(
           col("doc_id"),
-          size(col("w")).as("n_tokens"),
+          size(col("w")).cast("long").as("n_tokens"),
           array_contains(col("w"), "join").as("has_join"),
           slice(col("w"), 1, 3).as("first3"),
           sort_array(array_distinct(col("w"))).as("uniq_sorted"))
@@ -124,7 +125,7 @@ object GScalars {
         .selectExpr(
           "vec_id",
           "round(aggregate(transform(e, x -> x * 2), 0.0D, (acc, x) -> acc + x), 4) AS sum2x",
-          "size(filter(e, x -> x > 0)) AS n_pos",
+          "CAST(size(filter(e, x -> x > 0)) AS BIGINT) AS n_pos",
           "exists(e, x -> x > 0.5) AS has_big")
         .orderBy("vec_id")),
 
@@ -136,12 +137,13 @@ object GScalars {
           sort_array(array_intersect(col("w"),
             array(lit("join"), lit("hash"), lit("scan")))).as("kw_hits"),
           size(array_union(col("w"),
-            array(lit("join"), lit("hash"), lit("scan")))).as("n_union"))
+            array(lit("join"), lit("hash"), lit("scan")))).cast("long").as("n_union"))
         .orderBy("doc_id")),
 
     "h_explode" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")),
 
     "h_json_get" -> ((s, d) =>

@@ -108,7 +108,7 @@ object ILlmOps {
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
         .orderBy("a_id", "rn")
@@ -121,7 +121,7 @@ object ILlmOps {
       val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("dist", sqrt(expr("graft_sqdiff(va, vb)")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("a_id"), col("b_id"), r4(col("dist")).as("dist"), col("rn"))
         .orderBy("a_id", "rn")
@@ -141,7 +141,7 @@ object ILlmOps {
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("bucket"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
         .orderBy("a_id", "rn")
@@ -182,7 +182,7 @@ object ILlmOps {
       val scores = tok.join(model, "w")
         .groupBy("doc_id", "lang").agg(sum("ln_p").as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      scores.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") === 1)
         .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
         .select(col("doc_id"), col("lang").as("pred_lang"), col("actual"))
         .orderBy("doc_id")
@@ -192,7 +192,7 @@ object ILlmOps {
       // heuristic quality: type-token ratio, stopword ratio, length score
       Tables.documents(s, d)
         .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("w")))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
         .withColumn("n_uniq", size(array_distinct(col("w"))))
         .withColumn("stop_hits", size(expr(
           "filter(w, x -> array_contains(array('join','hash','row','batch','scan'), x))")))
@@ -234,7 +234,7 @@ object ILlmOps {
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
       tf.join(df, "w").crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * log(col("n_total") / col("df")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("w"), r4(col("tfidf")).as("tfidf"), col("rn"))
         .orderBy("doc_id", "rn")

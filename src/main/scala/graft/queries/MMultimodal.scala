@@ -41,7 +41,7 @@ object MMultimodal {
     "m_media_meta" -> ((s, d) =>
       media(s, d).select(
         col("doc_id"),
-        octet_length(col("media")).as("n_bytes"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
         col("media_type"), col("width"), col("height"))
         .orderBy("doc_id")),
 
@@ -61,7 +61,7 @@ object MMultimodal {
       // expression, one output row per sampled frame
       media(s, d).filter(col("media_type") === "video/mp4")
         .select(col("doc_id"),
-          explode(expr("sequence(0, n_frames - 1, 8)")).as("frame_idx"))
+          explode(expr("sequence(0L, CAST(n_frames AS LONG) - 1, 8L)")).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")),
 
     // STUB decode — scalatest-only key. The feature extraction is a

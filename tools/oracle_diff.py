@@ -38,6 +38,9 @@ def main():
         # driver semantics: sort columns by name, then compare values
         spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
         duck_df = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        for c in spark_df.columns:
+            if c in duck_df.columns and str(spark_df[c].dtype) != str(duck_df[c].dtype):
+                print(f"[TYPE] {key}.{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"[COLS] {key}: spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
             n_bad += 1;  continue

@@ -102,6 +102,26 @@ object DAggregates {
         count(lit(1)).as("cnt"))
         .orderBy("user_id")),
 
+    "d_agg_bool" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        bool_and(col("l_discount") < 0.2).as("all_small_disc"),
+        bool_or(col("l_quantity") > 49).as("any_max_qty"),
+        count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "b_unpivot" -> ((s, d) =>
+      // wide → long (melt): one row per (line, measure) — the inverse of
+      // d_agg_pivot. The oracle uses the portable UNION ALL formulation.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
     // ------------------------------------------------- F. sort/limit/set ops
     "f_sort_multi_nulls" -> ((s, d) =>
       Tables.orders(s, d)
@@ -220,6 +240,17 @@ object DAggregates {
       ("SELECT user_id, arg_min(event_type, ts) AS first_event, " +
         "arg_max(event_type, ts) AS last_event, count(*) AS cnt " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "d_agg_bool" ->
+      ("SELECT l_returnflag, bool_and(l_discount < 0.2) AS all_small_disc, " +
+        "bool_or(l_quantity > 49) AS any_max_qty, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "b_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, metric, val FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, metric, val"),
     "f_sort_multi_nulls" ->
       ("SELECT o_orderkey, nullif(o_orderstatus,'P') AS st, o_totalprice FROM orders " +
         "ORDER BY st ASC NULLS FIRST, o_totalprice DESC, o_orderkey"),

@@ -94,6 +94,17 @@ object EWindows {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "e_win_nth_value" -> ((s, d) => {
+      // explicit full frame: nth_value needs to see the whole partition on
+      // both engines
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        nth_value(col("value"), 2).over(w).as("second_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "e_win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -145,6 +156,11 @@ object EWindows {
         "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
         "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_orderkey"),
+    "e_win_nth_value" ->
+      ("SELECT user_id, event_id, nth_value(value, 2) OVER w AS second_val " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, event_id"),
     "e_win_topk_group" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +

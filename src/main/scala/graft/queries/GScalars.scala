@@ -38,6 +38,15 @@ object GScalars {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
         .orderBy("p_partkey")),
 
+    "g_string_more" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"))
+        .orderBy("p_partkey")),
+
     "g_string_split" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -189,6 +198,10 @@ object GScalars {
       ("SELECT p_partkey, regexp_extract(p_name, '[a-z]+') AS first_word, " +
         "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled " +
         "FROM part ORDER BY p_partkey"),
+    "g_string_more" ->
+      ("SELECT p_partkey, translate(p_name, 'aeiou', 'AEIOU') AS tr, " +
+        "reverse(p_name) AS rev, repeat(p_brand, 2) AS rep, " +
+        "replace(p_name, ' ', '_') AS snake FROM part ORDER BY p_partkey"),
     "g_string_split" ->
       ("SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents " +
         "ORDER BY doc_id, w"),

@@ -160,6 +160,40 @@ object ILlmOps {
         .orderBy("a_id", "b_id")
     }),
 
+    "i_ngram_jaccard" -> ((s, d) => {
+      // near-dup via Jaccard over 3-token shingle SETS (n-gram Jaccard) —
+      // relational formulation: shingles per doc (distinct), pair overlap by
+      // an equi-join on the shingle, |A∪B| = |A| + |B| − |A∩B|
+      val tok = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull)
+        .select("doc_id", "sh").distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          r4(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "i_token_count" -> ((s, d) =>
+      // whitespace tokens vs a BPE-ish regex tokenization (letter runs,
+      // digit runs, punctuation runs) — the standard pre-tokenizer shape
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+          .cast("long").as("re_tokens"))
+        .orderBy("doc_id")),
+
     "i_text_stats" -> ((s, d) =>
       Tables.documents(s, d).groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -328,6 +362,25 @@ object ILlmOps {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35 " +
         "ORDER BY a_id, b_id"),
+    "i_ngram_jaccard" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 40), " +
+        "sh AS (SELECT DISTINCT doc_id, sh FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT a_id, b_id, round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jac " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = a_id " +
+        "JOIN sizes sb ON sb.doc_id = b_id ORDER BY a_id, b_id"),
+    "i_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS re_tokens " +
+        "FROM documents ORDER BY doc_id"),
     "i_text_stats" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, " +
         "round(avg(len(string_split(text, ' '))), 4) AS avg_tokens " +

@@ -86,5 +86,12 @@ object VectorExprs {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sqdiff", exprs => SquaredDiffSum(exprs(0), exprs(1)), "built-in")
+    // graft_topk(score, id, k, asc): bounded top-k-per-group aggregate
+    reg.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKPairs(
+        exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Boolean]), // analyzer wraps bare AggregateFunctions
+      "built-in")
   }
 }

@@ -102,15 +102,20 @@ object ILlmOps {
     "i_cosine_topk" -> ((s, d) => {
       // brute-force cosine top-5 per vector (HOF form — the declared
       // baseline; i_ann_lsh is the bucketed scale path)
+      // top-k via the bounded graft_topk aggregate (graft.functions.
+      // TopKPairs): the shuffle carries k rows per vector instead of
+      // sorting all n² candidate pairs — row-identical to the row_number
+      // window formulation since b_id is unique per group
       val e = vecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
+        .groupBy("a_id")
+        .agg(expr("graft_topk(cos, b_id, 5, false)").as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"),
+          r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
         .orderBy("a_id", "rn")
     }),
 
@@ -118,12 +123,13 @@ object ILlmOps {
       val e = vecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-      val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("dist", sqrt(expr("graft_sqdiff(va, vb)")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("a_id"), col("b_id"), r4(col("dist")).as("dist"), col("rn"))
+        .groupBy("a_id")
+        .agg(expr("graft_topk(dist, b_id, 5, true)").as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"),
+          r4(col("t.score")).as("dist"), col("t.rn").as("rn"))
         .orderBy("a_id", "rn")
     }),
 
@@ -138,12 +144,13 @@ object ILlmOps {
         col("nrm").as("na"), col("bucket"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
         col("nrm").as("nb"), col("bucket").as("bucket_b"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .select(col("a_id"), col("bucket"), col("b_id"), r4(col("cos")).as("cos"), col("rn"))
+        .groupBy("a_id", "bucket")
+        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+        .select(col("a_id"), col("bucket"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("bucket"), col("t.id").as("b_id"),
+          r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
         .orderBy("a_id", "rn")
     }),
 

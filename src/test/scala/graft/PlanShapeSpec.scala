@@ -33,7 +33,13 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("rank-limit is pushed below the window (WindowGroupLimit)") {
     assert(plan("e_win_topk_group").contains("WindowGroupLimit"))
-    assert(plan("i_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("vector top-k is a bounded aggregate, not a window sort") {
+    val p = plan("i_cosine_topk")
+    assert(p.contains("graft_topk") && p.contains("ObjectHashAggregate"),
+      s"expected bounded TopKPairs aggregate:\n$p")
+    assert(!p.contains("Window ["), "no full window sort over the pair join")
   }
 
   test("aggregation pipeline is whole-stage codegen'd") {

@@ -17,6 +17,8 @@ import graft.functions.{DotProduct, SquaredDiffSum}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // user-written HOF vector folds get the fused native loop automatically
+    ext.injectOptimizerRule(_ => graft.plans.FuseVectorFold)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -102,6 +102,12 @@ object DAggregates {
         count(lit(1)).as("cnt"))
         .orderBy("user_id")),
 
+    "d_agg_median" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        r4(median(col("l_extendedprice"))).as("med_price"),
+        r4(median(col("l_quantity"))).as("med_qty"))
+        .orderBy("l_returnflag")),
+
     "d_agg_bool" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         bool_and(col("l_discount") < 0.2).as("all_small_disc"),
@@ -240,6 +246,10 @@ object DAggregates {
       ("SELECT user_id, arg_min(event_type, ts) AS first_event, " +
         "arg_max(event_type, ts) AS last_event, count(*) AS cnt " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "d_agg_median" ->
+      ("SELECT l_returnflag, round(median(l_extendedprice), 4) AS med_price, " +
+        "round(median(l_quantity), 4) AS med_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_agg_bool" ->
       ("SELECT l_returnflag, bool_and(l_discount < 0.2) AS all_small_disc, " +
         "bool_or(l_quantity > 49) AS any_max_qty, count(*) AS cnt " +

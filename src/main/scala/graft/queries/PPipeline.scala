@@ -47,6 +47,22 @@ object PPipeline {
         .orderBy("p_brand", "month")
     }),
 
+    "p_sql_q3" -> ((s, d) => {
+      // the spark.sql(...) entry point on a classic shipping-priority query:
+      // parser → analyzer → same Catalyst pipeline as the DataFrame API
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |o_orderdate, o_orderpriority
+          |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+          |JOIN lineitem_v ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    }),
+
     "p_join_salted" -> ((s, d) => {
       // skew-resistant aggregate join: salt the (potentially hot) fact key,
       // explode the dim side across the salt space, aggregate, merge
@@ -74,6 +90,14 @@ object PPipeline {
         "JOIN part ON t.l_partkey = p_partkey " +
         "JOIN supplier ON t.l_suppkey = s_suppkey " +
         "GROUP BY p_brand, month ORDER BY p_brand, month"),
+    "p_sql_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 20"),
     // the oracle is the UNSALTED join — salting must not change results
     "p_join_salted" ->
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +

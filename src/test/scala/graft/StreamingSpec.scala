@@ -123,6 +123,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("file-source stream: readStream over a parquet directory") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/stream_src"
+    val f = new java.io.File(dir)
+    if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+    val evs = Seq(
+      Ev(t("2024-01-01 09:10:00"), 1, "click", 1.5),
+      Ev(t("2024-01-01 09:40:00"), 2, "view", 2.5),
+      Ev(t("2024-01-01 10:10:00"), 1, "click", 3.5))
+    evs.toDF().write.parquet(dir)
+    val stream = spark.readStream.schema(evs.toDF().schema).parquet(dir)
+    assert(stream.isStreaming)
+    runToMemory(StreamOps.tumbling(stream), "filestream1", "complete")
+    val streamed = spark.table("filestream1").orderBy("ws").collect().map(_.toString).toSeq
+    val batch = StreamOps.tumbling(evs.toDF()).orderBy("ws").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

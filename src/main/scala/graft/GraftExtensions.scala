@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdiff"),
       new ExpressionInfo(classOf[SquaredDiffSum].getName, "graft_sqdiff"),
       (children: Seq[Expression]) => SquaredDiffSum(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "graft_topk"),
+      graft.functions.VectorExprs.topKBuilder))
   }
 }

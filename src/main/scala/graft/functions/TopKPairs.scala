@@ -35,14 +35,28 @@ case class TopKPairs(
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"graft_topk: score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"graft_topk: id must be BIGINT, got ${idExpr.dataType.sql}")
+    else TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false),
     StructField("rn", LongType, nullable = false))), containsNull = false)
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    if (a._1 != b._1) { if (asc) a._1 < b._1 else a._1 > b._1 }
+  // java.lang.Double.compare handles NaN like Spark's sort (NaN largest,
+  // equal to itself) so the comparator stays a strict weak order even with
+  // NaN scores and matches the window formulation's ordering
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    if (c != 0) { if (asc) c < 0 else c > 0 }
     else a._2 < b._2
+  }
 
   private def trim(buf: ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {

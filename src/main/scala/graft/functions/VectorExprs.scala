@@ -21,6 +21,11 @@ abstract class VectorFold extends BinaryExpression {
   // inputs must be array<double> — callers cast first (ILlmOps.vecs)
   override def dataType: DataType = DoubleType
 
+  // null semantics match the HOF `aggregate(zip_with(...))` form exactly:
+  // mismatched lengths (zip_with pads with null) or a null element poison
+  // the sum to NULL — so FuseVectorFold is a pure physical rewrite
+  override def nullable: Boolean = true
+
   /** Java source for one loop step, given element vars `x`/`y`, acc `s`;
     * `tmp` is a collision-free scratch variable name. */
   protected def stepJava(s: String, x: String, y: String, tmp: String): String
@@ -29,10 +34,15 @@ abstract class VectorFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s = step(s, xs.getDouble(i), ys.getDouble(i)); i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      s = step(s, xs.getDouble(i), ys.getDouble(i))
+      i += 1
+    }
     s
   }
 
@@ -43,12 +53,20 @@ abstract class VectorFold extends BinaryExpression {
       val s = ctx.freshName("s")
       val tmp = ctx.freshName("t")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${stepJava(s, s"$a.getDouble($i)", s"$b.getDouble($i)", tmp)}
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${stepJava(s, s"$a.getDouble($i)", s"$b.getDouble($i)", tmp)}
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }
@@ -87,11 +105,28 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       "graft_sqdiff", exprs => SquaredDiffSum(exprs(0), exprs(1)), "built-in")
     // graft_topk(score, id, k, asc): bounded top-k-per-group aggregate
-    reg.createOrReplaceTempFunction(
-      "graft_topk", exprs => TopKPairs(
-        exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Boolean]), // analyzer wraps bare AggregateFunctions
-      "built-in")
+    reg.createOrReplaceTempFunction("graft_topk", topKBuilder, "built-in")
+  }
+
+  /** Builder with validated literal k/asc args (analyzer wraps the bare
+    * AggregateFunction in an AggregateExpression). */
+  val topKBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 4, "graft_topk(score, id, k, asc) takes 4 arguments")
+    require(exprs(2).foldable && exprs(3).foldable,
+      "graft_topk: k and asc must be literals")
+    val k = exprs(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_topk: k must be an integer literal, got $other")
+    }
+    val asc = exprs(3).eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"graft_topk: asc must be a boolean literal, got $other")
+    }
+    require(k > 0, s"graft_topk: k must be positive, got $k")
+    TopKPairs(exprs(0), exprs(1), k, asc)
   }
 }

@@ -223,7 +223,7 @@ object ILlmOps {
       val scores = tok.join(model, "w")
         .groupBy("doc_id", "lang").agg(sum("ln_p").as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-      scores.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") === 1)
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
         .select(col("doc_id"), col("lang").as("pred_lang"), col("actual"))
         .orderBy("doc_id")

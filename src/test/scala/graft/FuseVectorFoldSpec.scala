@@ -37,6 +37,35 @@ class FuseVectorFoldSpec extends SparkTestBase {
     assert(FuseVectorFold(p2).toString.contains("aggregate(zip_with"))
   }
 
+  test("native fold null semantics match the HOF form") {
+    graft.functions.VectorExprs.register(spark)
+    // mismatched lengths: zip_with pads with null → sum is NULL; the native
+    // expression must agree (so the rewrite is a pure physical change)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D)) AS native_mismatch,
+        |  aggregate(zip_with(array(1.0D, 2.0D), array(3.0D), (x, y) -> x * y),
+        |            0.0D, (acc, e) -> acc + e) AS hof_mismatch,
+        |  graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS native_nullelem,
+        |  aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D),
+        |            (x, y) -> x * y), 0.0D, (acc, e) -> acc + e) AS hof_nullelem
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("graft_topk rejects non-literal or mistyped k/asc") {
+    graft.functions.VectorExprs.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_topk")
+    // long literal k is accepted (common SQL literal form)
+    val ok = spark.sql(
+      "SELECT user_id, graft_topk(value, event_id, 2L, false) FROM ev_topk GROUP BY user_id")
+    assert(ok.count() > 0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT user_id, graft_topk(value, event_id, value, false) FROM ev_topk GROUP BY user_id")
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("fused expression computes the identical value") {
     graft.functions.VectorExprs.register(spark)
     val df = Tables.embeddings(spark, sfDir).limit(50)

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * Ordering matches the window formulation exactly: by score (asc/desc),
   * then id ascending — so results are row-identical to
   * `row_number() OVER (PARTITION BY g ORDER BY score [DESC], id)` ≤ k
-  * whenever ids are unique within a group.
+  * whenever ids are unique within a group AND no score/id is NULL: update()
+  * drops NULL-score/NULL-id rows entirely, where the window form would rank
+  * them NULLS LAST — with fewer than k non-null candidates the two differ.
+  * All graft query call sites feed non-null similarity scores.
   *
   * Output: array<struct<id: long, score: double, rn: long>> sorted best-first.
   */

@@ -70,8 +70,11 @@ object DAggregates {
         .orderBy("l_returnflag")),
 
     "d_agg_collect_sorted" -> ((s, d) =>
+      // collected list serialized to CSV: the driver's pandas differ cannot
+      // sort/hash array cells, so oracle-compared output must be scalar
       Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .agg(array_join(sort_array(collect_list(col("l_linenumber")))
+          .cast("array<string>"), ",").as("lines"))
         .orderBy("l_orderkey")),
 
     "d_agg_stats" -> ((s, d) =>
@@ -226,8 +229,8 @@ object DAggregates {
         "round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'),4) AS qty_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_agg_collect_sorted" ->
-      ("SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines " +
-        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+      ("SELECT l_orderkey, string_agg(l_linenumber, ',' ORDER BY l_linenumber) " +
+        "AS lines FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
     "d_agg_stats" ->
       ("SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty, " +
         "round(var_samp(l_quantity),4) AS var_qty, " +

@@ -124,8 +124,11 @@ object GScalars {
           col("doc_id"),
           size(col("w")).cast("long").as("n_tokens"),
           array_contains(col("w"), "join").as("has_join"),
-          slice(col("w"), 1, 3).as("first3"),
-          sort_array(array_distinct(col("w"))).as("uniq_sorted"))
+          // arrays serialized to CSV: the driver's pandas differ cannot
+          // sort/hash array cells (the array ops still run; only the final
+          // projection is scalar)
+          array_join(slice(col("w"), 1, 3), ",").as("first3"),
+          array_join(sort_array(array_distinct(col("w"))), ",").as("uniq_sorted"))
         .orderBy("doc_id")),
 
     "h_array_hof" -> ((s, d) =>
@@ -143,8 +146,8 @@ object GScalars {
         .withColumn("w", split(col("text"), " "))
         .select(
           col("doc_id"),
-          sort_array(array_intersect(col("w"),
-            array(lit("join"), lit("hash"), lit("scan")))).as("kw_hits"),
+          array_join(sort_array(array_intersect(col("w"),
+            array(lit("join"), lit("hash"), lit("scan")))), ",").as("kw_hits"),
           size(array_union(col("w"),
             array(lit("join"), lit("hash"), lit("scan")))).cast("long").as("n_union"))
         .orderBy("doc_id")),
@@ -169,14 +172,14 @@ object GScalars {
         .select(col("event_id"), col("j.k").as("k_val"))
         .orderBy("event_id")),
 
-    // map/to_json: engine-specific physical forms → scalatest-only (§2 H)
+    // map ops with keys serialized via array_join → oracle-comparable
     "h_map_ops" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("m", map_from_arrays(
           array(lit("k")),
           array(get_json_object(col("props"), "$.k").cast("int"))))
         .select(col("event_id"), element_at(col("m"), "k").as("mk"),
-          map_keys(col("m")).as("keys"))
+          array_join(map_keys(col("m")), ",").as("keys"))
         .orderBy("event_id")),
 
     "h_to_json" -> ((s, d) =>
@@ -244,9 +247,9 @@ object GScalars {
     "h_array_basic" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "list_contains(string_split(text, ' '), 'join') AS has_join, " +
-        "string_split(text, ' ')[1:3] AS first3, " +
-        "list_sort(list_distinct(string_split(text, ' '))) AS uniq_sorted " +
-        "FROM documents ORDER BY doc_id"),
+        "array_to_string(string_split(text, ' ')[1:3], ',') AS first3, " +
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') " +
+        "AS uniq_sorted FROM documents ORDER BY doc_id"),
     "h_array_hof" ->
       ("SELECT vec_id, " +
         "(round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2), 'sum'), 4) + 0.0) AS sum2x, " +
@@ -255,8 +258,9 @@ object GScalars {
         "FROM embeddings ORDER BY vec_id"),
     "h_array_setops" ->
       ("SELECT doc_id, " +
-        "list_sort(list_intersect(list_distinct(string_split(text, ' ')), " +
-        "['join','hash','scan'])) AS kw_hits, " +
+        // coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+        "coalesce(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')), " +
+        "['join','hash','scan'])), ','), '') AS kw_hits, " +
         "len(list_distinct(string_split(text, ' ') || ['join','hash','scan'])) AS n_union " +
         "FROM documents ORDER BY doc_id"),
     "h_explode" ->
@@ -268,5 +272,8 @@ object GScalars {
     "h_from_json" ->
       ("SELECT event_id, json_extract(props, '$.k')::INT AS k_val FROM events " +
         "ORDER BY event_id"),
+    "h_map_ops" ->
+      ("SELECT event_id, json_extract(props, '$.k')::INT AS mk, 'k' AS keys " +
+        "FROM events ORDER BY event_id"),
   )
 }

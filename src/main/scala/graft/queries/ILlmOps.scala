@@ -120,16 +120,19 @@ object ILlmOps {
     }),
 
     "i_knn_l2" -> ((s, d) => {
+      // rank on SQUARED distance (sqrt is monotonic → identical ranking,
+      // and equal d² ⟺ equal dist so tie-breaks are unchanged); sqrt runs
+      // on the k survivors after the explode, not on all n² pairs
       val e = vecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
       a.join(b, col("a_id") =!= col("b_id"))
-        .withColumn("dist", sqrt(expr("graft_sqdiff(va, vb)")))
+        .withColumn("d2", expr("graft_sqdiff(va, vb)"))
         .groupBy("a_id")
-        .agg(expr("graft_topk(dist, b_id, 5, true)").as("top"))
+        .agg(expr("graft_topk(d2, b_id, 5, true)").as("top"))
         .select(col("a_id"), explode(col("top")).as("t"))
         .select(col("a_id"), col("t.id").as("b_id"),
-          r4(col("t.score")).as("dist"), col("t.rn").as("rn"))
+          r4(sqrt(col("t.score"))).as("dist"), col("t.rn").as("rn"))
         .orderBy("a_id", "rn")
     }),
 

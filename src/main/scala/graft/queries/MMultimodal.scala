@@ -76,9 +76,15 @@ object MMultimodal {
         val decoder = StubDecoder.init()
         it.map { case (id, bytes) => (id, decoder.decodeBatch(bytes)) }
       }.toDF("doc_id", "features")
-        .select(col("doc_id"), col("features"),
-          size(col("features")).as("dim"),
-          r4(element_at(col("features"), 1).cast("double")).as("f0"))
+        // feature vector serialized to integer basis points (CSV) so the
+        // driver differ can hash it; the float array itself stays the
+        // mapPartitions output schema
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("dim"),
+          r4(element_at(col("features"), 1).cast("double")).as("f0"),
+          expr("array_join(transform(features, x -> " +
+            "cast(cast(round(cast(x AS double) * 10000) AS int) AS string)), ',')")
+            .as("features_bp"))
         .orderBy("doc_id")
     }),
   )
@@ -103,6 +109,17 @@ object MMultimodal {
       ("SELECT doc_id, unnest(generate_series(0, (24 + (doc_id % 10) * 8) - 1, 8)) " +
         "AS frame_idx FROM documents WHERE doc_id % 3 = 2 " +
         "ORDER BY doc_id, frame_idx"),
+    // reconstructs the stub decode relationally: byte i of unhex(md5(text))
+    // = hex pair i of md5(text) parsed via strpos; feature = byte/255
+    "m_decode_features" ->
+      ("WITH b AS (SELECT doc_id, list_transform(range(0, 8), i -> " +
+        "(strpos('0123456789abcdef', substring(md5(text), 2*i + 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substring(md5(text), 2*i + 2, 1)) - 1)) AS bytes " +
+        "FROM documents) " +
+        "SELECT doc_id, len(bytes) AS dim, round(bytes[1] / 255.0, 4) AS f0, " +
+        "array_to_string(list_transform(bytes, x -> " +
+        "CAST(round(x / 255.0 * 10000) AS INT)), ',') AS features_bp " +
+        "FROM b ORDER BY doc_id"),
   )
 }
 

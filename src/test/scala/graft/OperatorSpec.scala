@@ -24,7 +24,7 @@ class OperatorSpec extends SparkTestBase {
     val direct = SparkEntry.queries("h_json_get")(spark, sfDir).limit(10).collect()
     assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       direct.map(r => (r.getLong(0), r.getInt(1))).toSeq)
-    assert(rows.forall(_.getSeq[String](2) == Seq("k")))
+    assert(rows.forall(_.getString(2) == "k"))
   }
 
   test("to_json emits parseable json with both fields") {
@@ -77,12 +77,17 @@ class OperatorSpec extends SparkTestBase {
   test("stub media decode: per-partition decoder, deterministic 8-dim features") {
     val df = SparkEntry.queries("m_decode_features")(spark, sfDir)
     val rows = df.collect()
-    assert(rows.nonEmpty && rows.forall(_.getInt(2) == 8))
-    val f0 = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 8L))
+    val f0 = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val again = SparkEntry.queries("m_decode_features")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(f0 == again, "decode stub must be deterministic")
     assert(f0.values.forall(v => v >= 0.0 && v <= 1.0))
+    // serialized basis-point vector: 8 ints, each in [0, 10000]
+    assert(rows.forall { r =>
+      val bp = r.getString(3).split(",").map(_.toInt)
+      bp.length == 8 && bp.forall(v => v >= 0 && v <= 10000)
+    })
   }
 
   test("geo mean matches ln/exp formulation") {

@@ -55,11 +55,13 @@ case class TopKPairs(
   // java.lang.Double.compare handles NaN like Spark's sort (NaN largest,
   // equal to itself) so the comparator stays a strict weak order even with
   // NaN scores and matches the window formulation's ordering
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
     if (c != 0) { if (asc) c < 0 else c > 0 }
-    else a._2 < b._2
+    else i1 < i2
   }
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    better(a._1, a._2, b._1, b._2)
 
   private def trim(buf: ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {
@@ -76,8 +78,23 @@ case class TopKPairs(
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null) {
-      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
-      if (buf.length >= 4 * k) trim(buf) // amortize the sort
+      val sc = s.asInstanceOf[Double]
+      val id = i.asInstanceOf[Long]
+      if (buf.length < k) buf += ((sc, id))
+      else {
+        // saturated: replace the current worst iff the candidate beats it —
+        // inside an O(n²) pair join almost every row is rejected here with
+        // k comparisons and ZERO allocation (vs append-then-sort), which is
+        // what keeps the aggregate out of the allocator on the hot path
+        var w = 0
+        var j = 1
+        while (j < buf.length) {
+          if (better(buf(w), buf(j))) w = j
+          j += 1
+        }
+        val worst = buf(w)
+        if (better(sc, id, worst._1, worst._2)) buf(w) = ((sc, id))
+      }
     }
     buf
   }

@@ -124,10 +124,11 @@ object ILlmOps {
       // and equal d² ⟺ equal dist so tie-breaks are unchanged); sqrt runs
       // on the k survivors after the explode, not on all n² pairs
       val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") =!= col("b_id"))
-        .withColumn("d2", expr("graft_sqdiff(va, vb)"))
+        .withColumn("d2", col("na") * col("na") + col("nb") * col("nb")
+          - lit(2.0) * expr(dot))
         .groupBy("a_id")
         .agg(expr("graft_topk(d2, b_id, 5, true)").as("top"))
         .select(col("a_id"), explode(col("top")).as("t"))

@@ -160,7 +160,14 @@ object ILlmOps {
 
     "i_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs above a threshold (0.35 —
-      // calibrated to this corpus; random unit vectors rarely exceed it)
+      // calibrated to this corpus; random unit vectors rarely exceed it).
+      // Deliberately NOT routed through sign-LSH buckets: measured on this
+      // corpus the qualifying pairs sit at cos 0.35–0.60 (median 0.37),
+      // where per-hyperplane sign agreement is ~0.62 — any bucketing
+      // selective enough to prune the n² pairs has near-zero recall. This
+      // exact form IS the semantics; at 100 TB near-dup detection must use
+      // a corpus with real duplicate structure (cos ≳ 0.8), where the
+      // i_ann_lsh bucket join is the scale path.
       val e = vecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-3 hardening (VERDICT r1 items 5/6/8): partition pruning on
+  * written-back sinks, sliding-window alignment invariants at two scales,
+  * and the two registration paths for the native function surface.
+  */
+class RobustnessSpec extends SparkTestBase {
+
+  test("partitioned sink read-back prunes partitions on the partition key") {
+    // write lineitem partitioned by l_returnflag, then filter on the key:
+    // the scan must carry the predicate as a PartitionFilter (directory
+    // pruning), NOT a post-scan data filter
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/prune_check"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter(col("l_returnflag") === "R")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[[^\\]]*l_returnflag[^\\]]*\\].*"),
+      s"expected l_returnflag in PartitionFilters:\n$plan")
+    // and the pruned read returns exactly the partition's rows
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").count()
+    assert(q.count() == expected)
+  }
+
+  test("sliding windows align to the slide and cover each event 4x at two scales") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val out = SparkEntry.queries("j_sliding")(spark, dir).collect()
+      // every window start sits on a 15-minute boundary
+      assert(out.forall { r =>
+        val ws = r.getTimestamp(0).toInstant.getEpochSecond
+        ws % (15 * 60) == 0
+      }, s"window starts must align to the 15-min slide ($dir)")
+      // 1h window / 15min slide => every event is counted in exactly 4 windows
+      val totalWindowed = out.map(_.getLong(1)).sum
+      val nEvents = Tables.events(spark, dir).count()
+      assert(totalWindowed == 4 * nEvents,
+        s"$dir: sum(cnt)=$totalWindowed, expected ${4 * nEvents}")
+    }
+  }
+
+  test("sliding window result is invariant to input partitioning") {
+    val base = SparkEntry.queries("j_sliding")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val repart = graft.streaming.StreamOps
+      .sliding(Tables.events(spark, sfDir).repartition(7, col("event_id")))
+      .orderBy("ws").collect().map(_.toString).sorted.toSeq
+    assert(base == repart)
+  }
+
+  test("extension-installed and lazily-registered functions give identical results") {
+    // path A: the driver-shaped session (no spark.sql.extensions) where the
+    // query layer registers the functions itself (what Verify/Bench exercise)
+    val viaRegister = SparkEntry.queries("i_cosine_topk")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+
+    // path B: a second session on the SAME SparkContext built through
+    // GraftExtensions — the supported installation for library users
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSession = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // the extension owns the registration: graft_dot resolves without any
+      // VectorExprs.register call on this session
+      val n = extSession.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(n == 11.0)
+      // and the optimizer rule is installed end-to-end: the HOF fold form
+      // is rewritten to the native expression in the optimized plan
+      val fused = Tables.embeddings(extSession, sfDir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .selectExpr("vec_id",
+          "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, e) -> acc + e) AS n2")
+      assert(fused.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+
+      val viaExtension = SparkEntry.queries("i_cosine_topk")(extSession, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(viaRegister == viaExtension)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group N — additional training-data-pipeline operators beyond SURVEY §2:
+  * deterministic sampling (whole-corpus and stratified), PII redaction with
+  * k-anonymity suppression, eval-set decontamination, and bigram-LM quality
+  * scoring. All are declarative joins/windows/aggregations.
+  *
+  * Scale posture:
+  *  - sampling is a pushed-down filter on a hash of the key — no shuffle,
+  *    reproducible across runs and engines (md5, not engine-specific hash);
+  *  - stratified sampling shuffles once on the stratum key;
+  *  - decontamination is a broadcast semi-style join on the shingle key
+  *    (the eval side is small by construction — that is the 100 TB shape:
+  *    contaminated-shingle lookup, never doc × doc comparison);
+  *  - bigram scoring is two grouped counts plus an equi-join back onto the
+  *    bigram stream — linear in token count, shuffles on bounded keys.
+  */
+object NTrainOps {
+
+  val m: ListMap[String, Q] = ListMap(
+    "i_sample_hash" -> ((s, d) =>
+      // deterministic ~12.5% sample: first hex digit of md5(doc_id) ∈ {0,1}.
+      // Unlike rand()-based sampling this is reproducible, engine-portable,
+      // and composable (the same doc is in/out of the sample everywhere)
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "i_sample_stratified" -> ((s, d) => {
+      // deterministic 10% per-lang sample: rank docs inside each stratum by
+      // md5(doc_id) and keep the first ceil(n/10). Integer arithmetic for
+      // the cutoff — (n+9) DIV 10 — never n*0.1 (float ulps break ceil)
+      val docs = Tables.documents(s, d)
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+      val byLang = Window.partitionBy("lang")
+      docs
+        .withColumn("rn", row_number().over(byLang.orderBy(col("hk"), col("doc_id"))))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(col("rn") <= expr("(n_lang + 9) DIV 10"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
+    }),
+
+    "i_pii_redact" -> ((s, d) =>
+      // PII redaction: digits masked in the name, account balance
+      // generalized to a band, and the quasi-identifier (nation, segment)
+      // k-anonymity-suppressed when its group has fewer than 5 members
+      Tables.customer(s, d)
+        .withColumn("grp_n",
+          count(lit(1)).over(Window.partitionBy("c_nationkey", "c_mktsegment")))
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          concat(lit("BAND_"), floor(col("c_acctbal") / 1000).cast("int")).as("bal_band"),
+          when(col("grp_n") >= 5, col("c_mktsegment"))
+            .otherwise(lit("SUPPRESSED")).as("segment_k"))
+        .orderBy("c_custkey")),
+
+    "i_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: training docs sharing any 3-token shingle
+      // with the eval slice (source = 'src0'), with the shared-shingle
+      // count. The eval shingle set is broadcast — at 100 TB the train side
+      // streams past it with no shuffle of the corpus
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull)
+        .select("doc_id", "source", "sh").distinct()
+      val ev = sh.filter(col("source") === "src0").select("sh").distinct()
+      sh.filter(col("source") =!= "src0")
+        .join(broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct("sh").as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    "i_bigram_lm" -> ((s, d) => {
+      // bigram-LM quality scoring (perplexity-style filtering): corpus
+      // bigram model P(next | w) = c(w, next) / c(w ·), scored back over
+      // each doc's bigram stream as avg log-prob
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nx", lead("w", 1).over(win))
+        .filter(col("nx").isNotNull).select("doc_id", "w", "nx")
+      val bg = big.groupBy("w", "nx").agg(count(lit(1)).as("c_big"))
+      val un = big.groupBy("w").agg(count(lit(1)).as("c_uni"))
+      val model = bg.join(un, "w")
+        .withColumn("ln_p", log(col("c_big") / col("c_uni")))
+      big.join(model, Seq("w", "nx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), r4(avg("ln_p")).as("avg_ln_p"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "i_sample_hash" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1') " +
+        "ORDER BY doc_id"),
+    "i_sample_stratified" ->
+      ("WITH h AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) hk FROM documents), " +
+        "r AS (SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) rn, " +
+        "count(*) OVER (PARTITION BY lang) n_lang FROM h) " +
+        "SELECT doc_id, lang, rn FROM r WHERE rn <= (n_lang + 9) // 10 " +
+        "ORDER BY doc_id"),
+    "i_pii_redact" ->
+      ("SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name, " +
+        "'BAND_' || CAST(floor(c_acctbal / 1000) AS INT) AS bal_band, " +
+        "CASE WHEN count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 5 " +
+        "THEN c_mktsegment ELSE 'SUPPRESSED' END AS segment_k " +
+        "FROM customer ORDER BY c_custkey"),
+    "i_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, source, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, source, sh FROM (" +
+        "SELECT doc_id, source, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0') " +
+        "SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared " +
+        "FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.source <> 'src0' " +
+        "GROUP BY s.doc_id ORDER BY s.doc_id"),
+    "i_bigram_lm" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "b2 AS (SELECT doc_id, w, nx FROM (" +
+        "SELECT doc_id, w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) nx " +
+        "FROM tok) WHERE nx IS NOT NULL), " +
+        "bg AS (SELECT w, nx, count(*) c_big FROM b2 GROUP BY w, nx), " +
+        "un AS (SELECT w, count(*) c_uni FROM b2 GROUP BY w), " +
+        "model AS (SELECT bg.w, bg.nx, ln(c_big::DOUBLE / c_uni) ln_p " +
+        "FROM bg JOIN un ON bg.w = un.w) " +
+        "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
+        "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+  )
+}

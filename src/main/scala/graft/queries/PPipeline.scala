@@ -63,6 +63,32 @@ object PPipeline {
           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
     }),
 
+    "p_join_bucketed" -> ((s, d) => {
+      // bucketed co-located join: both sides written bucketBy(8) on the
+      // join key, so the SortMergeJoin reads aligned buckets with NO
+      // shuffle exchange — and the post-join groupBy on the same key reuses
+      // the bucketing too (the oracle checks against the plain-parquet
+      // formulation; bucketing must not change results, only the plan)
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").option("path", scratch("bucket_orders"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_b_orders")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").option("path", scratch("bucket_lineitem"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_b_lineitem")
+      s.table("graft_b_lineitem")
+        .join(s.table("graft_b_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          r4(max("o_totalprice")).as("total_price"))
+        .orderBy("l_orderkey")
+    }),
+
     "p_join_salted" -> ((s, d) => {
       // skew-resistant aggregate join: salt the (potentially hot) fact key,
       // explode the dim side across the salt space, aggregate, merge
@@ -98,6 +124,13 @@ object PPipeline {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 20"),
+    // the oracle is the plain-parquet join — bucketing must not change results
+    "p_join_bucketed" ->
+      ("SELECT l_orderkey, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "round(max(o_totalprice), 4) AS total_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
     // the oracle is the UNSALTED join — salting must not change results
     "p_join_salted" ->
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +

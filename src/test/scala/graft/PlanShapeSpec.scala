@@ -55,4 +55,26 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("i_lsh_buckets")
     assert(!p.contains("NestedLoop"), "band join must be hash-based")
   }
+
+  test("bucketed join is co-located: no hash exchange, bucketed scans") {
+    val p = plan("p_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), "scans must read bucket metadata")
+    // join AND the same-key groupBy reuse the bucketing; only the final
+    // orderBy may range-partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+  }
+
+  test("deterministic sampling filter is pushed into the scan stage") {
+    val p = plan("i_sample_hash")
+    // the md5 predicate can't prune parquet row groups, but it must run
+    // inside the scan's filter (no shuffle, no join) — the whole query is
+    // scan→filter→project
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("decontamination eval side is broadcast") {
+    assert(plan("i_decontaminate").contains("BroadcastHashJoin"))
+  }
 }

@@ -71,6 +71,17 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_sink_orc" -> ((s, d) => {
+      // ORC round-trip: aggregate, write ORC, read back — the oracle checks
+      // the read-back values against the same aggregate on parquet, so the
+      // format conversion itself is value-checked
+      val tmp = scratch("sink_orc")
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .coalesce(1).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("o_orderpriority")
+    }),
+
     "a_sink_csv" -> ((s, d) => {
       val tmp = scratch("sink_csv")
       Tables.orders(s, d).groupBy("o_orderstatus")
@@ -247,6 +258,10 @@ object ARelational {
     "a_scan_filter_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '2000-12-01' ORDER BY l_orderkey, l_linenumber, l_shipdate"),
+    // checks the ORC write→read round-trip against the parquet-side aggregate
+    "a_sink_orc" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "b_project_rename_cast" ->
       ("SELECT o_orderkey AS id, CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
         "o_orderstatus AS status FROM orders ORDER BY id"),

@@ -53,6 +53,21 @@ object JStreaming {
         .orderBy("event_id")
     }),
 
+    "j_stream_stream_join" -> ((s, d) => {
+      // batch equivalent of the watermarked stream-stream interval join
+      // (the streaming semantics — state eviction under two watermarks —
+      // are asserted in StreamingSpec with two MemoryStreams)
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      graft.streaming.StreamOps.clickViewIntervalJoin(clicks, views)
+        .orderBy("user_id", "click_id", "view_id")
+    }),
+
     "j_stream_static_join" -> ((s, d) =>
       // stream ⋈ static dimension enrichment (broadcast — the dim is small)
       Tables.events(s, d)
@@ -109,6 +124,14 @@ object JStreaming {
       ("SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events " +
         "WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) FROM events) - INTERVAL 1 HOUR " +
         "ORDER BY event_id"),
+    "j_stream_stream_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id, " +
+        "c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts " +
+        "FROM events c JOIN events v ON c.user_id = v.user_id " +
+        "WHERE c.event_type = 'click' AND v.event_type = 'view' " +
+        "AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL 10 MINUTE " +
+        "AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP " +
+        "ORDER BY 1, 2, 3"),
     "j_stream_static_join" ->
       ("SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS sum_val " +
         "FROM events JOIN customer ON user_id = c_custkey " +

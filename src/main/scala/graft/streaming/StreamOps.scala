@@ -53,6 +53,22 @@ object StreamOps {
   def tumblingWithWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     tumbling(events.withWatermark("ts", watermark))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views in the preceding 10 minutes. The same plan runs on batch frames
+    * and on watermarked streams; in streaming, the time-range condition is
+    * what lets the engine bound BOTH join state stores (a buffered view is
+    * evicted once the click-side watermark passes view_ts + 10 min) — an
+    * unconstrained stream-stream join would retain state forever.
+    * Inputs are pre-shaped: clicks(user_id, click_id, click_ts),
+    * views(v_user, view_id, view_ts). */
+  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+
   /** Custom per-key state via flatMapGroupsWithState: running event count
     * and cumulative value per user, emitted on every update. The state
     * store holds one (count, sum) pair per user — bounded by key

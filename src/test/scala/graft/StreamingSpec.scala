@@ -140,6 +140,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksRaw = Seq(
+      Ev(t("2024-01-01 09:08:00"), 1, "click", 100.0),
+      Ev(t("2024-01-01 09:50:00"), 1, "click", 101.0),
+      Ev(t("2024-01-01 09:08:00"), 2, "click", 102.0))
+    val viewsRaw = Seq(
+      Ev(t("2024-01-01 09:00:00"), 1, "view", 200.0), // 8 min before click 100 → joins
+      Ev(t("2024-01-01 09:05:00"), 1, "view", 201.0), // 3 min before click 100 → joins
+      Ev(t("2024-01-01 09:30:00"), 1, "view", 202.0), // 20 min before click 101 → out of range
+      Ev(t("2024-01-01 09:07:00"), 2, "view", 203.0)) // user 2 → joins click 102 only
+    def shapeC(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("value").cast("long").as("click_id"),
+        col("ts").as("click_ts"))
+    def shapeV(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").as("v_user"), col("value").cast("long").as("view_id"),
+        col("ts").as("view_ts"))
+    val msC = MemoryStream[Ev]
+    val msV = MemoryStream[Ev]
+    msC.addData(clicksRaw: _*)
+    msV.addData(viewsRaw: _*)
+    // both sides watermarked — required for the engine to bound join state
+    val joined = StreamOps.clickViewIntervalJoin(
+      shapeC(msC.toDF()).withWatermark("click_ts", "1 hour"),
+      shapeV(msV.toDF()).withWatermark("view_ts", "1 hour"))
+    runToMemory(joined, "ssj1", "append")
+    val streamed = spark.table("ssj1").orderBy("user_id", "click_id", "view_id")
+      .collect().map(_.toString).toSeq
+    val batch = StreamOps.clickViewIntervalJoin(
+        shapeC(clicksRaw.toDF()), shapeV(viewsRaw.toDF()))
+      .orderBy("user_id", "click_id", "view_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.size == 3,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -84,6 +84,48 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_dup_clusters" -> ((s, d) => {
+      // duplicate-cluster assignment: connected components over the
+      // shared-shingle graph (docs sharing any 3-token shingle belong to
+      // one cluster; cluster id = min doc_id in the component). Iterative
+      // min-label propagation — the standard distributed CC pattern: each
+      // round is one shuffle on the edge key, the round count is bounded
+      // by the component diameter, and lineage is cut per round with
+      // localCheckpoint so the plan stays flat. Deterministic: the min
+      // fixpoint is unique regardless of partitioning or round order.
+      // Bounded to doc_id < 40 like the other pairwise baselines.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull).select("doc_id", "sh").distinct()
+      val e = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+      val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(edges("src")).agg(min(labels("label")).as("nbr_label"))
+        val next = labels.join(nbr, labels("id") === nbr("src"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nbr_label"), labels("label")))
+              .as("label"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "i_bigram_lm" -> ((s, d) => {
       // bigram-LM quality scoring (perplexity-style filtering): corpus
       // bigram model P(next | w) = c(w, next) / c(w ·), scored back over
@@ -134,6 +176,24 @@ object NTrainOps {
         "SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared " +
         "FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.source <> 'src0' " +
         "GROUP BY s.doc_id ORDER BY s.doc_id"),
+    // the oracle computes the same components by transitive closure
+    // (recursive CTE) — iterative propagation must agree with it exactly
+    "i_dup_clusters" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 40), " +
+        "sh AS (SELECT DISTINCT doc_id, sh FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "e AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM sh a " +
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+        "nodes AS (SELECT DISTINCT doc_id id FROM documents WHERE doc_id < 40), " +
+        "reach(src, dst) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a) " +
+        "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach " +
+        "GROUP BY src ORDER BY doc_id"),
     "i_bigram_lm" ->
       ("WITH tok AS (SELECT doc_id, " +
         "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +

@@ -53,6 +53,28 @@ class RobustnessSpec extends SparkTestBase {
     assert(base == repart)
   }
 
+  test("duplicate clusters are a fixpoint: every edge joins equal labels") {
+    val labels = SparkEntry.queries("i_dup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster id is the component minimum, so never above the member id
+    assert(labels.forall { case (id, c) => c <= id })
+    // rebuild the shingle edges and check both endpoints share a label
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+        lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+      .filter(col("sh").isNotNull).select("doc_id", "sh").distinct()
+    val edges = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (a, b) => labels(a) == labels(b) },
+      "connected docs must land in the same cluster")
+  }
+
   test("extension-installed and lazily-registered functions give identical results") {
     // path A: the driver-shaped session (no spark.sql.extensions) where the
     // query layer registers the functions itself (what Verify/Bench exercise)

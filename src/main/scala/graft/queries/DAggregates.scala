@@ -105,6 +105,14 @@ object DAggregates {
         count(lit(1)).as("cnt"))
         .orderBy("user_id")),
 
+    // sketch aggregate (pairs with d_agg_approx_hll): bounded-memory
+    // quantiles; accuracy vs the exact percentile asserted in scalatest
+    "d_agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("ap50"),
+        r4(expr("approx_percentile(l_extendedprice, 0.9, 10000)")).as("ap90"))
+        .orderBy("l_returnflag")),
+
     "d_agg_median" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         r4(median(col("l_extendedprice"))).as("med_price"),

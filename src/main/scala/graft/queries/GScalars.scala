@@ -182,6 +182,28 @@ object GScalars {
           array_join(map_keys(col("m")), ",").as("keys"))
         .orderBy("event_id")),
 
+    "h_variant_get" -> ((s, d) =>
+      // Spark 4 VARIANT: parse semi-structured text once into the binary
+      // variant encoding, then extract typed fields with variant_get —
+      // the schema-on-read path for heterogeneous JSON at scale
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_val"))
+        .orderBy("event_id")),
+
+    "g_url_parse" -> ((s, d) =>
+      // URL decomposition (domain filtering is a standard corpus-curation
+      // step); URLs synthesized deterministically from part attributes
+      Tables.part(s, d)
+        .withColumn("url", concat(lit("https://"),
+          lower(regexp_replace(col("p_brand"), "#", "")),
+          lit(".example.com/part/"), col("p_partkey")))
+        .select(col("p_partkey"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"))
+        .orderBy("p_partkey")),
+
     "h_to_json" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -275,5 +297,11 @@ object GScalars {
     "h_map_ops" ->
       ("SELECT event_id, json_extract(props, '$.k')::INT AS mk, 'k' AS keys " +
         "FROM events ORDER BY event_id"),
+    "h_variant_get" ->
+      ("SELECT event_id, json_extract(props, '$.k')::INT AS k_val FROM events " +
+        "ORDER BY event_id"),
+    "g_url_parse" ->
+      ("SELECT p_partkey, lower(replace(p_brand, '#', '')) || '.example.com' AS host, " +
+        "'/part/' || p_partkey AS path FROM part ORDER BY p_partkey"),
   )
 }

@@ -61,11 +61,13 @@ object StreamOps {
     * unconstrained stream-stream join would retain state forever.
     * Inputs are pre-shaped: clicks(user_id, click_id, click_ts),
     * views(v_user, view_id, view_ts). */
-  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame =
     clicks.join(views,
       col("user_id") === col("v_user") &&
         col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("view_ts") <= col("click_ts"))
+        col("view_ts") <= col("click_ts"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("view_id"),
         col("click_ts"), col("view_ts"))
 

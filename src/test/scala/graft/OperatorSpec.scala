@@ -19,6 +19,18 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile within 1% of the exact percentile") {
+    val exact = SparkEntry.queries("d_agg_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("d_agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (e50, e90)) <- exact) {
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.01, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("map ops extract the json value") {
     val rows = SparkEntry.queries("h_map_ops")(spark, sfDir).limit(10).collect()
     val direct = SparkEntry.queries("h_json_get")(spark, sfDir).limit(10).collect()

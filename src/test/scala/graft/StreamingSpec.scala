@@ -176,6 +176,44 @@ class StreamingSpec extends SparkTestBase {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val msC = MemoryStream[Ev]
+    val msV = MemoryStream[Ev]
+    def shapeC(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("value").cast("long").as("click_id"),
+        col("ts").as("click_ts"))
+    def shapeV(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").as("v_user"), col("value").cast("long").as("view_id"),
+        col("ts").as("view_ts"))
+    // tight 10s watermark so the unmatched row's state can expire in-test
+    val joined = StreamOps.clickViewIntervalJoin(
+      shapeC(msC.toDF()).withWatermark("click_ts", "10 seconds"),
+      shapeV(msV.toDF()).withWatermark("view_ts", "10 seconds"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjlo")
+      .outputMode("append").start()
+    msC.addData(
+      Ev(t("2024-01-01 09:08:00"), 1, "click", 100.0), // matched by the view
+      Ev(t("2024-01-01 10:30:00"), 3, "click", 101.0)) // no view → null emit
+    msV.addData(Ev(t("2024-01-01 09:05:00"), 1, "view", 200.0))
+    q.processAllAvailable()
+    // advance both watermarks far past 10:30 so the unmatched click closes
+    msC.addData(Ev(t("2024-01-01 12:00:00"), 9, "click", 900.0))
+    msV.addData(Ev(t("2024-01-01 12:00:00"), 9, "view", 901.0))
+    q.processAllAvailable()
+    msC.addData(Ev(t("2024-01-01 13:00:00"), 9, "click", 902.0))
+    msV.addData(Ev(t("2024-01-01 13:00:00"), 9, "view", 903.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjlo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(rows.contains((1L, 100L, 200L)), s"matched pair missing: $rows")
+    assert(rows.contains((3L, 101L, -1L)),
+      s"unmatched click must emit with null view after watermark: $rows")
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -71,6 +71,17 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_scan_custom_source" -> ((s, d) =>
+      // DataSource V2 connector (graft.sources.SeqSource): parallel
+      // partition planning + column pruning; the projection drops `val`,
+      // which the scan never materializes (pruning asserted in
+      // PlanShapeSpec). Deterministic content → real DuckDB oracle.
+      s.read.format("graft.sources.SeqSource")
+        .option("n", "2000").option("slices", "8").load()
+        .filter(col("id") % 7 === 0)
+        .select("id", "tag")
+        .orderBy("id")),
+
     "a_sink_orc" -> ((s, d) => {
       // ORC round-trip: aggregate, write ORC, read back — the oracle checks
       // the read-back values against the same aggregate on parquet, so the
@@ -258,6 +269,9 @@ object ARelational {
     "a_scan_filter_pushdown" ->
       ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '2000-12-01' ORDER BY l_orderkey, l_linenumber, l_shipdate"),
+    "a_scan_custom_source" ->
+      ("SELECT g AS id, 't' || (g % 5) AS tag FROM generate_series(0, 1999) t(g) " +
+        "WHERE g % 7 = 0 ORDER BY id"),
     // checks the ORC write→read round-trip against the parquet-side aggregate
     "a_sink_orc" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +

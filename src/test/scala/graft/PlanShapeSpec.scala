@@ -77,4 +77,18 @@ class PlanShapeSpec extends SparkTestBase {
   test("decontamination eval side is broadcast") {
     assert(plan("i_decontaminate").contains("BroadcastHashJoin"))
   }
+
+  test("DSv2 source prunes columns and plans parallel partitions") {
+    val p = plan("a_scan_custom_source")
+    // the query selects (id, tag) — `val` must not survive into the scan
+    val scanLine = p.linesIterator.find(_.contains("BatchScan"))
+    assert(scanLine.isDefined, s"expected a BatchScan node:\n$p")
+    assert(scanLine.get.contains("id#") && scanLine.get.contains("tag#")
+      && !scanLine.get.contains("val#"),
+      s"scan must be pruned to (id, tag): ${scanLine.get}")
+    // 8 slices → 8 input partitions on the raw read (before the orderBy)
+    val raw = spark.read.format("graft.sources.SeqSource")
+      .option("n", "2000").option("slices", "8").load().select("id", "tag")
+    assert(raw.rdd.getNumPartitions == 8)
+  }
 }

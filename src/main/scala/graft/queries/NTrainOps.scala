@@ -112,10 +112,17 @@ object NTrainOps {
       while (changed > 0) {
         val nbr = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(edges("src")).agg(min(labels("label")).as("nbr_label"))
-        val next = labels.join(nbr, labels("id") === nbr("src"), "left")
+        val prop = labels.join(nbr, labels("id") === nbr("src"), "left")
           .select(labels("id"),
             least(labels("label"), coalesce(col("nbr_label"), labels("label")))
               .as("label"))
+        // pointer jumping: label ← label's label (the label is always a
+        // node id, so this halves each node's distance to the component
+        // minimum → O(log diameter) rounds instead of O(diameter))
+        val next = prop.as("x")
+          .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
+            col("x.label") === col("jid"))
+          .select(col("x.id").as("id"), col("jlabel").as("label"))
           .localCheckpoint()
         changed = next.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))

@@ -89,6 +89,28 @@ object PPipeline {
         .orderBy("l_orderkey")
     }),
 
+    "p_upsert" -> ((s, d) => {
+      // batch upsert (MERGE) over plain files: snapshot FULL OUTER JOIN the
+      // delta on the key; matched rows take the delta's values, unmatched
+      // delta rows insert, unmatched snapshot rows carry over — the
+      // standard incremental-pipeline shape when the table format has no
+      // native MERGE. One shuffle on the merge key; at 100 TB both sides
+      // would be bucketed on it (see p_join_bucketed) to eliminate that too
+      val snap = Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val delta = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("dk"),
+          (col("o_totalprice") * 1.1).as("dprice"))
+      snap.join(delta, col("k") === col("dk"), "full_outer")
+        .select(
+          coalesce(col("k"), col("dk")).as("o_orderkey"),
+          r4(coalesce(col("dprice"), col("price"))).as("price"),
+          when(col("dk").isNotNull && col("k").isNotNull, lit("updated"))
+            .when(col("dk").isNotNull, lit("inserted"))
+            .otherwise(lit("kept")).as("action"))
+        .orderBy("o_orderkey")
+    }),
+
     "p_join_salted" -> ((s, d) => {
       // skew-resistant aggregate join: salt the (potentially hot) fact key,
       // explode the dim side across the salt space, aggregate, merge
@@ -131,6 +153,16 @@ object PPipeline {
         "round(max(o_totalprice), 4) AS total_price " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "p_upsert" ->
+      ("WITH snap AS (SELECT o_orderkey k, o_totalprice price FROM orders " +
+        "WHERE o_orderkey % 10 <> 0), " +
+        "delta AS (SELECT o_orderkey dk, o_totalprice * 1.1::DOUBLE dprice " +
+        "FROM orders WHERE o_orderkey % 3 = 0) " +
+        "SELECT coalesce(k, dk) AS o_orderkey, " +
+        "round(coalesce(dprice, price), 4) AS price, " +
+        "CASE WHEN dk IS NOT NULL AND k IS NOT NULL THEN 'updated' " +
+        "WHEN dk IS NOT NULL THEN 'inserted' ELSE 'kept' END AS action " +
+        "FROM snap FULL OUTER JOIN delta ON k = dk ORDER BY o_orderkey"),
     // the oracle is the UNSALTED join — salting must not change results
     "p_join_salted" ->
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +

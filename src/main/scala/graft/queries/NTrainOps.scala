@@ -84,6 +84,39 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_minhash_est" -> ((s, d) => {
+      // sketch accuracy, relationally: MinHash-estimated Jaccard (fraction
+      // of agreeing signature components) against the exact token-set
+      // Jaccard, with the absolute error — the measurement a pipeline runs
+      // before trusting sketch-based dedup at scale. Bounded to doc_id < 50
+      // like the other pairwise baselines.
+      val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val tok = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val sig = tok.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), col("w")))).as("s0"),
+        min(md5(concat(lit("1"), col("w")))).as("s1"),
+        min(md5(concat(lit("2"), col("w")))).as("s2"),
+        min(md5(concat(lit("3"), col("w")))).as("s3"))
+      val sets = base.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      val a = sig.join(sets, "doc_id").select(col("doc_id").as("a_id"),
+        col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"),
+        col("w").as("wa"))
+      val b = sig.join(sets, "doc_id").select(col("doc_id").as("b_id"),
+        col("s0").as("b0"), col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3"),
+        col("w").as("wb"))
+      val agree = (when(col("a0") === col("b0"), 1).otherwise(0) +
+        when(col("a1") === col("b1"), 1).otherwise(0) +
+        when(col("a2") === col("b2"), 1).otherwise(0) +
+        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double")
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          r4(agree / 4).as("est"),
+          r4(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb")))).as("exact"))
+        .withColumn("abs_err", r4(abs(col("est") - col("exact"))))
+        .orderBy("a_id", "b_id")
+    }),
+
     "i_dup_clusters" -> ((s, d) => {
       // duplicate-cluster assignment: connected components over the
       // shared-shingle graph (docs sharing any 3-token shingle belong to
@@ -183,6 +216,24 @@ object NTrainOps {
         "SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared " +
         "FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.source <> 'src0' " +
         "GROUP BY s.doc_id ORDER BY s.doc_id"),
+    "i_minhash_est" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM base), " +
+        "sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
+        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 FROM tok GROUP BY doc_id), " +
+        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
+        "j AS (SELECT a.doc_id a_id, b.doc_id b_id, " +
+        "((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + " +
+        "CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)::DOUBLE / 4) est, " +
+        "(len(list_intersect(a.w, b.w))::DOUBLE / " +
+        "len(list_distinct(a.w || b.w))) " +
+        "AS exact FROM sets a JOIN sets b ON a.doc_id < b.doc_id " +
+        "JOIN sig sa ON sa.doc_id = a.doc_id JOIN sig sb ON sb.doc_id = b.doc_id) " +
+        "SELECT a_id, b_id, round(est, 4) AS est, round(exact, 4) AS exact, " +
+        "round(abs(round(est, 4) - round(exact, 4)), 4) AS abs_err " +
+        "FROM j ORDER BY a_id, b_id"),
     // the oracle computes the same components by transitive closure
     // (recursive CTE) — iterative propagation must agree with it exactly
     "i_dup_clusters" ->

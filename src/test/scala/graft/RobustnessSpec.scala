@@ -53,6 +53,22 @@ class RobustnessSpec extends SparkTestBase {
     assert(base == repart)
   }
 
+  test("GeoMean yields NULL on an empty relation, like built-in aggregates") {
+    val gm = org.apache.spark.sql.functions.udaf(graft.functions.GeoMean)
+    val r = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS x")
+      .agg(gm(col("x"))).collect().head
+    assert(r.isNullAt(0), s"expected NULL, got $r")
+  }
+
+  test("graft_topk over an empty relation produces no groups") {
+    graft.functions.VectorExprs.register(spark)
+    Tables.events(spark, sfDir).filter(lit(false))
+      .createOrReplaceTempView("ev_empty")
+    val out = spark.sql(
+      "SELECT user_id, graft_topk(value, event_id, 3, false) FROM ev_empty GROUP BY user_id")
+    assert(out.count() == 0)
+  }
+
   test("duplicate clusters are a fixpoint: every edge joins equal labels") {
     val labels = SparkEntry.queries("i_dup_clusters")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -255,6 +255,24 @@ object ARelational {
         .agg(max_by(col("c_id"), col("c_ts")).as("prior_click"))
         .orderBy("event_id")
     }),
+
+    "c_join_asof_native" -> ((s, d) => {
+      // same as-of semantics through the custom physical operator
+      // (graft.plans.AsOfJoinExec): one shuffle + sort per side and a
+      // single merge pass — no per-key (error × prior-click) pair
+      // materialization like the declarative baseline above. Left-outer:
+      // errors with no prior click keep a NULL prior_click.
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOfJoin.asof(errors, clicks,
+          "user_id", "c_user", "ts", "c_ts", "c_id")
+        .select(col("event_id"), col("c_id").as("prior_click"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -353,5 +371,15 @@ object ARelational {
         "FROM events e JOIN events c ON c.user_id = e.user_id " +
         "AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP AND c.event_type = 'click' " +
         "WHERE e.event_type = 'error' GROUP BY e.event_id ORDER BY e.event_id"),
+    // left-outer + explicit (ts DESC, id DESC) tiebreak — the native
+    // operator's defined total order
+    "c_join_asof_native" ->
+      ("SELECT event_id, prior_click FROM (" +
+        "SELECT e.event_id, c.event_id AS prior_click, row_number() OVER (" +
+        "PARTITION BY e.event_id ORDER BY c.ts::TIMESTAMP DESC, c.event_id DESC) rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON e.user_id = c.user_id AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP" +
+        ") WHERE rn = 1 ORDER BY event_id"),
   )
 }

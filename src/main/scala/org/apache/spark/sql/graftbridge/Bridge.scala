@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
+
+/** Access bridge for `Dataset.ofRows` (private[sql]) so the library can
+  * materialize a DataFrame from a custom LogicalPlan — the standard
+  * technique Spark-ecosystem libraries use to expose custom operators
+  * (the public API offers no constructor for third-party plans).
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+
+  /** Column → Catalyst Expression (Spark 4 moved this behind private[sql]). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

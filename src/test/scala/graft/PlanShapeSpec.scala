@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape assertions (SURVEY §5.2(5)): cheap checks that Catalyst is
   * actually doing the scale-critical work — pushdown, broadcast, top-k
   * physical operators, rank-limit pushdown, whole-stage codegen.
@@ -76,6 +78,24 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("decontamination eval side is broadcast") {
     assert(plan("i_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("native as-of join plans the custom merge operator, not a pair join") {
+    val p = plan("c_join_asof_native")
+    assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec:\n$p")
+    // the whole point: no pair materialization — no join+aggregate shape
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("HashAggregate"),
+      s"as-of must be a single merge pass, not join+agg:\n$p")
+  }
+
+  test("native as-of join agrees with the declarative join+max_by baseline") {
+    val native = SparkEntry.queries("c_join_asof_native")(spark, sfDir)
+      .filter(col("prior_click").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declar = SparkEntry.queries("c_join_asof")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == declar)
   }
 
   test("DSv2 source prunes columns and plans parallel partitions") {

@@ -60,6 +60,58 @@ class PropertySpec extends SparkTestBase {
     assert(slide == events * 4, "each event belongs to exactly 4 sliding windows")
   }
 
+  test("graft_topk equals the row_number window on adversarial random data") {
+    // random scores with deliberate DUPLICATE score values per group — the
+    // tie path the fixtures rarely hit. Deterministic seed.
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      (i % 17L, rng.nextInt(20) / 10.0, i.toLong) // only 20 distinct scores
+    }
+    val df = rows.toDF("g", "score", "id")
+    df.createOrReplaceTempView("topk_prop")
+    val native = spark.sql(
+      """SELECT g, t.id, t.score, t.rn FROM (
+        |  SELECT g, explode(graft_topk(score, id, 3, false)) AS t
+        |  FROM topk_prop GROUP BY g)""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val window = spark.sql(
+      """SELECT g, id, score, rn FROM (
+        |  SELECT g, id, score, CAST(row_number() OVER (
+        |    PARTITION BY g ORDER BY score DESC, id) AS BIGINT) rn
+        |  FROM topk_prop) WHERE rn <= 3""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(native == window)
+  }
+
+  test("native as-of join equals the window formulation under ts ties") {
+    // coarse timestamps force (key, ts) TIES on the right side — exercising
+    // the operator's (ts DESC, id DESC) tiebreak, which fixture data with
+    // unique timestamps never hits. Deterministic seed.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:${m}%02d:00")
+    val lefts = (0 until 300).map(i => (rng.nextInt(9).toLong, ts(rng.nextInt(50)), i.toLong))
+      .toDF("user_id", "ts", "event_id")
+    val rights = (0 until 300).map(i => (rng.nextInt(9).toLong, ts(rng.nextInt(50)), 1000L + i))
+      .toDF("c_user", "c_ts", "c_id")
+    val native = graft.plans.AsOfJoin
+      .asof(lefts, rights, "user_id", "c_user", "ts", "c_ts", "c_id")
+      .select("event_id", "c_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    lefts.createOrReplaceTempView("asof_l")
+    rights.createOrReplaceTempView("asof_r")
+    val window = spark.sql(
+      """SELECT event_id, c_id FROM (
+        |  SELECT l.event_id, r.c_id, row_number() OVER (
+        |    PARTITION BY l.event_id ORDER BY r.c_ts DESC, r.c_id DESC) rn
+        |  FROM asof_l l LEFT JOIN asof_r r
+        |    ON l.user_id = r.c_user AND r.c_ts <= l.ts) WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native == window)
+  }
+
   test("minhash signature similarity correlates with exact duplicate") {
     // identical docs (none in fixture) would share all 4 signatures; sanity:
     // a doc always shares all 4 signatures with itself via recompute

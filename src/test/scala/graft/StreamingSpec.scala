@@ -214,6 +214,33 @@ class StreamingSpec extends SparkTestBase {
       s"unmatched click must emit with null view after watermark: $rows")
   }
 
+  test("file sink restart from checkpoint does not duplicate data") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/ckpt_test"
+    for (sub <- Seq("out", "ckpt")) {
+      val d = new java.io.File(s"$base/$sub")
+      if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively() }
+    }
+    val ms = MemoryStream[Ev]
+    def run(): Unit = {
+      val q = ms.toDF().writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    ms.addData(Ev(t("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 09:01:00"), 2, "view", 2.0))
+    run()
+    // second, NEW query instance resumes from the same checkpoint: the
+    // first batch must not be re-emitted (exactly-once file sink)
+    ms.addData(Ev(t("2024-01-01 09:02:00"), 3, "error", 3.0))
+    run()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 3, s"expected exactly-once output, got ${out.count()}")
+    assert(out.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -84,6 +84,13 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_lang_confusion" -> ((s, d) =>
+      // classifier-eval op: confusion matrix of the language-ID model
+      // (composes the i_lang_id key — pipelines grade their filters)
+      ILlmOps.m("i_lang_id")(s, d)
+        .groupBy("actual", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("actual", "pred_lang")),
+
     "i_minhash_est" -> ((s, d) => {
       // sketch accuracy, relationally: MinHash-estimated Jaccard (fraction
       // of agreeing signature components) against the exact token-set
@@ -137,32 +144,44 @@ object NTrainOps {
       val e = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
-      val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val nbr = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(edges("src")).agg(min(labels("label")).as("nbr_label"))
-        val prop = labels.join(nbr, labels("id") === nbr("src"), "left")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nbr_label"), labels("label")))
-              .as("label"))
-        // pointer jumping: label ← label's label (the label is always a
-        // node id, so this halves each node's distance to the component
-        // minimum → O(log diameter) rounds instead of O(diameter))
-        val next = prop.as("x")
-          .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
-            col("x.label") === col("jid"))
-          .select(col("x.id").as("id"), col("jlabel").as("label"))
-          .localCheckpoint()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-      }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      graft.algo.ConnectedComponents
+        .run(docs.select(col("doc_id").as("id")), e)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    "i_dedup_pipeline" -> ((s, d) => {
+      // the COMPLETE near-dup dedup flow as one declarative pipeline:
+      // MinHash signatures → LSH band candidates (equi-join on the band,
+      // never all-pairs) → exact Jaccard verification (≥ 0.8) → connected
+      // components → cluster representative (min doc_id). This is the
+      // production shape at 100 TB: candidate generation is bucketed, the
+      // expensive exact verify runs only on candidates, and clustering is
+      // O(log diameter) rounds. Bounded to doc_id < 200 like the other
+      // pairwise demonstration keys.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val sig = tok.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), col("w")))).as("s0"),
+        min(md5(concat(lit("1"), col("w")))).as("s1"),
+        min(md5(concat(lit("2"), col("w")))).as("s2"),
+        min(md5(concat(lit("3"), col("w")))).as("s3"))
+      val band = sig.select(col("doc_id"),
+        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+      val cand = band.as("a").join(band.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      val edges = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("w").as("wa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("w").as("wb")), "b_id")
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.8)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      graft.algo.ConnectedComponents
+        .run(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_representative"))
         .orderBy("doc_id")
     }),
 
@@ -216,6 +235,10 @@ object NTrainOps {
         "SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared " +
         "FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.source <> 'src0' " +
         "GROUP BY s.doc_id ORDER BY s.doc_id"),
+    "i_lang_confusion" ->
+      ("WITH p AS (" + ILlmOps.oracle("i_lang_id") + ") " +
+        "SELECT actual, pred_lang, count(*) AS n FROM p " +
+        "GROUP BY actual, pred_lang ORDER BY actual, pred_lang"),
     "i_minhash_est" ->
       ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
         "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM base), " +
@@ -234,6 +257,28 @@ object NTrainOps {
         "SELECT a_id, b_id, round(est, 4) AS est, round(exact, 4) AS exact, " +
         "round(abs(round(est, 4) - round(exact, 4)), 4) AS abs_err " +
         "FROM j ORDER BY a_id, b_id"),
+    // full pipeline oracle: same LSH candidates + Jaccard-verified edges,
+    // components by recursive-CTE transitive closure
+    "i_dedup_pipeline" ->
+      ("WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM base), " +
+        "sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
+        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 FROM tok GROUP BY doc_id), " +
+        "band AS (SELECT doc_id, md5(s0 || s1 || s2 || s3) band FROM sig), " +
+        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id FROM band a " +
+        "JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
+        "e AS (SELECT a_id, b_id FROM cand " +
+        "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +
+        "WHERE len(list_intersect(sa.w, sb.w))::DOUBLE / " +
+        "len(list_distinct(sa.w || sb.w)) >= 0.8), " +
+        "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+        "nodes AS (SELECT doc_id id FROM base), " +
+        "reach(src, dst) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a) " +
+        "SELECT src AS doc_id, min(dst) AS cluster_id, " +
+        "src = min(dst) AS is_representative FROM reach " +
+        "GROUP BY src ORDER BY doc_id"),
     // the oracle computes the same components by transitive closure
     // (recursive CTE) — iterative propagation must agree with it exactly
     "i_dup_clusters" ->

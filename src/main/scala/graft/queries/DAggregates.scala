@@ -105,6 +105,14 @@ object DAggregates {
         count(lit(1)).as("cnt"))
         .orderBy("user_id")),
 
+    "d_agg_histogram" -> ((s, d) =>
+      // fixed-width histogram via width_bucket — one shuffle carrying one
+      // row per bucket (the profiling shape at 100 TB)
+      Tables.lineitem(s, d)
+        .select(expr("width_bucket(l_extendedprice, 0, 100000, 20)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
     // sketch aggregate (pairs with d_agg_approx_hll): bounded-memory
     // quantiles; accuracy vs the exact percentile asserted in scalatest
     "d_agg_approx_quantile" -> ((s, d) =>
@@ -257,6 +265,11 @@ object DAggregates {
       ("SELECT user_id, arg_min(event_type, ts) AS first_event, " +
         "arg_max(event_type, ts) AS last_event, count(*) AS cnt " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // width_bucket(x, 0, 100000, 20) ≡ floor(x/5000)+1 on this non-negative
+    // domain (values past the top edge land in bucket 21 both ways)
+    "d_agg_histogram" ->
+      ("SELECT CAST(floor(l_extendedprice / 5000) + 1 AS BIGINT) AS bucket, " +
+        "count(*) AS cnt FROM lineitem GROUP BY bucket ORDER BY bucket"),
     "d_agg_median" ->
       ("SELECT l_returnflag, round(median(l_extendedprice), 4) AS med_price, " +
         "round(median(l_quantity), 4) AS med_qty " +

@@ -114,6 +114,30 @@ object EWindows {
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     }),
+
+    "e_resample_locf" -> ((s, d) => {
+      // time-series resampling: per-user 1-hour grid from the user's first
+      // to last event (sequence + explode — a generator, no driver loop),
+      // hourly averages where data exists, gaps filled by last observation
+      // carried forward. Bounded to user_id < 500 like the other
+      // demonstration keys; the shape is one shuffle on the user key.
+      val ev = Tables.events(s, d).filter(col("user_id") < 500)
+        .select(col("user_id"), col("ts"), col("value"))
+      val bounds = ev.groupBy("user_id")
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(expr("sequence(date_trunc('hour', t0), t1, interval 1 hour)"))
+          .as("slot"))
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+        .agg(r4(avg("value")).as("v"))
+      val w = Window.partitionBy("user_id").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "slot"), "left")
+        .select(col("user_id"), col("slot"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "slot")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -166,5 +190,19 @@ object EWindows {
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "e_resample_locf" ->
+      ("WITH ev AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events " +
+        "WHERE user_id < 500), " +
+        "b AS (SELECT user_id, date_trunc('hour', min(ts)) t0, max(ts) t1 " +
+        "FROM ev GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) slot " +
+        "FROM b), " +
+        "h AS (SELECT user_id, date_trunc('hour', ts) slot, round(avg(value), 4) v " +
+        "FROM ev GROUP BY user_id, slot) " +
+        "SELECT g.user_id, g.slot, last_value(h.v IGNORE NULLS) OVER (" +
+        "PARTITION BY g.user_id ORDER BY g.slot " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
+        "FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot " +
+        "ORDER BY g.user_id, g.slot"),
   )
 }

@@ -18,15 +18,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // compact summary LAST: the driver keeps only the tail of the output,
-    // and the full per-query line above can exceed that window — this short
-    // line always survives and parses
+    // compact summary FIRST, and it is the only line tagged "total": the
+    // giant per-query line can exceed capture windows / confuse line-by-line
+    // consumers, so it gets its own metric name below
     val headline = Seq("d_agg_basic", "c_join_star_5way", "e_win_topk_group",
       "j_session", "i_cosine_topk", "i_knn_l2", "i_word_freq", "p_etl_pipeline")
     val hqs = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hqs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,12 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.ClassicConversions._
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Native AS-OF JOIN — a whole-operator Catalyst extension (LogicalPlan +
   * SparkStrategy + SparkPlan), the (c)-tier of the custom-operator
@@ -22,10 +22,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * the latest right row with `r_ts <= l_ts` on the same key. Left-outer
   * semantics: unmatched left rows emit nulls for the right columns.
   *
-  * Constraints (checked at planning): key and tiebreak are BIGINT, ts is
-  * TIMESTAMP or BIGINT, and the two sides must not share column names
-  * (pre-alias the right side). Ties on (key, ts) resolve to the largest
-  * tiebreak value — a total, engine-portable order.
+  * Constraints (checked at planning): key and ts types must be orderable
+  * and MATCH across the two sides (so e.g. TIMESTAMP micros never compare
+  * against a raw BIGINT in mismatched units), the tiebreak must be
+  * orderable, and the two sides must not share column names or attribute
+  * ids (pre-alias the right side — checked in `AsOfJoin.asof`). Any
+  * orderable key type works: BIGINT ids, STRING plates/tickets, DATE…
+  * Ties on (key, ts) resolve to the largest tiebreak value — a total,
+  * engine-portable order.
+  *
+  * NULL semantics follow SQL joins: a right row with a NULL key or NULL
+  * ts can never be a match (skipped on read); a left row with a NULL key
+  * or NULL ts emits the null-extended row (left-outer, no match).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -71,6 +79,10 @@ case class AsOfJoinExec(
     val lt = BindReferences.bindReference(leftTs, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTs, right.output)
+    // interpreted orderings over the (matching) key/ts types — evaluated
+    // once per row on already-sorted input, not a comparator in a sort
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val nRight = right.output.size
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -79,38 +91,57 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(allOut, allOut)
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
-        private var rHeadKey = 0L
-        private var rHeadTs = 0L
+        private var rHeadKey: Any = _
+        private var rHeadTs: Any = _
         private var rDone = false
         private var primed = false
         private var candidate: InternalRow = _
-        private var prevKey = 0L
+        private var prevKey: Any = _
         private var firstLeft = true
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next()
-            rHeadKey = rk.eval(rHead).asInstanceOf[Long]
-            rHeadTs = rt.eval(rHead).asInstanceOf[Long]
-          } else { rHead = null; rDone = true }
+        // next right row with non-null key AND ts (null key/ts never match)
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rk.eval(r)
+            val t = rt.eval(r)
+            if (k != null && t != null) { rHead = r; rHeadKey = k; rHeadTs = t }
+          }
+          if (rHead == null) rDone = true
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           if (!primed) { advanceRight(); primed = true }
           val l = lIter.next()
-          val k = lk.eval(l).asInstanceOf[Long]
-          val t = lt.eval(l).asInstanceOf[Long]
-          if (firstLeft || k != prevKey) { candidate = null; prevKey = k; firstLeft = false }
-          // advance the right side past every row that is (a) on an earlier
-          // key or (b) on this key at ts <= t; the last (b)-row seen is the
-          // as-of match (right side is sorted by (key, ts, tiebreak))
-          while (!rDone && rHead != null &&
-              (rHeadKey < k || (rHeadKey == k && rHeadTs <= t))) {
-            if (rHeadKey == k) candidate = rHead.copy()
-            advanceRight()
+          val k = lk.eval(l)
+          val t = lt.eval(l)
+          if (k == null || t == null) {
+            // NULL key/ts on the left: left-outer row, no match by definition.
+            // These sort nulls-first, so no right-side state is disturbed.
+            resultProj(joiner(l, nullRight))
+          } else {
+            if (firstLeft || keyOrd.compare(k, prevKey) != 0) {
+              candidate = null
+              // copy: for buffer-backed values (UTF8String…) `k` aliases the
+              // current left row, which the scan reuses on the next next()
+              prevKey = InternalRow.copyValue(k)
+              firstLeft = false
+            }
+            // advance the right side past every row that is (a) on an earlier
+            // key or (b) on this key at ts <= t; the last (b)-row seen is the
+            // as-of match (right side is sorted by (key, ts, tiebreak))
+            while (!rDone && rHead != null && {
+              val c = keyOrd.compare(rHeadKey, k)
+              c < 0 || (c == 0 && tsOrd.compare(rHeadTs, t) <= 0)
+            }) {
+              if (keyOrd.compare(rHeadKey, k) == 0) candidate = rHead.copy()
+              advanceRight()
+            }
+            resultProj(joiner(l, if (candidate == null) nullRight else candidate))
           }
-          resultProj(joiner(l, if (candidate == null) nullRight else candidate))
         }
       }
     }
@@ -128,13 +159,14 @@ case class AsOfJoinExec(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, rtb) =>
-      require(lk.dataType == LongType && rk.dataType == LongType,
-        "graft as-of join: keys must be BIGINT")
-      require(Seq(lt, rt).forall(e =>
-        e.dataType == TimestampType || e.dataType == LongType),
-        "graft as-of join: ts must be TIMESTAMP or BIGINT")
-      require(rtb.dataType == LongType,
-        "graft as-of join: tiebreak must be BIGINT")
+      require(lk.dataType == rk.dataType && RowOrdering.isOrderable(lk.dataType),
+        s"graft as-of join: key types must match and be orderable " +
+          s"(got ${lk.dataType} vs ${rk.dataType})")
+      require(lt.dataType == rt.dataType && RowOrdering.isOrderable(lt.dataType),
+        s"graft as-of join: ts types must match and be orderable " +
+          s"(got ${lt.dataType} vs ${rt.dataType})")
+      require(RowOrdering.isOrderable(rtb.dataType),
+        "graft as-of join: tiebreak must be orderable")
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rtb) :: Nil
     case _ => Nil
   }
@@ -153,11 +185,24 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    // the output concatenates both sides verbatim, so shared names (or the
+    // same un-aliased DataFrame on both sides → shared attribute ids) would
+    // make downstream resolution silently ambiguous — reject eagerly
+    val sharedNames = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    require(sharedNames.isEmpty,
+      s"graft as-of join: both sides expose column(s) ${sharedNames.mkString(", ")} — " +
+        "rename/alias the right side before joining")
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "graft as-of join: left and right share attribute ids (same DataFrame " +
+        "passed twice?) — re-alias one side column-by-column")
     import org.apache.spark.sql.graftbridge.Bridge
     def attr(df: DataFrame, name: String): Expression =
       Bridge.expression(df.col(name))
     Bridge.ofRows(spark,
-      AsOfJoinPlan(left.queryExecution.analyzed, right.queryExecution.analyzed,
+      AsOfJoinPlan(lPlan, rPlan,
         attr(left, leftKey), attr(right, rightKey),
         attr(left, leftTs), attr(right, rightTs),
         attr(right, rightTiebreak)))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -36,6 +37,57 @@ object ILlmOps {
 
   private val dot = "graft_dot(va, vb)"
 
+  /** k=8 MinHash signature (s0..s7) over whitespace tokens: min over the
+    * doc's tokens of md5(i ‖ token) for 8 independent hash families.
+    * md5 hex min is lexicographic on both engines (engine-specific integer
+    * hashes like xxhash64 are NOT portable). k=8 exists to give LSH
+    * banding room: 4 bands × 2 rows below.
+    */
+  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val aggs = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), col("w")))).as(s"s$i"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Standard b×r MinHash banding over the k=8 signature: b=4 bands of
+    * r=2 rows, band hash = md5(s_{2i} ‖ s_{2i+1}). A pair becomes a
+    * candidate if ANY band collides: P = 1−(1−J²)⁴ ≈ 0.983 at J=0.8
+    * (vs ~J⁴ ≈ 0.41 for a single band of all 4 rows — the round-3 design
+    * gap). Candidate generation stays an equi-join on (band_idx, bh):
+    * linear shuffle, 100 TB-safe, never all-pairs.
+    */
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array(
+      md5(concat(col("s0"), col("s1"))),
+      md5(concat(col("s2"), col("s3"))),
+      md5(concat(col("s4"), col("s5"))),
+      md5(concat(col("s6"), col("s7"))))).as(Seq("band_idx", "bh")))
+
+  /** Distinct candidate pairs (a_id < b_id) from the multi-band join. */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandKeys(minhashSig(docs))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of the k=8 signature, as a CTE body named `sig`;
+    * `src` must provide (doc_id, text). */
+  private[graft] def sigSql(src: String): String =
+    "sig AS (SELECT doc_id, " +
+      (0 to 7).map(i => s"min(md5('$i' || w)) s$i").mkString(", ") +
+      s" FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM $src) " +
+      "GROUP BY doc_id)"
+
+  /** DuckDB mirror of the 4×2 banding, as a CTE body named `bands`. */
+  private[graft] val bandsSql: String =
+    "bands AS (" + (0 to 3).map(i =>
+      s"SELECT doc_id, $i band_idx, md5(s${2 * i} || s${2 * i + 1}) bh FROM sig")
+      .mkString(" UNION ALL ") + ")"
+
   val m: ListMap[String, Q] = ListMap(
     "i_dedup_exact" -> ((s, d) =>
       // groupBy formulation: deterministic representative (min doc_id),
@@ -67,36 +119,45 @@ object ILlmOps {
         .orderBy("a_id", "b_id")
     }),
 
-    "i_minhash" -> ((s, d) => {
-      // k=4 min-hash signature; md5 hex min is lexicographic on both engines
-      // (engine-specific integer hashes like xxhash64 are NOT portable)
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      tok.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), col("w")))).as("s0"),
-        min(md5(concat(lit("1"), col("w")))).as("s1"),
-        min(md5(concat(lit("2"), col("w")))).as("s2"),
-        min(md5(concat(lit("3"), col("w")))).as("s3"))
-        .orderBy("doc_id")
-    }),
+    "i_minhash" -> ((s, d) =>
+      // k=8 min-hash signature (shared helper; k=8 so LSH banding below
+      // has 4 bands × 2 rows of room)
+      minhashSig(Tables.documents(s, d)).orderBy("doc_id")),
 
     "i_lsh_buckets" -> ((s, d) => {
-      // MinHash → band → bucket-join: near-dup candidate pairs via an
-      // equi-join on the band hash (the 100 TB-safe blocking pattern)
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val sig = tok.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), col("w")))).as("s0"),
-        min(md5(concat(lit("1"), col("w")))).as("s1"),
-        min(md5(concat(lit("2"), col("w")))).as("s2"),
-        min(md5(concat(lit("3"), col("w")))).as("s3"))
-      val band = sig.select(col("doc_id"),
-        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
-      val a = band.select(col("doc_id").as("a_id"), col("band"))
-      val b = band.select(col("doc_id").as("b_id"), col("band").as("band_b"))
-      a.join(b, col("band") === col("band_b") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "band")
+      // MinHash → 4×2 banding → bucket-join: near-dup candidate pairs via
+      // an equi-join on (band_idx, band hash) — the 100 TB-safe blocking
+      // pattern. n_bands = how many of the 4 bands collided (a cheap
+      // confidence signal: E[n_bands] = 4·J²).
+      val bands = bandKeys(minhashSig(Tables.documents(s, d)))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_bands"))
         .orderBy("a_id", "b_id")
+    }),
+
+    "i_lsh_recall" -> ((s, d) => {
+      // measured candidate recall of the banding scheme against exact
+      // token-set Jaccard ≥ 0.8 — the calibration a pipeline runs before
+      // trusting sketch blocking at scale. Bounded to doc_id < 200 like
+      // the other all-pairs calibration baselines (the truth side is
+      // inherently O(n²); the candidates are the production equi-join).
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      val truth = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
+          size(array_union(col("a.w"), col("b.w"))) >= 0.8)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val cand = lshCandidates(docs)
+      val hit = truth.join(cand, Seq("a_id", "b_id"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0,
+            floor(col("n_hit") / col("n_true") * 10000 + 0.5)).as("recall_bp"))
     }),
 
     "i_cosine_topk" -> ((s, d) => {
@@ -127,8 +188,11 @@ object ILlmOps {
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") =!= col("b_id"))
-        .withColumn("d2", col("na") * col("na") + col("nb") * col("nb")
-          - lit(2.0) * expr(dot))
+        // greatest(_, 0.0) guards catastrophic cancellation: for
+        // near-identical vectors na²+nb²−2·dot can land slightly below 0
+        // in FP, and sqrt of that is NaN downstream
+        .withColumn("d2", greatest(col("na") * col("na") + col("nb") * col("nb")
+          - lit(2.0) * expr(dot), lit(0.0)))
         .groupBy("a_id")
         .agg(expr("graft_topk(d2, b_id, 5, true)").as("top"))
         .select(col("a_id"), explode(col("top")).as("t"))
@@ -330,19 +394,34 @@ object ILlmOps {
         "len(list_distinct(a.w || b.w)), 4) AS jac " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY a_id, b_id"),
     "i_minhash" ->
-      ("SELECT doc_id, min(md5('0' || w)) AS s0, min(md5('1' || w)) AS s1, " +
-        "min(md5('2' || w)) AS s2, min(md5('3' || w)) AS s3 " +
-        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
+      ("SELECT doc_id, " +
+        (0 to 7).map(i => s"min(md5('$i' || w)) AS s$i").mkString(", ") +
+        " FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "i_lsh_buckets" ->
-      ("WITH sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
-        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 " +
-        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
-        "GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, md5(s0 || s1 || s2 || s3) band FROM sig) " +
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.band AS band " +
-        "FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id " +
-        "ORDER BY a_id, b_id"),
+      ("WITH " + sigSql("documents") + ", " + bandsSql + " " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
+        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+        "AND a.bh = b.bh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY a_id, b_id"),
+    "i_lsh_recall" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
+        sigSql("base") + ", " + bandsSql + ", " +
+        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
+        "truth AS (SELECT a.doc_id a_id, b.doc_id b_id FROM sets a " +
+        "JOIN sets b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.w, b.w))::DOUBLE / " +
+        "len(list_distinct(a.w || b.w)) >= 0.8), " +
+        "cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bands a " +
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id), " +
+        "hit AS (SELECT * FROM truth JOIN cand USING (a_id, b_id)) " +
+        "SELECT (SELECT count(*) FROM truth) AS n_true, " +
+        "(SELECT count(*) FROM cand) AS n_cand, " +
+        "(SELECT count(*) FROM hit) AS n_hit, " +
+        "CASE WHEN (SELECT count(*) FROM truth) > 0 THEN " +
+        "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
+        "(SELECT count(*) FROM truth) * 10000 + 0.5) AS BIGINT) END AS recall_bp"),
     "i_cosine_topk" ->
       ("SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
         "SELECT a.vec_id a_id, b.vec_id b_id, " +

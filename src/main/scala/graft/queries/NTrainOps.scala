@@ -93,31 +93,24 @@ object NTrainOps {
 
     "i_minhash_est" -> ((s, d) => {
       // sketch accuracy, relationally: MinHash-estimated Jaccard (fraction
-      // of agreeing signature components) against the exact token-set
-      // Jaccard, with the absolute error — the measurement a pipeline runs
-      // before trusting sketch-based dedup at scale. Bounded to doc_id < 50
-      // like the other pairwise baselines.
+      // of agreeing signature components, k=8 — the same signature the LSH
+      // banding consumes) against the exact token-set Jaccard, with the
+      // absolute error — the measurement a pipeline runs before trusting
+      // sketch-based dedup at scale. Bounded to doc_id < 50 like the other
+      // pairwise baselines.
       val base = Tables.documents(s, d).filter(col("doc_id") < 50)
-      val tok = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val sig = tok.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), col("w")))).as("s0"),
-        min(md5(concat(lit("1"), col("w")))).as("s1"),
-        min(md5(concat(lit("2"), col("w")))).as("s2"),
-        min(md5(concat(lit("3"), col("w")))).as("s3"))
+      val sig = ILlmOps.minhashSig(base)
       val sets = base.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
-      val a = sig.join(sets, "doc_id").select(col("doc_id").as("a_id"),
-        col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"),
-        col("w").as("wa"))
-      val b = sig.join(sets, "doc_id").select(col("doc_id").as("b_id"),
-        col("s0").as("b0"), col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3"),
-        col("w").as("wb"))
-      val agree = (when(col("a0") === col("b0"), 1).otherwise(0) +
-        when(col("a1") === col("b1"), 1).otherwise(0) +
-        when(col("a2") === col("b2"), 1).otherwise(0) +
-        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double")
+      val withSets = sig.join(sets, "doc_id")
+      val a = withSets.select(col("doc_id").as("a_id") +:
+        ((0 to 7).map(i => col(s"s$i").as(s"a$i")) :+ col("w").as("wa")): _*)
+      val b = withSets.select(col("doc_id").as("b_id") +:
+        ((0 to 7).map(i => col(s"s$i").as(s"b$i")) :+ col("w").as("wb")): _*)
+      val agree = (0 to 7).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _).cast("double")
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          r4(agree / 4).as("est"),
+          r4(agree / 8).as("est"),
           r4(size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb")))).as("exact"))
         .withColumn("abs_err", r4(abs(col("est") - col("exact"))))
@@ -152,25 +145,16 @@ object NTrainOps {
 
     "i_dedup_pipeline" -> ((s, d) => {
       // the COMPLETE near-dup dedup flow as one declarative pipeline:
-      // MinHash signatures → LSH band candidates (equi-join on the band,
-      // never all-pairs) → exact Jaccard verification (≥ 0.8) → connected
+      // k=8 MinHash signatures → 4×2-band LSH candidates (equi-join on
+      // (band_idx, band hash), recall 1−(1−J²)⁴ ≈ 0.98 at J=0.8 — never
+      // all-pairs) → exact Jaccard verification (≥ 0.8) → connected
       // components → cluster representative (min doc_id). This is the
       // production shape at 100 TB: candidate generation is bucketed, the
       // expensive exact verify runs only on candidates, and clustering is
       // O(log diameter) rounds. Bounded to doc_id < 200 like the other
       // pairwise demonstration keys.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val sig = tok.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), col("w")))).as("s0"),
-        min(md5(concat(lit("1"), col("w")))).as("s1"),
-        min(md5(concat(lit("2"), col("w")))).as("s2"),
-        min(md5(concat(lit("3"), col("w")))).as("s3"))
-      val band = sig.select(col("doc_id"),
-        md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
-      val cand = band.as("a").join(band.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val cand = ILlmOps.lshCandidates(docs)
       val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
       val edges = cand
         .join(sets.select(col("doc_id").as("a_id"), col("w").as("wa")), "a_id")
@@ -241,15 +225,12 @@ object NTrainOps {
         "GROUP BY actual, pred_lang ORDER BY actual, pred_lang"),
     "i_minhash_est" ->
       ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM base), " +
-        "sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
-        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 FROM tok GROUP BY doc_id), " +
+        ILlmOps.sigSql("base") + ", " +
         "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
         "j AS (SELECT a.doc_id a_id, b.doc_id b_id, " +
-        "((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END + " +
-        "CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END + " +
-        "CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END + " +
-        "CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)::DOUBLE / 4) est, " +
+        "((" + (0 to 7).map(i =>
+          s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+        ")::DOUBLE / 8) est, " +
         "(len(list_intersect(a.w, b.w))::DOUBLE / " +
         "len(list_distinct(a.w || b.w))) " +
         "AS exact FROM sets a JOIN sets b ON a.doc_id < b.doc_id " +
@@ -261,12 +242,10 @@ object NTrainOps {
     // components by recursive-CTE transitive closure
     "i_dedup_pipeline" ->
       ("WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM base), " +
-        "sig AS (SELECT doc_id, min(md5('0' || w)) s0, min(md5('1' || w)) s1, " +
-        "min(md5('2' || w)) s2, min(md5('3' || w)) s3 FROM tok GROUP BY doc_id), " +
-        "band AS (SELECT doc_id, md5(s0 || s1 || s2 || s3) band FROM sig), " +
-        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id FROM band a " +
-        "JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+        ILlmOps.sigSql("base") + ", " + ILlmOps.bandsSql + ", " +
+        "cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bands a " +
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id), " +
         "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
         "e AS (SELECT a_id, b_id FROM cand " +
         "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +

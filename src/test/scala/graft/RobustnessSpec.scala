@@ -29,7 +29,13 @@ class RobustnessSpec extends SparkTestBase {
   }
 
   test("sliding windows align to the slide and cover each event 4x at two scales") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // derive the scale tiers from the configured fixture root instead of
+    // hardcoding machine-specific paths; tiers not present are skipped
+    val root = new java.io.File(sfDir).getParentFile
+    val dirs = Seq("sf0.001", "sf0.01")
+      .map(new java.io.File(root, _)).filter(_.isDirectory).map(_.getPath)
+    assert(dirs.nonEmpty, s"no scale fixtures under $root")
+    for (dir <- dirs) {
       val out = SparkEntry.queries("j_sliding")(spark, dir).collect()
       // every window start sits on a 15-minute boundary
       assert(out.forall { r =>
@@ -89,6 +95,27 @@ class RobustnessSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty && edges.forall { case (a, b) => labels(a) == labels(b) },
       "connected docs must land in the same cluster")
+  }
+
+  test("ConnectedComponents with a reliable checkpoint dir matches localCheckpoint mode") {
+    // cluster mode requires reliable checkpoint() (executor loss destroys
+    // localCheckpoint lineage); both modes must give the identical fixpoint
+    import org.apache.spark.sql.functions.col
+    val nodes = spark.range(0, 10).select(col("id"))
+    val edges = spark.createDataFrame(Seq(
+      (0L, 1L), (1L, 2L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 8L)
+    )).toDF("src", "dst")
+    val local = graft.algo.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/cc_ckpt"
+    val reliable = graft.algo.ConnectedComponents.run(nodes, edges, Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+    assert(local == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 9L))
+    // the reliable run must actually have written checkpoint data
+    val wrote = new java.io.File(dir).exists()
+    assert(wrote, s"expected checkpoint files under $dir")
   }
 
   test("extension-installed and lazily-registered functions give identical results") {

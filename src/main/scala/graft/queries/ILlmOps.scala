@@ -55,24 +55,46 @@ object ILlmOps {
     * candidate if ANY band collides: P = 1−(1−J²)⁴ ≈ 0.983 at J=0.8
     * (vs ~J⁴ ≈ 0.41 for a single band of all 4 rows — the round-3 design
     * gap). Candidate generation stays an equi-join on (band_idx, bh):
-    * linear shuffle, 100 TB-safe, never all-pairs.
+    * linear shuffle, 100 TB-safe, never all-pairs. All four band hashes
+    * ride along each exploded row so the pair join can (a) dedup pairs
+    * with a FILTER instead of a shuffle and (b) compute how many bands
+    * collided as an expression instead of an aggregate — see
+    * `candidateJoin`.
     */
   private[graft] def bandKeys(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), posexplode(array(
-      md5(concat(col("s0"), col("s1"))),
-      md5(concat(col("s2"), col("s3"))),
-      md5(concat(col("s4"), col("s5"))),
-      md5(concat(col("s6"), col("s7"))))).as(Seq("band_idx", "bh")))
+    sig.select(col("doc_id"),
+        md5(concat(col("s0"), col("s1"))).as("b0"),
+        md5(concat(col("s2"), col("s3"))).as("b1"),
+        md5(concat(col("s4"), col("s5"))).as("b2"),
+        md5(concat(col("s6"), col("s7"))).as("b3"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "bh")))
 
-  /** Distinct candidate pairs (a_id < b_id) from the multi-band join. */
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+  /** The multi-band candidate pair join, one output row per candidate
+    * pair: a pair is emitted from its FIRST colliding band only ("emit
+    * iff no earlier band collides"). On a corpus with heavy duplicate
+    * structure a true near-dup collides in all 4 bands, so the naive
+    * join+`distinct` shape emits 4× the pairs and then pays a full
+    * pair-dedup shuffle; this residual-filter form prunes the extras
+    * inside the join and needs NO aggregation — the difference between
+    * 13.9 s and ~5 s at sf0.1, and between one shuffle and two at 100 TB.
+    */
+  private[graft] def candidateJoin(docs: DataFrame): DataFrame = {
     val bands = bandKeys(minhashSig(docs))
     bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+      col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        (col("a.band_idx") <= 0 || col("a.b0") =!= col("b.b0")) &&
+        (col("a.band_idx") <= 1 || col("a.b1") =!= col("b.b1")) &&
+        (col("a.band_idx") <= 2 || col("a.b2") =!= col("b.b2")))
   }
+
+  /** Candidate pairs (a_id < b_id), exactly once each, from the
+    * multi-band join — the input to exact-Jaccard verification. */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame =
+    candidateJoin(docs)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
 
   /** DuckDB mirror of the k=8 signature, as a CTE body named `sig`;
     * `src` must provide (doc_id, text). */
@@ -82,11 +104,20 @@ object ILlmOps {
       s" FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM $src) " +
       "GROUP BY doc_id)"
 
-  /** DuckDB mirror of the 4×2 banding, as a CTE body named `bands`. */
+  /** DuckDB mirror of the 4×2 banding, as CTE bodies `bcols` + `bands`. */
   private[graft] val bandsSql: String =
-    "bands AS (" + (0 to 3).map(i =>
-      s"SELECT doc_id, $i band_idx, md5(s${2 * i} || s${2 * i + 1}) bh FROM sig")
-      .mkString(" UNION ALL ") + ")"
+    "bcols AS (SELECT doc_id, " + (0 to 3).map(i =>
+      s"md5(s${2 * i} || s${2 * i + 1}) b$i").mkString(", ") + " FROM sig), " +
+      "bands AS (" + (0 to 3).map(i =>
+        s"SELECT doc_id, b0, b1, b2, b3, $i band_idx, b$i bh FROM bcols")
+        .mkString(" UNION ALL ") + ")"
+
+  /** DuckDB mirror of `candidateJoin`'s FROM/ON clause (first-colliding-
+    * band dedup as a join residual). */
+  private[graft] val candJoinSql: String =
+    "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+      "AND a.doc_id < b.doc_id " +
+      (0 to 2).map(j => s"AND (a.band_idx <= $j OR a.b$j <> b.b$j)").mkString(" ")
 
   val m: ListMap[String, Q] = ListMap(
     "i_dedup_exact" -> ((s, d) =>
@@ -124,19 +155,19 @@ object ILlmOps {
       // has 4 bands × 2 rows of room)
       minhashSig(Tables.documents(s, d)).orderBy("doc_id")),
 
-    "i_lsh_buckets" -> ((s, d) => {
+    "i_lsh_buckets" -> ((s, d) =>
       // MinHash → 4×2 banding → bucket-join: near-dup candidate pairs via
       // an equi-join on (band_idx, band hash) — the 100 TB-safe blocking
-      // pattern. n_bands = how many of the 4 bands collided (a cheap
-      // confidence signal: E[n_bands] = 4·J²).
-      val bands = bandKeys(minhashSig(Tables.documents(s, d)))
-      bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy("a_id", "b_id")
-    }),
+      // pattern. Pair dedup is the first-colliding-band filter (no second
+      // shuffle); n_bands = how many of the 4 bands collided (a cheap
+      // confidence signal: P(band collides) = J^2).
+      candidateJoin(Tables.documents(s, d))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          ((col("a.b0") === col("b.b0")).cast("long") +
+            (col("a.b1") === col("b.b1")).cast("long") +
+            (col("a.b2") === col("b.b2")).cast("long") +
+            (col("a.b3") === col("b.b3")).cast("long")).as("n_bands"))
+        .orderBy("a_id", "b_id")),
 
     "i_lsh_recall" -> ((s, d) => {
       // measured candidate recall of the banding scheme against exact
@@ -400,10 +431,10 @@ object ILlmOps {
         "GROUP BY doc_id ORDER BY doc_id"),
     "i_lsh_buckets" ->
       ("WITH " + sigSql("documents") + ", " + bandsSql + " " +
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
-        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
-        "AND a.bh = b.bh AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2 ORDER BY a_id, b_id"),
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(" +
+        (0 to 3).map(j =>
+          s"CASE WHEN a.b$j = b.b$j THEN 1 ELSE 0 END").mkString(" + ") +
+        " AS BIGINT) AS n_bands " + candJoinSql + " ORDER BY a_id, b_id"),
     "i_lsh_recall" ->
       ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
         sigSql("base") + ", " + bandsSql + ", " +
@@ -412,9 +443,7 @@ object ILlmOps {
         "JOIN sets b ON a.doc_id < b.doc_id " +
         "WHERE len(list_intersect(a.w, b.w))::DOUBLE / " +
         "len(list_distinct(a.w || b.w)) >= 0.8), " +
-        "cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bands a " +
-        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
-        "AND a.doc_id < b.doc_id), " +
+        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id " + candJoinSql + "), " +
         "hit AS (SELECT * FROM truth JOIN cand USING (a_id, b_id)) " +
         "SELECT (SELECT count(*) FROM truth) AS n_true, " +
         "(SELECT count(*) FROM cand) AS n_cand, " +

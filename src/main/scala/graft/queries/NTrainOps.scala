@@ -243,9 +243,8 @@ object NTrainOps {
     "i_dedup_pipeline" ->
       ("WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
         ILlmOps.sigSql("base") + ", " + ILlmOps.bandsSql + ", " +
-        "cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bands a " +
-        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
-        "AND a.doc_id < b.doc_id), " +
+        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id " +
+        ILlmOps.candJoinSql + "), " +
         "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
         "e AS (SELECT a_id, b_id FROM cand " +
         "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +

@@ -253,6 +253,38 @@ object ILlmOps {
         .orderBy("a_id", "rn")
     }),
 
+    "i_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN, the other canonical bucketed index next to sign-LSH
+      // (i_ann_lsh): deterministic coarse centroids (every 40th vector —
+      // a stand-in for trained k-means centroids; the index structure, not
+      // the training, is the operator), each vector assigned to its
+      // nearest centroid in ONE broadcast pass (n × k dots, linear in n),
+      // then exact cosine top-3 within the cell via an equi-join on the
+      // cell id. At 100 TB: centroids broadcast, assignment is a
+      // map-side projection, candidates shuffle once on the cell key.
+      val e = vecs(s, d)
+      val cents = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("graft_dot(v, vc)") / (col("nrm") * col("nc")))
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val a = assigned.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
+      val b = assigned.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell").as("cell_b"))
+      a.join(b, col("cell") === col("cell_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .groupBy("a_id", "cell")
+        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+        .select(col("a_id"), col("cell"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("cell"), col("t.id").as("b_id"),
+          r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
     "i_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs above a threshold (0.35 —
       // calibrated to this corpus; random unit vectors rarely exceed it).
@@ -481,6 +513,20 @@ object ILlmOps {
         "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % 40 = 0), " +
+        "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
+        "FROM e CROSS JOIN c) WHERE rn = 1) " +
+        "SELECT a_id, cell, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+        "SELECT a.vec_id a_id, a.cell cell, b.vec_id b_id, " +
+        "list_cosine_similarity(a.v, b.v) cos, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
     "i_embed_neardup" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +

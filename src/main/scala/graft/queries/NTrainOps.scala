@@ -23,6 +23,24 @@ import graft.Det.r4
   */
 object NTrainOps {
 
+  /** Near-dup cluster labels (id, label) over doc_id < 200: 4×2-band LSH
+    * candidates → exact-Jaccard verify (≥ 0.8) → connected components.
+    * Shared by `i_dedup_pipeline` (min-id representative) and
+    * `i_dedup_keep_best` (best-member survivor). */
+  private def nearDupClusters(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val cand = ILlmOps.lshCandidates(docs)
+    val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+    val edges = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("w").as("wa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("w").as("wb")), "b_id")
+      .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+        size(array_union(col("wa"), col("wb"))) >= 0.8)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    graft.algo.ConnectedComponents
+      .run(docs.select(col("doc_id").as("id")), edges)
+  }
+
   val m: ListMap[String, Q] = ListMap(
     "i_sample_hash" -> ((s, d) =>
       // deterministic ~12.5% sample: first hex digit of md5(doc_id) ∈ {0,1}.
@@ -153,20 +171,30 @@ object NTrainOps {
       // expensive exact verify runs only on candidates, and clustering is
       // O(log diameter) rounds. Bounded to doc_id < 200 like the other
       // pairwise demonstration keys.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-      val cand = ILlmOps.lshCandidates(docs)
-      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
-      val edges = cand
-        .join(sets.select(col("doc_id").as("a_id"), col("w").as("wa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("w").as("wb")), "b_id")
-        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))) >= 0.8)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      graft.algo.ConnectedComponents
-        .run(docs.select(col("doc_id").as("id")), edges)
+      nearDupClusters(s, d)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
           (col("id") === col("label")).as("is_representative"))
         .orderBy("doc_id")
+    }),
+
+    "i_dedup_keep_best" -> ((s, d) => {
+      // the production survivor policy: per near-dup cluster keep the BEST
+      // member (longest doc, doc_id tiebreak), not the min-id one — any
+      // per-doc score column (quality_bp, perplexity…) plugs into the same
+      // argmax-over-cluster shape. One window pass over the labeled docs.
+      val labels = nearDupClusters(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("n_chars"))
+      val byCluster = Window.partitionBy("cluster_id")
+      labels.join(docs, labels("id") === docs("doc_id"))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("n_chars"))
+        .withColumn("rn", row_number()
+          .over(byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+          col("n_members"), col("n_chars").as("kept_n_chars"))
+        .orderBy("cluster_id")
     }),
 
     "i_bigram_lm" -> ((s, d) => {
@@ -188,6 +216,27 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
   )
+
+  /** DuckDB mirror of `nearDupClusters`, ending in a `clusters` CTE
+    * (doc_id, cluster_id); components via recursive-CTE transitive
+    * closure — the iterative Spark propagation must agree exactly. */
+  private val nearDupCtes: String =
+    "WITH RECURSIVE base AS (SELECT doc_id, text, n_chars FROM documents " +
+      "WHERE doc_id < 200), " +
+      ILlmOps.sigSql("base") + ", " + ILlmOps.bandsSql + ", " +
+      "cand AS (SELECT a.doc_id a_id, b.doc_id b_id " +
+      ILlmOps.candJoinSql + "), " +
+      "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
+      "e AS (SELECT a_id, b_id FROM cand " +
+      "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +
+      "WHERE len(list_intersect(sa.w, sb.w))::DOUBLE / " +
+      "len(list_distinct(sa.w || sb.w)) >= 0.8), " +
+      "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+      "nodes AS (SELECT doc_id id FROM base), " +
+      "reach(src, dst) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a), " +
+      "clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach " +
+      "GROUP BY src)"
 
   val oracle: ListMap[String, String] = ListMap(
     "i_sample_hash" ->
@@ -239,24 +288,19 @@ object NTrainOps {
         "round(abs(round(est, 4) - round(exact, 4)), 4) AS abs_err " +
         "FROM j ORDER BY a_id, b_id"),
     // full pipeline oracle: same LSH candidates + Jaccard-verified edges,
-    // components by recursive-CTE transitive closure
+    // components by recursive-CTE transitive closure (shared CTE block)
     "i_dedup_pipeline" ->
-      ("WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
-        ILlmOps.sigSql("base") + ", " + ILlmOps.bandsSql + ", " +
-        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id " +
-        ILlmOps.candJoinSql + "), " +
-        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
-        "e AS (SELECT a_id, b_id FROM cand " +
-        "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +
-        "WHERE len(list_intersect(sa.w, sb.w))::DOUBLE / " +
-        "len(list_distinct(sa.w || sb.w)) >= 0.8), " +
-        "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
-        "nodes AS (SELECT doc_id id FROM base), " +
-        "reach(src, dst) AS (SELECT id, id FROM nodes " +
-        "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a) " +
-        "SELECT src AS doc_id, min(dst) AS cluster_id, " +
-        "src = min(dst) AS is_representative FROM reach " +
-        "GROUP BY src ORDER BY doc_id"),
+      (nearDupCtes + " SELECT doc_id, cluster_id, " +
+        "doc_id = cluster_id AS is_representative FROM clusters " +
+        "ORDER BY doc_id"),
+    "i_dedup_keep_best" ->
+      (nearDupCtes + ", j AS (SELECT c.doc_id, c.cluster_id, b.n_chars, " +
+        "row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY b.n_chars DESC, c.doc_id) rn, " +
+        "count(*) OVER (PARTITION BY c.cluster_id) n_members " +
+        "FROM clusters c JOIN base b ON b.doc_id = c.doc_id) " +
+        "SELECT cluster_id, doc_id AS kept_doc_id, n_members, " +
+        "n_chars AS kept_n_chars FROM j WHERE rn = 1 ORDER BY cluster_id"),
     // the oracle computes the same components by transitive closure
     // (recursive CTE) — iterative propagation must agree with it exactly
     "i_dup_clusters" ->

@@ -110,4 +110,40 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(gm == ref)
   }
+
+  test("IVF ANN: cells partition the vectors; neighbors always share the query's cell") {
+    val out = SparkEntry.queries("i_ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // each query vector sits in exactly one cell across all its result rows
+    val cellsPerQuery = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(cellsPerQuery.values.forall(_ == 1), "a vector must live in one cell")
+    // at most k=3 neighbors per query, and each neighbor is in the same cell
+    assert(out.groupBy(_._1).values.forall(_.size <= 3))
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(out.forall { case (_, cell, b) =>
+      !cellOf.contains(b) || cellOf(b) == cell
+    }, "neighbors must come from the query's own cell")
+  }
+
+  test("keep-best dedup keeps the longest member of every cluster") {
+    val kept = SparkEntry.queries("i_dedup_keep_best")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val labels = SparkEntry.queries("i_dedup_pipeline")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nChars = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same clusters as the pipeline key, every doc accounted for
+    assert(kept.map(_._1).toSet == labels.map(_._2).toSet)
+    assert(kept.map(_._3).sum == labels.size)
+    // the survivor is the max-n_chars member (doc_id tiebreak)
+    val byCluster = labels.groupBy(_._2)
+    for ((cluster, keptDoc, _, keptChars) <- kept) {
+      val members = byCluster(cluster).map(_._1)
+      val best = members.maxBy(id => (nChars(id), -id))
+      assert(keptDoc == best && keptChars == nChars(best),
+        s"cluster $cluster kept $keptDoc, expected $best")
+    }
+  }
 }

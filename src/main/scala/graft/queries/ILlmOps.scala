@@ -119,6 +119,38 @@ object ILlmOps {
       "AND a.doc_id < b.doc_id " +
       (0 to 2).map(j => s"AND (a.band_idx <= $j OR a.b$j <> b.b$j)").mkString(" ")
 
+  /** Engine-portable 32-bit SimHash (doc_id, simhash): token bit b =
+    * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token); signature bit b set
+    * when the ±1 sum over the doc's tokens is positive. */
+  private[graft] def portableSimhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr("CASE WHEN (shiftright(instr('0123456789abcdef', " +
+        s"substring(md5(w), ${1 + b / 4}, 1)) - 1, ${b % 4}) & 1) = 1 " +
+        "THEN 1 ELSE -1 END")).as(s"b$b")
+    }
+    val sig = (0 until 32)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** DuckDB mirror of `portableSimhash`, as a CTE body named `sh`;
+    * `src` must provide (doc_id, text). */
+  private[graft] def simhashSql(src: String): String =
+    "sh AS (SELECT doc_id, CAST(" +
+      (0 until 32).map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ") +
+      " AS BIGINT) AS simhash FROM (SELECT doc_id, " +
+      (0 until 32).map { b =>
+        "sum(CASE WHEN (((strpos('0123456789abcdef', " +
+          s"substr(md5(w), ${1 + b / 4}, 1)) - 1) >> ${b % 4}) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END) b$b"
+      }.mkString(", ") +
+      s" FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM $src) " +
+      "GROUP BY doc_id))"
+
   val m: ListMap[String, Q] = ListMap(
     "i_dedup_exact" -> ((s, d) =>
       // groupBy formulation: deterministic representative (min doc_id),
@@ -425,6 +457,29 @@ object ILlmOps {
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w"))),
 
+    "i_simhash_port" -> ((s, d) =>
+      // engine-PORTABLE SimHash: 32-bit signature where token bit b is bit
+      // (b mod 4) of hex digit ⌊b/4⌋ of md5(token) — unlike i_simhash's
+      // xxhash64 form, md5 hex digits are identical across engines, so
+      // this signature is oracle-checkable. One grouped aggregate: 32
+      // ±1 bit sums, then the sign vector packed into a BIGINT.
+      portableSimhash(Tables.documents(s, d)).orderBy("doc_id")),
+
+    "i_simhash_hamming" -> ((s, d) => {
+      // SimHash near-dup measurement: pairwise Hamming distance between
+      // the 32-bit signatures (bit_count of xor — codegen'd, no UDF).
+      // Bounded all-pairs calibration baseline like i_jaccard_pairs; at
+      // scale, candidates come from banding signature nibbles (the same
+      // equi-join shape as i_lsh_buckets).
+      val sh = portableSimhash(Tables.documents(s, d)).filter(col("doc_id") < 80)
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash uses xxhash64 (no DuckDB equivalent) → scalatest-only key
     "i_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
@@ -549,6 +604,15 @@ object ILlmOps {
         "SELECT a_id, b_id, round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jac " +
         "FROM inter JOIN sizes sa ON sa.doc_id = a_id " +
         "JOIN sizes sb ON sb.doc_id = b_id ORDER BY a_id, b_id"),
+    "i_simhash_port" ->
+      ("WITH " + simhashSql("documents") +
+        " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    "i_simhash_hamming" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 80), " +
+        simhashSql("base") +
+        " SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY a_id, b_id"),
     "i_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
         "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS re_tokens " +

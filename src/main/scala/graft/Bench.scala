@@ -22,7 +22,8 @@ object Bench {
     // giant per-query line can exceed capture windows / confuse line-by-line
     // consumers, so it gets its own metric name below
     val headline = Seq("d_agg_basic", "c_join_star_5way", "e_win_topk_group",
-      "j_session", "i_cosine_topk", "i_knn_l2", "i_word_freq", "p_etl_pipeline")
+      "j_session", "i_cosine_topk", "i_knn_l2", "i_word_freq", "p_etl_pipeline",
+      "i_lsh_buckets", "i_dedup_pipeline")
     val hqs = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hqs,"sf":"$sfDir"}""")

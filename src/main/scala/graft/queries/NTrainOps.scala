@@ -197,6 +197,46 @@ object NTrainOps {
         .orderBy("cluster_id")
     }),
 
+    "i_pagerank" -> ((s, d) => {
+      // graph centrality for data curation: 10 fixed iterations of damped
+      // PageRank over the shared-shingle doc graph (same graph as
+      // i_dup_clusters). ALL arithmetic is integer-scaled (rank in units
+      // of 1e-12, DIV for every division): integer addition is
+      // associative, so the result is bit-identical regardless of
+      // aggregation order or engine — float ranks would drift in ulps
+      // across 10 rounds and break oracle parity. Per round: one shuffle
+      // on the edge key; edges/degrees computed once (lineage cut).
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull).select("doc_id", "sh").distinct()
+      val e = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct().localCheckpoint()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val nodes = docs.select(col("doc_id").as("id"))
+        .crossJoin(broadcast(nRow)).localCheckpoint()
+      val S = 1000000000000L
+      var ranks = nodes.select(col("id"), expr(s"$S DIV n").as("rank"))
+      for (_ <- 1 to 10) {
+        val contrib = e.join(ranks, e("src") === ranks("id"))
+          .join(deg, "src")
+          .select(col("dst"), expr("rank DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_sum"))
+        ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"),
+            (expr(s"(15 * ($S DIV n)) DIV 100") +
+              expr("(85 * coalesce(in_sum, 0L)) DIV 100")).as("rank"))
+      }
+      ranks.select(col("id").as("doc_id"), col("rank").as("rank_sc"))
+        .orderBy("doc_id")
+    }),
+
     "i_bigram_lm" -> ((s, d) => {
       // bigram-LM quality scoring (perplexity-style filtering): corpus
       // bigram model P(next | w) = c(w, next) / c(w ·), scored back over
@@ -319,6 +359,33 @@ object NTrainOps {
         "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach " +
         "GROUP BY src ORDER BY doc_id"),
+    "i_pagerank" -> {
+      def iter(t: Int): String =
+        s"r$t AS (SELECT nodes.id, ((15 * (1000000000000 // nn.n)) // 100) + " +
+          "((85 * coalesce(cs.in_sum, 0)) // 100) AS pr " +
+          "FROM nodes CROSS JOIN nn LEFT JOIN (" +
+          s"SELECT e.dst, CAST(sum(r${t - 1}.pr // deg.outdeg) AS BIGINT) in_sum " +
+          s"FROM e JOIN r${t - 1} ON e.src = r${t - 1}.id " +
+          "JOIN deg ON e.src = deg.src " +
+          "GROUP BY e.dst) cs ON cs.dst = nodes.id)"
+      "WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 40), " +
+        "sh AS (SELECT DISTINCT doc_id, sh FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "e AS (SELECT DISTINCT a.doc_id src, b.doc_id dst FROM sh a " +
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id), " +
+        "deg AS (SELECT src, count(*) outdeg FROM e GROUP BY src), " +
+        "nodes AS (SELECT DISTINCT doc_id id FROM documents WHERE doc_id < 40), " +
+        "nn AS (SELECT count(*) n FROM nodes), " +
+        "r0 AS (SELECT nodes.id, (1000000000000 // nn.n) pr " +
+        "FROM nodes CROSS JOIN nn), " +
+        (1 to 10).map(iter).mkString(", ") +
+        " SELECT id AS doc_id, pr AS rank_sc FROM r10 ORDER BY doc_id"
+    },
+
     "i_bigram_lm" ->
       ("WITH tok AS (SELECT doc_id, " +
         "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +

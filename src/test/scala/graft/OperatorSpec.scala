@@ -126,6 +126,19 @@ class OperatorSpec extends SparkTestBase {
     }, "neighbors must come from the query's own cell")
   }
 
+  test("pagerank: every node holds at least the teleport base; mass is bounded") {
+    val out = SparkEntry.queries("i_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val n = out.size
+    val S = 1000000000000L
+    val base = (15L * (S / n)) / 100L
+    assert(out.forall(_._2 >= base), s"rank below the teleport floor (base=$base)")
+    // integer truncation only loses mass, never creates it
+    assert(out.map(_._2).sum <= S)
+    // docs on the shingle graph accumulate link mass above the floor
+    assert(out.exists(_._2 > base), "connected docs must exceed the floor")
+  }
+
   test("keep-best dedup keeps the longest member of every cluster") {
     val kept = SparkEntry.queries("i_dedup_keep_best")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -58,6 +58,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop"), "band join must be hash-based")
   }
 
+  test("LSH pair dedup is a join residual, not a post-join aggregation") {
+    // first-colliding-band trick: each candidate pair leaves the join
+    // exactly once, so nothing downstream of the join may aggregate.
+    // Tree strings print consumers ABOVE the join node.
+    val p = plan("i_lsh_buckets")
+    val join = p.indexOf("HashJoin")
+    assert(join >= 0, s"expected a hash band join:\n$p")
+    assert(!p.substring(0, join).contains("Aggregate"),
+      s"no aggregate may run on the joined pairs:\n$p")
+  }
+
+  test("IVF centroid assignment broadcasts the centroids") {
+    val p = plan("i_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid side must broadcast, never shuffle the vectors:\n$p")
+  }
+
   test("bucketed join is co-located: no hash exchange, bucketed scans") {
     val p = plan("p_join_bucketed")
     assert(p.contains("SortMergeJoin"), p)

@@ -79,6 +79,13 @@ object ILlmOps {
     * pair-dedup shuffle; this residual-filter form prunes the extras
     * inside the join and needs NO aggregation — the difference between
     * 13.9 s and ~5 s at sf0.1, and between one shuffle and two at 100 TB.
+    *
+    * Skew note for 100 TB: a degenerate hot band (boilerplate docs that
+    * all share one signature) makes that band's bucket quadratic. The
+    * production guard is a bucket-size cap — count docs per (band_idx,
+    * bh), route buckets above the cap to exact-hash dedup first (they are
+    * exact or near-exact duplicates by construction) — which composes
+    * with this join as a pre-filter and keeps every bucket bounded.
     */
   private[graft] def candidateJoin(docs: DataFrame): DataFrame = {
     val bands = bandKeys(minhashSig(docs))

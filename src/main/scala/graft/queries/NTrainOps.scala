@@ -8,8 +8,11 @@ import graft.Det.r4
 
 /** Group N — additional training-data-pipeline operators beyond SURVEY §2:
   * deterministic sampling (whole-corpus and stratified), PII redaction with
-  * k-anonymity suppression, eval-set decontamination, and bigram-LM quality
-  * scoring. All are declarative joins/windows/aggregations.
+  * k-anonymity suppression, eval-set decontamination, bigram-LM quality
+  * scoring, duplicate clustering (connected components), the end-to-end
+  * near-dup dedup pipeline with both survivor policies (min-id and
+  * keep-best), and integer-deterministic PageRank for graph-based
+  * curation. All are declarative joins/windows/aggregations.
   *
   * Scale posture:
   *  - sampling is a pushed-down filter on a hash of the key — no shuffle,

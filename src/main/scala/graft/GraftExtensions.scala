@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.FuseVectorFold)
     // the native as-of merge operator (AsOfJoinPlan → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // the native interval-sweep join (IntervalJoinPlan → IntervalJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -273,6 +273,27 @@ object ARelational {
         .select(col("event_id"), col("c_id").as("prior_click"))
         .orderBy("event_id")
     }),
+
+    "c_join_interval_native" -> ((s, d) => {
+      // the stream-stream interval join's batch semantics through the
+      // custom sweep operator (graft.plans.IntervalJoinExec): same
+      // shuffle+sort as the SortMergeJoin Spark would pick, but the time
+      // window is enforced DURING the merge by a bounded sliding buffer
+      // (streaming-state-store shape) instead of a post-join filter over
+      // every same-key pair — at a skewed 100 TB key the declarative form
+      // is quadratic per key, this one is linear + window density.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      graft.plans.IntervalJoin.interval(clicks, views,
+          "user_id", "v_user", "click_ts", "view_ts", 10L * 60 * 1000000)
+        .select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+        .orderBy("user_id", "click_id", "view_id")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -381,5 +402,13 @@ object ARelational {
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON e.user_id = c.user_id AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP" +
         ") WHERE rn = 1 ORDER BY event_id"),
+    "c_join_interval_native" ->
+      ("SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id, " +
+        "c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts " +
+        "FROM events c JOIN events v ON c.user_id = v.user_id " +
+        "WHERE c.event_type = 'click' AND v.event_type = 'view' " +
+        "AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL 10 MINUTE " +
+        "AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP " +
+        "ORDER BY 1, 2, 3"),
   )
 }

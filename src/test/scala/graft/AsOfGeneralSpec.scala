@@ -66,6 +66,51 @@ class AsOfGeneralSpec extends SparkTestBase {
       s"got: ${e.getMessage}")
   }
 
+  test("native interval join agrees with the declarative range join on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val lefts = (0 until 400).map(i =>
+      (rng.nextInt(7).toLong, ts(rng.nextInt(55)), i.toLong))
+      .toDF("k", "lts", "l_id")
+    val rights = (0 until 400).map(i =>
+      (rng.nextInt(7).toLong, ts(rng.nextInt(55)), 1000L + i))
+      .toDF("rk", "rts", "r_id")
+    // 10-minute window, inclusive both ends — boundary ties included by
+    // construction (minute-granularity fixture)
+    val native = graft.plans.IntervalJoin
+      .interval(lefts, rights, "k", "rk", "lts", "rts", 10L * 60 * 1000000)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = lefts.join(rights,
+        col("k") === col("rk") &&
+          col("rts") >= col("lts") - expr("INTERVAL 10 MINUTES") &&
+          col("rts") <= col("lts"))
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == declarative,
+      s"native ${native.size} pairs vs declarative ${declarative.size}")
+    assert(declarative.nonEmpty)
+  }
+
+  test("interval join NULL keys/timestamps never match (inner-join semantics)") {
+    import spark.implicits._
+    val lefts = Seq(
+      (Option("A"), Option(ts(10)), 1L),
+      (Option.empty[String], Option(ts(10)), 2L),
+      (Option("A"), Option.empty[Timestamp], 3L)
+    ).toDF("k", "lts", "l_id")
+    val rights = Seq(
+      (Option("A"), Option(ts(5)), 10L),
+      (Option.empty[String], Option(ts(5)), 11L),
+      (Option("A"), Option.empty[Timestamp], 12L)
+    ).toDF("rk", "rts", "r_id")
+    val out = graft.plans.IntervalJoin
+      .interval(lefts, rights, "k", "rk", "lts", "rts", 10L * 60 * 1000000)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(1L -> 10L))
+  }
+
   test("shared column names across sides are rejected eagerly") {
     import spark.implicits._
     val lefts = Seq(("A", ts(10), 1L)).toDF("k", "ts", "event_id")

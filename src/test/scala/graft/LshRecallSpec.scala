@@ -51,6 +51,41 @@ class LshRecallSpec extends SparkTestBase {
     assert(overallRecall >= 0.95, s"overall recall $overallRecall")
   }
 
+  test("planted embedding near-dups land in the same sign-LSH bucket") {
+    // i_embed_neardup documents that bucketing can't reach this corpus's
+    // low-similarity pairs (cos 0.35-0.60); the bucketed path is for REAL
+    // near-dups (cos >= 0.9). Plant them: a deterministic small rotation
+    // v' = 0.98*v + 0.02*roll(v, 1) keeps cos(v, v') ~ 0.98+, and the
+    // 8-dim sign-LSH bucket must put >= 80% of planted pairs in one
+    // bucket (per-dim sign-flip probability ~ (2/pi)*atan(0.02/0.98)).
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pert = e.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(v, (x, i) -> 0.98 * x + " +
+        "0.02 * element_at(v, ((CAST(i AS INT) + 1) % size(v)) + 1))").as("v"))
+    val corpus = e.union(pert)
+    graft.functions.VectorExprs.register(spark)
+    // sanity: the planted copies really are near-duplicates by cosine
+    val cos = e.join(pert.select((col("vec_id") - 100000L).as("vec_id"),
+        col("v").as("vp")), "vec_id")
+      .select(expr("graft_dot(v, vp)") /
+        (sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(vp, vp)"))))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(_ >= 0.9), s"planted cos floor ${cos.min}")
+    // same bucket expression as i_ann_lsh
+    val bucketed = corpus.withColumn("bucket",
+      (1 to 8).map(i => when(element_at(col("v"), i) > 0, lit(1 << (i - 1)))
+        .otherwise(lit(0))).reduce(_ + _))
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = bucketed.count { case (id, _) => id < 100000L }
+    val hits = bucketed.count { case (id, b) =>
+      id < 100000L && bucketed(id + 100000L) == b
+    }
+    assert(n > 0 && hits.toDouble / n >= 0.8,
+      s"only $hits/$n planted pairs share a bucket")
+  }
+
   test("i_lsh_recall key reports recall_bp >= 9500 at the verification tier") {
     // same gate the driver's oracle checks, at sf0.01 when present
     val root = new java.io.File(sfDir).getParentFile

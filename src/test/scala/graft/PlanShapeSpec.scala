@@ -115,6 +115,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(native == declar)
   }
 
+  test("native interval join plans the sweep operator, not a pair join") {
+    val p = plan("c_join_interval_native")
+    assert(p.contains("IntervalJoin"), s"expected IntervalJoinExec:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the window must be enforced inside the merge, not post-join:\n$p")
+  }
+
   test("DSv2 source prunes columns and plans parallel partitions") {
     val p = plan("a_scan_custom_source")
     // the query selects (id, tag) — `val` must not survive into the scan

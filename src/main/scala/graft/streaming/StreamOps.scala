@@ -94,7 +94,64 @@ object StreamOps {
           Iterator(next)
       }
   }
+
+  /** Gap-based sessionization with custom state AND state EVICTION via
+    * EventTimeTimeout — the pattern a 100 TB stream needs: an idle user's
+    * open session leaves the state store when the event-time watermark
+    * passes `last_event + gap`, emitting the closed session exactly once
+    * (Append mode). Contrast with `sessions` (the built-in
+    * session_window): this form owns the state lifecycle, so it can
+    * carry arbitrary per-session payload and decide eviction itself.
+    * State per key is one (start, last, count) triple — bounded by key
+    * cardinality, evicted on timeout, never by event volume.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapMinutes: Int = 30, watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = SessionOut(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed for good
+            val s = state.get
+            state.remove()
+            Iterator(close(s))
+          } else {
+            // a micro-batch delivers a group's rows unordered — sort by
+            // event time before applying the gap rule
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastMs >= gapMs =>
+                  closed ::= close(s); Some(OpenSession(t, t, 1L))
+                case Some(s) =>
+                  Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                case None => Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }
 
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n: Long, total: Double)
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)

@@ -109,6 +109,35 @@ class StreamingSpec extends SparkTestBase {
     assert(last(2L) == ((1L, 7.0)))
   }
 
+  test("EventTimeTimeout evicts the idle session and emits it exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessEvent
+    val ms = MemoryStream[SessEvent]
+    val q = StreamOps.sessionize(ms.toDS(), gapMinutes = 30,
+        watermarkDelay = "10 seconds")
+      .toDF().writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    // open a session for user 1 (two events, 5 min apart)
+    ms.addData(SessEvent(1, t("2024-01-01 09:00:00")),
+      SessEvent(1, t("2024-01-01 09:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess_timeout").isEmpty,
+      "open session must not emit before the timeout")
+    // another user's much later event advances the watermark past
+    // 09:05 + 30 min; the timeout itself fires in the NEXT micro-batch
+    ms.addData(SessEvent(2, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    ms.addData(SessEvent(2, t("2024-01-01 11:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_timeout").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 1, s"user 1 session emitted once, got: ${rows.toSeq}")
+    val s1 = rows.find(_._1 == 1L).get
+    assert(s1._2 == t("2024-01-01 09:00:00") && s1._3 == t("2024-01-01 09:05:00")
+      && s1._4 == 2L, s"session summary: $s1")
+  }
+
   test("batch and stream produce identical tumbling aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

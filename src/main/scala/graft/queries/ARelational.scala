@@ -93,6 +93,25 @@ object ARelational {
       s.read.orc(tmp).orderBy("o_orderpriority")
     }),
 
+    "a_scan_merge_schema" -> ((s, d) => {
+      // schema evolution: two parquet batches with different column sets
+      // (a later pipeline version added a column; old files stay), read
+      // together with mergeSchema — the schema-drift reality of any
+      // long-lived ingest. Values oracle-checked against the base table.
+      val tmp = scratch("merge_schema")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .select(col("o_orderkey"), r4(col("o_totalprice")).as("price"),
+          coalesce(col("o_orderpriority"), lit("MISSING")).as("prio"))
+        .orderBy("o_orderkey")
+    }),
+
     "a_sink_csv" -> ((s, d) => {
       val tmp = scratch("sink_csv")
       Tables.orders(s, d).groupBy("o_orderstatus")
@@ -311,6 +330,10 @@ object ARelational {
     "a_scan_custom_source" ->
       ("SELECT g AS id, 't' || (g % 5) AS tag FROM generate_series(0, 1999) t(g) " +
         "WHERE g % 7 = 0 ORDER BY id"),
+    "a_scan_merge_schema" ->
+      ("SELECT o_orderkey, round(o_totalprice, 4) AS price, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'MISSING' END AS prio " +
+        "FROM orders ORDER BY o_orderkey"),
     // checks the ORC write→read round-trip against the parquet-side aggregate
     "a_sink_orc" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +

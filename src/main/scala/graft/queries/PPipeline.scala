@@ -111,6 +111,21 @@ object PPipeline {
         .orderBy("o_orderkey")
     }),
 
+    "p_compact" -> ((s, d) => {
+      // the small-files problem: an ingest left 64 tiny files; compact to
+      // 4 right-sized ones via repartition-on-write (at 100 TB this is the
+      // nightly job that keeps scan planning and NameNode/listing costs
+      // sane). The oracle checks value preservation through the rewrite;
+      // the scalatest asserts the 64 → 4 file-count change.
+      val tmp = scratch("compact")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      li.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      s.read.parquet(s"$tmp/small").repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/compacted")
+      s.read.parquet(s"$tmp/compacted")
+        .agg(count(lit(1)).as("rows"), r4(sum("l_quantity")).as("sum_qty"))
+    }),
+
     "p_join_salted" -> ((s, d) => {
       // skew-resistant aggregate join: salt the (potentially hot) fact key,
       // explode the dim side across the salt space, aggregate, merge
@@ -128,6 +143,9 @@ object PPipeline {
   )
 
   val oracle: ListMap[String, String] = ListMap(
+    "p_compact" ->
+      ("SELECT count(*) AS rows, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem"),
     "p_etl_pipeline" ->
       ("SELECT p_brand, month, count(*) AS n_tickets, " +
         "round(sum(charge), 4) AS total_charge, min(anon_ticket) AS sample_ticket " +

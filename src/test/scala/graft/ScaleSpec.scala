@@ -69,4 +69,14 @@ class ScaleSpec extends SparkTestBase {
     val rows = permissive.collect().filter(!_.isNullAt(2))
     assert(rows.length == 1 && rows.head.getInt(0) == 2)
   }
+
+  test("compaction rewrites 64 small files into 4 and keeps every row") {
+    val before = SparkEntry.queries("p_compact")(spark, sfDir).collect().head
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val base = graft.queries.scratch("compact")
+    assert(parquetFiles(s"$base/small") == 64)
+    assert(parquetFiles(s"$base/compacted") == 4)
+    assert(before.getLong(0) == Tables.lineitem(spark, sfDir).count())
+  }
 }

@@ -111,6 +111,38 @@ object PPipeline {
         .orderBy("o_orderkey")
     }),
 
+    "p_profile" -> ((s, d) => {
+      // data profiling (ANALYZE-style): per-column null count, exact
+      // distinct count, min/max — in ONE pass over the table (a naive
+      // per-column loop is N full scans; at 100 TB that is the difference
+      // between one job and N). The wide aggregate row is unpivoted with
+      // stack(). Doubles profile as integer basis points and timestamps
+      // as formatted days, per the cross-engine determinism rules.
+      val li = Tables.lineitem(s, d)
+      // min/max run on the NATIVE type (lexicographic min of a stringified
+      // number would be wrong); only the aggregate RESULT is cast so the
+      // stack() columns are uniform
+      val cols = Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "l_quantity_bp" -> floor(col("l_quantity") * 10000 + 0.5).cast("long"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_shipday" -> date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+        (count(lit(1)) - count(c)).as(s"nn$i"),
+        countDistinct(c).as(s"nd$i"),
+        min(c).cast("string").as(s"mn$i"),
+        max(c).cast("string").as(s"mx$i"))
+      }
+      val stackArgs = cols.zipWithIndex
+        .map { case ((n, _), i) => s"'$n', nn$i, nd$i, mn$i, mx$i" }
+        .mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, vmin, vmax)"))
+        .orderBy("col_name")
+    }),
+
     "p_compact" -> ((s, d) => {
       // the small-files problem: an ingest left 64 tiny files; compact to
       // 4 right-sized ones via repartition-on-write (at 100 TB this is the
@@ -143,6 +175,19 @@ object PPipeline {
   )
 
   val oracle: ListMap[String, String] = ListMap(
+    "p_profile" -> {
+      def row(name: String, ex: String): String =
+        s"SELECT '$name' AS col_name, count(*) - count($ex) AS n_nulls, " +
+          s"count(DISTINCT $ex) AS n_distinct, CAST(min($ex) AS VARCHAR) AS vmin, " +
+          s"CAST(max($ex) AS VARCHAR) AS vmax FROM lineitem"
+      Seq(
+        row("l_orderkey", "l_orderkey"),
+        row("l_linenumber", "l_linenumber"),
+        row("l_quantity_bp", "CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)"),
+        row("l_returnflag", "l_returnflag"),
+        row("l_shipday", "strftime(l_shipdate, '%Y-%m-%d')")
+      ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "p_compact" ->
       ("SELECT count(*) AS rows, round(sum(l_quantity), 4) AS sum_qty " +
         "FROM lineitem"),

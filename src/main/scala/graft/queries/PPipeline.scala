@@ -113,33 +113,41 @@ object PPipeline {
 
     "p_profile" -> ((s, d) => {
       // data profiling (ANALYZE-style): per-column null count, exact
-      // distinct count, min/max — in ONE pass over the table (a naive
-      // per-column loop is N full scans; at 100 TB that is the difference
-      // between one job and N). The wide aggregate row is unpivoted with
-      // stack(). Doubles profile as integer basis points and timestamps
-      // as formatted days, per the cross-engine determinism rules.
-      val li = Tables.lineitem(s, d)
-      // min/max run on the NATIVE type (lexicographic min of a stringified
-      // number would be wrong); only the aggregate RESULT is cast so the
-      // stack() columns are uniform
-      val cols = Seq(
-        "l_orderkey" -> col("l_orderkey"),
-        "l_linenumber" -> col("l_linenumber"),
-        "l_quantity_bp" -> floor(col("l_quantity") * 10000 + 0.5).cast("long"),
-        "l_returnflag" -> col("l_returnflag"),
-        "l_shipday" -> date_format(col("l_shipdate"), "yyyy-MM-dd"))
-      val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) => Seq(
-        (count(lit(1)) - count(c)).as(s"nn$i"),
-        countDistinct(c).as(s"nd$i"),
-        min(c).cast("string").as(s"mn$i"),
-        max(c).cast("string").as(s"mx$i"))
+      // distinct count, min/max — in TWO passes over the table, never one
+      // per column (at 100 TB a per-column loop is N full jobs). Pass 1
+      // computes nulls/min/max as a plain partial→final aggregate (no
+      // distinct → no Expand). Pass 2 melts the columns to (col_name,
+      // value) rows and counts distincts per column — a SINGLE distinct
+      // aggregate, which Spark plans as an efficient two-phase group-by,
+      // unlike N countDistincts in one agg (N-way Expand over every row:
+      // measured 10 s vs ~3 s at sf0.1). Doubles profile as integer basis
+      // points and timestamps as formatted days, per the determinism
+      // rules; min/max run on the NATIVE type (lexicographic min of a
+      // stringified number would be wrong) and only the result is cast.
+      val proj = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 10000 + 0.5).cast("long").as("l_quantity_bp"),
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipday"))
+      val names = proj.columns.toSeq
+      val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
+        (count(lit(1)) - count(col(n))).as(s"nn$i"),
+        min(col(n)).cast("string").as(s"mn$i"),
+        max(col(n)).cast("string").as(s"mx$i"))
       }
-      val stackArgs = cols.zipWithIndex
-        .map { case ((n, _), i) => s"'$n', nn$i, nd$i, mn$i, mx$i" }
+      val stackArgs = names.zipWithIndex
+        .map { case (n, i) => s"'$n', nn$i, mn$i, mx$i" }
         .mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nulls, n_distinct, vmin, vmax)"))
+      val base = proj.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${names.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, vmin, vmax)"))
+      val meltArgs = names
+        .map(n => s"'$n', CAST($n AS STRING)").mkString(", ")
+      val nd = proj
+        .select(expr(s"stack(${names.size}, $meltArgs) AS (col_name, v)"))
+        .groupBy("col_name").agg(countDistinct("v").as("n_distinct"))
+      base.join(broadcast(nd), "col_name")
+        .select("col_name", "n_nulls", "n_distinct", "vmin", "vmax")
         .orderBy("col_name")
     }),
 

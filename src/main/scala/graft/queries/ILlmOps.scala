@@ -324,6 +324,35 @@ object ILlmOps {
         .orderBy("a_id", "rn")
     }),
 
+    "i_ann_recall" -> ((s, d) => {
+      // measured recall@3 of the sign-LSH bucketed ANN against exact
+      // brute-force cosine top-3 — the calibration a pipeline runs before
+      // trusting a bucketed index at scale (mirrors i_lsh_recall for the
+      // token side). The exact side is the documented O(n²) baseline;
+      // the approx side is the production equi-join. On THIS corpus of
+      // random unit vectors the number is deliberately damning (~2% at
+      // sf0.01): nearest neighbors sit at cos 0.35–0.6 where sign bits
+      // are nearly independent — which is precisely what the measurement
+      // is for. On real near-dup structure (cos ≥ 0.9) the same bucket
+      // join recovers ≥ 80% (planted-embedding test in LshRecallSpec);
+      // a pipeline runs this op to decide which regime its corpus is in.
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val exact = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .groupBy("a_id")
+        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"))
+      val approx = m("i_ann_lsh")(s, d).select("a_id", "b_id")
+      val hit = exact.join(approx, Seq("a_id", "b_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          floor(col("n_hit") / col("n_exact") * 10000 + 0.5).as("recall_bp"))
+    }),
+
     "i_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs above a threshold (0.35 —
       // calibrated to this corpus; random unit vectors rarely exceed it).
@@ -590,6 +619,30 @@ object ILlmOps {
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
         "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_ann_recall" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "exact AS (SELECT a_id, b_id FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
+        "PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 3), " +
+        "eb AS (SELECT vec_id, v, " +
+        "(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) + " +
+        "(CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) " +
+        "AS bucket FROM e), " +
+        "approx AS (SELECT a_id, b_id FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
+        "PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3), " +
+        "hit AS (SELECT * FROM exact JOIN approx USING (a_id, b_id)) " +
+        "SELECT (SELECT count(*) FROM exact) AS n_exact, " +
+        "(SELECT count(*) FROM hit) AS n_hit, " +
+        "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
+        "(SELECT count(*) FROM exact) * 10000 + 0.5) AS BIGINT) AS recall_bp"),
     "i_embed_neardup" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0) AS cos " +

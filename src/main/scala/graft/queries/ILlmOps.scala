@@ -8,10 +8,13 @@ import graft.Tables
 import graft.Det.r4
 
 /** Group I — LLM-training-data pipeline operators (north-star mandated):
-  * deduplication (exact / normalized / MinHash / SimHash / LSH blocking),
-  * similarity search (brute-force cosine + LSH-bucketed ANN), text analysis
-  * (language-ID, quality scoring, TF-IDF, fingerprinting), over the
-  * `documents` and `embeddings` tables.
+  * deduplication (exact / normalized / MinHash multi-band LSH / portable
+  * SimHash + Hamming / n-gram Jaccard / embedding cosine), similarity
+  * search (brute-force cosine + sign-LSH and IVF bucketed ANN), measured
+  * recall calibration for both blocking schemes (i_lsh_recall,
+  * i_ann_recall), and text analysis (language-ID, quality scoring,
+  * TF-IDF, fingerprinting), over the `documents` and `embeddings`
+  * tables.
   *
   * Scale posture: every operator is expressed as joins/aggregations that
   * shuffle on bounded keys. The all-pairs ops (cosine/knn) are the documented

@@ -113,8 +113,8 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("minhash signature similarity correlates with exact duplicate") {
-    // identical docs (none in fixture) would share all 4 signatures; sanity:
-    // a doc always shares all 4 signatures with itself via recompute
+    // identical docs (none in fixture) would share all 8 signatures; sanity:
+    // a doc always shares all 8 signatures with itself via recompute
     val sig = SparkEntry.queries("i_minhash")(spark, sfDir)
     val again = SparkEntry.queries("i_minhash")(spark, sfDir)
     assert(sig.collect().map(_.toString).toSeq == again.collect().map(_.toString).toSeq)

@@ -240,6 +240,76 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "p_curation_pipeline" -> ((s, d) => {
+      // THE complete training-data curation job as ONE declarative plan —
+      // what a user of this library actually runs nightly:
+      //   1. exact dedup (hash groupBy, min-id survivor)
+      //   2. near-dup dedup on the survivors (multi-band LSH candidates →
+      //      exact-Jaccard verify ≥ 0.8 → components → KEEP-BEST member)
+      //   3. quality filter (quality_bp ≥ 5000)
+      //   4. eval-set decontamination (drop docs sharing any 3-shingle
+      //      with the eval slice source='src0'; eval docs themselves are
+      //      excluded from the corpus output)
+      //   5. deterministic 50% sample (md5 first hex digit 0–7)
+      // Every stage is a shape proven by its standalone key; composition
+      // adds no new shuffle classes. Bounded to doc_id < 200 like the
+      // other CC-backed demonstration keys.
+      val docs0 = Tables.documents(s, d).filter(col("doc_id") < 200)
+      // 1. exact dedup
+      val exactKeep = docs0.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val docs = docs0.join(exactKeep, "doc_id")
+      // 2. near-dup keep-best over the exact survivors
+      val cand = ILlmOps.lshCandidates(docs.select("doc_id", "text"))
+      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      val edges = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("w").as("wa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("w").as("wb")), "b_id")
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.8)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val labels = graft.algo.ConnectedComponents
+        .run(docs.select(col("doc_id").as("id")), edges)
+      val byCluster = Window.partitionBy("cluster_id")
+      val kept = labels
+        .join(docs.select("doc_id", "n_chars"), labels("id") === col("doc_id"))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("n_chars"))
+        .withColumn("rn", row_number()
+          .over(byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1).select("doc_id")
+      // 3. quality score (same formula as i_quality_score)
+      val scored = docs.join(kept, "doc_id")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("ttr", size(array_distinct(col("w"))).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", size(expr(
+          "filter(w, x -> array_contains(array('join','hash','row','batch','scan'), x))"))
+          .cast("double") / col("n_tokens"))
+        .withColumn("quality_bp", floor((col("ttr") * 0.3 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4) * 10000 + 0.5))
+        .filter(col("quality_bp") >= 5000)
+      // 4. decontamination: shingle overlap with the eval slice
+      val tok = docs0.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
+        .filter(col("sh").isNotNull)
+        .select("doc_id", "source", "sh").distinct()
+      val evalSh = sh.filter(col("source") === "src0").select("sh").distinct()
+      val contaminated = sh.join(broadcast(evalSh), "sh")
+        .select("doc_id").distinct()
+      // 5. deterministic 50% sample of the clean, non-eval survivors
+      scored.filter(col("source") =!= "src0")
+        .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+        .filter(col("bad").isNull)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_bp"))
+        .orderBy("doc_id")
+    }),
+
     "i_bigram_lm" -> ((s, d) => {
       // bigram-LM quality scoring (perplexity-style filtering): corpus
       // bigram model P(next | w) = c(w, next) / c(w ·), scored back over
@@ -387,6 +457,53 @@ object NTrainOps {
         "FROM nodes CROSS JOIN nn), " +
         (1 to 10).map(iter).mkString(", ") +
         " SELECT id AS doc_id, pr AS rank_sc FROM r10 ORDER BY doc_id"
+    },
+
+    "p_curation_pipeline" -> {
+      val quality =
+        "CAST(floor((len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+          "len(string_split(text, ' ')) * 0.3 + " +
+          "(1.0 - len(list_filter(string_split(text, ' '), " +
+          "x -> list_contains(['join','hash','row','batch','scan'], x)))::DOUBLE / " +
+          "len(string_split(text, ' '))) * 0.3 + " +
+          "least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0::DOUBLE) * 0.4) " +
+          "* 10000 + 0.5) AS BIGINT)"
+      "WITH RECURSIVE d0 AS (SELECT * FROM documents WHERE doc_id < 200), " +
+        "ek AS (SELECT min(doc_id) doc_id FROM d0 GROUP BY text), " +
+        "base AS (SELECT d0.* FROM d0 JOIN ek ON d0.doc_id = ek.doc_id), " +
+        ILlmOps.sigSql("base") + ", " + ILlmOps.bandsSql + ", " +
+        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id " +
+        ILlmOps.candJoinSql + "), " +
+        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w FROM base), " +
+        "e AS (SELECT a_id, b_id FROM cand " +
+        "JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id " +
+        "WHERE len(list_intersect(sa.w, sb.w))::DOUBLE / " +
+        "len(list_distinct(sa.w || sb.w)) >= 0.8), " +
+        "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+        "nodes AS (SELECT doc_id id FROM base), " +
+        "reach(src, dst) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a), " +
+        "clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach " +
+        "GROUP BY src), " +
+        "kept AS (SELECT doc_id FROM (SELECT c.doc_id, row_number() OVER (" +
+        "PARTITION BY c.cluster_id ORDER BY b.n_chars DESC, c.doc_id) rn " +
+        "FROM clusters c JOIN base b ON b.doc_id = c.doc_id) WHERE rn = 1), " +
+        "q AS (SELECT b.doc_id, b.lang, b.n_chars, b.source, " + quality +
+        " AS quality_bp FROM base b JOIN kept USING (doc_id)), " +
+        "tok AS (SELECT doc_id, source, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM d0), " +
+        "sh AS (SELECT DISTINCT doc_id, source, sh FROM (" +
+        "SELECT doc_id, source, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'), " +
+        "cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)) " +
+        "SELECT doc_id, lang, n_chars, quality_bp FROM q " +
+        "WHERE quality_bp >= 5000 AND source <> 'src0' " +
+        "AND doc_id NOT IN (SELECT doc_id FROM cont) " +
+        "AND substring(md5(doc_id::VARCHAR), 1, 1) IN " +
+        "('0','1','2','3','4','5','6','7') ORDER BY doc_id"
     },
 
     "i_bigram_lm" ->

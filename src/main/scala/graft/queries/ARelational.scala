@@ -93,6 +93,22 @@ object ARelational {
       s.read.orc(tmp).orderBy("o_orderpriority")
     }),
 
+    "a_sink_custom" -> ((s, d) => {
+      // DataSource V2 WRITE connector (graft.sources.DirSink): tasks write
+      // private temp files, the driver publishes them atomically on commit
+      // (_SUCCESS marker, aborted attempts leave no trace) — the V2 commit
+      // protocol end-to-end. The oracle checks the read-back values
+      // against the same aggregate on parquet.
+      val tmp = scratch("sink_custom")
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .repartition(2) // force 2 writer tasks (AQE folds the tiny agg to 1)
+        .write.format("graft.sources.DirSink").option("path", tmp)
+        .mode("overwrite").save()
+      s.read.schema("o_orderstatus STRING, cnt BIGINT, total DOUBLE")
+        .option("sep", "\t").csv(tmp).orderBy("o_orderstatus")
+    }),
+
     "a_scan_merge_schema" -> ((s, d) => {
       // schema evolution: two parquet batches with different column sets
       // (a later pipeline version added a column; old files stay), read
@@ -330,6 +346,9 @@ object ARelational {
     "a_scan_custom_source" ->
       ("SELECT g AS id, 't' || (g % 5) AS tag FROM generate_series(0, 1999) t(g) " +
         "WHERE g % 7 = 0 ORDER BY id"),
+    "a_sink_custom" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a_scan_merge_schema" ->
       ("SELECT o_orderkey, round(o_totalprice, 4) AS price, " +
         "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'MISSING' END AS prio " +

@@ -126,6 +126,24 @@ class OperatorSpec extends SparkTestBase {
     }, "neighbors must come from the query's own cell")
   }
 
+  test("DSv2 sink publishes atomically: part files + _SUCCESS, no temp residue") {
+    val out = SparkEntry.queries("a_sink_custom")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = Tables.orders(spark, sfDir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == expected)
+    val dir = new java.io.File(graft.queries.scratch("sink_custom"))
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), s"missing _SUCCESS in $names")
+    assert(names.count(_.startsWith("part-")) == 2, s"expected 2 part files: $names")
+    assert(!names.contains("_tmp"), s"temp dir must be cleaned up: $names")
+    // overwrite is idempotent: a second run replaces, never appends
+    SparkEntry.queries("a_sink_custom")(spark, sfDir).count()
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(dir.listFiles().count(_.getName.startsWith("part-")) == 2)
+  }
+
   test("pagerank: every node holds at least the teleport base; mass is bounded") {
     val out = SparkEntry.queries("i_pagerank")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -349,6 +349,23 @@ object ARelational {
     "a_sink_custom" ->
       ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // round-trip keys: the oracle checks the read-back VALUES against the
+    // base table, so the format conversion itself is value-checked (same
+    // pattern as a_sink_orc)
+    "a_scan_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "a_scan_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "a_sink_parquet" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "a_sink_partitioned" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"),
+    "a_sink_csv" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "a_scan_merge_schema" ->
       ("SELECT o_orderkey, round(o_totalprice, 4) AS price, " +
         "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'MISSING' END AS prio " +

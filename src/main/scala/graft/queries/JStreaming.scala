@@ -139,5 +139,10 @@ object JStreaming {
     "j_stream_agg_modes" ->
       ("SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_val " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // the sink write itself is scalatest territory; the read-back VALUES
+    // are checkable against the base aggregate
+    "j_foreachbatch" ->
+      ("SELECT event_type, count(*) AS cnt FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
   )
 }

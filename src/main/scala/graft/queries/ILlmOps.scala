@@ -45,6 +45,14 @@ object ILlmOps {
     * md5 hex min is lexicographic on both engines (engine-specific integer
     * hashes like xxhash64 are NOT portable). k=8 exists to give LSH
     * banding room: 4 bands × 2 rows below.
+    *
+    * Cost note for 100 TB: this computes 8 md5 calls per token. The
+    * standard production trim is 2 calls per token (md5('0'‖w) and
+    * md5('1'‖w)), each split into four disjoint 8-hex-char windows — 32
+    * bits of min-space per family, statistically equivalent, 4× less
+    * hashing on the dominant stage. Kept at 8 full calls here because the
+    * whole-signature portability story (identical min over identical hex
+    * strings in both engines) is simplest to audit this way.
     */
   private[graft] def minhashSig(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -111,6 +111,43 @@ class AsOfGeneralSpec extends SparkTestBase {
     assert(out == Set(1L -> 10L))
   }
 
+  test("interval join with window 0 matches only exact-timestamp pairs") {
+    import spark.implicits._
+    val lefts = Seq(("A", ts(10), 1L), ("A", ts(20), 2L)).toDF("k", "lts", "l_id")
+    val rights = Seq(("A", ts(10), 10L), ("A", ts(19), 11L), ("A", ts(21), 12L))
+      .toDF("rk", "rts", "r_id")
+    val out = graft.plans.IntervalJoin
+      .interval(lefts, rights, "k", "rk", "lts", "rts", 0L)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(1L -> 10L))
+  }
+
+  test("as-of join generalizes to DATE timestamps (any orderable ts type)") {
+    import spark.implicits._
+    def dt(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val lefts = Seq(("A", dt(10), 1L), ("A", dt(3), 2L), ("B", dt(10), 3L))
+      .toDF("k", "d", "l_id")
+    val rights = Seq(("A", dt(5), 10L), ("A", dt(9), 11L), ("B", dt(11), 12L))
+      .toDF("rk", "rd", "r_id")
+    val out = graft.plans.AsOfJoin
+      .asof(lefts, rights, "k", "rk", "d", "rd", "r_id")
+      .select("l_id", "r_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // latest right date <= left date per key; B's only candidate is later
+    assert(out == Map(1L -> 11L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("portable simhash: equal texts get equal signatures, different texts differ") {
+    import spark.implicits._
+    val docs = Seq((1L, "join hash row"), (2L, "join hash row"),
+      (3L, "batch scan filter sort")).toDF("doc_id", "text")
+    val sigs = graft.queries.ILlmOps.portableSimhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical text must hash identically")
+    assert(sigs(1L) != sigs(3L), "disjoint vocab should differ")
+  }
+
   test("shared column names across sides are rejected eagerly") {
     import spark.implicits._
     val lefts = Seq(("A", ts(10), 1L)).toDF("k", "ts", "event_id")

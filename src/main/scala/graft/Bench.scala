@@ -18,16 +18,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // compact summary FIRST, and it is the only line tagged "total": the
-    // giant per-query line can exceed capture windows / confuse line-by-line
-    // consumers, so it gets its own metric name below
+    // The driver stores only a TAIL of this process's output: the compact
+    // summary must be the LAST line printed so it lands inside the capture
+    // window (the giant per-query line gets truncated at its front when it
+    // exceeds the window). Only the compact line is tagged "total".
     val headline = Seq("d_agg_basic", "c_join_star_5way", "e_win_topk_group",
       "j_session", "i_cosine_topk", "i_knn_l2", "i_word_freq", "p_etl_pipeline",
       "i_lsh_buckets", "i_dedup_pipeline")
     val hqs = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hqs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hqs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,24 +40,27 @@ object ILlmOps {
 
   private val dot = "graft_dot(va, vb)"
 
-  /** k=8 MinHash signature (s0..s7) over whitespace tokens: min over the
-    * doc's tokens of md5(i ‖ token) for 8 independent hash families.
-    * md5 hex min is lexicographic on both engines (engine-specific integer
-    * hashes like xxhash64 are NOT portable). k=8 exists to give LSH
-    * banding room: 4 bands × 2 rows below.
-    *
-    * Cost note for 100 TB: this computes 8 md5 calls per token. The
-    * standard production trim is 2 calls per token (md5('0'‖w) and
-    * md5('1'‖w)), each split into four disjoint 8-hex-char windows — 32
-    * bits of min-space per family, statistically equivalent, 4× less
-    * hashing on the dominant stage. Kept at 8 full calls here because the
-    * whole-signature portability story (identical min over identical hex
-    * strings in both engines) is simplest to audit this way.
+  /** k=8 MinHash signature (s0..s7) over whitespace tokens, computed with
+    * TWO md5 calls per token instead of eight: families i∈0..3 are the four
+    * disjoint 8-hex-char windows of md5('a' ‖ token), families 4..7 the
+    * windows of md5('b' ‖ token). Each window is an independent 32-bit
+    * hash; min over 8-hex strings is lexicographic and engine-identical
+    * (engine-specific integer hashes like xxhash64 are NOT portable).
+    * md5 is the dominant per-token cost of the whole dedup pipeline, so
+    * 8→2 calls is the standard production trim at 100 TB; 32 bits of
+    * min-space is ample for corpus-scale vocabularies (collision prob
+    * per family ≈ n_tokens/2³², and a collision only perturbs one of 8
+    * signature slots). k=8 exists to give LSH banding room: 4 bands ×
+    * 2 rows below.
     */
   private[graft] def minhashSig(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val aggs = (0 to 7).map(i =>
-      min(md5(concat(lit(i.toString), col("w")))).as(s"s$i"))
+      .withColumn("ha", md5(concat(lit("a"), col("w"))))
+      .withColumn("hb", md5(concat(lit("b"), col("w"))))
+    val aggs = (0 to 7).map { i =>
+      val src = if (i < 4) "ha" else "hb"
+      min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"s$i")
+    }
     tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -118,7 +121,10 @@ object ILlmOps {
     * `src` must provide (doc_id, text). */
   private[graft] def sigSql(src: String): String =
     "sig AS (SELECT doc_id, " +
-      (0 to 7).map(i => s"min(md5('$i' || w)) s$i").mkString(", ") +
+      (0 to 7).map { i =>
+        val fam = if (i < 4) "a" else "b"
+        s"min(substr(md5('$fam' || w), ${1 + 8 * (i % 4)}, 8)) s$i"
+      }.mkString(", ") +
       s" FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM $src) " +
       "GROUP BY doc_id)"
 
@@ -560,7 +566,10 @@ object ILlmOps {
         "FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY a_id, b_id"),
     "i_minhash" ->
       ("SELECT doc_id, " +
-        (0 to 7).map(i => s"min(md5('$i' || w)) AS s$i").mkString(", ") +
+        (0 to 7).map { i =>
+          val fam = if (i < 4) "a" else "b"
+          s"min(substr(md5('$fam' || w), ${1 + 8 * (i % 4)}, 8)) AS s$i"
+        }.mkString(", ") +
         " FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "i_lsh_buckets" ->

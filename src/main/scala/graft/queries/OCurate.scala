@@ -1,0 +1,305 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group O — corpus-curation operators (round 6): the remaining standard
+  * moves of a production LLM training-data pipeline, each expressed as
+  * declarative joins/windows/aggregations with an exact DuckDB oracle.
+  * Each operator is a public function over a documents/embeddings
+  * DataFrame (the library API); the query keys bind them to the test
+  * tables.
+  *
+  *  - `i_chunk_dedup`: C4-style boilerplate removal at sub-document
+  *    granularity. The fixtures' text has no newlines, so the "line" unit
+  *    is a fixed 8-token chunk; any chunk appearing verbatim in ≥ 2
+  *    distinct docs is removed everywhere and each doc's text is rebuilt
+  *    from its surviving chunks in order.
+  *  - `i_repetition`: Gopher-style repetition quality signals — top-bigram
+  *    fraction and duplicate-trigram fraction per doc, with the keep/drop
+  *    verdict at the published-style thresholds.
+  *  - `i_seq_pack`: sequence packing by concat-and-chunk — documents are
+  *    concatenated per source stream in doc_id order and sliced into
+  *    fixed 1024-token training windows; each doc gets its start offset,
+  *    first bin, and the number of bins it spans.
+  *  - `i_domain_mix`: mixture rebalancing — per-language acceptance
+  *    thresholds that move the corpus toward a uniform language mix
+  *    (never upsampling above 1.0), realized as a deterministic md5
+  *    threshold test so the same doc is in/out everywhere.
+  *  - `i_kmeans`: Lloyd's k-means (K=4, 2 iterations) over embeddings,
+  *    expressed RELATIONALLY (explode dims → join centroids → argmin →
+  *    re-average) in integer-scaled arithmetic, so the result is
+  *    bit-identical across engines and partitionings.
+  *
+  * Scale posture: chunk dedup shuffles on the chunk hash (linear, the C4
+  * production shape); packing is one window per source stream; mixture
+  * sampling is a broadcast of per-language thresholds onto a pushed-down
+  * filter; k-means shuffles on (vec_id, cid) and (cid, dim) — K×dims
+  * bounded state, never all-pairs. Nothing here materializes a cross
+  * join or collects to the driver.
+  */
+object OCurate {
+
+  private val CHUNK = 8      // tokens per dedup chunk ("line" unit)
+  private val SEQ_LEN = 1024 // tokens per packed training window
+
+  /** (doc_id, cidx, chunk): the doc's token stream sliced into fixed
+    * 8-token chunks, chunk text rejoined with single spaces. */
+  private def chunks(docs: DataFrame) =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $CHUNK), " +
+          s"i -> array_join(slice(toks, i * $CHUNK + 1, $CHUNK), ' '))"))
+        .as(Seq("cidx", "chunk")))
+
+  /** C4-style boilerplate removal: a chunk occurring in ≥ `minDocs`
+    * distinct docs is boilerplate and is dropped from EVERY doc; text is
+    * rebuilt from the surviving chunks in order. The dup-set join is a
+    * left-anti on the chunk string — candidate generation shuffles on the
+    * chunk key once, linear in corpus size (the C4 paper's shape). */
+  def chunkDedup(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val ch = chunks(docs)
+    val dup = ch.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= minDocs)
+      .select("chunk")
+    val surv = ch.join(dup, Seq("chunk"), "left_anti")
+    val total = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    // rebuild: collect_list is order-nondeterministic, so sort the
+    // (cidx, chunk) structs — cidx is unique per doc, order is total
+    val reb = surv.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"),
+        " ").as("clean_text"))
+    total.join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: fraction of all bigrams taken by
+    * the single most frequent bigram, and fraction of trigram mass in
+    * trigrams occurring more than once. Grouped counts per doc — two
+    * shuffles on (doc_id, gram), both linear. Thresholds give the
+    * keep/drop verdict the curation filter applies. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val g2 = tok.withColumn("nx", lead("w", 1).over(win))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nx")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("top_big"))
+    val g3 = tok
+      .withColumn("w1", lead("w", 1).over(win))
+      .withColumn("w2", lead("w", 2).over(win))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    val base = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    base.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        r4(coalesce(col("top_big").cast("double") / col("n_big"), lit(0.0)))
+          .as("top_bigram_frac"),
+        r4(coalesce(col("dup_tri").cast("double") / col("n_tri"), lit(0.0)))
+          .as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing, concat-and-chunk (the GPT-style production shape):
+    * per source stream, docs are concatenated in doc_id order and sliced
+    * into fixed `seqLen`-token windows. Each doc's start offset is a
+    * running window sum — ONE shuffle on the stream key, no sequential
+    * driver loop — and its bin ids fall out arithmetically. */
+  def seqPack(docs: DataFrame, seqLen: Int = SEQ_LEN): DataFrame = {
+    val byStream = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(byStream), lit(0L)))
+      .withColumn("bin_id", expr(s"start_off DIV $seqLen"))
+      .withColumn("n_bins",
+        expr(s"(start_off + n_tokens - 1) DIV $seqLen") - col("bin_id") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** Mixture rebalancing toward a uniform language mix: language ℓ gets
+    * acceptance threshold t_ℓ = min(2¹⁶, (N · 2¹⁶) DIV (L · n_ℓ)) and a
+    * doc survives iff the first 16 bits of md5(doc_id) < t_ℓ — fully
+    * integer, so the same doc is kept/dropped on every engine and
+    * partitioning (downsample-only: over-represented languages shrink,
+    * under-represented ones pass whole). The per-language thresholds are
+    * a broadcast join; the test itself is a pushed-down filter. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = docs.agg(count(lit(1)).as("n"), countDistinct("lang").as("l"))
+    docs.join(broadcast(perLang), "lang").crossJoin(broadcast(tot))
+      .withColumn("thr",
+        least(lit(65536L), expr("(n * 65536) DIV (l * n_lang)")))
+      .withColumn("hv",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .filter(col("hv") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  /** Lloyd's k-means over embeddings, relationally: dims exploded to
+    * (vec_id, dim, x) rows, distance = grouped sum of (x−cx)² after an
+    * equi-join on dim (K-fold expansion — bounded, never all-pairs),
+    * assignment = argmin via one row_number window, new centroids =
+    * per-(cid, dim) integer mean. ALL arithmetic is integer-scaled (x in
+    * millionths): integer sums are associative, so the iterations stay
+    * bit-identical across engines, partitionings and aggregation orders —
+    * float centroids would drift in ulps and break oracle parity (same
+    * discipline as i_pagerank). Initial centroids are the first `k`
+    * vec_ids; at scale the centroid side is a broadcast of k·dims rows.
+    * Returns (vec_id, cid, n_members). */
+  def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
+    var cent = dims.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val d2 = dims.join(cent, "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+      assign = d2.withColumn("rn", row_number()
+          .over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      cent = dims.join(assign, "vec_id")
+        .groupBy("cid", "dim").agg(expr("sum(x) DIV count(1)").as("cx"))
+    }
+    assign
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cid")))
+      .orderBy("vec_id")
+  }
+
+  val m: ListMap[String, Q] = ListMap(
+    "i_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
+    "i_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "i_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
+    "i_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
+    // bounded to vec_id < 300 like the other demonstration keys
+    "i_kmeans" -> ((s, d) =>
+      kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
+  )
+
+  /** DuckDB hex→int for the first 4 md5 hex chars (no conv() in DuckDB —
+    * per-digit strpos arithmetic, the i_simhash_port recipe). */
+  private def duckHex4(e: String): String =
+    (1 to 4).map { i =>
+      val shift = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * $shift"
+    }.mkString("(", " + ", ")")
+
+  val oracle: ListMap[String, String] = ListMap(
+    "i_chunk_dedup" ->
+      ("WITH c AS (SELECT doc_id, list_transform(" +
+        s"generate_series(0, (len(string_split(text, ' ')) - 1) // $CHUNK), " +
+        s"i -> array_to_string(string_split(text, ' ')[i * $CHUNK + 1 : " +
+        s"i * $CHUNK + $CHUNK], ' ')) AS chunks FROM documents), " +
+        "ch AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS cidx, " +
+        "unnest(chunks) AS chunk FROM c), " +
+        "dup AS (SELECT chunk FROM ch GROUP BY chunk " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "surv AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)), " +
+        "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id), " +
+        "reb AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(chunk, ' ' ORDER BY cidx) AS clean_text " +
+        "FROM surv GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_chunks, coalesce(r.n_kept, 0) AS n_kept, " +
+        "coalesce(r.clean_text, '') AS clean_text " +
+        "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    "i_repetition" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "b2 AS (SELECT doc_id, g, count(*) c FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS g FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) " +
+        "WHERE g IS NOT NULL GROUP BY doc_id, g), " +
+        "s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_big, max(c) top_big " +
+        "FROM b2 GROUP BY doc_id), " +
+        "b3 AS (SELECT doc_id, g, count(*) c FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS g FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) " +
+        "WHERE g IS NOT NULL GROUP BY doc_id, g), " +
+        "s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tri, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dup_tri " +
+        "FROM b3 GROUP BY doc_id), " +
+        "base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents) " +
+        "SELECT b.doc_id, b.n_tokens, " +
+        "round(coalesce(top_big::DOUBLE / n_big, 0), 4) AS top_bigram_frac, " +
+        "round(coalesce(dup_tri::DOUBLE / n_tri, 0), 4) AS dup_trigram_frac, " +
+        "round(coalesce(top_big::DOUBLE / n_big, 0), 4) <= 0.2 AND " +
+        "round(coalesce(dup_tri::DOUBLE / n_tri, 0), 4) <= 0.3 AS keep " +
+        "FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) " +
+        "ORDER BY b.doc_id"),
+    "i_seq_pack" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS start_off FROM t) " +
+        s"SELECT doc_id, source, n_tokens, start_off, " +
+        s"start_off // $SEQ_LEN AS bin_id, " +
+        s"(start_off + n_tokens - 1) // $SEQ_LEN - start_off // $SEQ_LEN + 1 " +
+        "AS n_bins FROM o ORDER BY doc_id"),
+    "i_domain_mix" ->
+      ("WITH pl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang), " +
+        "tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS l FROM documents) " +
+        "SELECT doc_id, d.lang, " +
+        "CAST(least(65536, (n * 65536) // (l * n_lang)) AS BIGINT) AS thr " +
+        "FROM documents d JOIN pl ON d.lang = pl.lang CROSS JOIN tot " +
+        "WHERE " + duckHex4("substring(md5(doc_id::VARCHAR), 1, 4)") +
+        " < least(65536, (n * 65536) // (l * n_lang)) ORDER BY doc_id"),
+    "i_kmeans" -> {
+      def dist(cent: String, out: String) =
+        s"$out AS (SELECT v.vec_id, c.cid, " +
+          "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
+          s"FROM dims v JOIN $cent c ON v.dim = c.dim " +
+          "GROUP BY v.vec_id, c.cid)"
+      def argmin(d2: String, out: String) =
+        s"$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn " +
+          s"FROM $d2) WHERE rn = 1)"
+      def recenter(assign: String, out: String) =
+        s"$out AS (SELECT a.cid, v.dim, " +
+          "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
+          s"FROM dims v JOIN $assign a ON v.vec_id = a.vec_id " +
+          "GROUP BY a.cid, v.dim)"
+      "WITH dims AS (SELECT vec_id, " +
+        "generate_subscripts(embedding, 1) - 1 AS dim, " +
+        "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
+        "FROM embeddings WHERE vec_id < 300), " +
+        "c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM dims WHERE vec_id < 4), " +
+        dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
+        recenter("a1", "c1") + ", " +
+        dist("c1", "d2") + ", " + argmin("d2", "a2") +
+        " SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS n_members " +
+        "FROM a2 ORDER BY vec_id"
+    },
+  )
+}

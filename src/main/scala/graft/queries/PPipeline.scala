@@ -166,6 +166,33 @@ object PPipeline {
         .agg(count(lit(1)).as("rows"), r4(sum("l_quantity")).as("sum_qty"))
     }),
 
+    "p_join_bloom" -> ((s, d) => {
+      // runtime-filter pruning, made explicit: build a Bloom filter over
+      // the small (filtered-dimension) side's join keys, broadcast it, and
+      // prune the fact side BEFORE the join shuffle — at 100 TB the prune
+      // happens at the scan, so rows that cannot match never enter the
+      // exchange. Bloom filters have no false negatives, so the exact
+      // equi-join on the survivors returns exactly the plain semi-join
+      // (the oracle), with false positives removed by the join itself.
+      // (This is the hand-rolled form of Spark's own runtime row-level
+      // bloom pruning; making it explicit keeps it testable and portable.)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey")
+      val bf = dim.stat.bloomFilter("o_orderkey",
+        math.max(dim.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))   // pre-shuffle prune
+        .join(dim, col("l_orderkey") === col("o_orderkey")) // exact verify
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          r4(sum("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     "p_join_salted" -> ((s, d) => {
       // skew-resistant aggregate join: salt the (potentially hot) fact key,
       // explode the dim side across the salt space, aggregate, merge
@@ -234,6 +261,15 @@ object PPipeline {
         "CASE WHEN dk IS NOT NULL AND k IS NOT NULL THEN 'updated' " +
         "WHEN dk IS NOT NULL THEN 'inserted' ELSE 'kept' END AS action " +
         "FROM snap FULL OUTER JOIN delta ON k = dk ORDER BY o_orderkey"),
+    // the oracle is the plain semi-join — bloom pruning must not change
+    // results (no false negatives; FPs die in the exact join)
+    "p_join_bloom" ->
+      ("SELECT l_returnflag, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice), 4) AS revenue " +
+        "FROM lineitem WHERE l_orderkey IN (" +
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the oracle is the UNSALTED join — salting must not change results
     "p_join_salted" ->
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.OCurate
+
+/** Round-6 curation operators: planted-data semantics for chunk dedup and
+  * repetition signals, structural invariants for packing / mixture
+  * rebalancing / relational k-means (exact values are covered by the
+  * DuckDB oracle; these tests pin the PROPERTIES that make the operators
+  * correct curation moves).
+  */
+class CurateSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("chunk dedup removes a chunk shared by two docs from BOTH, keeps unique text") {
+    val boiler = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val a = (1 to 8).map(i => s"aword$i").mkString(" ")
+    val b = (1 to 8).map(i => s"bword$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (0L, s"$boiler $a", "en", "s0"),   // boilerplate + unique
+      (1L, s"$b $boiler", "en", "s0"),   // unique + boilerplate
+      (2L, a.replace("aword", "cword"), "en", "s0"))) // fully unique
+    val out = OCurate.chunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((2L, 1L, a)), "doc 0 keeps only its unique chunk")
+    assert(out(1L) == ((2L, 1L, b)), "doc 1 keeps only its unique chunk")
+    assert(out(2L)._2 == 1L && out(2L)._3 == a.replace("aword", "cword"))
+  }
+
+  test("chunk dedup round-trips text when nothing is duplicated") {
+    // on the real fixture: every fully-kept doc must reconstruct its text
+    // verbatim (split→chunk→rejoin is the identity on space-joined tokens)
+    val docs = Tables.documents(spark, sfDir)
+    val joined = OCurate.chunkDedup(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("n_kept") === col("n_chunks"))
+    assert(joined.count() > 0, "fixture should contain fully-unique docs")
+    assert(joined.filter(col("clean_text") =!= col("text")).count() == 0)
+  }
+
+  test("repetition flags a degenerate doc and passes a diverse one") {
+    val looping = Seq.fill(50)("spam ham").mkString(" ")      // one bigram dominates
+    val diverse = (1 to 100).map(i => s"w$i").mkString(" ")   // all grams unique
+    val out = OCurate.repetition(docsDf(Seq(
+        (0L, looping, "en", "s0"), (1L, diverse, "en", "s0"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(0L).getBoolean(4), "looping doc must be dropped")
+    assert(out(0L).getDouble(2) > 0.4, "top bigram should dominate the looping doc")
+    assert(out(1L).getBoolean(4), "diverse doc must be kept")
+    assert(out(1L).getDouble(2) <= 0.2 && out(1L).getDouble(3) == 0.0)
+  }
+
+  test("seq packing is contiguous per stream and bins never overlap docs' spans") {
+    val out = OCurate.seqPack(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    for ((_, docs) <- out.groupBy(_._1)) {
+      val ordered = docs.sortBy(_._2)
+      // concat-and-chunk: each doc starts exactly where the previous ended
+      for (Array(p, c) <- ordered.sliding(2).map(_.toArray)) {
+        assert(c._4 == p._4 + p._3, s"stream gap between docs ${p._2} and ${c._2}")
+      }
+      for ((_, _, n, off, bin, nBins) <- ordered) {
+        assert(bin == off / 1024)
+        assert(nBins == (off + n - 1) / 1024 - bin + 1 && nBins >= 1)
+      }
+    }
+  }
+
+  test("domain mix only downsamples and moves the language mix toward uniform") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = OCurate.domainMix(docs).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = before.values.sum.toDouble
+    val uniform = 1.0 / before.size
+    for ((lang, cntB) <- before) {
+      val cntA = after.getOrElse(lang, 0L)
+      assert(cntA <= cntB, s"$lang upsampled")
+      // under-represented languages pass whole (threshold saturates at 2^16)
+      if (cntB / n <= uniform) assert(cntA == cntB, s"$lang should pass whole")
+    }
+    // the dominant language's share must strictly shrink toward uniform
+    val (domLang, domB) = before.maxBy(_._2)
+    val shareB = domB / n
+    val shareA = after(domLang).toDouble / after.values.sum
+    assert(shareB > uniform && shareA < shareB,
+      s"dominant $domLang share $shareB -> $shareA should shrink")
+  }
+
+  test("k-means partitions all vectors and separates an obvious two-blob input") {
+    import spark.implicits._
+    // two well-separated blobs in 4-d; k=2, init = first vec of each blob
+    val rng = new scala.util.Random(7)
+    def jitter() = (rng.nextInt(21) - 10) / 1000.0f
+    val blobA = (0 until 20).map(i =>
+      (i.toLong * 2, Array(1f + jitter(), 0f, 0f, 0f)))
+    val blobB = (0 until 20).map(i =>
+      (i.toLong * 2 + 1, Array(0f, 0f, 0f, 1f + jitter())))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val out = OCurate.kmeans(emb, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 40 && out.map(_._1).distinct.length == 40)
+    // blob membership = parity of vec_id by construction; clusters must
+    // match it exactly after 2 iterations
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet))
+    for ((v, c, nm) <- out) assert(nm == byCluster(c).size)
+  }
+
+  test("bloom-pruned join passes every true match and prunes most non-matches") {
+    val s = spark; val d = sfDir
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey")
+    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val li = Tables.lineitem(s, d)
+    val pruned = li.filter(mightContain(col("l_orderkey")))
+    // no false negatives: joining after the prune loses no matches
+    val nExact = li.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val nExactPruned =
+      pruned.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    assert(nExact == nExactPruned, "bloom prune dropped true matches")
+    val (nAll, nPruned) = (li.count(), pruned.count())
+    assert(nPruned >= nExact, "bloom must keep all true matches")
+    // at fpp=0.01 the survivor set should hug the true-match set, far
+    // below the unpruned scan
+    assert(nPruned < nAll / 2,
+      s"expected real pruning: $nPruned of $nAll rows survived")
+  }
+}

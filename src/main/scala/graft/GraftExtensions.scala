@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "graft_topk"),
       graft.functions.VectorExprs.topKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NGramGenerator].getName, "graft_ngrams"),
+      graft.functions.NGramGen.builder))
   }
 }

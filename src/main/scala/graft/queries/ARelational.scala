@@ -71,6 +71,37 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_sink_dynamic_overwrite" -> ((s, d) => {
+      // dynamic partition overwrite — the incremental-pipeline write mode:
+      // a full day-partitioned write, then a second write that holds only
+      // the earliest day's (recomputed) rows with partitionOverwriteMode=
+      // dynamic, which must replace ONLY that partition and leave every
+      // other day untouched. The oracle computes the expected final state
+      // (earliest day doubled, rest original) — a static overwrite (which
+      // would wipe the other days) or an append (which would duplicate
+      // the target day) both hash-mismatch, so the mode's semantics are
+      // value-checked end-to-end.
+      val tmp = scratch("sink_dynover")
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .select("event_id", "day", "value")
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val minDay = ev.agg(min("day").as("day"))
+      val upd = ev.join(broadcast(minDay), "day")
+        .withColumn("value", col("value") * 2)
+        .select("event_id", "day", "value")
+      upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(tmp)
+      // partition-column type inference parses the day string back as a
+      // timestamp — re-format so the compared column is the plain day key
+      s.read.parquet(tmp)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_val"))
+        .orderBy("day")
+    }),
+
     "a_scan_custom_source" -> ((s, d) =>
       // DataSource V2 connector (graft.sources.SeqSource): parallel
       // partition planning + column pruning; the projection drops `val`,
@@ -349,6 +380,15 @@ object ARelational {
     "a_sink_custom" ->
       ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // expected FINAL table state after the dynamic-partition overwrite:
+    // earliest day recomputed (doubled), every other day untouched
+    "a_sink_dynamic_overwrite" ->
+      ("WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events), " +
+        "md AS (SELECT min(day) AS d FROM e) " +
+        "SELECT day, count(*) AS n, " +
+        "round(sum(CASE WHEN day = (SELECT d FROM md) THEN value * 2 " +
+        "ELSE value END), 4) AS sum_val " +
+        "FROM e GROUP BY day ORDER BY day"),
     // round-trip keys: the oracle checks the read-back VALUES against the
     // base table, so the format conversion itself is value-checked (same
     // pattern as a_sink_orc)

@@ -65,6 +65,18 @@ object KUdx {
         .orderBy("a_id", "b_id")
     }),
 
+    "k_generator_native" -> ((s, d) => {
+      // TRUE Catalyst Generator (functions/NGramGen.scala): the n-gram
+      // table function runs inside GenerateExec as a pure map stage fused
+      // with the scan — no lead() window shuffle, no intermediate array
+      // materialization. Trigram stream per doc, position included.
+      graft.functions.NGramGen.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_ngrams(text, 3)"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("ngram"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "k_udtf_generator" -> ((s, d) => {
       // table function: one row per token with position and length,
       // as a typed Dataset flatMap (a genuine row-generator, not a
@@ -96,6 +108,16 @@ object KUdx {
         "(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE a.vec_id < 30 AND b.vec_id < 30 ORDER BY a_id, b_id"),
+    // same trigram stream the shingle keys build with lead() windows —
+    // the native Generator must agree with the declarative formulation
+    "k_generator_native" ->
+      ("SELECT doc_id, CAST(pos AS BIGINT) AS pos, ngram FROM (" +
+        "SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS ngram FROM (" +
+        "SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) " +
+        "WHERE ngram IS NOT NULL ORDER BY doc_id, pos"),
     "k_udtf_generator" ->
       ("SELECT doc_id, pos, w, length(w) AS w_len FROM " +
         "(SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +

@@ -193,11 +193,47 @@ object OCurate {
       .orderBy("vec_id")
   }
 
+  /** First-fit-decreasing bin packing per source stream: docs stay WHOLE
+    * (no splitting across windows — the complement of `seqPack`) and are
+    * placed largest-first into the first bin with room, minimizing
+    * padding waste. Sequential state is confined to one stream's group
+    * (`flatMapGroups` — the k_typed_mapgroups tier), so streams pack in
+    * parallel and the shuffle is one partitioning on the stream key.
+    * Deterministic: the (−n_tokens, doc_id) sort is total. Docs longer
+    * than `seqLen` get a dedicated (overflowing) bin each. Not
+    * SQL-expressible (bin state is a fold) → scalatest-covered, no
+    * DuckDB oracle. Returns (doc_id, source, n_tokens, bin_id,
+    * bin_fill) with bin_fill = the bin's final token count. */
+  def packFfd(docs: DataFrame, seqLen: Int = SEQ_LEN): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (source, it) =>
+        val ds = it.toIndexedSeq.sortBy { case (id, _, n) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val assigned = ds.map { case (id, _, n) =>
+          val i = fills.indexWhere(_ + n <= seqLen)
+          val bin = if (i >= 0) { fills(i) += n; i }
+            else { fills += n; fills.length - 1 }
+          (id, n, bin.toLong)
+        }
+        assigned.map { case (id, n, bin) =>
+          (id, source, n, bin, fills(bin.toInt))
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "bin_id", "bin_fill")
+      .orderBy("doc_id")
+  }
+
   val m: ListMap[String, Q] = ListMap(
     "i_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
     "i_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "i_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
     "i_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
+    "i_pack_ffd" -> ((s, d) => packFfd(Tables.documents(s, d))),
     // bounded to vec_id < 300 like the other demonstration keys
     "i_kmeans" -> ((s, d) =>
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),

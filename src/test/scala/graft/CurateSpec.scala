@@ -71,6 +71,25 @@ class CurateSpec extends SparkTestBase {
     }
   }
 
+  test("FFD packing keeps docs whole, respects capacity, and beats the 2x bound") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = OCurate.packFfd(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == docs.count(), "every doc packed exactly once")
+    for ((_, byBin) <- out.groupBy(r => (r._2, r._4))) {
+      val fill = byBin.map(_._3).sum
+      assert(byBin.forall(_._5 == fill), "bin_fill must be the bin's final sum")
+      // a bin only exceeds capacity when a single oversized doc owns it
+      assert(fill <= 1024 || byBin.length == 1, s"overfull shared bin: $byBin")
+    }
+    for ((_, stream) <- out.groupBy(_._2)) {
+      val total = stream.map(_._3).sum
+      val nBins = stream.map(_._4).distinct.length
+      val optLb = (total + 1023) / 1024 // lower bound on OPT
+      assert(nBins <= 2 * optLb + 1, s"FFD used $nBins bins vs OPT >= $optLb")
+    }
+  }
+
   test("domain mix only downsamples and moves the language mix toward uniform") {
     val docs = Tables.documents(spark, sfDir)
     val before = docs.groupBy("lang").count().collect()

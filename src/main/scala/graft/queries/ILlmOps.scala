@@ -143,6 +143,51 @@ object ILlmOps {
       "AND a.doc_id < b.doc_id " +
       (0 to 2).map(j => s"AND (a.band_idx <= $j OR a.b$j <> b.b$j)").mkString(" ")
 
+  /** The hot-bucket cap guard, realized (the production fix promised in
+    * `candidateJoin`'s skew note): a bucket with more than `cap` docs is
+    * degenerate — its members share a signature band, i.e. they are
+    * boilerplate/template near-copies that the EXACT and normalized dedup
+    * stages own — and joining inside it is quadratic. Here every band
+    * carries its bucket size (one grouped count + a broadcast join back),
+    * the pair join requires the emitting band's bucket to be ≤ cap, and
+    * the first-colliding-band residual is amended to "first colliding
+    * COLD band" so each surviving pair is still emitted exactly once.
+    * Cost: every bucket is bounded — the join's worst key does cap² work
+    * no matter how skewed the corpus. Recall: pairs colliding ONLY in hot
+    * buckets are dropped by design (they are exact-dup-tier copies); all
+    * four bucket sizes ride the row, so the residual stays a filter, not
+    * a shuffle. */
+  private[graft] def cappedCandidates(docs: DataFrame, cap: Int): DataFrame = {
+    val bc = minhashSig(docs).select(col("doc_id"),
+      md5(concat(col("s0"), col("s1"))).as("b0"),
+      md5(concat(col("s2"), col("s3"))).as("b1"),
+      md5(concat(col("s4"), col("s5"))).as("b2"),
+      md5(concat(col("s6"), col("s7"))).as("b3"))
+    val sizes = bc.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "bh")))
+      .groupBy("band_idx", "bh").agg(count(lit(1)).as("n"))
+    var wide = bc
+    for (j <- 0 to 3) wide = wide.join(
+      broadcast(sizes.filter(col("band_idx") === j)
+        .select(col("bh").as(s"b$j"), col("n").as(s"n$j"))), Seq(s"b$j"))
+    val bx = wide.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        col("n0"), col("n1"), col("n2"), col("n3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "bh")))
+      .withColumn("nb", element_at(
+        array(col("n0"), col("n1"), col("n2"), col("n3")), col("band_idx") + 1))
+    bx.as("a").join(bx.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.nb") <= cap &&
+          (col("a.band_idx") <= 0 || col("a.b0") =!= col("b.b0") || col("a.n0") > cap) &&
+          (col("a.band_idx") <= 1 || col("a.b1") =!= col("b.b1") || col("a.n1") > cap) &&
+          (col("a.band_idx") <= 2 || col("a.b2") =!= col("b.b2") || col("a.n2") > cap))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+  }
+
   /** Engine-portable 32-bit SimHash (doc_id, simhash): token bit b =
     * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token); signature bit b set
     * when the ±1 sum over the doc's tokens is positive. */
@@ -223,6 +268,16 @@ object ILlmOps {
             (col("a.b1") === col("b.b1")).cast("long") +
             (col("a.b2") === col("b.b2")).cast("long") +
             (col("a.b3") === col("b.b3")).cast("long")).as("n_bands"))
+        .orderBy("a_id", "b_id")),
+
+    "i_lsh_capped" -> ((s, d) =>
+      // skew-guarded LSH candidates: buckets larger than 100 docs are
+      // suppressed (their members are exact-dup-tier template copies the
+      // hash-dedup stages own), bounding the join's worst key at cap²
+      // work regardless of corpus skew — at sf0.01 this removes four
+      // ~320-doc buckets (~10⁵ quadratic pairs each) while every
+      // ordinary near-dup pair survives
+      cappedCandidates(Tables.documents(s, d), 100)
         .orderBy("a_id", "b_id")),
 
     "i_lsh_recall" -> ((s, d) => {
@@ -578,6 +633,28 @@ object ILlmOps {
         (0 to 3).map(j =>
           s"CASE WHEN a.b$j = b.b$j THEN 1 ELSE 0 END").mkString(" + ") +
         " AS BIGINT) AS n_bands " + candJoinSql + " ORDER BY a_id, b_id"),
+    // the cap guard: per-band bucket sizes ride the row; emit from the
+    // first colliding COLD band only, suppress hot (> 100) buckets
+    "i_lsh_capped" ->
+      ("WITH " + sigSql("documents") + ", " + bandsSql + ", " +
+        "ex AS (SELECT doc_id, band_idx, bh FROM bands), " +
+        "sizes AS (SELECT band_idx, bh, count(*) n FROM ex GROUP BY 1, 2), " +
+        "w AS (SELECT c.doc_id, c.b0, c.b1, c.b2, c.b3, " +
+        "s0.n n0, s1.n n1, s2.n n2, s3.n n3 FROM bcols c " +
+        (0 to 3).map(j =>
+          s"JOIN sizes s$j ON s$j.band_idx = $j AND s$j.bh = c.b$j")
+          .mkString(" ") + "), " +
+        "bx AS (" +
+        (0 to 3).map(j =>
+          "SELECT doc_id, b0, b1, b2, b3, n0, n1, n2, n3, " +
+            s"$j band_idx, b$j bh, n$j nb FROM w").mkString(" UNION ALL ") +
+        ") SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id AND a.nb <= 100 " +
+        (0 to 2).map(j =>
+          s"AND (a.band_idx <= $j OR a.b$j <> b.b$j OR a.n$j > 100)")
+          .mkString(" ") +
+        " ORDER BY a_id, b_id"),
     "i_lsh_recall" ->
       ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
         sigSql("base") + ", " + bandsSql + ", " +

@@ -27,7 +27,8 @@ class ContractSpec extends SparkTestBase {
     val risky = Seq("d_agg_minmax_by", "i_lang_id", "i_tfidf", "i_cosine_topk",
       "e_win_topk_group", "d_agg_first_last_ordered", "c_join_asof",
       "i_ann_ivf", "i_dedup_keep_best", "i_lsh_buckets",
-      "c_join_interval_native", "i_pagerank", "i_ann_recall")
+      "c_join_interval_native", "i_pagerank", "i_ann_recall",
+      "i_kmeans", "i_lsh_capped", "i_pack_ffd", "i_chunk_dedup")
     for (key <- risky) {
       val fn = SparkEntry.queries(key)
       val a = fn(spark, sfDir).collect().map(_.toString).toSeq

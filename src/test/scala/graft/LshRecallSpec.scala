@@ -97,4 +97,25 @@ class LshRecallSpec extends SparkTestBase {
     assert(!r.isNullAt(3) && r.getLong(3) >= 9500L,
       s"recall_bp ${r.get(3)} over $nTrue true pairs")
   }
+
+  test("the bucket cap bounds a planted template cluster but keeps normal pairs") {
+    import spark.implicits._
+    // 200 identical template docs (one degenerate bucket per band) plus one
+    // ordinary near-dup pair that must NOT be affected by the cap
+    val template = (1 to 60).map(i => s"tpl$i").mkString(" ")
+    val base = (1 to 50).map(i => s"tok${i * 7}").mkString(" ")
+    val near = (1 to 48).map(i => s"tok${i * 7}").mkString(" ")
+    val docs = ((0 until 200).map(i => (i.toLong, template)) ++
+      Seq((1000L, base), (1001L, near))).toDF("doc_id", "text")
+    val capped = graft.queries.ILlmOps.cappedCandidates(docs, cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1000L, 1001L)), "ordinary near-dup pair must survive")
+    // every template pair collides ONLY in hot (size-200) buckets → dropped;
+    // without the cap this would be 200*199/2 = 19900 quadratic pairs
+    assert(!capped.exists { case (a, b) => a < 200 && b < 200 },
+      "template-cluster pairs must be suppressed by the cap")
+    val plain = graft.queries.ILlmOps.lshCandidates(docs)
+      .filter(col("a_id") < 200 && col("b_id") < 200).count()
+    assert(plain == 19900L, "uncapped join does quadratic work on the hot bucket")
+  }
 }

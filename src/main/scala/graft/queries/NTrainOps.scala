@@ -310,6 +310,57 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "p_incremental_dedup" -> ((s, d) => {
+      // the INCREMENTAL production shape: a new ingest batch (doc_id ≥
+      // 400) dedups against the existing corpus's band index (doc_id <
+      // 400) plus itself — never all-vs-all over the full corpus. At
+      // 100 TB the index side is the persisted (band_idx, bh, doc_id)
+      // table from prior runs; tonight's batch probes it with an
+      // equi-join (shuffle linear in the BATCH, not the corpus), plus a
+      // batch-internal LSH pass. Candidates are exact-Jaccard verified
+      // (≥ 0.8), and each new doc resolves to its oldest match
+      // (min id: index docs win over batch siblings) or stands unique.
+      // Both join sides are filters over one banded plan; Catalyst pushes
+      // each side's doc_id predicate through the signature aggregate to
+      // the scan, so each side tokenizes only ITS rows (batch side reads
+      // 100 docs, index side 400) — together exactly one signature pass
+      // over the corpus, split by side.
+      val docs = Tables.documents(s, d)
+      val bands = ILlmOps.bandKeys(ILlmOps.minhashSig(docs.select("doc_id", "text")))
+      val isNew = col("doc_id") >= 400
+      // new batch vs existing index: first-colliding-band residual keeps
+      // each (new, old) pair exactly once without a dedup shuffle
+      val newIdx = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") >= 400 && col("b.doc_id") < 400 &&
+            (col("a.band_idx") <= 0 || col("a.b0") =!= col("b.b0")) &&
+            (col("a.band_idx") <= 1 || col("a.b1") =!= col("b.b1")) &&
+            (col("a.band_idx") <= 2 || col("a.b2") =!= col("b.b2")))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
+      // batch-internal near-dups: the younger doc defers to the older one
+      val newNew = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id") && col("a.doc_id") >= 400 &&
+            (col("a.band_idx") <= 0 || col("a.b0") =!= col("b.b0")) &&
+            (col("a.band_idx") <= 1 || col("a.b1") =!= col("b.b1")) &&
+            (col("a.band_idx") <= 2 || col("a.b2") =!= col("b.b2")))
+        .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("other_id"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("w"))
+      val verified = newIdx.union(newNew)
+        .join(sets.select(col("doc_id").as("new_id"), col("w").as("wa")), "new_id")
+        .join(sets.select(col("doc_id").as("other_id"), col("w").as("wb")), "other_id")
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.8)
+        .select("new_id", "other_id")
+      docs.filter(isNew).select("doc_id")
+        .join(verified.groupBy("new_id").agg(min("other_id").as("dup_of")),
+          col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("is_unique"))
+        .orderBy("doc_id")
+    }),
+
     "i_bigram_lm" -> ((s, d) => {
       // bigram-LM quality scoring (perplexity-style filtering): corpus
       // bigram model P(next | w) = c(w, next) / c(w ·), scored back over
@@ -504,6 +555,30 @@ object NTrainOps {
         "AND doc_id NOT IN (SELECT doc_id FROM cont) " +
         "AND substring(md5(doc_id::VARCHAR), 1, 1) IN " +
         "('0','1','2','3','4','5','6','7') ORDER BY doc_id"
+    },
+
+    "p_incremental_dedup" -> {
+      val residual = (0 to 2)
+        .map(j => s"AND (a.band_idx <= $j OR a.b$j <> b.b$j)").mkString(" ")
+      "WITH " + ILlmOps.sigSql("documents") + ", " + ILlmOps.bandsSql + ", " +
+        "ni AS (SELECT a.doc_id new_id, b.doc_id other_id FROM bands a " +
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+        "AND a.doc_id >= 400 AND b.doc_id < 400 " + residual + "), " +
+        "nn AS (SELECT b.doc_id new_id, a.doc_id other_id FROM bands a " +
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id AND a.doc_id >= 400 " + residual + "), " +
+        "sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) w " +
+        "FROM documents), " +
+        "cand AS (SELECT * FROM ni UNION ALL SELECT * FROM nn), " +
+        "v AS (SELECT new_id, other_id FROM cand " +
+        "JOIN sets sa ON sa.doc_id = new_id " +
+        "JOIN sets sb ON sb.doc_id = other_id " +
+        "WHERE len(list_intersect(sa.w, sb.w))::DOUBLE / " +
+        "len(list_distinct(sa.w || sb.w)) >= 0.8), " +
+        "agg AS (SELECT new_id, min(other_id) dup_of FROM v GROUP BY new_id) " +
+        "SELECT d.doc_id, a.dup_of, a.dup_of IS NULL AS is_unique " +
+        "FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id " +
+        "WHERE d.doc_id >= 400 ORDER BY d.doc_id"
     },
 
     "i_bigram_lm" ->

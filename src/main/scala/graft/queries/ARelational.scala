@@ -71,6 +71,43 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_scan_corrupt" -> ((s, d) => {
+      // malformed-ingest handling: a JSONL batch with three corrupt lines
+      // planted among the good rows, read in PERMISSIVE mode with a
+      // _corrupt_record column — the production posture (quarantine bad
+      // lines, never fail the 100 TB job; FAILFAST's throw is asserted in
+      // scalatest). The key returns the clean rows, which must equal the
+      // base table exactly — so a reader that dropped or mangled good
+      // rows alongside the bad ones hash-mismatches.
+      import s.implicits._
+      val tmp = scratch("scan_corrupt")
+      val good = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey").toJSON
+      val bad = s.createDataset(Seq(
+        """{"n_nationkey": 900, "n_name": "TRUNCAT""",
+        """not json at all""",
+        """{"n_nationkey": "NaN-ish", "n_name": 7, "n_regionkey": []}"""))
+      good.union(bad).coalesce(1).write.mode("overwrite").text(tmp)
+      // Materialize the parsed batch before touching _corrupt_record:
+      // Catalyst prunes a downstream count() to the corrupt column alone,
+      // which the JSON scan rejects (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+      // caching is Spark's documented posture for quarantine reads (the
+      // parse happens once; the quarantine filter runs against the
+      // materialized batch). 25 rows here; at scale this is the
+      // parse-once-then-split pattern, not a re-read per branch.
+      val parsed = s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT, " +
+          "_corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .cache()
+      parsed
+        .filter(col("_corrupt_record").isNull)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     "a_sink_dynamic_overwrite" -> ((s, d) => {
       // dynamic partition overwrite — the incremental-pipeline write mode:
       // a full day-partitioned write, then a second write that holds only
@@ -380,6 +417,9 @@ object ARelational {
     "a_sink_custom" ->
       ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // clean rows after corrupt-line quarantine = the base table verbatim
+    "a_scan_corrupt" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // expected FINAL table state after the dynamic-partition overwrite:
     // earliest day recomputed (doubled), every other day untouched
     "a_sink_dynamic_overwrite" ->

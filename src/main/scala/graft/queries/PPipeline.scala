@@ -166,6 +166,60 @@ object PPipeline {
         .agg(count(lit(1)).as("rows"), r4(sum("l_quantity")).as("sum_qty"))
     }),
 
+    "p_expectations" -> ((s, d) => {
+      // data-quality gate (the Deequ/dbt-tests shape): one declarative
+      // pass computing violation counts for the constraint classes a
+      // nightly pipeline asserts before publishing — null keys, domain
+      // ranges, key uniqueness, referential integrity. The null/range
+      // checks fuse into ONE scan aggregate; uniqueness is one grouped
+      // count; the FK check is an anti-join probing the parent keys.
+      // At 100 TB each check stays linear and none collects raw rows —
+      // the gate reports counts, quarantining is a filter reusing the
+      // same predicates.
+      val li = Tables.lineitem(s, d)
+      val scanChecks = li.agg(
+        sum(col("l_orderkey").isNull.cast("long")).as("null_key"),
+        sum((!col("l_quantity").between(1, 50)).cast("long")).as("range_qty"),
+        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long"))
+          .as("range_disc"))
+      val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+      val orphans = li.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      scanChecks.select(expr(
+          "stack(3, 'null_key', null_key, 'range_disc', range_disc, " +
+            "'range_qty', range_qty) AS (check_name, n_violations)"))
+        .union(dupKeys.select(lit("uniq_line"), col("n")))
+        .union(orphans.select(lit("fk_orders"), col("n")))
+        .orderBy("check_name")
+    }),
+
+    "p_zorder" -> ((s, d) => {
+      // multi-dimensional data layout: a 20-bit Morton (Z-order) key
+      // interleaving the low 10 bits of l_partkey and l_orderkey (both
+      // span the full 10-bit range in the fixtures), then a
+      // range-repartition + in-partition sort on it — the standard
+      // co-clustering move so scans filtering on either dimension touch
+      // a bounded subset of files (each file covers a compact Z-range =
+      // a small rectangle in (part, order) space; the higher-interleaved
+      // dimension's top bits dominate file boundaries). Pure integer bit
+      // arithmetic, portable to the oracle; the write/layout half is
+      // asserted in scalatest, the key itself value-checks the ordering.
+      val morton = (0 until 10).map { b =>
+        (shiftright(col("l_partkey") % 1024, b) % 2) * (1L << (2 * b)) +
+          (shiftright(col("l_orderkey") % 1024, b) % 2) * (1L << (2 * b + 1))
+      }.reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("morton", morton.cast("long"))
+        .repartitionByRange(4, col("morton"))
+        .sortWithinPartitions("morton")
+        .orderBy("morton", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     "p_join_bloom" -> ((s, d) => {
       // runtime-filter pruning, made explicit: build a Bloom filter over
       // the small (filtered-dimension) side's join keys, broadcast it, and
@@ -261,6 +315,32 @@ object PPipeline {
         "CASE WHEN dk IS NOT NULL AND k IS NOT NULL THEN 'updated' " +
         "WHEN dk IS NOT NULL THEN 'inserted' ELSE 'kept' END AS action " +
         "FROM snap FULL OUTER JOIN delta ON k = dk ORDER BY o_orderkey"),
+    "p_expectations" ->
+      ("WITH sc AS (SELECT " +
+        "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_key, " +
+        "CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) range_qty, " +
+        "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) range_disc " +
+        "FROM lineitem), " +
+        "du AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) n FROM (" +
+        "SELECT count(*) c FROM lineitem GROUP BY l_orderkey, l_linenumber " +
+        "HAVING count(*) > 1)), " +
+        "orph AS (SELECT count(*) n FROM lineitem " +
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) " +
+        "SELECT check_name, n_violations FROM (" +
+        "SELECT 'null_key' check_name, null_key n_violations FROM sc " +
+        "UNION ALL SELECT 'range_disc', range_disc FROM sc " +
+        "UNION ALL SELECT 'range_qty', range_qty FROM sc " +
+        "UNION ALL SELECT 'uniq_line', n FROM du " +
+        "UNION ALL SELECT 'fk_orders', n FROM orph) ORDER BY check_name"),
+    "p_zorder" -> {
+      val morton = (0 until 10).map { b =>
+        s"(((l_partkey % 1024) >> $b) % 2) * ${1L << (2 * b)} + " +
+          s"(((l_orderkey % 1024) >> $b) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString("(", " + ", ")")
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"CAST($morton AS BIGINT) AS morton FROM lineitem " +
+        "ORDER BY morton, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    },
     // the oracle is the plain semi-join — bloom pruning must not change
     // results (no false negatives; FPs die in the exact join)
     "p_join_bloom" ->

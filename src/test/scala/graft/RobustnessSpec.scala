@@ -159,4 +159,54 @@ class RobustnessSpec extends SparkTestBase {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("corrupt-record ingest quarantines exactly the planted lines; FAILFAST throws") {
+    // the a_scan_corrupt key (which plants 3 bad JSONL lines) must leave
+    // exactly those 3 in the _corrupt_record column, and the same file
+    // must kill a FAILFAST read — the semantics a quarantine pipeline
+    // relies on
+    SparkEntry.queries("a_scan_corrupt")(spark, sfDir).count() // writes the file
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/scan_corrupt"
+    val sch = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    val df = spark.read.schema(sch)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+    // Spark refuses plans that reference only the internal corrupt column
+    // (including bare counts) — collect the full projection once and
+    // derive both counts on the driver (28 rows: fine for a test)
+    val rows = df.collect()
+    assert(rows.length == Tables.nation(spark, sfDir).count() + 3)
+    val corrupt = rows.count(!_.isNullAt(3))
+    assert(corrupt == 3, s"expected 3 quarantined lines, got $corrupt")
+    // FAILFAST semantics: same file, plain schema (no quarantine column
+    // — FAILFAST rejects schemas that include it), must throw on line 1
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "FAILFAST").json(tmp).collect()
+    }
+  }
+
+  test("z-order layout: disjoint per-file ranges, MSB-dimension filter skips files") {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/zorder_check"
+    SparkEntry.queries("p_zorder")(spark, sfDir)
+      .repartitionByRange(4, col("morton")).sortWithinPartitions("morton")
+      .write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .withColumn("file", expr("_metadata.file_name"))
+    // range partition + in-partition sort => per-file morton ranges are
+    // DISJOINT — the property file-skipping statistics rely on
+    val ranges = back.groupBy("file")
+      .agg(min("morton").as("lo"), max("morton").as("hi"))
+      .orderBy("lo").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length == 4)
+    for (Array((_, hi), (lo2, _)) <- ranges.sliding(2).map(_.toArray))
+      assert(hi < lo2, s"file ranges overlap: $ranges")
+    // the higher-interleaved dimension's top bit is the global morton MSB:
+    // filtering its top half confines matches to a suffix of the files
+    val topHalf = back.filter(col("l_orderkey") % 1024 >= 512)
+    assert(topHalf.count() > 0)
+    val touched = topHalf.select("file").distinct().count()
+    assert(touched <= 3, s"orderkey top-half filter touched $touched of 4 files")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det.r4
@@ -112,6 +113,34 @@ object DAggregates {
         .select(expr("width_bucket(l_extendedprice, 0, 100000, 20)").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
+
+    "d_agg_countmin" -> ((s, d) => {
+      // count-min sketch, oracle-checked end to end: d=4 rows × w=64
+      // buckets over the document word stream (portable md5 bucket hashes,
+      // not engine hashes), then point queries for the 10 most frequent
+      // words answered from the SKETCH (min over the 4 row counters) next
+      // to their exact counts. The sketch build is one groupBy carrying at
+      // most d×w = 256 rows out of the shuffle regardless of corpus size —
+      // the bounded-memory profiling shape at 100 TB; CMS guarantees
+      // est ≥ true, asserted per-row in scalatest and visible in the
+      // output columns.
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val rs = array((0 until 4).map(lit): _*)
+      def bucket(rc: Column, wc: Column): Column =
+        conv(substring(md5(concat(lit("cm"), rc.cast("string"), wc)), 1, 4),
+          16, 10).cast("long") % 64
+      val sketch = words.withColumn("r", explode(rs))
+        .groupBy(col("r"), bucket(col("r"), col("w")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w")).limit(10)
+        .withColumn("r", explode(rs))
+        .withColumn("bucket", bucket(col("r"), col("w")))
+      probes.join(sketch, Seq("r", "bucket"))
+        .groupBy("w", "true_cnt").agg(min("c").as("est_cnt"))
+        .orderBy("w")
+    }),
 
     // sketch aggregate (pairs with d_agg_approx_hll): bounded-memory
     // quantiles; accuracy vs the exact percentile asserted in scalatest
@@ -267,6 +296,28 @@ object DAggregates {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     // width_bucket(x, 0, 100000, 20) ≡ floor(x/5000)+1 on this non-negative
     // domain (values past the top edge land in bucket 21 both ways)
+    "d_agg_countmin" -> {
+      // hex→int on the first 4 md5 chars (no conv() in DuckDB — per-digit
+      // strpos arithmetic, the i_simhash_port recipe)
+      def hex4(e: String): String =
+        (1 to 4).map { i =>
+          val shift = math.pow(16, 4 - i).toLong
+          s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * $shift"
+        }.mkString("(", " + ", ")")
+      def bucket(r: String, w: String): String =
+        hex4(s"md5('cm' || CAST($r AS VARCHAR) || $w)") + " % 64"
+      "WITH words AS (SELECT unnest(string_split(text, ' ')) w FROM documents), " +
+        "rs AS (SELECT unnest([0, 1, 2, 3]) r), " +
+        "sk AS (SELECT r, " + bucket("r", "w") + " bucket, count(*) c " +
+        "FROM words CROSS JOIN rs GROUP BY 1, 2), " +
+        "tr AS (SELECT w, count(*) true_cnt FROM words GROUP BY w " +
+        "ORDER BY true_cnt DESC, w LIMIT 10), " +
+        "pb AS (SELECT w, true_cnt, r, " + bucket("r", "w") + " bucket " +
+        "FROM tr CROSS JOIN rs) " +
+        "SELECT pb.w, pb.true_cnt, min(sk.c) est_cnt FROM pb " +
+        "JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket " +
+        "GROUP BY pb.w, pb.true_cnt ORDER BY pb.w"
+    },
     "d_agg_histogram" ->
       ("SELECT CAST(floor(l_extendedprice / 5000) + 1 AS BIGINT) AS bucket, " +
         "count(*) AS cnt FROM lineitem GROUP BY bucket ORDER BY bucket"),

@@ -138,6 +138,78 @@ object EWindows {
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
         .orderBy("user_id", "slot")
     }),
+
+    "e_sessionize" -> ((s, d) => {
+      // batch sessionization (gaps-and-islands): a new session starts when
+      // the per-user gap exceeds 30 min; session index = running sum of
+      // boundary flags. One shuffle on user_id feeds both window passes and
+      // the final session aggregate (same partitioning) — at 100 TB this is
+      // the classic one-exchange clickstream rollup. The fixture's mean
+      // per-user gap is ~29 min, so the 30-min threshold genuinely splits.
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+        .withColumn("brk", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+        .withColumn("sess", sum("brk").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("t_start"),
+          max("ts").as("t_end"), r4(sum("value")).as("sum_value"))
+        .orderBy("user_id", "sess")
+    }),
+
+    "e_rolling_zscore" -> ((s, d) => {
+      // rolling anomaly score: per-user trailing-20-row mean/stddev and the
+      // z-score of the current value against them — the streaming-adjacent
+      // outlier detector, computed in ONE WindowExec pass (all four
+      // aggregates share the frame). Stats are emitted only for FULL
+      // frames (count = 20): partial-frame means of 2-decimal data land at
+      // 5-decimal granularity, exactly on round(,4) half-boundaries, where
+      // the engines' rounding paths legitimately disagree (§7.3); full
+      // frames have 0.0005 granularity, exact at 4 decimals. The flag
+      // thresholds the ROUNDED score so the cut is engine-stable.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      val full = count(lit(1)).over(w) === 20
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          when(full, avg("value").over(w)).as("m"),
+          when(full, stddev_samp("value").over(w)).as("sd"))
+        .withColumn("z", when(col("sd") > 1e-9,
+          r4((col("value") - col("m")) / col("sd"))))
+        .select(col("user_id"), col("event_id"), col("value"),
+          r4(col("m")).as("roll_mean"), r4(col("sd")).as("roll_std"),
+          col("z"), (col("z") >= 2.5 || col("z") <= -2.5).as("is_outlier"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "e_ewma" -> ((s, d) => {
+      // exponentially weighted moving average, 16-lag truncated, weights
+      // normalized over the lags actually present (the pandas adjust=True
+      // form; the dropped tail weight at j=16, 0.7^16 ≈ 3e-3 of mass, is
+      // part of the operator contract so both engines compute the identical
+      // finite sum — the closed-form recurrence needs pow(1/(1-a), rn),
+      // which overflows/denormalizes for long partitions). All 16 lag()
+      // calls share one window spec => a single WindowExec pass, no join.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 16).map { j =>
+        val lj = if (j == 0) col("value") else lag(col("value"), j).over(w)
+        (coalesce(lj, lit(0.0)) * math.pow(0.7, j),
+          when(lj.isNotNull, math.pow(0.7, j)).otherwise(0.0))
+      }
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+            .as("ew"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          r4(col("ew")).as("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -204,5 +276,43 @@ object EWindows {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot " +
         "ORDER BY g.user_id, g.slot"),
+    "e_sessionize" ->
+      ("WITH x AS (SELECT user_id, event_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sx AS (SELECT user_id, ts, value, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) sess FROM x) " +
+        "SELECT user_id, sess, count(*) n_events, min(ts) t_start, max(ts) t_end, " +
+        "round(sum(value), 4) sum_value FROM sx GROUP BY user_id, sess " +
+        "ORDER BY user_id, sess"),
+    "e_rolling_zscore" ->
+      ("WITH x AS (SELECT user_id, event_id, value, " +
+        "CASE WHEN count(*) OVER w = 20 THEN avg(value) OVER w END m, " +
+        "CASE WHEN count(*) OVER w = 20 THEN stddev_samp(value) OVER w END sd " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "z AS (SELECT user_id, event_id, value, m, sd, " +
+        "CASE WHEN sd > 1e-9 THEN round((value - m) / sd, 4) END z FROM x) " +
+        "SELECT user_id, event_id, value, round(m, 4) roll_mean, " +
+        "round(sd, 4) roll_std, z, (z >= 2.5 OR z <= -2.5) is_outlier " +
+        "FROM z ORDER BY user_id, event_id"),
+    "e_ewma" -> {
+      val num = (0 until 16).map { j =>
+        val w = math.pow(0.7, j)
+        if (j == 0) s"coalesce(value, 0) * $w"
+        else s"coalesce(lag(value, $j) OVER w, 0) * $w"
+      }.mkString(" + ")
+      val den = (0 until 16).map { j =>
+        val w = math.pow(0.7, j)
+        if (j == 0) s"CASE WHEN value IS NOT NULL THEN $w ELSE 0 END"
+        else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT user_id, event_id, value, round(($num) / ($den), 4) ewma " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"
+    },
   )
 }

@@ -379,6 +379,32 @@ object NTrainOps {
         .agg(count(lit(1)).as("n_bigrams"), r4(avg("ln_p")).as("avg_ln_p"))
         .orderBy("doc_id")
     }),
+
+    "i_fuzzy_join" -> ((s, d) => {
+      // blocked fuzzy self-join (entity resolution on names): aggregate to
+      // DISTINCT names first (the cardinality collapse — parts >> names),
+      // block on the last token so candidates are generated only within a
+      // block, then verify with codegen'd levenshtein ≤ 2. The blocking
+      // key is the scale lever: candidate volume is Σ block², never
+      // corpus², and the name table is small enough to broadcast after
+      // the collapse. Output keeps each name's carrier count so the merge
+      // step downstream can pick canonical representatives by support.
+      val names = Tables.part(s, d).groupBy("p_name")
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("a_name"),
+        col("n_parts").as("a_n"), col("blk"))
+      val b = names.select(col("p_name").as("b_name"),
+        col("n_parts").as("b_n"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("a_name") < col("b_name") &&
+          levenshtein(col("a_name"), col("b_name")) <= 2)
+        .select(col("a_name"), col("b_name"),
+          levenshtein(col("a_name"), col("b_name")).cast("long")
+            .as("edit_dist"),
+          col("a_n"), col("b_n"))
+        .orderBy("a_name", "b_name")
+    }),
   )
 
   /** DuckDB mirror of `nearDupClusters`, ending in a `clusters` CTE
@@ -595,5 +621,14 @@ object NTrainOps {
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
         "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "i_fuzzy_join" ->
+      ("WITH n AS (SELECT p_name, count(*) n_parts FROM part GROUP BY p_name), " +
+        "nb AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] blk FROM n) " +
+        "SELECT a.p_name a_name, b.p_name b_name, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) edit_dist, " +
+        "a.n_parts a_n, b.n_parts b_n " +
+        "FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name " +
+        "AND levenshtein(a.p_name, b.p_name) <= 2 " +
+        "ORDER BY a_name, b_name"),
   )
 }

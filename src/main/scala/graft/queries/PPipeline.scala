@@ -63,6 +63,28 @@ object PPipeline {
           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
     }),
 
+    "p_sql_recursive" -> ((s, d) => {
+      // recursive CTE (Spark 4's WITH RECURSIVE): parts form an implicit
+      // binary heap (children of n are 2n+1, 2n+2); the recursion walks
+      // every (root, descendant) pair and rolls up subtree size and retail
+      // value per root. The recursive step is an EQUI-join — child joins
+      // parent on (c_key - 1) DIV 2 = node — so each of the ~log2(n)
+      // iterations is a hash join on the shrinking frontier, never an
+      // OR-condition nested loop; total intermediate volume is O(n log n).
+      Tables.part(s, d).createOrReplaceTempView("part_rec")
+      s.sql(
+        """WITH RECURSIVE sub AS (
+          |  SELECT p_partkey AS root, p_partkey AS node, p_retailprice AS v
+          |  FROM part_rec
+          |  UNION ALL
+          |  SELECT s.root, c.p_partkey, c.p_retailprice
+          |  FROM sub s JOIN part_rec c
+          |    ON c.p_partkey >= 1 AND (c.p_partkey - 1) DIV 2 = s.node
+          |)
+          |SELECT root, count(*) AS subtree_n, round(sum(v), 4) AS subtree_value
+          |FROM sub GROUP BY root ORDER BY root""".stripMargin)
+    }),
+
     "p_join_bucketed" -> ((s, d) => {
       // bucketed co-located join: both sides written bucketBy(8) on the
       // join key, so the SortMergeJoin reads aligned buckets with NO
@@ -298,6 +320,14 @@ object PPipeline {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 20"),
+    "p_sql_recursive" ->
+      ("WITH RECURSIVE sub AS (" +
+        "SELECT p_partkey AS root, p_partkey AS node, p_retailprice AS v FROM part " +
+        "UNION ALL " +
+        "SELECT s.root, c.p_partkey, c.p_retailprice FROM sub s JOIN part c " +
+        "ON c.p_partkey >= 1 AND (c.p_partkey - 1) // 2 = s.node) " +
+        "SELECT root, count(*) AS subtree_n, round(sum(v), 4) AS subtree_value " +
+        "FROM sub GROUP BY root ORDER BY root"),
     // the oracle is the plain-parquet join — bucketing must not change results
     "p_join_bucketed" ->
       ("SELECT l_orderkey, count(*) AS n_lines, " +

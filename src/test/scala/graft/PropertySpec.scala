@@ -119,4 +119,78 @@ class PropertySpec extends SparkTestBase {
     val again = SparkEntry.queries("i_minhash")(spark, sfDir)
     assert(sig.collect().map(_.toString).toSeq == again.collect().map(_.toString).toSeq)
   }
+
+  test("count-min sketch: estimate >= truth, within the d=4/w=64 error bound") {
+    val rows = SparkEntry.queries("d_agg_countmin")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val totalWords = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " "))).count()
+    for (r <- rows) {
+      val (truth, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= truth, s"CMS one-sided guarantee broken for ${r.get(0)}")
+      // standard CMS bound: overestimate <= 2N/w with prob 1 - (1/2)^d;
+      // allow the full-probability bound (never fires on md5-uniform hashes)
+      assert(est - truth <= 2 * totalWords / 64 + 1,
+        s"overestimate beyond bound for ${r.get(0)}: est=$est truth=$truth")
+    }
+  }
+
+  test("recursive subtree rollup: root 0 spans every part; leaves are size 1") {
+    val sub = SparkEntry.queries("p_sql_recursive")(spark, sfDir).collect()
+    val n = Tables.part(spark, sfDir).count()
+    assert(sub.length == n)
+    val byRoot = sub.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRoot(0L) == n, "the heap root's subtree must cover all parts")
+    // heap leaves: nodes whose first child index is outside the key range
+    val leaves = byRoot.filter { case (k, _) => 2 * k + 1 >= n }
+    assert(leaves.nonEmpty && leaves.values.forall(_ == 1L))
+    // subtree identity: size(k) = 1 + size(2k+1) + size(2k+2)
+    for ((k, sz) <- byRoot if 2 * k + 1 < n) {
+      val kids = byRoot.getOrElse(2 * k + 1, 0L) + byRoot.getOrElse(2 * k + 2, 0L)
+      assert(sz == 1 + kids, s"subtree identity broken at node $k")
+    }
+  }
+
+  test("sessionize partitions the event stream; intra-session gaps <= 30 min") {
+    val sess = SparkEntry.queries("e_sessionize")(spark, sfDir)
+    val total = Tables.events(spark, sfDir).count()
+    assert(sess.agg(sum("n_events")).collect().head.getLong(0) == total)
+    // spot-check gap semantics on one user's raw stream vs session bounds
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") === 0)
+      .orderBy("ts", "event_id").select("ts").collect().map(_.getTimestamp(0))
+    val bounds = sess.filter(col("user_id") === 0).orderBy("sess")
+      .select("t_start", "t_end").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    // session bounds tile the user's stream in order, without overlap
+    assert(bounds.head._1 == ev.head && bounds.last._2 == ev.last)
+    for (Array((_, e1), (s2, _)) <- bounds.sliding(2).map(_.toArray))
+      assert(e1.before(s2) && s2.getTime - e1.getTime > 1800 * 1000L,
+        "consecutive sessions must be separated by more than the gap")
+  }
+
+  test("ewma lies within the trailing window's min/max envelope") {
+    val out = SparkEntry.queries("e_ewma")(spark, sfDir)
+      .filter(col("user_id") === 1).orderBy("event_id")
+      .select("value", "ewma").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val vals = out.map(_._1)
+    for (i <- out.indices) {
+      val win = vals.slice(math.max(0, i - 15), i + 1)
+      assert(out(i)._2 >= win.min - 1e-9 && out(i)._2 <= win.max + 1e-9,
+        s"ewma outside envelope at row $i")
+    }
+    // first row has no history: ewma == value
+    assert(math.abs(out.head._2 - out.head._1) <= 1e-4 + 1e-9)
+  }
+
+  test("fuzzy join: pairs share the blocking token, 1 <= lev <= 2, canonical order") {
+    val pairs = SparkEntry.queries("i_fuzzy_join")(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    for (r <- pairs) {
+      val (a, b, dEd) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, "pairs must be emitted once, in canonical order")
+      assert(a.split(" ").last == b.split(" ").last, "blocking token differs")
+      assert(dEd >= 1 && dEd <= 2)
+    }
+  }
 }

@@ -126,17 +126,21 @@ object DAggregates {
       // output columns.
       val words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-      val rs = array((0 until 4).map(lit): _*)
-      def bucket(rc: Column, wc: Column): Column =
-        conv(substring(md5(concat(lit("cm"), rc.cast("string"), wc)), 1, 4),
-          16, 10).cast("long") % 64
-      val sketch = words.withColumn("r", explode(rs))
-        .groupBy(col("r"), bucket(col("r"), col("w")).as("bucket"))
-        .agg(count(lit(1)).as("c"))
+      // ONE md5 per instance, sliced into the 4 row-hashes (the sigSql
+      // hash-family trick) — 4 independent md5 calls measured ~4x the
+      // per-instance hash cost for identical guarantees
+      def buckets(wc: Column): Column = {
+        val h = md5(concat(lit("cm"), wc))
+        array((0 until 4).map(r =>
+          conv(substring(h, 1 + 4 * r, 4), 16, 10).cast("long") % 64): _*)
+      }
+      val sketch = words
+        .select(posexplode(buckets(col("w"))).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
       val probes = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w")).limit(10)
-        .withColumn("r", explode(rs))
-        .withColumn("bucket", bucket(col("r"), col("w")))
+        .select(col("w"), col("true_cnt"),
+          posexplode(buckets(col("w"))).as(Seq("r", "bucket")))
       probes.join(sketch, Seq("r", "bucket"))
         .groupBy("w", "true_cnt").agg(min("c").as("est_cnt"))
         .orderBy("w")
@@ -297,15 +301,15 @@ object DAggregates {
     // width_bucket(x, 0, 100000, 20) ≡ floor(x/5000)+1 on this non-negative
     // domain (values past the top edge land in bucket 21 both ways)
     "d_agg_countmin" -> {
-      // hex→int on the first 4 md5 chars (no conv() in DuckDB — per-digit
-      // strpos arithmetic, the i_simhash_port recipe)
-      def hex4(e: String): String =
+      // row-hash r = hex→int of md5 chars 4r+1..4r+4 (no conv() in DuckDB
+      // — per-digit strpos arithmetic, the i_simhash_port recipe; one md5
+      // sliced into 4 row-hashes, mirroring the Spark side)
+      def bucket(r: String, w: String): String =
         (1 to 4).map { i =>
           val shift = math.pow(16, 4 - i).toLong
-          s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * $shift"
-        }.mkString("(", " + ", ")")
-      def bucket(r: String, w: String): String =
-        hex4(s"md5('cm' || CAST($r AS VARCHAR) || $w)") + " % 64"
+          s"(strpos('0123456789abcdef', " +
+            s"substring(md5('cm' || $w), 4 * $r + $i, 1)) - 1) * $shift"
+        }.mkString("(", " + ", ")") + " % 64"
       "WITH words AS (SELECT unnest(string_split(text, ' ')) w FROM documents), " +
         "rs AS (SELECT unnest([0, 1, 2, 3]) r), " +
         "sk AS (SELECT r, " + bucket("r", "w") + " bucket, count(*) c " +

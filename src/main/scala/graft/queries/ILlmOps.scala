@@ -102,7 +102,12 @@ object ILlmOps {
     * with this join as a pre-filter and keeps every bucket bounded.
     */
   private[graft] def candidateJoin(docs: DataFrame): DataFrame = {
-    val bands = bandKeys(minhashSig(docs))
+    // materialize the band table once: both self-join sides read it, and
+    // without the cut each side re-tokenizes and re-md5s the corpus (the
+    // signature aggregate is the expensive stage by far). Same move as
+    // cappedCandidates — the "persisted band index" of the incremental
+    // pipeline; a 100 TB run checkpoints it to reliable storage.
+    val bands = bandKeys(minhashSig(docs)).localCheckpoint()
     bands.as("a").join(bands.as("b"),
       col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id") &&

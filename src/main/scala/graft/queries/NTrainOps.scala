@@ -380,6 +380,52 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_triangles" -> ((s, d) => {
+      // degree-ordered triangle counting over the co-purchase graph
+      // (parts sharing an order). Every edge is oriented from its
+      // (degree, id)-smaller endpoint to the larger, so each triangle is
+      // enumerated exactly once from its lowest-degree corner — the
+      // O(m^1.5) bound that makes triangle counting tractable at scale
+      // (naive wedge closure is quadratic in the max degree; orientation
+      // caps effective out-degree at ~sqrt(m)). Wedges and the closing
+      // edge are equi-joins on node keys — shuffle-partitionable, no
+      // all-pairs stage. Output is the one-row structural profile;
+      // clustering coefficient in basis points via exact integer
+      // arithmetic (half-up), so parity is bit-exact, not FP-lucky.
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 800)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val deg = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val ew = e
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = ew.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      val wedgeOrd = col("x.dd") < col("y.dd") ||
+        (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
+      val tri = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") && wedgeOrd)
+        .join(o.as("z"),
+          col("z.src") === col("x.dst") && col("z.dst") === col("y.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val prof = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("dg") * (col("dg") - 1)) / 2).cast("long").as("n_wedges"))
+      prof.crossJoin(e.agg(count(lit(1)).as("n_edges"))).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0, expr(
+            "(n_triangles * 60000 + n_wedges) DIV (2 * n_wedges)"))
+            .as("global_cc_bp"))
+    }),
+
     "i_fuzzy_join" -> ((s, d) => {
       // blocked fuzzy self-join (entity resolution on names): aggregate to
       // DISTINCT names first (the cardinality collapse — parts >> names),
@@ -621,6 +667,29 @@ object NTrainOps {
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
         "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "i_triangles" ->
+      ("WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem " +
+        "WHERE l_partkey < 800), " +
+        "e AS (SELECT DISTINCT a.pk u, b.pk v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "nd AS (SELECT u n FROM e UNION ALL SELECT v FROM e), " +
+        "deg AS (SELECT n, count(*) dg FROM nd GROUP BY n), " +
+        "ew AS (SELECT e.u, e.v, du.dg du, dv.dg dv FROM e " +
+        "JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v), " +
+        "o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END src, " +
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END dst, " +
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END dd FROM ew), " +
+        "tri AS (SELECT CAST(count(*) AS BIGINT) n_triangles FROM o x " +
+        "JOIN o y ON x.src = y.src " +
+        "AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)) " +
+        "JOIN o z ON z.src = x.dst AND z.dst = y.dst), " +
+        "prof AS (SELECT CAST(count(*) AS BIGINT) n_nodes, " +
+        "CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) n_wedges FROM deg), " +
+        "ec AS (SELECT CAST(count(*) AS BIGINT) n_edges FROM e) " +
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+        "CASE WHEN n_wedges > 0 THEN " +
+        "CAST((n_triangles * 60000 + n_wedges) // (2 * n_wedges) AS BIGINT) END " +
+        "global_cc_bp FROM prof, ec, tri"),
     "i_fuzzy_join" ->
       ("WITH n AS (SELECT p_name, count(*) n_parts FROM part GROUP BY p_name), " +
         "nb AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] blk FROM n) " +

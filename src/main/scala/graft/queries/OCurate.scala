@@ -193,6 +193,58 @@ object OCurate {
       .orderBy("vec_id")
   }
 
+  /** Product quantization ANN (the IVF-PQ scale path's compression half):
+    * vectors are split into M=4 subspaces of 16 dims; per subspace an
+    * 8-centroid codebook is trained with one integer-scaled Lloyd round
+    * (init = the first 8 vectors' subvectors, same discipline as
+    * [[kmeans]] — integer sums are associative, so training is
+    * bit-identical across engines and partitionings); every vector is
+    * quantized to its 4 nearest codes; queries rank the WHOLE corpus by
+    * asymmetric distance (ADC): d²(q, v) ≈ Σ_sub d²(q_sub, code_v_sub),
+    * looked up from a (query × 32)-entry distance table instead of
+    * touching raw vectors. At scale the codebook (512 rows) and the
+    * distance table broadcast; the per-vector state is M bytes of codes —
+    * the memory collapse that makes billion-vector ANN feasible. Returns
+    * top-5 neighbors per query (vec_id < 5) by (adc_d2, b_id). */
+  def annPq(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
+      .select(col("vec_id"), expr("dim DIV 16").as("sub"),
+        (col("dim") % 16).as("sdim"),
+        floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
+      .localCheckpoint()
+    def dist(cent: DataFrame): DataFrame = dims.join(cent, Seq("sub", "sdim"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    def argmin(d2: DataFrame): DataFrame = d2.withColumn("rn",
+        row_number().over(Window.partitionBy("vec_id", "sub")
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1).select("vec_id", "sub", "cid")
+    val c0 = dims.filter(col("vec_id") < 8)
+      .select(col("sub"), col("vec_id").as("cid"), col("sdim"),
+        col("x").as("cx"))
+    val a1 = argmin(dist(c0))
+    val c1 = dims.join(a1, Seq("vec_id", "sub"))
+      .groupBy("sub", "cid", "sdim").agg(expr("sum(x) DIV count(1)").as("cx"))
+      .localCheckpoint()
+    val code = argmin(dist(c1)).localCheckpoint()
+    // ADC: query-to-centroid distance table, then one equi-join onto the
+    // corpus codes — never a query-to-raw-vector scan
+    val adc = dims.filter(col("vec_id") < 5).join(c1, Seq("sub", "sdim"))
+      .groupBy(col("vec_id").as("q_id"), col("sub"), col("cid"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("qd2"))
+    adc.join(code.select(col("vec_id").as("b_id"), col("sub"), col("cid")),
+        Seq("sub", "cid"))
+      .groupBy("q_id", "b_id").agg(sum("qd2").as("adc_d2"))
+      .filter(col("q_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("b_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("b_id"), col("rn").cast("long").as("rn"),
+        col("adc_d2"))
+      .orderBy("q_id", "rn")
+  }
+
   /** First-fit-decreasing bin packing per source stream: docs stay WHOLE
     * (no splitting across windows — the complement of `seqPack`) and are
     * placed largest-first into the first bin with room, minimizing
@@ -237,6 +289,7 @@ object OCurate {
     // bounded to vec_id < 300 like the other demonstration keys
     "i_kmeans" -> ((s, d) =>
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
+    "i_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
   )
 
   /** DuckDB hex→int for the first 4 md5 hex chars (no conv() in DuckDB —
@@ -336,6 +389,38 @@ object OCurate {
         dist("c1", "d2") + ", " + argmin("d2", "a2") +
         " SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS n_members " +
         "FROM a2 ORDER BY vec_id"
+    },
+    "i_ann_pq" -> {
+      def dist(cent: String, out: String, filter: String = "") =
+        s"$out AS (SELECT v.vec_id, v.sub, c.cid, " +
+          "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
+          s"FROM dims v JOIN $cent c ON v.sub = c.sub AND v.sdim = c.sdim " +
+          s"$filter GROUP BY v.vec_id, v.sub, c.cid)"
+      def argmin(d2: String, out: String) =
+        s"$out AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn " +
+          s"FROM $d2) WHERE rn = 1)"
+      "WITH dims AS (SELECT vec_id, dim // 16 sub, dim % 16 sdim, x FROM (" +
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, " +
+        "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
+        "FROM embeddings)), " +
+        "c0 AS (SELECT sub, vec_id AS cid, sdim, x AS cx FROM dims WHERE vec_id < 8), " +
+        dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
+        "c1 AS (SELECT v.sub, a.cid, v.sdim, " +
+        "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
+        "FROM dims v JOIN a1 a ON v.vec_id = a.vec_id AND v.sub = a.sub " +
+        "GROUP BY v.sub, a.cid, v.sdim), " +
+        dist("c1", "d2c") + ", " + argmin("d2c", "code") + ", " +
+        "adc AS (SELECT v.vec_id q_id, v.sub, c.cid, " +
+        "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) qd2 " +
+        "FROM dims v JOIN c1 c ON v.sub = c.sub AND v.sdim = c.sdim " +
+        "WHERE v.vec_id < 5 GROUP BY 1, 2, 3), " +
+        "pairs AS (SELECT a.q_id, k.vec_id b_id, CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+        "FROM adc a JOIN code k ON a.sub = k.sub AND a.cid = k.cid " +
+        "GROUP BY 1, 2) " +
+        "SELECT q_id, b_id, rn, adc_d2 FROM (SELECT q_id, b_id, adc_d2, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, b_id) AS BIGINT) rn " +
+        "FROM pairs WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"
     },
   )
 }

@@ -183,6 +183,39 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(out.head._2 - out.head._1) <= 1e-4 + 1e-9)
   }
 
+  test("triangle count matches a naive local enumeration") {
+    val prof = SparkEntry.queries("i_triangles")(spark, sfDir).collect().head
+    // rebuild the co-purchase edge set locally and count triangles naively
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_partkey") < 800)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val naive = edges.toSeq.map { case (u, v) =>
+      adj.getOrElse(u, Set.empty).count(w => w > v && edges.contains((v, w)))
+    }.sum
+    assert(prof.getLong(1) == edges.size, "edge count mismatch")
+    assert(prof.getLong(3) == naive.toLong, "triangle count mismatch")
+  }
+
+  test("pq ann: 5 ranked neighbors per query, distances non-decreasing") {
+    val out = SparkEntry.queries("i_ann_pq")(spark, sfDir).collect()
+    assert(out.length == 25)
+    for ((q, rows0) <- out.groupBy(_.getLong(0))) {
+      val rows = rows0.sortBy(_.getLong(2))
+      assert(rows.map(_.getLong(2)).toSeq == (1L to 5L), s"ranks broken for q=$q")
+      val d = rows.map(_.getLong(3))
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y },
+        s"ADC distances not sorted for q=$q")
+      assert(rows.forall(_.getLong(1) != q), "self must be excluded")
+      assert(d.forall(_ >= 0), "squared ADC distance must be non-negative")
+    }
+  }
+
   test("fuzzy join: pairs share the blocking token, 1 <= lev <= 2, canonical order") {
     val pairs = SparkEntry.queries("i_fuzzy_join")(spark, sfDir).collect()
     assert(pairs.nonEmpty)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det.r4
@@ -61,6 +62,29 @@ object PPipeline {
           |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    }),
+
+    "p_scd2" -> ((s, d) => {
+      // slowly-changing-dimension type-2 build: each customer's order
+      // stream becomes versioned validity intervals [valid_from, valid_to)
+      // with the newest row open-ended (is_current) — the standard
+      // dimension-history table. ONE window pass (lead + row_number share
+      // the frame) = one shuffle on the key; no self-join, no collect; at
+      // 100 TB this is linear and partition-parallel per key. Pairs with
+      // p_upsert (SCD1 overwrite) as the two canonical merge disciplines.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("valid_from", col("o_orderdate"))
+        .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("version"),
+          r4(col("o_totalprice")).as("price"))
+        .orderBy("o_custkey", "version")
     }),
 
     "p_sql_recursive" -> ((s, d) => {
@@ -320,6 +344,14 @@ object PPipeline {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 20"),
+    "p_scd2" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, " +
+        "lead(o_orderdate, 1) OVER w AS valid_to, " +
+        "lead(o_orderdate, 1) OVER w IS NULL AS is_current, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version, " +
+        "round(o_totalprice, 4) AS price FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, version"),
     "p_sql_recursive" ->
       ("WITH RECURSIVE sub AS (" +
         "SELECT p_partkey AS root, p_partkey AS node, p_retailprice AS v FROM part " +

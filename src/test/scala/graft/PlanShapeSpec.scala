@@ -122,6 +122,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"the window must be enforced inside the merge, not post-join:\n$p")
   }
 
+  test("multi-aggregate window ops run as a single Window pass") {
+    // the 16 ewma lags, the 3 z-score aggregates, and scd2's lead +
+    // row_number each share one window spec — Catalyst must collapse
+    // them into ONE WindowExec (one shuffle + one sort), not a stack
+    // count nodes in the optimized logical plan — the giant 16-lag
+    // projection truncates the physical plan STRING, so grepping it
+    // undercounts
+    for (key <- Seq("e_ewma", "e_rolling_zscore", "p_scd2")) {
+      val n = SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.size
+      assert(n == 1, s"$key: expected exactly 1 Window node, got $n")
+    }
+  }
+
+  test("fuzzy join broadcasts the collapsed name table") {
+    val p = plan("i_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-name self-join must broadcast:\n$p")
+  }
+
   test("DSv2 source prunes columns and plans parallel partitions") {
     val p = plan("a_scan_custom_source")
     // the query selects (id, tag) — `val` must not survive into the scan

@@ -139,6 +139,47 @@ object EWindows {
         .orderBy("user_id", "slot")
     }),
 
+    "e_interp_linear" -> ((s, d) => {
+      // gap-fill by LINEAR interpolation (the complement of e_resample_locf):
+      // per-user hourly grid, observed hours carry the hour's value sum,
+      // missing hours get the line between the nearest observed neighbors.
+      // All arithmetic is integer (value sums in cents, output in 1/100
+      // cent, half-up via the exact (2a+b) DIV 2b form) — interpolated
+      // fractions like pv + (nv-pv)/2 land exactly on round(,4)
+      // half-boundaries where engine FP paths disagree, so the integer
+      // form is the only bit-stable contract (same discipline as
+      // i_pagerank/i_kmeans). The grid spans first..last observation, so
+      // every missing slot has both neighbors. One shuffle on user_id;
+      // both neighbor scans are frames of the same window sort.
+      val ev = Tables.events(s, d).filter(col("user_id") < 500)
+        .select(col("user_id"), col("ts"), col("value"))
+      val bounds = ev.groupBy("user_id")
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(expr("sequence(date_trunc('hour', t0), t1, interval 1 hour)"))
+          .as("slot"))
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+        .agg(floor(sum("value") * 100 + 0.5).cast("long").as("hv"))
+      val wp = Window.partitionBy("user_id").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wn = Window.partitionBy("user_id").orderBy("slot")
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "slot"), "left")
+        .withColumn("h", expr("unix_timestamp(slot) DIV 3600"))
+        .withColumn("pv", last("hv", ignoreNulls = true).over(wp))
+        .withColumn("ph",
+          last(when(col("hv").isNotNull, col("h")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first("hv", ignoreNulls = true).over(wn))
+        .withColumn("nh",
+          first(when(col("hv").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .select(col("user_id"), col("slot"), col("hv").isNotNull.as("observed"),
+          when(col("hv").isNotNull, col("hv") * 100).otherwise(expr(
+            "(2 * 100 * (pv * (nh - h) + nv * (h - ph)) + (nh - ph)) " +
+              "DIV (2 * (nh - ph))")).as("v_c100"))
+        .orderBy("user_id", "slot")
+    }),
+
     "e_sessionize" -> ((s, d) => {
       // batch sessionization (gaps-and-islands): a new session starts when
       // the per-user gap exceeds 30 min; session index = running sum of
@@ -276,6 +317,33 @@ object EWindows {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot " +
         "ORDER BY g.user_id, g.slot"),
+    "e_interp_linear" ->
+      ("WITH ev AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events " +
+        "WHERE user_id < 500), " +
+        "b AS (SELECT user_id, date_trunc('hour', min(ts)) t0, max(ts) t1 " +
+        "FROM ev GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) slot " +
+        "FROM b), " +
+        "h AS (SELECT user_id, date_trunc('hour', ts) slot, " +
+        "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) hv " +
+        "FROM ev GROUP BY user_id, slot), " +
+        "g AS (SELECT g.user_id, g.slot, h.hv, " +
+        "epoch(g.slot)::BIGINT // 3600 h " +
+        "FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot), " +
+        "n AS (SELECT user_id, slot, hv, h, " +
+        "last_value(hv IGNORE NULLS) OVER wp pv, " +
+        "last_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER wp ph, " +
+        "first_value(hv IGNORE NULLS) OVER wn nv, " +
+        "first_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER wn nh " +
+        "FROM g WINDOW wp AS (PARTITION BY user_id ORDER BY slot " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (PARTITION BY user_id ORDER BY slot " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, slot, hv IS NOT NULL observed, " +
+        "CASE WHEN hv IS NOT NULL THEN hv * 100 ELSE " +
+        "CAST((2 * 100 * (pv * (nh - h) + nv * (h - ph)) + (nh - ph)) " +
+        "// (2 * (nh - ph)) AS BIGINT) END v_c100 " +
+        "FROM n ORDER BY user_id, slot"),
     "e_sessionize" ->
       ("WITH x AS (SELECT user_id, event_id, ts, value, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +

@@ -216,6 +216,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("linear interpolation stays inside the neighbor envelope, observed rows exact") {
+    val rows = SparkEntry.queries("e_interp_linear")(spark, sfDir)
+      .filter(col("user_id") === 2).orderBy("slot").collect()
+      .map(r => (r.getBoolean(2), r.getLong(3)))
+    assert(rows.head._1 && rows.last._1, "grid endpoints must be observed")
+    // every missing run's values lie between (inclusive) its two anchors
+    var i = 0
+    while (i < rows.length) {
+      if (!rows(i)._1) {
+        val lo = rows(i - 1)._2
+        var j = i
+        while (!rows(j)._1) j += 1
+        val hi = rows(j)._2
+        for (k <- i until j) {
+          val v = rows(k)._2
+          assert(v >= math.min(lo, hi) - 1 && v <= math.max(lo, hi) + 1,
+            s"interpolated value $v outside [$lo, $hi] at slot $k")
+        }
+        i = j
+      } else i += 1
+    }
+  }
+
   test("fuzzy join: pairs share the blocking token, 1 <= lev <= 2, canonical order") {
     val pairs = SparkEntry.queries("i_fuzzy_join")(spark, sfDir).collect()
     assert(pairs.nonEmpty)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -62,6 +63,37 @@ object PPipeline {
           |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    }),
+
+    "p_gdpr_delete" -> ((s, d) => {
+      // right-to-be-forgotten propagation: a deletion list of subject keys
+      // cascades through the subject dimension and every fact table that
+      // references it (orders directly, lineitem through the deleted
+      // orders). Each erasure is a broadcast anti-join — the delete list
+      // is tiny relative to the corpus, so every table takes one linear
+      // pass with NO shuffle of the facts; at 100 TB only the delete list
+      // and the derived deleted-order keys move. Output is the per-table
+      // audit a compliance job must produce (before/deleted/after).
+      val del = Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      def audit(name: String, df: DataFrame, anti: DataFrame => DataFrame) = {
+        val before = df.agg(count(lit(1)).as("rows_before"))
+        val after = anti(df).agg(count(lit(1)).as("rows_after"))
+        before.crossJoin(after).select(lit(name).as("table_name"),
+          col("rows_before"), col("rows_after"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"))
+      }
+      val ord = Tables.orders(s, d)
+      val delOrders = ord.join(broadcast(del), col("o_custkey") === col("k"))
+        .select(col("o_orderkey").as("dok"))
+      audit("customer", Tables.customer(s, d),
+          _.join(broadcast(del), col("c_custkey") === col("k"), "left_anti"))
+        .union(audit("orders", ord,
+          _.join(broadcast(del), col("o_custkey") === col("k"), "left_anti")))
+        .union(audit("lineitem", Tables.lineitem(s, d),
+          _.join(broadcast(delOrders), col("l_orderkey") === col("dok"),
+            "left_anti")))
+        .orderBy("table_name")
     }),
 
     "p_scd2" -> ((s, d) => {
@@ -344,6 +376,25 @@ object PPipeline {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 20"),
+    "p_gdpr_delete" ->
+      ("WITH del AS (SELECT c_custkey k FROM customer WHERE c_custkey % 97 = 0), " +
+        "dok AS (SELECT o_orderkey FROM orders JOIN del ON o_custkey = k) " +
+        "SELECT * FROM (" +
+        "SELECT 'customer' table_name, (SELECT count(*) FROM customer) rows_before, " +
+        "(SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM del)) rows_after, " +
+        "(SELECT count(*) FROM customer) - " +
+        "(SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM del)) rows_deleted " +
+        "UNION ALL " +
+        "SELECT 'lineitem', (SELECT count(*) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dok)), " +
+        "(SELECT count(*) FROM lineitem) - " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dok)) " +
+        "UNION ALL " +
+        "SELECT 'orders', (SELECT count(*) FROM orders), " +
+        "(SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM del)), " +
+        "(SELECT count(*) FROM orders) - " +
+        "(SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM del))" +
+        ") ORDER BY table_name"),
     "p_scd2" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, " +
         "lead(o_orderdate, 1) OVER w AS valid_to, " +

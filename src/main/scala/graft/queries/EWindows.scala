@@ -167,12 +167,16 @@ object EWindows {
         .rowsBetween(0, Window.unboundedFollowing)
       grid.join(hourly, Seq("user_id", "slot"), "left")
         .withColumn("h", expr("unix_timestamp(slot) DIV 3600"))
-        .withColumn("pv", last("hv", ignoreNulls = true).over(wp))
-        .withColumn("ph",
-          last(when(col("hv").isNotNull, col("h")), ignoreNulls = true).over(wp))
-        .withColumn("nv", first("hv", ignoreNulls = true).over(wn))
-        .withColumn("nh",
-          first(when(col("hv").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        // one select so the two same-frame window expressions share one
+        // Window node each way (chained withColumns split them into a
+        // Window stack: 3 nodes instead of the minimal 2)
+        .select(col("user_id"), col("slot"), col("hv"), col("h"),
+          last("hv", ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("hv").isNotNull, col("h")), ignoreNulls = true)
+            .over(wp).as("ph"),
+          first("hv", ignoreNulls = true).over(wn).as("nv"),
+          first(when(col("hv").isNotNull, col("h")), ignoreNulls = true)
+            .over(wn).as("nh"))
         .select(col("user_id"), col("slot"), col("hv").isNotNull.as("observed"),
           when(col("hv").isNotNull, col("hv") * 100).otherwise(expr(
             "(2 * 100 * (pv * (nh - h) + nv * (h - ph)) + (nh - ph)) " +

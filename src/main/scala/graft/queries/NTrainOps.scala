@@ -394,9 +394,13 @@ object NTrainOps {
       // arithmetic (half-up), so parity is bit-exact, not FP-lucky.
       val li = Tables.lineitem(s, d).filter(col("l_partkey") < 800)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // materialize the edge set once: it feeds FOUR consumers (degree
+      // table, edge count, and both wedge-join sides via o) — without the
+      // cut each consumer replays the co-occurrence join over lineitem
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .localCheckpoint()
       val deg = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -405,10 +409,12 @@ object NTrainOps {
         .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
       val uFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
+      // the oriented edge list feeds all three triangle-join roles
       val o = ew.select(
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+        .localCheckpoint()
       val wedgeOrd = col("x.dd") < col("y.dd") ||
         (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
       val tri = o.as("x").join(o.as("y"),

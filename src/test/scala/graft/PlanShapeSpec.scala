@@ -136,6 +136,14 @@ class PlanShapeSpec extends SparkTestBase {
         }.size
       assert(n == 1, s"$key: expected exactly 1 Window node, got $n")
     }
+    // interp's preceding- and following-frame scans share one
+    // partition/order, so Spark evaluates all four in ONE Window node
+    // (frames are per-function) — a withColumn stack gives 3
+    val n = SparkEntry.queries("e_interp_linear")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    assert(n == 1, s"e_interp_linear: expected exactly 1 Window node, got $n")
   }
 
   test("fuzzy join broadcasts the collapsed name table") {

@@ -314,6 +314,24 @@ object ARelational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    "c_join_null_safe" -> ((s, d) => {
+      // null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+      // EACH OTHER, where a plain `=` silently drops every NULL-keyed row
+      // — the semantic a dedup or reconciliation job needs when the join
+      // key is itself nullable. Keys are pre-aggregated per side, so the
+      // join is 11 x 11; the NULL row surviving the INNER join is the
+      // proof of the semantics.
+      val a = Tables.orders(s, d)
+        .groupBy(expr("nullif(o_custkey % 10, 3)").as("ka"))
+        .agg(count(lit(1)).as("cnt_a"))
+      val b = Tables.customer(s, d)
+        .groupBy(expr("nullif(c_custkey % 10, 3)").as("kb"))
+        .agg(count(lit(1)).as("cnt_b"))
+      a.join(b, col("ka") <=> col("kb"))
+        .select(col("ka"), col("cnt_a"), col("cnt_b"))
+        .orderBy(col("ka").asc_nulls_first)
+    }),
+
     "c_join_cross" -> ((s, d) =>
       Tables.nation(s, d).crossJoin(Tables.region(s, d))
         .select("n_nationkey", "r_regionkey", "n_name", "r_name")
@@ -509,6 +527,13 @@ object ARelational {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
         "ORDER BY c_custkey"),
+    "c_join_null_safe" ->
+      ("WITH a AS (SELECT nullif(o_custkey % 10, 3) ka, count(*) cnt_a " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT nullif(c_custkey % 10, 3) kb, count(*) cnt_b " +
+        "FROM customer GROUP BY 1) " +
+        "SELECT ka, cnt_a, cnt_b FROM a JOIN b ON ka IS NOT DISTINCT FROM kb " +
+        "ORDER BY ka ASC NULLS FIRST"),
     "c_join_cross" ->
       ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
         "ORDER BY n_nationkey, r_regionkey"),

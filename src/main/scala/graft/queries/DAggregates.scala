@@ -40,6 +40,24 @@ object DAggregates {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    "d_agg_hll_union" -> ((s, d) =>
+      // RE-AGGREGATABLE distinct sketches (Apache DataSketches HLL): build
+      // one sketch per order-month, then MERGE the binary sketches into
+      // the yearly estimate without re-touching raw rows — the pattern
+      // that makes daily-rollup tables answer ad-hoc distinct questions
+      // at 100 TB (a plain count_distinct is not re-aggregatable; the
+      // union costs bytes-per-sketch, not a rescan). Estimates are
+      // engine-specific -> scalatest-checked against exact distincts
+      // (<= 5% err), no DuckDB oracle.
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          count(lit(1)).as("n_orders"))
+        .groupBy(lit("all").as("scope"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_distinct_cust"),
+          sum("n_orders").as("n_orders"), count(lit(1)).as("n_months"))),
+
     "d_agg_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
       s.sql(

@@ -139,6 +139,24 @@ object EWindows {
         .orderBy("user_id", "slot")
     }),
 
+    "e_win_time_range" -> ((s, d) => {
+      // TIME-based RANGE frame: trailing-1-hour activity per event without
+      // resampling to a grid — the frame is defined by the ORDER BY value
+      // (ts minus 1 hour), not a row count, so bursts and gaps are handled
+      // exactly. Range frames include peers, so ties don't break
+      // determinism. SQL form: the DataFrame rangeBetween API takes only
+      // numeric offsets; INTERVAL frames are the SQL surface.
+      Tables.events(s, d).createOrReplaceTempView("events_tr")
+      s.sql(
+        """SELECT user_id, event_id, ts,
+          |  count(*) OVER w AS n_1h,
+          |  round(sum(value) OVER w, 4) AS sum_1h
+          |FROM events_tr
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin)
+    }),
+
     "e_interp_linear" -> ((s, d) => {
       // gap-fill by LINEAR interpolation (the complement of e_resample_locf):
       // per-user hourly grid, observed hours carry the hour's value sum,
@@ -321,6 +339,12 @@ object EWindows {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.slot = h.slot " +
         "ORDER BY g.user_id, g.slot"),
+    "e_win_time_range" ->
+      ("SELECT user_id, event_id, ts::TIMESTAMP ts, count(*) OVER w AS n_1h, " +
+        "round(sum(value) OVER w, 4) AS sum_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "e_interp_linear" ->
       ("WITH ev AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events " +
         "WHERE user_id < 500), " +

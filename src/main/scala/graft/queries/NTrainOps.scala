@@ -448,12 +448,15 @@ object NTrainOps {
         col("n_parts").as("a_n"), col("blk"))
       val b = names.select(col("p_name").as("b_name"),
         col("n_parts").as("b_n"), col("blk"))
+      // bounded levenshtein(a, b, 2): early-exits once the distance
+      // exceeds the threshold (returns -1), O(k·min(m,n)) instead of
+      // O(m·n) per candidate — the form that matters when blocks are big
       a.join(b, "blk")
+        .withColumn("edit_dist",
+          levenshtein(col("a_name"), col("b_name"), 2).cast("long"))
         .filter(col("a_name") < col("b_name") &&
-          levenshtein(col("a_name"), col("b_name")) <= 2)
-        .select(col("a_name"), col("b_name"),
-          levenshtein(col("a_name"), col("b_name")).cast("long")
-            .as("edit_dist"),
+          col("edit_dist").between(1, 2))
+        .select(col("a_name"), col("b_name"), col("edit_dist"),
           col("a_n"), col("b_n"))
         .orderBy("a_name", "b_name")
     }),

@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[graft.functions.NGramGenerator].getName, "graft_ngrams"),
       graft.functions.NGramGen.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => graft.functions.MinHashSig(children.head)))
   }
 }

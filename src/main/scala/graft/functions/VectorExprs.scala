@@ -106,6 +106,9 @@ object VectorExprs {
       "graft_sqdiff", exprs => SquaredDiffSum(exprs(0), exprs(1)), "built-in")
     // graft_topk(score, id, k, asc): bounded top-k-per-group aggregate
     reg.createOrReplaceTempFunction("graft_topk", topKBuilder, "built-in")
+    // graft_minhash(text): row-wise k=8 MinHash signature (map-only)
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs.head), "built-in")
   }
 
   /** Builder with validated literal k/asc args (analyzer wraps the bare

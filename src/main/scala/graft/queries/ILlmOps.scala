@@ -54,6 +54,23 @@ object ILlmOps {
     * 2 rows below.
     */
   private[graft] def minhashSig(docs: DataFrame): DataFrame = {
+    // native row-wise signature (functions/MinHashSig.scala): a pure
+    // projection fused with the scan — the declarative explode + groupBy
+    // form below shuffles every TOKEN row to regroup by document, which
+    // at 100 TB is the dominant cost of the whole dedup pipeline. Results
+    // are bit-identical (same md5 windows, same lexicographic minima);
+    // scalatest asserts parity against the aggregate form per run.
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .select(col("doc_id") +:
+        (0 to 7).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** The declarative explode + groupBy formulation the native expression
+    * replaced — kept as the parity oracle for scalatest (and as the shape
+    * the DuckDB SQL mirror still uses). */
+  private[graft] def minhashSigAgg(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("ha", md5(concat(lit("a"), col("w"))))
       .withColumn("hb", md5(concat(lit("b"), col("w"))))

@@ -112,6 +112,16 @@ class PropertySpec extends SparkTestBase {
     assert(native == window)
   }
 
+  test("native graft_minhash is bit-identical to the explode+groupBy form") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val native = graft.queries.ILlmOps.minhashSig(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val agg = graft.queries.ILlmOps.minhashSigAgg(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native.keySet == agg.keySet)
+    for ((k, v) <- agg) assert(native(k) == v, s"signature mismatch for doc $k")
+  }
+
   test("minhash signature similarity correlates with exact duplicate") {
     // identical docs (none in fixture) would share all 8 signatures; sanity:
     // a doc always shares all 8 signatures with itself via recompute

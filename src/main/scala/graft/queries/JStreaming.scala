@@ -42,6 +42,21 @@ object JStreaming {
           min(col("ts")).as("first_ts"))
         .orderBy("user_id", "event_type")),
 
+    "j_stream_neardup" -> ((s, d) =>
+      // batch equivalent of the streaming near-dup gate: an arriving doc
+      // is dropped when an earlier doc shares its first LSH band hash
+      // (md5 of signature slots s0‖s1) — watermark+dropDuplicates over
+      // the band key in the stream, min-per-band here. The signature is
+      // the NATIVE row-wise graft_minhash (a pure projection, so the
+      // streaming plan is stateless map + one dedup state store); the
+      // MemoryStream semantics are asserted in StreamingSpec.
+      ILlmOps.minhashSig(Tables.documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), md5(concat(col("s0"), col("s1"))).as("b0"))
+        .groupBy("b0")
+        .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_collided"))
+        .select("survivor_id", "n_collided", "b0")
+        .orderBy("survivor_id")),
+
     "j_late_data" -> ((s, d) => {
       // batch analog of the watermark cutoff: events within 1 hour of the
       // max observed event time; the true late-row-drop behavior is
@@ -120,6 +135,10 @@ object JStreaming {
       ("SELECT user_id, event_type, arg_min(event_id, ts) AS first_event, " +
         "min(ts::TIMESTAMP) AS first_ts FROM events " +
         "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+    "j_stream_neardup" ->
+      ("WITH " + ILlmOps.sigSql("documents") + " " +
+        "SELECT min(doc_id) AS survivor_id, count(*) AS n_collided, " +
+        "md5(s0 || s1) AS b0 FROM sig GROUP BY b0 ORDER BY survivor_id"),
     "j_late_data" ->
       ("SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events " +
         "WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) FROM events) - INTERVAL 1 HOUR " +

@@ -270,6 +270,30 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("streaming near-dup gate: graft_minhash runs in a stream, bands dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs: _*)
+    val gated = ms.toDF().toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_minhash(text) AS sig")
+      .selectExpr("doc_id", "md5(concat(sig[0], sig[1])) AS b0")
+      .dropDuplicates("b0")
+    runToMemory(gated, "neardup1", "append")
+    val streamed = spark.table("neardup1")
+    // stream keeps ONE doc per band hash — the same survivor-set SIZE as
+    // the batch equivalent (which survivor wins depends on arrival order)
+    val batch = SparkEntry.queries("j_stream_neardup")(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("b0").distinct().count() == streamed.count())
+    // and every streamed survivor's band exists in the batch band set
+    val batchBands = batch.select("b0").collect().map(_.getString(0)).toSet
+    val streamBands = streamed.select("b0").collect().map(_.getString(0)).toSet
+    assert(streamBands == batchBands)
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -161,6 +161,39 @@ object ARelational {
       s.read.orc(tmp).orderBy("o_orderpriority")
     }),
 
+    "a_sink_table" -> ((s, d) => {
+      // managed-table catalog surface: CTAS via saveAsTable into the
+      // session catalog, append via insertInto (positional resolution),
+      // then read back BY NAME — downstream consumers bind to the catalog
+      // entry, never to file paths. On a cluster this is the shared
+      // metastore contract; locally the default catalog + warehouse dir.
+      val name = "graft_sink_table"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      // a FRESH catalog (new JVM) doesn't know the table, so the DROP is a
+      // no-op while the warehouse directory from a previous run persists —
+      // saveAsTable then fails with LOCATION_ALREADY_EXISTS. Remove the
+      // stale location the way a catalog-level DROP would have.
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == "file") wh.getPath
+        else s.conf.get("spark.sql.warehouse.dir"), name)
+      if (loc.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .write.mode("overwrite").saveAsTable(name)
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .select(lit("ALL").as("o_orderstatus"), col("cnt"), col("total"))
+        .write.mode("append").insertInto(name)
+      s.table(name).orderBy("o_orderstatus")
+    }),
+
     "a_sink_custom" -> ((s, d) => {
       // DataSource V2 WRITE connector (graft.sources.DirSink): tasks write
       // private temp files, the driver publishes them atomically on commit
@@ -432,6 +465,12 @@ object ARelational {
     "a_scan_custom_source" ->
       ("SELECT g AS id, 't' || (g % 5) AS tag FROM generate_series(0, 1999) t(g) " +
         "WHERE g % 7 = 0 ORDER BY id"),
+    "a_sink_table" ->
+      ("SELECT * FROM (" +
+        "SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY o_orderstatus " +
+        "UNION ALL SELECT 'ALL', count(*), round(sum(o_totalprice), 4) FROM orders" +
+        ") ORDER BY o_orderstatus"),
     "a_sink_custom" ->
       ("SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),

@@ -206,13 +206,45 @@ object OCurate {
     * distance table broadcast; the per-vector state is M bytes of codes —
     * the memory collapse that makes billion-vector ANN feasible. Returns
     * top-5 neighbors per query (vec_id < 5) by (adc_d2, b_id). */
-  def annPq(emb: DataFrame): DataFrame = {
-    val dims = emb.select(col("vec_id"),
+  /** Integer-scaled (sub, sdim, x) dim table shared by PQ training, ADC
+    * and the exact-recall calibration. */
+  private def pqDims(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
       .select(col("vec_id"), expr("dim DIV 16").as("sub"),
         (col("dim") % 16).as("sdim"),
         floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
       .localCheckpoint()
+
+  def annPq(emb: DataFrame): DataFrame = annPqFrom(pqDims(emb))
+
+  /** Measured recall@5 of the ADC ranking against exact integer L2 over
+    * the same scaled vectors — the calibration a pipeline runs before
+    * trusting compressed distances (pairs with i_ann_recall's sign-LSH
+    * regime detector). Exact integers end to end: recall in basis points
+    * via the (2a+b) DIV 2b half-up form. */
+  def annPqRecall(emb: DataFrame): DataFrame = {
+    val dims = pqDims(emb)
+    val ptop = annPqFrom(dims).select(col("q_id"), col("b_id"))
+    val ed2 = dims.filter(col("vec_id") < 5).as("a")
+      .join(dims.as("b"),
+        col("a.sub") === col("b.sub") && col("a.sdim") === col("b.sdim") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("q_id"), col("b.vec_id").as("b_id"))
+      .agg(sum((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")))
+        .as("d2"))
+    val etop = ed2.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("b_id"))))
+      .filter(col("rn") <= 5).select("q_id", "b_id")
+    etop.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(ptop.agg(count(lit(1)).as("n_pq")))
+      .crossJoin(etop.join(ptop, Seq("q_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_pq"), col("n_hit"),
+        expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
+  }
+
+  private def annPqFrom(dims: DataFrame): DataFrame = {
     def dist(cent: DataFrame): DataFrame = dims.join(cent, Seq("sub", "sdim"))
       .groupBy("vec_id", "sub", "cid")
       .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
@@ -290,6 +322,7 @@ object OCurate {
     "i_kmeans" -> ((s, d) =>
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
     "i_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
+    "i_ann_pq_recall" -> ((s, d) => annPqRecall(Tables.embeddings(s, d))),
   )
 
   /** DuckDB hex→int for the first 4 md5 hex chars (no conv() in DuckDB —
@@ -390,37 +423,61 @@ object OCurate {
         " SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS n_members " +
         "FROM a2 ORDER BY vec_id"
     },
-    "i_ann_pq" -> {
-      def dist(cent: String, out: String, filter: String = "") =
-        s"$out AS (SELECT v.vec_id, v.sub, c.cid, " +
-          "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
-          s"FROM dims v JOIN $cent c ON v.sub = c.sub AND v.sdim = c.sdim " +
-          s"$filter GROUP BY v.vec_id, v.sub, c.cid)"
-      def argmin(d2: String, out: String) =
-        s"$out AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
-          "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn " +
-          s"FROM $d2) WHERE rn = 1)"
-      "WITH dims AS (SELECT vec_id, dim // 16 sub, dim % 16 sdim, x FROM (" +
-        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, " +
-        "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
-        "FROM embeddings)), " +
-        "c0 AS (SELECT sub, vec_id AS cid, sdim, x AS cx FROM dims WHERE vec_id < 8), " +
-        dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
-        "c1 AS (SELECT v.sub, a.cid, v.sdim, " +
-        "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
-        "FROM dims v JOIN a1 a ON v.vec_id = a.vec_id AND v.sub = a.sub " +
-        "GROUP BY v.sub, a.cid, v.sdim), " +
-        dist("c1", "d2c") + ", " + argmin("d2c", "code") + ", " +
-        "adc AS (SELECT v.vec_id q_id, v.sub, c.cid, " +
-        "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) qd2 " +
-        "FROM dims v JOIN c1 c ON v.sub = c.sub AND v.sdim = c.sdim " +
-        "WHERE v.vec_id < 5 GROUP BY 1, 2, 3), " +
-        "pairs AS (SELECT a.q_id, k.vec_id b_id, CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
-        "FROM adc a JOIN code k ON a.sub = k.sub AND a.cid = k.cid " +
-        "GROUP BY 1, 2) " +
-        "SELECT q_id, b_id, rn, adc_d2 FROM (SELECT q_id, b_id, adc_d2, " +
+    "i_ann_pq" ->
+      (pqCtes +
+        " SELECT q_id, b_id, rn, adc_d2 FROM (SELECT q_id, b_id, adc_d2, " +
         "CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, b_id) AS BIGINT) rn " +
-        "FROM pairs WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"
-    },
+        "FROM pairs WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"),
+    "i_ann_pq_recall" ->
+      (pqCtes + ", " +
+        "ptop AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, b_id) rn " +
+        "FROM pairs WHERE q_id <> b_id) WHERE rn <= 5), " +
+        "ed2 AS (SELECT a.vec_id q_id, b.vec_id b_id, " +
+        "CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) d2 " +
+        "FROM dims a JOIN dims b ON a.sub = b.sub AND a.sdim = b.sdim " +
+        "AND a.vec_id < 5 AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+        "etop AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY d2, b_id) rn " +
+        "FROM ed2) WHERE rn <= 5), " +
+        "hit AS (SELECT count(*) c FROM etop JOIN ptop USING (q_id, b_id)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM etop) n_exact, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM ptop) n_pq, " +
+        "(SELECT CAST(c AS BIGINT) FROM hit) n_hit, " +
+        "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
+        "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
   )
+
+  /** Shared DuckDB CTE chain for the PQ family: integer dims → codebook
+    * training (one Lloyd round) → codes → ADC distance pairs.
+    * (def, not val: the oracle map above initializes first.) */
+  private def pqCtes: String = {
+    def dist(cent: String, out: String) =
+      s"$out AS (SELECT v.vec_id, v.sub, c.cid, " +
+        "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
+        s"FROM dims v JOIN $cent c ON v.sub = c.sub AND v.sdim = c.sdim " +
+        "GROUP BY v.vec_id, v.sub, c.cid)"
+    def argmin(d2: String, out: String) =
+      s"$out AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn " +
+        s"FROM $d2) WHERE rn = 1)"
+    "WITH dims AS (SELECT vec_id, dim // 16 sub, dim % 16 sdim, x FROM (" +
+      "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, " +
+      "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
+      "FROM embeddings)), " +
+      "c0 AS (SELECT sub, vec_id AS cid, sdim, x AS cx FROM dims WHERE vec_id < 8), " +
+      dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
+      "c1 AS (SELECT v.sub, a.cid, v.sdim, " +
+      "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
+      "FROM dims v JOIN a1 a ON v.vec_id = a.vec_id AND v.sub = a.sub " +
+      "GROUP BY v.sub, a.cid, v.sdim), " +
+      dist("c1", "d2c") + ", " + argmin("d2c", "code") + ", " +
+      "adc AS (SELECT v.vec_id q_id, v.sub, c.cid, " +
+      "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) qd2 " +
+      "FROM dims v JOIN c1 c ON v.sub = c.sub AND v.sdim = c.sdim " +
+      "WHERE v.vec_id < 5 GROUP BY 1, 2, 3), " +
+      "pairs AS (SELECT a.q_id, k.vec_id b_id, CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+      "FROM adc a JOIN code k ON a.sub = k.sub AND a.cid = k.cid " +
+      "GROUP BY 1, 2)"
+  }
 }

@@ -99,6 +99,22 @@ object GScalars {
         (col("l_orderkey") % 5).as("md"))
         .orderBy("l_orderkey", "l_linenumber", "sq", "ab", "exp_d")),
 
+    "g_try_errors" -> ((s, d) =>
+      // error-safe evaluation (the try_* family): malformed casts and
+      // zero divisors become NULL instead of killing the job — the ANSI
+      // posture a 100 TB batch needs (one bad row must not fail the
+      // stage; the NULLs are then countable/quarantinable like
+      // p_expectations does). DuckDB mirrors: try_cast is 1:1; try_divide
+      // mirrors as x / nullif(y, 0).
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        r4(expr("try_divide(o_totalprice, o_custkey % 3)")).as("td"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_num"),
+        expr("try_cast(o_orderdate AS STRING)").as("dt_str"))
+        .orderBy("o_orderkey")),
+
     "g_conditional" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
@@ -258,6 +274,12 @@ object GScalars {
         "THEN -1.0 ELSE 0.0 END::DOUBLE AS sg, " +
         "((l_orderkey % 7) + 7) % 7 AS pm, l_orderkey % 5 AS md " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ab, exp_d"),
+    "g_try_errors" ->
+      ("SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS td, " +
+        "TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast, " +
+        "TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num, " +
+        "TRY_CAST(o_orderdate AS VARCHAR) AS dt_str " +
+        "FROM orders ORDER BY o_orderkey"),
     "g_conditional" ->
       ("SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'NONE') AS st, " +
         "greatest(o_totalprice, 100000.0) AS gr, least(o_totalprice, 100000.0) AS ls " +

@@ -71,6 +71,22 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_scan_xml" -> ((s, d) => {
+      // XML ingest (native in Spark 4 — the spark-xml module moved into
+      // core): round-trip the nation table through an XML batch with an
+      // explicit schema (schema inference over XML is a full extra pass
+      // at 100 TB) and a rowTag; values must equal the base table.
+      val tmp = scratch("scan_xml")
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("rowTag", "nation").xml(tmp)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation")
+        .xml(tmp)
+        .orderBy("n_nationkey")
+    }),
+
     "a_scan_corrupt" -> ((s, d) => {
       // malformed-ingest handling: a JSONL batch with three corrupt lines
       // planted among the good rows, read in PERMISSIVE mode with a
@@ -476,6 +492,9 @@ object ARelational {
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // clean rows after corrupt-line quarantine = the base table verbatim
     "a_scan_corrupt" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // XML round-trip = the base table verbatim
+    "a_scan_xml" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // expected FINAL table state after the dynamic-partition overwrite:
     // earliest day recomputed (doubled), every other day untouched

@@ -146,6 +146,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(n == 1, s"e_interp_linear: expected exactly 1 Window node, got $n")
   }
 
+  test("graft_minhash is evaluated once per row, not once per slot") {
+    // CollapseProject must NOT inline the signature alias into the 8
+    // element_at projections (it only inlines cheap/single-use aliases) —
+    // if a future refactor makes it inline, the signature would be
+    // recomputed 8x per row
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val p = graft.queries.ILlmOps.minhashSig(docs)
+      .queryExecution.optimizedPlan.toString
+    val n = "graft_minhash".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 graft_minhash call in the plan, got $n")
+  }
+
   test("fuzzy join broadcasts the collapsed name table") {
     val p = plan("i_fuzzy_join")
     assert(p.contains("BroadcastHashJoin"),

@@ -119,6 +119,32 @@ object PPipeline {
         .orderBy("o_custkey", "version")
     }),
 
+    "p_sql_script" -> ((s, d) => {
+      // SQL scripting (Spark 4's BEGIN…END procedural blocks): an
+      // iterative threshold search — raise the price band until at least
+      // half the orders fall below it. Control flow runs on the driver;
+      // every iteration's query is a full distributed plan, which is the
+      // point of the surface (stored-proc-style orchestration without
+      // leaving SQL). The oracle is the closed form over a generated
+      // threshold grid — the loop must land on the same first crossing.
+      Tables.orders(s, d).createOrReplaceTempView("orders_scr")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE thr DOUBLE DEFAULT 0;
+          |  DECLARE frac DOUBLE DEFAULT 0;
+          |  DECLARE n BIGINT;
+          |  SET n = (SELECT count(*) FROM orders_scr);
+          |  WHILE frac < 0.5 DO
+          |    SET thr = thr + 10000;
+          |    SET frac = (SELECT count(*) FROM orders_scr
+          |                WHERE o_totalprice < thr) / CAST(n AS DOUBLE);
+          |  END WHILE;
+          |  SELECT CAST(thr AS BIGINT) AS median_band_upper,
+          |         round(frac, 4) AS frac_below;
+          |END""".stripMargin)
+    }),
+
     "p_sql_recursive" -> ((s, d) => {
       // recursive CTE (Spark 4's WITH RECURSIVE): parts form an implicit
       // binary heap (children of n are 2n+1, 2n+2); the recursion walks
@@ -403,6 +429,13 @@ object PPipeline {
         "round(o_totalprice, 4) AS price FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, version"),
+    "p_sql_script" ->
+      ("WITH n AS (SELECT count(*) c FROM orders), " +
+        "grid AS (SELECT 10000 * g t FROM generate_series(1, 100) s(g)), " +
+        "f AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice < t)" +
+        "::DOUBLE / (SELECT c FROM n) frac FROM grid) " +
+        "SELECT CAST(t AS BIGINT) median_band_upper, round(frac, 4) frac_below " +
+        "FROM f WHERE frac >= 0.5 ORDER BY t LIMIT 1"),
     "p_sql_recursive" ->
       ("WITH RECURSIVE sub AS (" +
         "SELECT p_partkey AS root, p_partkey AS node, p_retailprice AS v FROM part " +

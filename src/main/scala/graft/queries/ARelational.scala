@@ -363,6 +363,38 @@ object ARelational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    "c_join_lateral" -> ((s, d) => {
+      // correlated LATERAL subquery: each customer's 2 most recent orders
+      // via a per-row subquery with its own ORDER BY + LIMIT — the SQL
+      // surface for "top-n per key" when the consumer writes SQL, not
+      // window functions. Catalyst decorrelates it into a join +
+      // per-group limit, so it executes set-at-a-time, never row-at-a-time.
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_orderdate
+          |FROM customer_lat JOIN LATERAL (
+          |  SELECT o_orderkey, o_orderdate FROM orders_lat
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2)
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
+    "b_correlated_scalar" -> ((s, d) => {
+      // correlated scalar subquery: orders costing more than twice their
+      // customer's average — the per-row aggregate comparison Catalyst
+      // rewrites into an aggregate + join (decorrelation), so the plan is
+      // one grouped pass over orders, not a subquery per row.
+      Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+          |FROM orders_cs o
+          |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+          |                          FROM orders_cs o2
+          |                          WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "c_join_null_safe" -> ((s, d) => {
       // null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
       // EACH OTHER, where a plain `=` silently drops every NULL-keyed row
@@ -585,6 +617,19 @@ object ARelational {
       ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
         "ORDER BY c_custkey"),
+    "c_join_lateral" ->
+      ("SELECT c_custkey, o_orderkey, o_orderdate " +
+        "FROM customer JOIN LATERAL (" +
+        "SELECT o_orderkey, o_orderdate FROM orders " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t ON true " +
+        "ORDER BY c_custkey, o_orderkey"),
+    "b_correlated_scalar" ->
+      ("SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price " +
+        "FROM orders o " +
+        "WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2 " +
+        "WHERE o2.o_custkey = o.o_custkey) " +
+        "ORDER BY o_orderkey"),
     "c_join_null_safe" ->
       ("WITH a AS (SELECT nullif(o_custkey % 10, 3) ka, count(*) cnt_a " +
         "FROM orders GROUP BY 1), " +

@@ -136,7 +136,7 @@ object PPipeline {
           |  DECLARE n BIGINT;
           |  SET n = (SELECT count(*) FROM orders_scr);
           |  WHILE frac < 0.5 DO
-          |    SET thr = thr + 10000;
+          |    SET thr = thr + 25000;
           |    SET frac = (SELECT count(*) FROM orders_scr
           |                WHERE o_totalprice < thr) / CAST(n AS DOUBLE);
           |  END WHILE;
@@ -431,7 +431,7 @@ object PPipeline {
         "ORDER BY o_custkey, version"),
     "p_sql_script" ->
       ("WITH n AS (SELECT count(*) c FROM orders), " +
-        "grid AS (SELECT 10000 * g t FROM generate_series(1, 100) s(g)), " +
+        "grid AS (SELECT 25000 * g t FROM generate_series(1, 40) s(g)), " +
         "f AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice < t)" +
         "::DOUBLE / (SELECT c FROM n) frac FROM grid) " +
         "SELECT CAST(t AS BIGINT) median_band_upper, round(frac, 4) frac_below " +

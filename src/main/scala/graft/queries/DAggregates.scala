@@ -141,6 +141,23 @@ object DAggregates {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    "d_agg_filter_clause" -> ((s, d) => {
+      // the SQL FILTER clause: per-aggregate predicates inside ONE grouped
+      // pass (vs the sum(CASE WHEN) rewrite) — every filtered aggregate
+      // still rides the same partial/final HashAggregate, so N conditional
+      // metrics cost one scan, not N
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_fc")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS cnt,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+          |    AS disc_rev,
+          |  max(l_shipdate) FILTER (WHERE l_returnflag = 'R') AS last_return
+          |FROM lineitem_fc GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin)
+    }),
+
     "d_agg_countmin" -> ((s, d) => {
       // count-min sketch, oracle-checked end to end: d=4 rows × w=64
       // buckets over the document word stream (portable md5 bucket hashes,
@@ -327,6 +344,12 @@ object DAggregates {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     // width_bucket(x, 0, 100000, 20) ≡ floor(x/5000)+1 on this non-negative
     // domain (values past the top edge land in bucket 21 both ways)
+    "d_agg_filter_clause" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        "count(*) FILTER (WHERE l_quantity > 25) AS n_big, " +
+        "round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_rev, " +
+        "max(l_shipdate) FILTER (WHERE l_returnflag = 'R') AS last_return " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_agg_countmin" -> {
       // row-hash r = hex→int of md5 chars 4r+1..4r+4 (no conv() in DuckDB
       // — per-digit strpos arithmetic, the i_simhash_port recipe; one md5

@@ -294,6 +294,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamBands == batchBands)
   }
 
+  test("RocksDB state store: windowed agg state survives provider swap") {
+    // the production state store at 100 TB of stream state is RocksDB
+    // (bounded JVM heap, spill to local disk) — the same windowed
+    // aggregation must produce identical results under it
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(
+        Ev(t("2024-01-01 09:10:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 09:20:00"), 1, "click", 2.0),
+        Ev(t("2024-01-01 10:05:00"), 2, "view", 3.0),
+        Ev(t("2024-01-01 12:00:00"), 1, "click", 4.0))
+      val ms = MemoryStream[Ev]
+      ms.addData(evs: _*)
+      runToMemory(StreamOps.tumblingWithWatermark(ms.toDF(), "1 hour"),
+        "rocks1", "complete")
+      val streamed = spark.table("rocks1")
+        .orderBy("ws").collect().map(_.toString).toSeq
+      // the same data through the plain batch formulation
+      val batch = StreamOps.tumbling(evs.toDF())
+        .orderBy("ws").collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

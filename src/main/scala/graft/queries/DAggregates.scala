@@ -141,6 +141,26 @@ object DAggregates {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")),
 
+    "d_agg_mode" -> ((s, d) => {
+      // deterministic mode: most frequent quantity per return flag, ties
+      // broken toward the smaller value — built-in mode() breaks ties
+      // arbitrarily across engines, so the portable form is a grouped
+      // count + rank-1 window over (count DESC, value ASC). The window
+      // runs over the tiny count table (flags x 50 quantities), not the
+      // fact table.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("c").desc, col("l_quantity").asc)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("c").as("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
     "d_agg_filter_clause" -> ((s, d) => {
       // the SQL FILTER clause: per-aggregate predicates inside ONE grouped
       // pass (vs the sum(CASE WHEN) rewrite) — every filtered aggregate
@@ -344,6 +364,13 @@ object DAggregates {
         "FROM events GROUP BY user_id ORDER BY user_id"),
     // width_bucket(x, 0, 100000, 20) ≡ floor(x/5000)+1 on this non-negative
     // domain (values past the top edge land in bucket 21 both ways)
+    "d_agg_mode" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) c FROM lineitem " +
+        "GROUP BY l_returnflag, l_quantity) " +
+        "SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY c DESC, l_quantity ASC) rn FROM c) WHERE rn = 1 " +
+        "ORDER BY l_returnflag"),
     "d_agg_filter_clause" ->
       ("SELECT l_returnflag, count(*) AS cnt, " +
         "count(*) FILTER (WHERE l_quantity > 25) AS n_big, " +

@@ -70,6 +70,69 @@ class ScaleSpec extends SparkTestBase {
     assert(rows.length == 1 && rows.head.getInt(0) == 2)
   }
 
+  test("maxPartitionBytes controls scan parallelism") {
+    // the input-split knob: at 100 TB this (with openCostInBytes) decides
+    // how many tasks read the corpus; the same file must fan out into
+    // more partitions when the split size shrinks
+    val path = s"$sfDir/lineitem.parquet"
+    val coarse = spark.read.parquet(path).rdd.getNumPartitions
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // openCostInBytes (default 4 MB) floors the split size for small
+      // files — both knobs must shrink for a tiny fixture file to split
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val fine = spark.read.parquet(path).rdd.getNumPartitions
+      assert(fine > coarse,
+        s"shrinking maxPartitionBytes must add input splits ($coarse -> $fine)")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // runtime skew mitigation — the automatic sibling of p_join_salted's
+    // manual salting: one hot key dominates the left side; with the skew
+    // thresholds forced low, AQE must mark the sort-merge join skew=true
+    // and split the hot partition instead of leaving one straggler task
+    import spark.implicits._
+    val hot = (0 until 60000).map(i => (7L, i.toLong)) ++
+      (0 until 2000).map(i => (i.toLong % 50, 1000000L + i))
+    val left = hot.toDF("k", "payload")
+    val right = (0L until 50L).map(k => (k, s"dim$k")).toDF("rk", "name")
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = left.hint("merge")
+        .join(right, col("k") === col("rk"))
+      // execute the join's OWN query execution — count() builds a separate
+      // aggregate execution, leaving this one un-finalized
+      assert(joined.collect().length == 62000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ partition:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("compaction rewrites 64 small files into 4 and keeps every row") {
     val before = SparkEntry.queries("p_compact")(spark, sfDir).collect().head
     def parquetFiles(p: String) = new java.io.File(p).listFiles()

@@ -380,6 +380,33 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_dataset_card" -> ((s, d) => {
+      // the dataset card: the one-row corpus summary a training pipeline
+      // publishes next to the data — volume, token count, language and
+      // source spread, exact-dup rate (integer basis points), dominant
+      // language. One scan aggregate + one tiny grouped argmax; every
+      // stat is linear and none collects raw rows.
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        r4(avg("n_chars")).as("avg_chars"),
+        countDistinct(col("text")).as("n_distinct_text"))
+      val topLang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+      base.crossJoin(topLang)
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("avg_chars"),
+          expr("((n_docs - n_distinct_text) * 20000 + n_docs) " +
+            "DIV (2 * n_docs)").as("dup_bp"),
+          col("top_lang"), col("top_lang_docs"))
+    }),
+
     "i_triangles" -> ((s, d) => {
       // degree-ordered triangle counting over the co-purchase graph
       // (parts sharing an order). Every edge is oriented from its
@@ -676,6 +703,19 @@ object NTrainOps {
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
         "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "i_dataset_card" ->
+      ("WITH base AS (SELECT CAST(count(*) AS BIGINT) n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) n_langs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) n_sources, " +
+        "round(avg(n_chars), 4) avg_chars, " +
+        "CAST(count(DISTINCT text) AS BIGINT) n_distinct_text FROM documents), " +
+        "tl AS (SELECT lang top_lang, CAST(c AS BIGINT) top_lang_docs FROM (" +
+        "SELECT lang, count(*) c, row_number() OVER (ORDER BY count(*) DESC, " +
+        "lang ASC) rn FROM documents GROUP BY lang) WHERE rn = 1) " +
+        "SELECT n_docs, n_tokens, n_langs, n_sources, avg_chars, " +
+        "CAST(((n_docs - n_distinct_text) * 20000 + n_docs) // (2 * n_docs) " +
+        "AS BIGINT) dup_bp, top_lang, top_lang_docs FROM base, tl"),
     "i_triangles" ->
       ("WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem " +
         "WHERE l_partkey < 800), " +

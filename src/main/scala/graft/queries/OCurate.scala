@@ -323,6 +323,37 @@ object OCurate {
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
     "i_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "i_ann_pq_recall" -> ((s, d) => annPqRecall(Tables.embeddings(s, d))),
+
+    "i_semdedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
+      // embedding space, then drop near-duplicates WITHIN each cluster
+      // (cos > τ, keep the lowest id). Clustering is what makes it scale:
+      // the pair join is per-cluster (Σ cluster² work, never corpus²) and
+      // clusters shuffle independently. Reuses the integer-scaled k-means
+      // (bit-identical training) and the codegen'd graft_dot for the
+      // verify — the exact cosine runs only on intra-cluster pairs.
+      graft.functions.VectorExprs.register(s)
+      val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val assign = kmeans(bounded).select("vec_id", "cid")
+      val withV = assign.join(
+        bounded.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), "vec_id")
+      val a = withV.select(col("cid"), col("vec_id").as("a_id"),
+        col("v").as("va"))
+      val b = withV.select(col("cid").as("cidb"), col("vec_id").as("b_id"),
+        col("v").as("vb"))
+      val pairs = a.join(b,
+          col("cid") === col("cidb") && col("a_id") < col("b_id"))
+        .withColumn("cos", expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+        .filter(col("cos") > 0.35)
+      val dropped = pairs.groupBy(col("b_id").as("vec_id"))
+        .agg(min("a_id").as("dup_of"))
+      assign.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"),
+          col("dup_of").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** DuckDB hex→int for the first 4 md5 hex chars (no conv() in DuckDB —
@@ -397,32 +428,21 @@ object OCurate {
         "FROM documents d JOIN pl ON d.lang = pl.lang CROSS JOIN tot " +
         "WHERE " + duckHex4("substring(md5(doc_id::VARCHAR), 1, 4)") +
         " < least(65536, (n * 65536) // (l * n_lang)) ORDER BY doc_id"),
-    "i_kmeans" -> {
-      def dist(cent: String, out: String) =
-        s"$out AS (SELECT v.vec_id, c.cid, " +
-          "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
-          s"FROM dims v JOIN $cent c ON v.dim = c.dim " +
-          "GROUP BY v.vec_id, c.cid)"
-      def argmin(d2: String, out: String) =
-        s"$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-          "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn " +
-          s"FROM $d2) WHERE rn = 1)"
-      def recenter(assign: String, out: String) =
-        s"$out AS (SELECT a.cid, v.dim, " +
-          "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
-          s"FROM dims v JOIN $assign a ON v.vec_id = a.vec_id " +
-          "GROUP BY a.cid, v.dim)"
-      "WITH dims AS (SELECT vec_id, " +
-        "generate_subscripts(embedding, 1) - 1 AS dim, " +
-        "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
-        "FROM embeddings WHERE vec_id < 300), " +
-        "c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM dims WHERE vec_id < 4), " +
-        dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
-        recenter("a1", "c1") + ", " +
-        dist("c1", "d2") + ", " + argmin("d2", "a2") +
-        " SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS n_members " +
-        "FROM a2 ORDER BY vec_id"
-    },
+    "i_kmeans" ->
+      (kmCtes + " SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) " +
+        "AS n_members FROM a2 ORDER BY vec_id"),
+    "i_semdedup" ->
+      (kmCtes + ", " +
+        "pr AS (SELECT a.vec_id a_id, b.vec_id b_id FROM a2 a " +
+        "JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+        "WHERE list_cosine_similarity(ea.embedding::DOUBLE[], " +
+        "eb.embedding::DOUBLE[]) > 0.35), " +
+        "dr AS (SELECT b_id vec_id, CAST(min(a_id) AS BIGINT) dup_of " +
+        "FROM pr GROUP BY b_id) " +
+        "SELECT a2.vec_id, a2.cid, dr.dup_of, dr.dup_of IS NULL AS is_kept " +
+        "FROM a2 LEFT JOIN dr USING (vec_id) ORDER BY a2.vec_id"),
     "i_ann_pq" ->
       (pqCtes +
         " SELECT q_id, b_id, rn, adc_d2 FROM (SELECT q_id, b_id, adc_d2, " +
@@ -447,6 +467,34 @@ object OCurate {
         "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
         "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
   )
+
+  /** Shared DuckDB CTE chain for the full-vector k-means family (bounded
+    * to vec_id < 300, k=4, 2 Lloyd rounds), ending in `a2` (vec_id, cid).
+    * (def, not val: the oracle map above initializes first.) */
+  private def kmCtes: String = {
+    def dist(cent: String, out: String) =
+      s"$out AS (SELECT v.vec_id, c.cid, " +
+        "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
+        s"FROM dims v JOIN $cent c ON v.dim = c.dim " +
+        "GROUP BY v.vec_id, c.cid)"
+    def argmin(d2: String, out: String) =
+      s"$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn " +
+        s"FROM $d2) WHERE rn = 1)"
+    def recenter(assign: String, out: String) =
+      s"$out AS (SELECT a.cid, v.dim, " +
+        "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
+        s"FROM dims v JOIN $assign a ON v.vec_id = a.vec_id " +
+        "GROUP BY a.cid, v.dim)"
+    "WITH dims AS (SELECT vec_id, " +
+      "generate_subscripts(embedding, 1) - 1 AS dim, " +
+      "CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x " +
+      "FROM embeddings WHERE vec_id < 300), " +
+      "c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM dims WHERE vec_id < 4), " +
+      dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
+      recenter("a1", "c1") + ", " +
+      dist("c1", "d2") + ", " + argmin("d2", "a2")
+  }
 
   /** Shared DuckDB CTE chain for the PQ family: integer dims → codebook
     * training (one Lloyd round) → codes → ADC distance pairs.

@@ -380,6 +380,40 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_dsir" -> ((s, d) => {
+      // DSIR-style importance weighting (Xie et al. 2023): score every
+      // document by how much more likely its tokens are under the TARGET
+      // domain's unigram LM (here: the 'en' slice) than under the source
+      // LM (the rest), with add-1 smoothing over the shared vocabulary;
+      // select docs with positive mean log-ratio. All model terms are
+      // grouped counts + broadcast scalars — the scoring pass is one
+      // token join against the (vocab-sized, broadcastable) ratio table,
+      // linear at any corpus size.
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val isT = col("lang") === "en"
+      val ct = tok.filter(isT).groupBy("w").agg(count(lit(1)).as("c_t"))
+      val cs = tok.filter(!isT).groupBy("w").agg(count(lit(1)).as("c_s"))
+      val scal = tok.agg(
+        countDistinct(col("w")).as("vsz"),
+        sum(isT.cast("long")).as("n_t"),
+        sum((!isT).cast("long")).as("n_s"))
+      val model = tok.select("w").distinct()
+        .join(ct, Seq("w"), "left").join(cs, Seq("w"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("w"),
+          (log((coalesce(col("c_t"), lit(0L)) + 1) /
+              (col("n_t") + col("vsz"))) -
+            log((coalesce(col("c_s"), lit(0L)) + 1) /
+              (col("n_s") + col("vsz")))).as("lnr"))
+      tok.join(model, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), r4(avg("lnr")).as("dsir_w"))
+        .withColumn("selected", col("dsir_w") > 0)
+        .orderBy("doc_id")
+    }),
+
     "i_dataset_card" -> ((s, d) => {
       // the dataset card: the one-row corpus summary a training pipeline
       // publishes next to the data — volume, token count, language and
@@ -702,6 +736,22 @@ object NTrainOps {
         "FROM bg JOIN un ON bg.w = un.w) " +
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
         "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "i_dsir" ->
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w " +
+        "FROM documents), " +
+        "ct AS (SELECT w, count(*) c_t FROM tok WHERE lang = 'en' GROUP BY w), " +
+        "cs AS (SELECT w, count(*) c_s FROM tok WHERE lang <> 'en' GROUP BY w), " +
+        "scal AS (SELECT count(DISTINCT w) vsz, " +
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) n_t, " +
+        "sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) n_s FROM tok), " +
+        "model AS (SELECT v.w, " +
+        "ln((coalesce(c_t, 0) + 1)::DOUBLE / (n_t + vsz)) - " +
+        "ln((coalesce(c_s, 0) + 1)::DOUBLE / (n_s + vsz)) lnr " +
+        "FROM (SELECT DISTINCT w FROM tok) v " +
+        "LEFT JOIN ct USING (w) LEFT JOIN cs USING (w) CROSS JOIN scal) " +
+        "SELECT doc_id, count(*) n_tokens, round(avg(lnr), 4) dsir_w, " +
+        "round(avg(lnr), 4) > 0 selected FROM tok JOIN model USING (w) " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "i_dataset_card" ->
       ("WITH base AS (SELECT CAST(count(*) AS BIGINT) n_docs, " +

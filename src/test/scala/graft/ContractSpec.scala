@@ -42,7 +42,9 @@ class ContractSpec extends SparkTestBase {
       "e_win_topk_group", "d_agg_first_last_ordered", "c_join_asof",
       "i_ann_ivf", "i_dedup_keep_best", "i_lsh_buckets",
       "c_join_interval_native", "i_pagerank", "i_ann_recall",
-      "i_kmeans", "i_lsh_capped", "i_pack_ffd", "i_chunk_dedup")
+      "i_kmeans", "i_lsh_capped", "i_pack_ffd", "i_chunk_dedup",
+      "i_ann_pq", "i_semdedup", "i_triangles", "i_dsir", "d_agg_mode",
+      "d_agg_hll_union")
     for (key <- risky) {
       val fn = SparkEntry.queries(key)
       val a = fn(spark, sfDir).collect().map(_.toString).toSeq

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -380,6 +381,45 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_bpe_merges" -> ((s, d) => {
+      // BPE-shaped merge learning, expressed relationally at the word
+      // level: 4 rounds of (count adjacent token pairs) → (pick the most
+      // frequent, ties toward the lexicographically smaller pair) →
+      // (apply the merge corpus-wide). Each round is a grouped count +
+      // a 1-row argmax broadcast into a literal replace — the iterative
+      // shape of tokenizer training, with every step a distributed pass.
+      // Merge application is boundary-safe literal replacement on
+      // space-padded text (leftmost, non-overlapping — identical
+      // semantics on both engines, which is the portability contract).
+      // Output: the learned merge table (round, pair, count-at-learn).
+      var txt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit(" "), col("text"), lit(" ")).as("txt"))
+      var merges: DataFrame = null
+      for (round <- 1 to 4) {
+        val tok = txt.select(col("doc_id"),
+          posexplode(split(trim(col("txt")), " ")).as(Seq("pos", "w")))
+        val win = Window.partitionBy("doc_id").orderBy("pos")
+        val top = tok.withColumn("nx", lead("w", 1).over(win))
+          .filter(col("nx").isNotNull)
+          .groupBy("w", "nx").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("w").asc, col("nx").asc)))
+          .filter(col("rn") === 1)
+          .select(lit(round.toLong).as("round"), col("w"), col("nx"),
+            col("c"))
+        val m = top.select(col("round"),
+          concat(col("w"), lit("+"), col("nx")).as("merged_pair"), col("c"))
+        merges = if (merges == null) m else merges.union(m)
+        txt = txt.crossJoin(broadcast(top.select(
+            col("w").as("mw"), col("nx").as("mnx"))))
+          .select(col("doc_id"), expr(
+            "replace(txt, ' ' || mw || ' ' || mnx || ' ', " +
+              "' ' || mw || '_' || mnx || ' ')").as("txt"))
+      }
+      merges.orderBy("round")
+    }),
+
     "i_dsir" -> ((s, d) => {
       // DSIR-style importance weighting (Xie et al. 2023): score every
       // document by how much more likely its tokens are under the TARGET
@@ -737,6 +777,27 @@ object NTrainOps {
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln_p), 4) AS avg_ln_p " +
         "FROM b2 JOIN model ON b2.w = model.w AND b2.nx = model.nx " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "i_bpe_merges" -> {
+      val rounds = (1 to 4).map { i =>
+        s"tok$i AS (SELECT doc_id, " +
+          "generate_subscripts(string_split(trim(txt), ' '), 1) pos, " +
+          s"unnest(string_split(trim(txt), ' ')) w FROM t${i - 1}), " +
+          s"pc$i AS (SELECT w, nx, count(*) c FROM (" +
+          "SELECT w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) nx " +
+          s"FROM tok$i) WHERE nx IS NOT NULL GROUP BY w, nx), " +
+          s"top$i AS (SELECT w, nx, c FROM (SELECT *, " +
+          "row_number() OVER (ORDER BY c DESC, w ASC, nx ASC) rn " +
+          s"FROM pc$i) WHERE rn = 1), " +
+          s"t$i AS (SELECT doc_id, replace(txt, ' ' || w || ' ' || nx || ' ', " +
+          s"' ' || w || '_' || nx || ' ') txt FROM t${i - 1} CROSS JOIN top$i)"
+      }.mkString(", ")
+      "WITH t0 AS (SELECT doc_id, ' ' || text || ' ' txt FROM documents), " +
+        rounds + " " +
+        (1 to 4).map(i =>
+          s"SELECT CAST($i AS BIGINT) round, w || '+' || nx merged_pair, " +
+            s"CAST(c AS BIGINT) c FROM top$i").mkString(" UNION ALL ") +
+        " ORDER BY round"
+    },
     "i_dsir" ->
       ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) w " +
         "FROM documents), " +

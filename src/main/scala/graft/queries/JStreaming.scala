@@ -108,6 +108,45 @@ object JStreaming {
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).orderBy("event_type")
     }),
+
+    "j_stream_sessionize_state" -> ((s, d) => {
+      // REAL Structured Streaming execution of the custom-state
+      // sessionizer (flatMapGroupsWithState + EventTimeTimeout), hash-
+      // checked against the batch gaps-and-islands oracle. Two micro-
+      // batches: (1) the real events; (2) one far-future sentinel per
+      // user, which closes every still-open real session via the gap
+      // rule — Append emits closed sessions immediately, so the result
+      // does not depend on timeout/no-data-batch scheduling. Sentinel
+      // sessions themselves stay open (never emitted) and their timeout
+      // (sentinel + gap) is beyond the final watermark (sentinel − 1 h).
+      // The memory sink bounds this key to test scale; the production
+      // shape is the same plan into a parquet/kafka sink.
+      import s.implicits._
+      import graft.streaming.SessEvent
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      val inDir = scratch("sess_state_in")
+      val ckpt = scratch("sess_state_ckpt")
+      rm(new java.io.File(inDir)); rm(new java.io.File(ckpt))
+      val evs = Tables.events(s, d).select(col("user_id"), col("ts"))
+      evs.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = evs.agg(max("ts")).head().getTimestamp(0)
+      val name = "sess_state_out"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val src = s.readStream.schema(evs.schema).parquet(inDir).as[SessEvent]
+      val q = graft.streaming.StreamOps.sessionize(src, 30, "1 hour").toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      evs.select("user_id").distinct()
+        .withColumn("ts", lit(maxTs) + expr("INTERVAL 30 DAYS"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("user_id", "session_start")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -163,5 +202,18 @@ object JStreaming {
     "j_foreachbatch" ->
       ("SELECT event_type, count(*) AS cnt FROM events " +
         "GROUP BY event_type ORDER BY event_type"),
+    // the streaming fMGWS result must equal the batch gaps-and-islands
+    // sessionization (session_end = last event, no +gap padding)
+    "j_stream_sessionize_state" ->
+      ("WITH d AS (SELECT user_id, ts::TIMESTAMP ts, " +
+        "CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 " +
+        "WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL '30 minutes' " +
+        "THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM d) " +
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start"),
   )
 }

@@ -104,20 +104,31 @@ object StreamOps {
     * carry arbitrary per-session payload and decide eviction itself.
     * State per key is one (start, last, count) triple — bounded by key
     * cardinality, evicted on timeout, never by event volume.
+    *
+    * State is kept in epoch MICROSECONDS (the driver fixtures carry µs
+    * precision; ms-granular state would silently truncate session
+    * bounds). Timeout registration converts to ms — that is the
+    * granularity Spark's state timeout API takes.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[SessEvent],
       gapMinutes: Int = 30, watermarkDelay: String = "1 hour")
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    val gapUs = gapMinutes * 60 * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
-          def close(s: OpenSession) = SessionOut(user,
-            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+          def close(s: OpenSession) = SessionOut(user, ts(s.startUs), ts(s.lastUs), s.n)
           if (state.hasTimedOut) {
             // watermark passed last + gap: the session is closed for good
             val s = state.get
@@ -126,22 +137,22 @@ object StreamOps {
           } else {
             // a micro-batch delivers a group's rows unordered — sort by
             // event time before applying the gap rule
-            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val evs = rows.toSeq.sortBy(e => us(e.ts))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             for (e <- evs) {
-              val t = e.ts.getTime
+              val t = us(e.ts)
               cur = cur match {
-                case Some(s) if t - s.lastMs >= gapMs =>
+                case Some(s) if t - s.lastUs >= gapUs =>
                   closed ::= close(s); Some(OpenSession(t, t, 1L))
                 case Some(s) =>
-                  Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                  Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1))
                 case None => Some(OpenSession(t, t, 1L))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
             }
             closed.reverse.iterator
           }
@@ -152,6 +163,6 @@ object StreamOps {
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n: Long, total: Double)
 case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
-case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)

@@ -138,6 +138,33 @@ class StreamingSpec extends SparkTestBase {
       && s1._4 == 2L, s"session summary: $s1")
   }
 
+  test("sessionize preserves microsecond timestamps in session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessEvent
+    // Timestamp.valueOf keeps fractional seconds — 123456 µs survives the
+    // state round-trip only if OpenSession state is µs-granular
+    val a = t("2024-01-01 09:00:00.123456")
+    val b = t("2024-01-01 09:05:00.654321")
+    val ms = MemoryStream[SessEvent]
+    val q = StreamOps.sessionize(ms.toDS(), gapMinutes = 30,
+        watermarkDelay = "10 seconds")
+      .toDF().writeStream.format("memory").queryName("sess_us")
+      .outputMode("append").start()
+    ms.addData(SessEvent(1, a), SessEvent(1, b))
+    q.processAllAvailable()
+    // close user 1's session via a later event's watermark + timeout
+    ms.addData(SessEvent(2, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    ms.addData(SessEvent(2, t("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val s1 = spark.table("sess_us").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .find(_._1 == 1L).get
+    assert(s1._2 == a && s1._3 == b,
+      s"µs bounds must survive the state round-trip: $s1")
+  }
+
   test("batch and stream produce identical tumbling aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

@@ -67,6 +67,57 @@ object DAggregates {
             col("exact_distinct_cust") <= 0.05).as("est_within_5pct"))
       }),
 
+    "d_sketch_theta" -> ((s, d) => {
+      // Theta sketches (DataSketches, native in Spark 4.1): the
+      // re-aggregatable distinct structure that, unlike HLL, supports set
+      // INTERSECTION and DIFFERENCE — the audience-overlap question
+      // ("distinct clickers who also viewed") answered from two per-slice
+      // sketches instead of a raw-row re-join. At 100 TB the sketches are
+      // built once per slice (linear, map-side partial agg), and every
+      // overlap/exclusion query after that costs bytes-per-sketch. Theta
+      // retains the k smallest value hashes, so estimates depend only on
+      // the value SET — partitioning/order-stable, hence a deterministic
+      // audit output. Accuracy bounds are scalatest territory (the 4
+      // *_ok flags assert ≤5% err vs the exact flags-table counts here).
+      // identity = (user, day): every fixture user produces every event
+      // type at least once, so plain user overlap is degenerate (all 150
+      // in both); daily-active identities genuinely differ per type
+      val ev = Tables.events(s, d).withColumn("ident",
+        concat(col("user_id"), lit("|"), to_date(col("ts"))))
+      val sk = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(expr("theta_sketch_agg(ident)").as("sk"))
+      val c = sk.filter(col("event_type") === "click")
+        .select(col("sk").as("sk_c"))
+      val v = sk.filter(col("event_type") === "view")
+        .select(col("sk").as("sk_v"))
+      val est = c.crossJoin(v).select(
+        expr("theta_sketch_estimate(sk_c)").as("est_click"),
+        expr("theta_sketch_estimate(sk_v)").as("est_view"),
+        expr("theta_sketch_estimate(theta_union(sk_c, sk_v))").as("est_union"),
+        expr("theta_sketch_estimate(theta_intersection(sk_c, sk_v))")
+          .as("est_inter"),
+        expr("theta_sketch_estimate(theta_difference(sk_c, sk_v))")
+          .as("est_diff"))
+      // exact side: one per-identity flags pass (linear), then a 1-row sum
+      val flags = ev.groupBy("ident").agg(
+        max((col("event_type") === "click").cast("long")).as("c"),
+        max((col("event_type") === "view").cast("long")).as("v"))
+      val exact = flags.agg(
+        sum("c").as("exact_click"), sum("v").as("exact_view"),
+        sum(greatest(col("c"), col("v"))).as("exact_union"),
+        sum(col("c") * col("v")).as("exact_inter"))
+      def ok(e: Column, x: Column) = abs(e - x) / x <= 0.05
+      est.crossJoin(exact).select(
+        col("exact_click"), col("exact_view"), col("exact_union"),
+        col("exact_inter"),
+        ok(col("est_click"), col("exact_click")).as("click_ok"),
+        ok(col("est_view"), col("exact_view")).as("view_ok"),
+        ok(col("est_union"), col("exact_union")).as("union_ok"),
+        ok(col("est_inter"), col("exact_inter")).as("inter_ok"),
+        ok(col("est_diff"), col("exact_union") - col("exact_view"))
+          .as("diff_ok"))
+    }),
+
     "d_agg_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
       s.sql(

@@ -365,6 +365,46 @@ object PPipeline {
         .agg(count(lit(1)).as("cnt"), r4(sum("l_extendedprice")).as("revenue"))
         .orderBy("p_type")
     }),
+
+    "p_cbo_stats" -> ((s, d) => {
+      // statistics-driven planning: ANALYZE TABLE records rowCount + per-
+      // column stats (ndv, min/max, nulls) in the catalog; with
+      // spark.sql.cbo.enabled the optimizer plans joins from those stats
+      // (build-side choice, join reordering) instead of raw file sizes.
+      // At 100 TB this is the difference between broadcasting a 10-row
+      // post-filter dimension (stats know the selectivity) and shuffling
+      // 100 TB because the FILE is big. The stats write + CBO plan shape
+      // are asserted in scalatest; the query output is oracle-checked.
+      for (n <- Seq("graft_cbo_orders", "graft_cbo_cust")) {
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        // fresh-catalog stale-warehouse cleanup (the a_sink_table recipe)
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val loc = new java.io.File(
+          if (wh.getScheme == "file") wh.getPath
+          else s.conf.get("spark.sql.warehouse.dir"), n)
+        if (loc.isDirectory) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(loc)
+        }
+      }
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").saveAsTable("graft_cbo_orders")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").saveAsTable("graft_cbo_cust")
+      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("ANALYZE TABLE graft_cbo_cust COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |round(sum(o_totalprice), 4) AS total
+          |FROM graft_cbo_orders o JOIN graft_cbo_cust c
+          |ON o.o_custkey = c.c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -501,5 +541,12 @@ object PPipeline {
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    // stats-driven planning must not change results — the oracle is the
+    // same join straight off the base parquet
+    "p_cbo_stats" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 4) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }

@@ -31,6 +31,15 @@ class OperatorSpec extends SparkTestBase {
       .agg(countDistinct(col("o_custkey"))).collect().head.getLong(0))
   }
 
+  test("theta sketches: union/intersection/difference within 5% and consistent") {
+    val r = SparkEntry.queries("d_sketch_theta")(spark, sfDir).collect().head
+    for (i <- 4 to 8)
+      assert(r.getBoolean(i), s"estimate check $i failed: $r")
+    // exact side obeys inclusion–exclusion by construction
+    val (c, v, u, x) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(c + v - x == u, s"inclusion-exclusion: $c + $v - $x != $u")
+  }
+
   test("approx_percentile within 1% of the exact percentile") {
     val exact = SparkEntry.queries("d_agg_percentile")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

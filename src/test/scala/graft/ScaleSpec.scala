@@ -142,4 +142,26 @@ class ScaleSpec extends SparkTestBase {
     assert(parquetFiles(s"$base/compacted") == 4)
     assert(before.getLong(0) == Tables.lineitem(spark, sfDir).count())
   }
+
+  test("ANALYZE TABLE records row/column stats the CBO plans from") {
+    SparkEntry.queries("p_cbo_stats")(spark, sfDir).count()
+    // table-level stats: sizeInBytes + rowCount land in the catalog
+    val desc = spark.sql("DESCRIBE EXTENDED graft_cbo_orders").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Statistics").exists(_.contains("rows")),
+      s"expected rowCount in catalog stats, got: ${desc.get("Statistics")}")
+    // column-level stats: ndv recorded for the join key
+    val ck = spark.sql(
+      "DESCRIBE EXTENDED graft_cbo_cust c_custkey").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ck.get("distinct_count").exists(_.trim.toLong > 0),
+      s"expected ndv for c_custkey, got: $ck")
+    // and the optimized plan carries the stats-derived row count
+    val df = spark.sql(
+      "SELECT * FROM graft_cbo_orders o JOIN graft_cbo_cust c " +
+        "ON o.o_custkey = c.c_custkey")
+    val rc = df.queryExecution.optimizedPlan.stats.rowCount
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+    assert(rc.isDefined && rc.get > 0, s"CBO row-count estimate missing: $rc")
+  }
 }

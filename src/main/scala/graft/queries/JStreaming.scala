@@ -135,16 +135,30 @@ object JStreaming {
       val maxTs = evs.agg(max("ts")).head().getTimestamp(0)
       val name = "sess_state_out"
       if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
-      val src = s.readStream.schema(evs.schema).parquet(inDir).as[SessEvent]
-      val q = graft.streaming.StreamOps.sessionize(src, 30, "1 hour").toDF()
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", ckpt).start()
-      q.processAllAvailable()
-      evs.select("user_id").distinct()
-        .withColumn("ts", lit(maxTs) + expr("INTERVAL 30 DAYS"))
-        .coalesce(1).write.mode("append").parquet(inDir)
-      q.processAllAvailable()
-      q.stop()
+      // per-batch cost scales with state partitions (store open/commit ×
+      // partitions × batches): 8 is plenty for 150 user keys. The no-data
+      // batch is disabled because correctness here comes from the
+      // sentinel flush, not from timeout scheduling. Both confs restored.
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val oldNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val src = s.readStream.schema(evs.schema).parquet(inDir).as[SessEvent]
+        val q = graft.streaming.StreamOps.sessionize(src, 30, "1 hour").toDF()
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        evs.select("user_id").distinct()
+          .withColumn("ts", lit(maxTs) + expr("INTERVAL 30 DAYS"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+      }
       s.table(name).orderBy("user_id", "session_start")
     }),
   )

@@ -397,11 +397,17 @@ object NTrainOps {
           concat(lit(" "), col("text"), lit(" ")).as("txt"))
       var merges: DataFrame = null
       for (round <- 1 to 4) {
-        val tok = txt.select(col("doc_id"),
-          posexplode(split(trim(col("txt")), " ")).as(Seq("pos", "w")))
-        val win = Window.partitionBy("doc_id").orderBy("pos")
-        val top = tok.withColumn("nx", lead("w", 1).over(win))
-          .filter(col("nx").isNotNull)
+        // adjacent pairs via a narrow array transform — no repartition-by-
+        // doc + sort (the old posexplode+window form shuffled the whole
+        // token stream every round); the only shuffle left is the pair
+        // count itself, which combines map-side to distinct pairs
+        val top = txt
+          .select(split(trim(col("txt")), " ").as("tk"))
+          .select(explode(expr("CASE WHEN size(tk) >= 2 THEN " +
+            "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] AS w, tk[i + 1] AS nx)) " +
+            "ELSE array() END")).as("p"))
+          .select(col("p.w").as("w"), col("p.nx").as("nx"))
           .groupBy("w", "nx").agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(
             Window.orderBy(col("c").desc, col("w").asc, col("nx").asc)))
@@ -411,11 +417,14 @@ object NTrainOps {
         val m = top.select(col("round"),
           concat(col("w"), lit("+"), col("nx")).as("merged_pair"), col("c"))
         merges = if (merges == null) m else merges.union(m)
+        // cut the lineage: each round's count branch and text branch both
+        // consume txt — without the checkpoint round i replays rounds 1..i−1
         txt = txt.crossJoin(broadcast(top.select(
             col("w").as("mw"), col("nx").as("mnx"))))
           .select(col("doc_id"), expr(
             "replace(txt, ' ' || mw || ' ' || mnx || ' ', " +
               "' ' || mw || '_' || mnx || ' ')").as("txt"))
+          .localCheckpoint()
       }
       merges.orderBy("round")
     }),

@@ -394,8 +394,12 @@ object PPipeline {
         .write.mode("overwrite").saveAsTable("graft_cbo_orders")
       Tables.customer(s, d).select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").saveAsTable("graft_cbo_cust")
-      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.sql("ANALYZE TABLE graft_cbo_cust COMPUTE STATISTICS FOR ALL COLUMNS")
+      // stats only for the columns the planner needs (join key + agg
+      // targets) — FOR ALL COLUMNS at 100 TB is a much wider scan
+      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey, o_totalprice")
+      s.sql("ANALYZE TABLE graft_cbo_cust COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey, c_mktsegment")
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       s.sql(

@@ -203,20 +203,28 @@ object QCurate {
     var txt = docs.select(col("doc_id"), col("source"), col("text"),
       concat(lit(" "), col("text"), lit(" ")).as("txt"))
     for (_ <- 1 to 4) {
-      val tok = txt.select(col("doc_id"),
-        posexplode(split(trim(col("txt")), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val top = tok.withColumn("nx", lead("w", 1).over(win))
-        .filter(col("nx").isNotNull)
+      // adjacent pairs via a narrow array transform (see i_bpe_merges):
+      // the only shuffle per round is the pair-count aggregate
+      val top = txt
+        .select(split(trim(col("txt")), " ").as("tk"))
+        .select(explode(expr("CASE WHEN size(tk) >= 2 THEN " +
+          "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w, tk[i + 1] AS nx)) " +
+          "ELSE array() END")).as("p"))
+        .select(col("p.w").as("w"), col("p.nx").as("nx"))
         .groupBy("w", "nx").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("c").desc, col("w").asc, col("nx").asc)))
         .filter(col("rn") === 1)
         .select(col("w").as("mw"), col("nx").as("mnx"))
+      // cut the lineage: round i+1's pair-count branch AND the merged-text
+      // branch both consume txt — without the checkpoint each round
+      // replays every earlier round's window+replace chain
       txt = txt.crossJoin(broadcast(top))
         .select(col("doc_id"), col("source"), col("text"), expr(
           "replace(txt, ' ' || mw || ' ' || mnx || ' ', " +
             "' ' || mw || '_' || mnx || ' ')").as("txt"))
+        .localCheckpoint()
     }
     txt
       .select(col("source"),

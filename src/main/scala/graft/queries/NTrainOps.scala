@@ -31,6 +31,21 @@ object NTrainOps {
     * candidates → exact-Jaccard verify (≥ 0.8) → connected components.
     * Shared by `i_dedup_pipeline` (min-id representative) and
     * `i_dedup_keep_best` (best-member survivor). */
+  /** Distinct 3-token shingles per doc (id columns preserved) via a NARROW
+    * array transform — split once, `transform(sequence(0, n−3), …)`,
+    * explode. The window-lead form this replaces repartitioned and sorted
+    * the whole token stream per call; here nothing shuffles until the
+    * distinct, which map-side combines to the shingle set. */
+  private[queries] def shingles3(docs: DataFrame, idCols: String*): DataFrame = {
+    val ids = idCols.map(col)
+    docs.select(ids :+ split(col("text"), " ").as("tk"): _*)
+      .select(ids :+ explode(expr(
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])) " +
+          "ELSE array() END")).as("sh"): _*)
+      .distinct()
+  }
+
   private def nearDupClusters(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val cand = ILlmOps.lshCandidates(docs)
@@ -90,14 +105,7 @@ object NTrainOps {
       // with the eval slice (source = 'src0'), with the shared-shingle
       // count. The eval shingle set is broadcast — at 100 TB the train side
       // streams past it with no shuffle of the corpus
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
-          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
-        .filter(col("sh").isNotNull)
-        .select("doc_id", "source", "sh").distinct()
+      val sh = shingles3(Tables.documents(s, d), "doc_id", "source")
       val ev = sh.filter(col("source") === "src0").select("sh").distinct()
       sh.filter(col("source") =!= "src0")
         .join(broadcast(ev), "sh")
@@ -150,12 +158,7 @@ object NTrainOps {
       // fixpoint is unique regardless of partitioning or round order.
       // Bounded to doc_id < 40 like the other pairwise baselines.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
-      val tok = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
-          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
-        .filter(col("sh").isNotNull).select("doc_id", "sh").distinct()
+      val sh = shingles3(docs, "doc_id")
       val e = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
@@ -211,12 +214,7 @@ object NTrainOps {
       // across 10 rounds and break oracle parity. Per round: one shuffle
       // on the edge key; edges/degrees computed once (lineage cut).
       val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
-      val tok = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
-          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
-        .filter(col("sh").isNotNull).select("doc_id", "sh").distinct()
+      val sh = shingles3(docs, "doc_id")
       val e = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
@@ -291,13 +289,7 @@ object NTrainOps {
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.4) * 10000 + 0.5))
         .filter(col("quality_bp") >= 5000)
       // 4. decontamination: shingle overlap with the eval slice
-      val tok = docs0.select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
-          lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
-        .filter(col("sh").isNotNull)
-        .select("doc_id", "source", "sh").distinct()
+      val sh = shingles3(docs0, "doc_id", "source")
       val evalSh = sh.filter(col("source") === "src0").select("sh").distinct()
       val contaminated = sh.join(broadcast(evalSh), "sh")
         .select("doc_id").distinct()

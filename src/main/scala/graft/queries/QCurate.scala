@@ -100,13 +100,7 @@ object QCurate {
   /** Asymmetric containment over 3-token shingle sets, candidates from a
     * shingle equi-join (work ∝ shared-shingle pairs, never corpus²). */
   def containment(docs: DataFrame, minCont: Double = 0.5): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("sh", concat_ws(" ", col("w"),
-        lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")),
-        lead("w", 2).over(Window.partitionBy("doc_id").orderBy("pos"))))
-      .filter(col("sh").contains(" ") && size(split(col("sh"), " ")) === 3)
-      .select("doc_id", "sh").distinct()
+    val sh = NTrainOps.shingles3(docs, "doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc_id").as("a_id"), col("sh"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")

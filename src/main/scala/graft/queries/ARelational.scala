@@ -71,6 +71,24 @@ object ARelational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    "a_scan_partition_prune" -> ((s, d) => {
+      // partition pruning on read: the table is laid out by the partition
+      // column, the filter selects ONE directory, and files of every
+      // other partition are never opened — at 100 TB this is the
+      // difference between scanning the table and scanning 1/N of it.
+      // scalatest asserts inputFiles stay inside o_orderstatus=F/.
+      val tmp = scratch("scan_partition_prune")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "a_scan_xml" -> ((s, d) => {
       // XML ingest (native in Spark 4 — the spark-xml module moved into
       // core): round-trip the nation table through an XML batch with an
@@ -528,6 +546,12 @@ object ARelational {
     // XML round-trip = the base table verbatim
     "a_scan_xml" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // pruned read = the plain filtered aggregate off the base table
+    "a_scan_partition_prune" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 4) AS total FROM orders " +
+        "WHERE o_orderstatus = 'F' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // expected FINAL table state after the dynamic-partition overwrite:
     // earliest day recomputed (doubled), every other day untouched
     "a_sink_dynamic_overwrite" ->

@@ -310,6 +310,15 @@ object DAggregates {
         .limit(100)
         .select("o_orderkey", "o_totalprice")),
 
+    "f_limit_offset" -> ((s, d) =>
+      // deterministic pagination: page 3 at page-size 10 of the keyed
+      // ordering (CollectLimit with a skip — rows 21..30, engine-stable
+      // because the sort has a unique key)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .offset(20).limit(10)),
+
     "f_union_all" -> ((s, d) => {
       val a = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
         .select("o_orderkey", "o_orderpriority")
@@ -474,6 +483,9 @@ object DAggregates {
     "f_limit_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "f_limit_offset" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey LIMIT 10 OFFSET 20"),
     "f_union_all" ->
       ("SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000 " +
         "UNION ALL " +

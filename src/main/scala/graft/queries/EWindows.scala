@@ -157,6 +157,24 @@ object EWindows {
           |ORDER BY user_id, event_id""".stripMargin)
     }),
 
+    "e_win_ignore_nulls" -> ((s, d) => {
+      // IGNORE NULLS navigation over a sparse signal: "big order" price is
+      // defined only where o_totalprice > 300000; lag(..., ignoreNulls)
+      // fetches the customer's previous big order skipping the gaps, and
+      // last(..., ignoreNulls) over the running frame is the LOCF carry.
+      // One window sort serves both frames.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("big",
+          when(col("o_totalprice") > 300000, r4(col("o_totalprice"))))
+        .select(col("o_custkey"), col("o_orderkey"), col("big"),
+          lag(col("big"), 1, null, ignoreNulls = true).over(w).as("prev_big"),
+          last(col("big"), ignoreNulls = true).over(run).as("last_big"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "e_interp_linear" -> ((s, d) => {
       // gap-fill by LINEAR interpolation (the complement of e_resample_locf):
       // per-user hourly grid, observed hours carry the hour's value sum,
@@ -345,6 +363,20 @@ object EWindows {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP " +
         "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
         "ORDER BY user_id, event_id"),
+    // Spark's lag(x, 1, ignoreNulls) ≡ last_value IGNORE NULLS over the
+    // frame ending 1 PRECEDING — DuckDB's lag takes no IGNORE NULLS
+    "e_win_ignore_nulls" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CASE WHEN o_totalprice > 300000 THEN round(o_totalprice, 4) END big " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, big, " +
+        "last_value(big IGNORE NULLS) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_big, " +
+        "last_value(big IGNORE NULLS) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_big " +
+        "FROM o ORDER BY o_custkey, o_orderkey"),
     "e_interp_linear" ->
       ("WITH ev AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events " +
         "WHERE user_id < 500), " +

@@ -231,6 +231,71 @@ object QCurate {
       .orderBy("source")
   }
 
+  /** PMI co-occurrence (word2vec-era corpus statistics): count unordered
+    * token pairs within a ±2 window (narrow array transforms — no token
+    * stream shuffle), keep pairs seen ≥ `minPair` times, score
+    * PMI = ln(n_uv·N / (n_u·n_v)) with marginals from the pair events,
+    * and emit the top `topK`. All counts stay integral until the one ln. */
+  def cooccurPmi(docs: DataFrame, minPair: Long = 5, topK: Int = 50): DataFrame = {
+    val tk = docs.select(split(col("text"), " ").as("tk"))
+    val prs = tk.select(explode(concat(
+        expr("CASE WHEN size(tk) >= 2 THEN transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(least(tk[i], tk[i + 1]) AS u, " +
+          "greatest(tk[i], tk[i + 1]) AS v)) ELSE array() END"),
+        expr("CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> struct(least(tk[i], tk[i + 2]) AS u, " +
+          "greatest(tk[i], tk[i + 2]) AS v)) ELSE array() END"))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val cnt = prs.groupBy("u", "v").agg(count(lit(1)).as("n_uv"))
+    val marg = cnt.select(col("u").as("w"), col("n_uv"))
+      .union(cnt.select(col("v").as("w"), col("n_uv")))
+      .groupBy("w").agg(sum("n_uv").as("n_w"))
+    val tot = cnt.agg(sum("n_uv").as("nn"))
+    cnt.filter(col("n_uv") >= minPair)
+      .join(marg.select(col("w").as("u"), col("n_w").as("n_u")), "u")
+      .join(marg.select(col("w").as("v"), col("n_w").as("n_v")), "v")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", r4(log(col("n_uv") * col("nn") /
+        (col("n_u") * col("n_v")))))
+      .select("u", "v", "n_uv", "pmi")
+      .orderBy(col("pmi").desc, col("u"), col("v")).limit(topK)
+  }
+
+  /** Per-doc unigram entropy H = ln(n) − Σc·ln(c)/n — the vocabulary-
+    * diversity quality signal (low entropy = repetitive/templated text). */
+  def entropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        r4(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"))
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  /** Zipf fit: least-squares slope of ln(freq) vs ln(rank) over the top
+    * `topN` words — natural corpora sit near slope ≈ −1; synthetic or
+    * templated corpora drift. One grouped count + a 100-row regression. */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val freq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("w"))))
+      .filter(col("r") <= topN)
+      .select(log(col("r")).as("x"), log(col("f")).as("y"))
+    val vocab = freq.agg(count(lit(1)).as("n_vocab"))
+    ranked
+      .agg(count(lit(1)).as("n_fit"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(vocab))
+      .select(col("n_vocab"), col("n_fit"),
+        r4((col("n_fit") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_fit") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r4((col("sy") - (col("n_fit") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_fit") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_fit")).as("intercept"))
+  }
+
   /** Snapshot reconciliation: classify every key as added / removed /
     * changed / unchanged between two snapshots derived deterministically
     * from `orders` (drop key%97==3 from OLD, key%89==5 from NEW, bump
@@ -265,6 +330,9 @@ object QCurate {
     "i_ppl_buckets" -> ((s, d) => pplBuckets(Tables.documents(s, d))),
     "i_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "p_snapshot_diff" -> ((s, d) => snapshotDiff(Tables.orders(s, d))),
+    "i_cooccur_pmi" -> ((s, d) => cooccurPmi(Tables.documents(s, d))),
+    "i_entropy" -> ((s, d) => entropy(Tables.documents(s, d))),
+    "i_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -376,6 +444,44 @@ object QCurate {
         "FROM t4 JOIN documents d ON t4.doc_id = d.doc_id " +
         "GROUP BY d.source ORDER BY d.source"
     },
+    // the oracle counts pairs by a positional self-join — a different
+    // (quadratic-ish) formulation that must agree with the narrow
+    // array-transform pair generation value-for-value
+    "i_cooccur_pmi" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "pr AS (SELECT least(a.w, b.w) u, greatest(a.w, b.w) v FROM tok a " +
+        "JOIN tok b ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)), " +
+        "cnt AS (SELECT u, v, count(*) n_uv FROM pr GROUP BY u, v), " +
+        "marg AS (SELECT w, sum(n) n_w FROM (" +
+        "SELECT u w, n_uv n FROM cnt UNION ALL SELECT v, n_uv FROM cnt) " +
+        "GROUP BY w), " +
+        "tot AS (SELECT sum(n_uv) nn FROM cnt) " +
+        "SELECT u, v, n_uv, round(ln(n_uv * nn / (mu.n_w * mv.n_w)), 4) pmi " +
+        "FROM cnt JOIN marg mu ON mu.w = u JOIN marg mv ON mv.w = v " +
+        "CROSS JOIN tot WHERE n_uv >= 5 " +
+        "ORDER BY pmi DESC, u, v LIMIT 50"),
+    "i_entropy" ->
+      ("SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens, " +
+        "count(*) AS n_types, " +
+        "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy " +
+        "FROM (SELECT doc_id, w, count(*) c FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents) " +
+        "GROUP BY doc_id, w) GROUP BY doc_id ORDER BY doc_id"),
+    "i_zipf" ->
+      ("WITH freq AS (SELECT w, count(*) f FROM (" +
+        "SELECT unnest(string_split(text, ' ')) w FROM documents) GROUP BY w), " +
+        "ranked AS (SELECT ln(r) x, ln(f) y FROM (" +
+        "SELECT f, row_number() OVER (ORDER BY f DESC, w) r FROM freq) " +
+        "WHERE r <= 100), " +
+        "s AS (SELECT count(*) n_fit, sum(x) sx, sum(y) sy, " +
+        "sum(x * y) sxy, sum(x * x) sxx FROM ranked), " +
+        "vc AS (SELECT count(*) n_vocab FROM freq) " +
+        "SELECT n_vocab, n_fit, " +
+        "round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 4) slope, " +
+        "round((sy - (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx) * sx) " +
+        "/ n_fit, 4) intercept FROM s CROSS JOIN vc"),
     "p_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey k, o_totalprice v_old FROM orders " +
         "WHERE o_orderkey % 97 <> 3), " +

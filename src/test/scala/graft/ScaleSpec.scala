@@ -143,6 +143,24 @@ class ScaleSpec extends SparkTestBase {
     assert(before.getLong(0) == Tables.lineitem(spark, sfDir).count())
   }
 
+  test("partition-column filter prunes to one directory on read") {
+    SparkEntry.queries("a_scan_partition_prune")(spark, sfDir).count()
+    val pruned = spark.read
+      .parquet(graft.queries.scratch("scan_partition_prune"))
+      .filter(col("o_orderstatus") === "F")
+    // inputFiles reports the UNPRUNED FileIndex — the physical scan's
+    // selected partitions are what pruning actually touches
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    val files = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("o_orderstatus=F")),
+      s"scan must touch only the matching partition, got: ${files.take(3).toSeq}")
+  }
+
   test("ANALYZE TABLE records row/column stats the CBO plans from") {
     SparkEntry.queries("p_cbo_stats")(spark, sfDir).count()
     // table-level stats: sizeInBytes + rowCount land in the catalog

@@ -118,6 +118,21 @@ object DAggregates {
           .as("diff_ok"))
     }),
 
+    "d_agg_listagg" -> ((s, d) => {
+      // ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016;
+      // Spark 4 surface): the report-facing cousin of collect_list —
+      // DISTINCT + explicit ORDER BY make the concatenation deterministic
+      Tables.customer(s, d).createOrReplaceTempView("customer_la")
+      Tables.nation(s, d).createOrReplaceTempView("nation_la")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  count(*) AS n_customers,
+          |  listagg(DISTINCT n_name, '|') WITHIN GROUP (ORDER BY n_name)
+          |    AS nations
+          |FROM customer_la JOIN nation_la ON c_nationkey = n_nationkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     "d_agg_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
       s.sql(
@@ -381,6 +396,11 @@ object DAggregates {
     "d_agg_count_distinct" ->
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "d_agg_listagg" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers, " +
+        "string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS nations " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "d_agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
         "round(sum(l_quantity),4) AS sum_qty FROM lineitem " +

@@ -116,22 +116,29 @@ object QCurate {
       .orderBy("a_id", "b_id")
   }
 
-  /** Winnowing fingerprint density per doc: k-gram hashes (first 4 md5
-    * hex digits as an integer — engine-portable), then per window of W
-    * consecutive hashes select the RIGHTMOST minimum. Relationally:
-    * window-min per start, then an equi-join of each position onto the
-    * ≤ W window starts it covers picks argmax(pos) among the minima. */
-  def winnowing(docs: DataFrame): DataFrame = {
+  /** (doc_id, pos, h): the doc's k-gram hash sequence (first 4 md5 hex
+    * digits as an integer — engine-portable). */
+  private def winnowGrams(docs: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = docs
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .withColumn("gram", concat_ws(" ",
         (0 until K).map(i => if (i == 0) col("w") else lead("w", i).over(byDoc)): _*))
       .filter(size(split(col("gram"), " ")) === K)
       .withColumn("h", conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long"))
       .select("doc_id", "pos", "h")
-    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
-      max("pos").as("max_pos"))
+  }
+
+  /** The selected fingerprints (doc_id, fp_pos, h): per window of W
+    * consecutive k-gram hashes, the RIGHTMOST minimum. Relationally:
+    * window-min per start, then an equi-join of each position onto the
+    * ≤ W window starts it covers picks argmax(pos) among the minima.
+    * Guarantee (Schleimer et al. 2003): two docs sharing ≥ W+K−1
+    * consecutive tokens share at least one selected fingerprint. */
+  def winnowingFps(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = winnowGrams(docs)
+    val ng = grams.groupBy("doc_id").agg(max("pos").as("max_pos"))
     // window minimum per start position (starts need W full hashes)
     val starts = grams
       .withColumn("wm", min("h").over(byDoc.rowsBetween(0, W - 1)))
@@ -142,11 +149,21 @@ object QCurate {
     val cover = grams
       .select(col("doc_id"), col("pos"), col("h"),
         explode(sequence(greatest(col("pos") - (W - 1), lit(0)), col("pos"))).as("s"))
-    val selected = cover.join(starts, Seq("doc_id", "s"))
+    cover.join(starts, Seq("doc_id", "s"))
       .filter(col("h") === col("wm"))
-      .groupBy("doc_id", "s").agg(max("pos").as("fp_pos"))
-      .select("doc_id", "fp_pos").distinct()
-    val fp = selected.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      .groupBy("doc_id", "s").agg(max("pos").as("fp_pos"), min("h").as("h"))
+      .select("doc_id", "fp_pos", "h").distinct()
+  }
+
+  /** Winnowing fingerprint density per doc: k-gram hashes (first 4 md5
+    * hex digits as an integer — engine-portable), then per window of W
+    * consecutive hashes select the RIGHTMOST minimum. */
+  def winnowing(docs: DataFrame): DataFrame = {
+    val grams = winnowGrams(docs)
+    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+      max("pos").as("max_pos"))
+    val fp = winnowingFps(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     ng.join(fp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),

@@ -129,7 +129,8 @@ class PlanShapeSpec extends SparkTestBase {
     // count nodes in the optimized logical plan — the giant 16-lag
     // projection truncates the physical plan STRING, so grepping it
     // undercounts
-    for (key <- Seq("e_ewma", "e_rolling_zscore", "p_scd2")) {
+    for (key <- Seq("e_ewma", "e_rolling_zscore", "p_scd2",
+        "e_win_ignore_nulls")) {
       val n = SparkEntry.queries(key)(spark, sfDir)
         .queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window => w

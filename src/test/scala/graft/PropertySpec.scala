@@ -31,6 +31,24 @@ class PropertySpec extends SparkTestBase {
     assert(self.getDouble(0) == 1.0 && self.getDouble(1) == 1.0)
   }
 
+  test("winnowing guarantee: docs sharing >= W+K-1 tokens share a fingerprint") {
+    import spark.implicits._
+    // the Schleimer et al. theorem: a shared token run of length W+K−1
+    // (= 8 here) yields W consecutive shared k-gram hashes — one full
+    // window whose (rightmost-)min is selected in BOTH docs
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta eta theta iota"),
+      (2L, s"one two three four five $shared six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val fps = graft.queries.QCurate.winnowingFps(docs)
+      .select("doc_id", "h").collect().groupBy(_.getLong(0))
+    val h1 = fps(1L).map(_.getLong(1)).toSet
+    val h2 = fps(2L).map(_.getLong(1)).toSet
+    assert((h1 & h2).nonEmpty,
+      s"winnowing guarantee violated: $h1 vs $h2 share nothing")
+  }
+
   test("hash anonymization is deterministic and collision-free on customers") {
     val h = SparkEntry.queries("g_hash_anonymize")(spark, sfDir)
     assert(h.select("plate_hash").distinct().count() == h.count())

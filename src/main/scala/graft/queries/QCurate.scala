@@ -135,9 +135,11 @@ object QCurate {
     * ≤ W window starts it covers picks argmax(pos) among the minima.
     * Guarantee (Schleimer et al. 2003): two docs sharing ≥ W+K−1
     * consecutive tokens share at least one selected fingerprint. */
-  def winnowingFps(docs: DataFrame): DataFrame = {
+  def winnowingFps(docs: DataFrame): DataFrame =
+    fpsFromGrams(winnowGrams(docs).localCheckpoint())
+
+  private def fpsFromGrams(grams: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = winnowGrams(docs)
     val ng = grams.groupBy("doc_id").agg(max("pos").as("max_pos"))
     // window minimum per start position (starts need W full hashes)
     val starts = grams
@@ -159,10 +161,12 @@ object QCurate {
     * hex digits as an integer — engine-portable), then per window of W
     * consecutive hashes select the RIGHTMOST minimum. */
   def winnowing(docs: DataFrame): DataFrame = {
-    val grams = winnowGrams(docs)
+    // one gram pass feeds the per-doc totals AND the fingerprint
+    // selection (which itself reads grams three ways) — materialize it
+    val grams = winnowGrams(docs).localCheckpoint()
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
       max("pos").as("max_pos"))
-    val fp = winnowingFps(docs)
+    val fp = fpsFromGrams(grams)
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     ng.join(fp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -263,7 +267,11 @@ object QCurate {
           "i -> struct(least(tk[i], tk[i + 2]) AS u, " +
           "greatest(tk[i], tk[i + 2]) AS v)) ELSE array() END"))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
+    // materialize the pair counts once: marginals (×2), the total, and
+    // the scored output all consume cnt — without the cut each branch
+    // replays the corpus explode + count shuffle (5 full passes)
     val cnt = prs.groupBy("u", "v").agg(count(lit(1)).as("n_uv"))
+      .localCheckpoint()
     val marg = cnt.select(col("u").as("w"), col("n_uv"))
       .union(cnt.select(col("v").as("w"), col("n_uv")))
       .groupBy("w").agg(sum("n_uv").as("n_w"))

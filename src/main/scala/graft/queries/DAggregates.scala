@@ -118,6 +118,22 @@ object DAggregates {
           .as("diff_ok"))
     }),
 
+    "d_agg_regr" -> ((s, d) =>
+      // SQL:2016 linear-regression aggregates (Spark 4 surface): slope /
+      // intercept / R² of price vs quantity per return flag — one
+      // partial+final aggregate pass, no windowing. round(4) absorbs the
+      // partitioning-order ulps of the double sums (SURVEY §7.3 rule 1).
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          r4(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+          r4(expr("regr_intercept(l_extendedprice, l_quantity)"))
+            .as("intercept"),
+          r4(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"),
+          r4(expr("regr_avgx(l_extendedprice, l_quantity)")).as("avg_x"),
+          r4(expr("regr_avgy(l_extendedprice, l_quantity)")).as("avg_y"))
+        .orderBy("l_returnflag")),
+
     "d_agg_listagg" -> ((s, d) => {
       // ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016;
       // Spark 4 surface): the report-facing cousin of collect_list —
@@ -396,6 +412,14 @@ object DAggregates {
     "d_agg_count_distinct" ->
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "d_agg_regr" ->
+      ("SELECT l_returnflag, regr_count(l_extendedprice, l_quantity) AS n, " +
+        "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, " +
+        "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, " +
+        "round(regr_r2(l_extendedprice, l_quantity), 4) AS r2, " +
+        "round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x, " +
+        "round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_agg_listagg" ->
       ("SELECT c_mktsegment, count(*) AS n_customers, " +
         "string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS nations " +

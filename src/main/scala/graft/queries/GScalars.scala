@@ -99,6 +99,19 @@ object GScalars {
         (col("l_orderkey") % 5).as("md"))
         .orderBy("l_orderkey", "l_linenumber", "sq", "ab", "exp_d")),
 
+    "g_bitwise" -> ((s, d) =>
+      // bitwise surface: and/or/xor, shifts, popcount — the bit-packing
+      // toolkit behind bucket ids, morton keys, and bloom filters
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("b_and"),
+        (col("o_orderkey").bitwiseOR(4096)).as("b_or"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+        bit_count(col("o_orderkey")).as("pop"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"))
+        .orderBy("o_orderkey")),
+
     "g_try_errors" -> ((s, d) =>
       // error-safe evaluation (the try_* family): malformed casts and
       // zero divisors become NULL instead of killing the job — the ANSI
@@ -274,6 +287,13 @@ object GScalars {
         "THEN -1.0 ELSE 0.0 END::DOUBLE AS sg, " +
         "((l_orderkey % 7) + 7) % 7 AS pm, l_orderkey % 5 AS md " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ab, exp_d"),
+    // DuckDB: ^ is power — xor() is the operator-function; shifts match
+    "g_bitwise" ->
+      ("SELECT o_orderkey, o_orderkey & 255 AS b_and, " +
+        "o_orderkey | 4096 AS b_or, xor(o_orderkey, o_custkey) AS b_xor, " +
+        "CAST(bit_count(o_orderkey) AS INTEGER) AS pop, " +
+        "o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr " +
+        "FROM orders ORDER BY o_orderkey"),
     "g_try_errors" ->
       ("SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS td, " +
         "TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast, " +

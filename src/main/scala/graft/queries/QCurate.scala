@@ -321,6 +321,28 @@ object QCurate {
           col("n_fit")).as("intercept"))
   }
 
+  /** Tokenizer-vocabulary coverage audit: learn a top-`vocabSize` word
+    * vocabulary from the TRAIN split only (the [[splitAssign]] hash
+    * ranges), then measure the out-of-vocabulary token rate on every
+    * split — the held-out OOV check a tokenizer ships with. The vocab is
+    * broadcast; scoring is one linear pass. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val tok = splitAssign(docs)
+      .select(col("split"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.filter(col("split") === "train")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= vocabSize)
+      .select("w")
+    tok.join(broadcast(vocab.withColumn("in_v", lit(1L))), Seq("w"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", r4(col("n_oov").cast("double") / col("n_tokens")))
+      .orderBy("split")
+  }
+
   /** Snapshot reconciliation: classify every key as added / removed /
     * changed / unchanged between two snapshots derived deterministically
     * from `orders` (drop key%97==3 from OLD, key%89==5 from NEW, bump
@@ -358,6 +380,7 @@ object QCurate {
     "i_cooccur_pmi" -> ((s, d) => cooccurPmi(Tables.documents(s, d))),
     "i_entropy" -> ((s, d) => entropy(Tables.documents(s, d))),
     "i_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
+    "i_vocab_oov" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -507,6 +530,21 @@ object QCurate {
         "round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 4) slope, " +
         "round((sy - (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx) * sx) " +
         "/ n_fit, 4) intercept FROM s CROSS JOIN vc"),
+    "i_vocab_oov" ->
+      ("WITH tok AS (SELECT CASE " +
+        "WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "vocab AS (SELECT w FROM (SELECT w, row_number() OVER " +
+        "(ORDER BY count(*) DESC, w) r FROM tok WHERE split = 'train' " +
+        "GROUP BY w) WHERE r <= 500) " +
+        "SELECT split, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE " +
+        "/ count(*), 4) AS oov_rate " +
+        "FROM tok t LEFT JOIN vocab v ON t.w = v.w " +
+        "GROUP BY split ORDER BY split"),
     "p_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey k, o_totalprice v_old FROM orders " +
         "WHERE o_orderkey % 97 <> 3), " +

@@ -157,4 +157,55 @@ class CurateSpec extends SparkTestBase {
     assert(nPruned < nAll / 2,
       s"expected real pruning: $nPruned of $nAll rows survived")
   }
+
+  test("hash-range split partitions the corpus ~80/10/10 and is exhaustive") {
+    val rows = SparkEntry.queries("i_split_train")(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.documents(spark, sfDir).count(),
+      "every doc must land in exactly one split")
+    val train = bySplit("train").toDouble / total
+    // 500 docs → binomial noise; cc/256 ≈ 0.797 expected
+    assert(train > 0.72 && train < 0.88, s"train share $train")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+  }
+
+  test("entropy is bounded by ln(n_types) and zero for single-type docs") {
+    import spark.implicits._
+    val fixture = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = graft.queries.QCurate.entropy(fixture).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((1L, 0.0)), s"uniform single-type doc: ${r(1L)}")
+    assert(math.abs(r(2L)._2 - math.log(4)) < 1e-3,
+      s"uniform 4-type doc must hit ln(4): ${r(2L)}")
+    val corpus = SparkEntry.queries("i_entropy")(spark, sfDir).collect()
+    assert(corpus.forall(x => x.getDouble(3) >= 0 &&
+      x.getDouble(3) <= math.log(x.getLong(2).toDouble) + 1e-4))
+  }
+
+  test("temperature mixing boosts tail languages, shrinks the head, sums to 1") {
+    val rows = SparkEntry.queries("i_mix_temperature")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "p_temp must sum to 1")
+    val (maxN, minN) = (rows.maxBy(_._1), rows.minBy(_._1))
+    if (maxN._1 > minN._1) {
+      assert(maxN._4 <= 1.0 + 1e-9, s"head language must shrink: $maxN")
+      assert(minN._4 >= 1.0 - 1e-9, s"tail language must grow: $minN")
+    }
+  }
+
+  test("vocab OOV rates are valid and train is the best-covered split") {
+    val rows = SparkEntry.queries("i_vocab_oov")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("PMI pairs are canonical (u <= v) and frequent enough") {
+    val rows = SparkEntry.queries("i_cooccur_pmi")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(r => r.getString(0) <= r.getString(1)))
+    assert(rows.forall(_.getLong(2) >= 5))
+  }
 }

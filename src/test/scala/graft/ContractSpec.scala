@@ -44,7 +44,11 @@ class ContractSpec extends SparkTestBase {
       "c_join_interval_native", "i_pagerank", "i_ann_recall",
       "i_kmeans", "i_lsh_capped", "i_pack_ffd", "i_chunk_dedup",
       "i_ann_pq", "i_semdedup", "i_triangles", "i_dsir", "d_agg_mode",
-      "d_agg_hll_union")
+      "d_agg_hll_union",
+      // round-6 second wave: float-heavy or selection-heavy keys
+      "i_cooccur_pmi", "i_zipf", "i_entropy", "i_ppl_buckets", "i_winnowing",
+      "i_mix_temperature", "i_vocab_oov", "d_agg_regr", "d_sketch_theta",
+      "d_agg_listagg")
     for (key <- risky) {
       val fn = SparkEntry.queries(key)
       val a = fn(spark, sfDir).collect().map(_.toString).toSeq

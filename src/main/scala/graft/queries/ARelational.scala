@@ -63,10 +63,13 @@ object ARelational {
 
     "a_sink_partitioned" -> ((s, d) => {
       val tmp = scratch("sink_partitioned")
-      Tables.lineitem(s, d)
+      val proj = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
-      s.read.parquet(tmp)
+      proj.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      // explicit read schema: a partitioned write of an EMPTY batch lays
+      // down no files, and a schema-less read of that is an error — the
+      // reader of a partitioned layout binds its schema, never infers it
+      s.read.schema(proj.schema).parquet(tmp)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
@@ -78,11 +81,12 @@ object ARelational {
       // difference between scanning the table and scanning 1/N of it.
       // scalatest asserts inputFiles stay inside o_orderstatus=F/.
       val tmp = scratch("scan_partition_prune")
-      Tables.orders(s, d)
+      val proj = Tables.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice",
           "o_orderstatus")
-        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
-      s.read.parquet(tmp)
+      proj.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      // explicit schema — see a_sink_partitioned (empty-batch robustness)
+      s.read.schema(proj.schema).parquet(tmp)
         .filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
@@ -164,9 +168,10 @@ object ARelational {
       upd.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(tmp)
-      // partition-column type inference parses the day string back as a
-      // timestamp — re-format so the compared column is the plain day key
-      s.read.parquet(tmp)
+      // explicit schema (see a_sink_partitioned): day stays the plain
+      // string key instead of being type-inferred into a timestamp, and
+      // an empty batch round-trips instead of failing schema inference
+      s.read.schema(ev.schema).parquet(tmp)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .groupBy("day")
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_val"))

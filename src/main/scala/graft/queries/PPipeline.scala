@@ -137,8 +137,12 @@ object PPipeline {
           |  SET n = (SELECT count(*) FROM orders_scr);
           |  WHILE frac < 0.5 DO
           |    SET thr = thr + 25000;
-          |    SET frac = (SELECT count(*) FROM orders_scr
-          |                WHERE o_totalprice < thr) / CAST(n AS DOUBLE);
+          |    -- try_divide: an empty table must end the loop (frac → 1),
+          |    -- not throw DIVIDE_BY_ZERO under ANSI
+          |    SET frac = coalesce(try_divide(
+          |                  (SELECT count(*) FROM orders_scr
+          |                   WHERE o_totalprice < thr),
+          |                  CAST(n AS DOUBLE)), 1.0);
           |  END WHILE;
           |  SELECT CAST(thr AS BIGINT) AS median_band_upper,
           |         round(frac, 4) AS frac_below;
@@ -338,12 +342,20 @@ object PPipeline {
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
         .select("o_orderkey")
-      val bf = dim.stat.bloomFilter("o_orderkey",
-        math.max(dim.count(), 1L), 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-      Tables.lineitem(s, d)
-        .filter(mightContain(col("l_orderkey")))   // pre-shuffle prune
+      val nDim = dim.count()
+      // an empty build side admits nothing — Spark's bloomFilter() on
+      // zero rows yields an unusable (null-bitmap) sketch, so the prune
+      // degenerates to a constant-false filter instead
+      val pruned =
+        if (nDim == 0) Tables.lineitem(s, d).filter(lit(false))
+        else {
+          val bf = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
+          val bfB = s.sparkContext.broadcast(bf)
+          val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+          Tables.lineitem(s, d)
+            .filter(mightContain(col("l_orderkey"))) // pre-shuffle prune
+        }
+      pruned
         .join(dim, col("l_orderkey") === col("o_orderkey")) // exact verify
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"),

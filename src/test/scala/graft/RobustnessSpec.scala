@@ -209,4 +209,25 @@ class RobustnessSpec extends SparkTestBase {
     val touched = topHalf.select("file").distinct().count()
     assert(touched <= 3, s"orderkey top-half filter touched $touched of 4 files")
   }
+
+  test("every query key survives fully-empty input tables") {
+    // a 100 TB pipeline routinely sees empty partitions, empty deltas,
+    // and empty filter survivors — no operator may throw on them. Write
+    // schema-preserving empty copies of all ten tables, run EVERY
+    // declared key, and require zero exceptions (zero rows is fine).
+    val dst = graft.queries.scratch("sf_empty")
+    for (t <- Tables.names) {
+      // raw reads (not Tables.load): the events copy must keep its
+      // long-nanos ts so the loader's ns→µs conversion still applies
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    val failures = SparkEntry.queries.flatMap { case (k, fn) =>
+      try { fn(spark, dst).count(); None }
+      catch { case e: Throwable => Some(s"$k: ${e.getClass.getSimpleName}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} keys fail on empty input:\n${failures.mkString("\n")}")
+  }
 }

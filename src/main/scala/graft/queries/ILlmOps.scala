@@ -431,6 +431,30 @@ object ILlmOps {
         .orderBy("a_id", "rn")
     }),
 
+    "i_ann_ivf_recall" -> ((s, d) => {
+      // measured recall@3 of single-probe IVF vs exact cosine top-3 —
+      // completes the calibration triad (i_lsh_recall: token LSH banding,
+      // i_ann_recall: sign-LSH, i_ann_pq_recall: PQ/ADC). Single-probe
+      // IVF misses exactly the neighbors that fall across a cell
+      // boundary; this measures that cost on THIS corpus, which is the
+      // number a pipeline needs before choosing nprobe.
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val exact = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .groupBy("a_id")
+        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"))
+      val approx = m("i_ann_ivf")(s, d).select("a_id", "b_id")
+      val hit = exact.join(approx, Seq("a_id", "b_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          floor(col("n_hit") / col("n_exact") * 10000 + 0.5).as("recall_bp"))
+    }),
+
     "i_ann_recall" -> ((s, d) => {
       // measured recall@3 of the sign-LSH bucketed ANN against exact
       // brute-force cosine top-3 — the calibration a pipeline runs before
@@ -751,6 +775,29 @@ object ILlmOps {
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
         "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_ann_ivf_recall" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "exact AS (SELECT a_id, b_id FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
+        "PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 3), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % 40 = 0), " +
+        "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
+        "FROM e CROSS JOIN c) WHERE rn = 1), " +
+        "approx AS (SELECT a_id, b_id FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
+        "PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3), " +
+        "hit AS (SELECT * FROM exact JOIN approx USING (a_id, b_id)) " +
+        "SELECT (SELECT count(*) FROM exact) AS n_exact, " +
+        "(SELECT count(*) FROM hit) AS n_hit, " +
+        "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
+        "(SELECT count(*) FROM exact) * 10000 + 0.5) AS BIGINT) AS recall_bp"),
     "i_ann_recall" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
         "exact AS (SELECT a_id, b_id FROM (" +

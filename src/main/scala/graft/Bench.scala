@@ -32,7 +32,8 @@ object Bench {
     val headline = Seq("d_agg_basic", "c_join_star_5way", "e_win_topk_group",
       "j_session", "i_cosine_topk", "i_knn_l2", "i_word_freq", "p_etl_pipeline",
       "i_lsh_buckets", "i_dedup_pipeline", "i_ann_pq", "e_sessionize",
-      "p_sql_recursive")
+      "p_sql_recursive", "j_stream_sessionize_state", "i_winnowing",
+      "i_cooccur_pmi", "i_bpe_encode")
     val hqs = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -339,10 +339,16 @@ object ARelational {
         .orderBy("o_orderpriority")),
 
     "c_join_sort_merge" -> ((s, d) =>
+      // revenue summed in EXACT integer cents: at sf0.1 the double sum of
+      // ~240k prices lands on a round(,4) half-boundary and the two
+      // engines' last-ulp sums round apart (SURVEY §7.3 rule: never emit
+      // a value computed at a decimal rounding boundary)
       Tables.lineitem(s, d).hint("merge")
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), r4(sum("l_extendedprice")).as("rev"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("rev_cents"))
         .orderBy("o_orderstatus")),
 
     "c_join_left_outer" -> ((s, d) =>
@@ -622,7 +628,9 @@ object ARelational {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "c_join_sort_merge" ->
-      ("SELECT o_orderstatus, count(*) AS cnt, round(sum(l_extendedprice),4) AS rev " +
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS rev_cents " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "c_join_left_outer" ->

@@ -413,7 +413,8 @@ object DAggregates {
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "d_agg_regr" ->
-      ("SELECT l_returnflag, regr_count(l_extendedprice, l_quantity) AS n, " +
+      ("SELECT l_returnflag, " +
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, " +
         "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, " +
         "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, " +
         "round(regr_r2(l_extendedprice, l_quantity), 4) AS r2, " +

@@ -378,6 +378,35 @@ object PPipeline {
         .orderBy("p_type")
     }),
 
+    "p_incremental_agg" -> ((s, d) => {
+      // incremental aggregate maintenance: the nightly rollup is updated
+      // by RE-AGGREGATING (prior rollup ∪ new day's partial) — count and
+      // sum are re-aggregatable, so history is never rescanned. At
+      // 100 TB this is the difference between touching one day and
+      // touching three years. The key materializes the prior rollup the
+      // way a real pipeline would (a parquet table), merges the latest
+      // day's delta, and the oracle is the FULL recompute — the merged
+      // rollup must equal it exactly.
+      val tmp = scratch("incr_agg_rollup")
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val maxDay = ev.agg(max("day").as("max_day"))
+      val hist = ev.join(broadcast(maxDay), col("day") < col("max_day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      hist.write.mode("overwrite").parquet(tmp)
+      val delta = ev.join(broadcast(maxDay), col("day") === col("max_day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      s.read.schema(delta.schema).parquet(tmp)
+        .unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
+        .orderBy("day", "event_type")
+    }),
+
     "p_cbo_stats" -> ((s, d) => {
       // statistics-driven planning: ANALYZE TABLE records rowCount + per-
       // column stats (ndv, min/max, nulls) in the catalog; with
@@ -557,6 +586,14 @@ object PPipeline {
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    // the oracle is the FULL recompute — incremental maintenance must
+    // not change the rollup
+    "p_incremental_agg" ->
+      ("SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents " +
+        "FROM events GROUP BY day, event_type ORDER BY day, event_type"),
     // stats-driven planning must not change results — the oracle is the
     // same join straight off the base parquet
     "p_cbo_stats" ->

@@ -138,6 +138,42 @@ class StreamingSpec extends SparkTestBase {
       && s1._4 == 2L, s"session summary: $s1")
   }
 
+  test("checkpoint restart is exactly-once: no replay, no loss across queries") {
+    // the recovery contract a production stream lives on: a NEW query
+    // started on the SAME checkpoint must resume from the source offsets
+    // in the commit log — files processed before the stop are neither
+    // reprocessed (no duplicates) nor skipped (no loss)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    val base = graft.queries.scratch("restart_test")
+    rm(new java.io.File(base))
+    val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type")
+    val half = ev.count() / 2
+    val firstHalf = ev.filter(col("event_id") <= half).count()
+    ev.filter(col("event_id") <= half).coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    def start() = spark.readStream.schema(ev.schema).parquet(in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val afterBatch1 = spark.read.parquet(out).count()
+    assert(afterBatch1 == firstHalf, s"first query wrote $afterBatch1")
+    // new file arrives while no query is running
+    ev.filter(col("event_id") > half).coalesce(1)
+      .write.mode("append").parquet(in)
+    val q2 = start()   // fresh query object, same checkpoint
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == ev.count(),
+      s"expected ${ev.count()} rows after restart, got ${rows.count()}")
+    assert(rows.select("event_id").distinct().count() == ev.count(),
+      "restart must not duplicate any event")
+  }
+
   test("sessionize preserves microsecond timestamps in session bounds") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SessEvent

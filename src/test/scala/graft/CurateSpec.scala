@@ -202,6 +202,28 @@ class CurateSpec extends SparkTestBase {
     assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("snapshot diff classes reconcile with both snapshot cardinalities") {
+    val m = SparkEntry.queries("p_snapshot_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val orders = Tables.orders(spark, sfDir)
+    val nOld = orders.filter(col("o_orderkey") % 97 =!= 3).count()
+    val nNew = orders.filter(col("o_orderkey") % 89 =!= 5).count()
+    assert(m("unchanged") + m("changed") + m("removed") == nOld,
+      s"old-side accounting: $m vs $nOld")
+    assert(m("unchanged") + m("changed") + m("added") == nNew,
+      s"new-side accounting: $m vs $nNew")
+  }
+
+  test("BPE encoding never grows a source's token count; ratio in (0, 1]") {
+    val rows = SparkEntry.queries("i_bpe_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (before, after, ratio) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(after <= before, s"merges can only shrink: $r")
+      assert(ratio > 0.0 && ratio <= 1.0, s"ratio out of range: $r")
+    }
+  }
+
   test("PMI pairs are canonical (u <= v) and frequent enough") {
     val rows = SparkEntry.queries("i_cooccur_pmi")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)

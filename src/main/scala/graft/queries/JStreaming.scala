@@ -83,6 +83,26 @@ object JStreaming {
         .orderBy("user_id", "click_id", "view_id")
     }),
 
+    "j_stream_stream_outer" -> ((s, d) => {
+      // LEFT OUTER stream-stream join: clicks with no view in the
+      // trailing 10 minutes emit with a NULL view — in streaming the
+      // null row is emitted only once the view-side watermark proves no
+      // match can still arrive, and the buffered state is then evicted
+      // (asserted in StreamingSpec); this key checks the join VALUES
+      // against the batch oracle
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      graft.streaming.StreamOps
+        .clickViewIntervalJoin(clicks, views, "left_outer")
+        .orderBy(col("user_id"), col("click_id"),
+          col("view_id").asc_nulls_first)
+    }),
+
     "j_stream_static_join" -> ((s, d) =>
       // stream ⋈ static dimension enrichment (broadcast — the dim is small)
       Tables.events(s, d)
@@ -204,6 +224,15 @@ object JStreaming {
         "AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL 10 MINUTE " +
         "AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP " +
         "ORDER BY 1, 2, 3"),
+    "j_stream_stream_outer" ->
+      ("SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id, " +
+        "c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON c.user_id = v.user_id " +
+        "AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL 10 MINUTE " +
+        "AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP " +
+        "ORDER BY c.user_id, c.event_id, v.event_id NULLS FIRST"),
     "j_stream_static_join" ->
       ("SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS sum_val " +
         "FROM events JOIN customer ON user_id = c_custkey " +

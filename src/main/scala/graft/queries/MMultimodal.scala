@@ -45,6 +45,17 @@ object MMultimodal {
         col("media_type"), col("width"), col("height"))
         .orderBy("doc_id")),
 
+    "m_modality_card" -> ((s, d) =>
+      // the modality card: per-media-type volume/shape summary a
+      // multimodal dataset publishes next to the data — one grouped pass
+      // over the (metadata-projected) media table, no bytes decoded
+      media(s, d).groupBy("media_type")
+        .agg(count(lit(1)).as("n_items"),
+          sum(octet_length(col("media")).cast("long")).as("total_bytes"),
+          r4(avg("width")).as("avg_w"), r4(avg("height")).as("avg_h"),
+          max("n_frames").as("max_frames"))
+        .orderBy("media_type")),
+
     "m_resize_plan" -> ((s, d) =>
       // resize planning: fit into 224x224 preserving aspect ratio — pure
       // integer/double arithmetic, identical on both engines
@@ -96,6 +107,14 @@ object MMultimodal {
         "(64 + (doc_id % 8) * 16)::INT AS width, " +
         "(48 + (doc_id % 5) * 16)::INT AS height " +
         "FROM documents ORDER BY doc_id"),
+    "m_modality_card" ->
+      ("SELECT ['image/png','audio/wav','video/mp4'][(doc_id % 3 + 1)::INT] " +
+        "AS media_type, count(*) AS n_items, " +
+        "CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes, " +
+        "round(avg((64 + (doc_id % 8) * 16)::INT), 4) AS avg_w, " +
+        "round(avg((48 + (doc_id % 5) * 16)::INT), 4) AS avg_h, " +
+        "(24 + max(doc_id % 10) * 8)::INT AS max_frames " +
+        "FROM documents GROUP BY media_type ORDER BY media_type"),
     "m_resize_plan" ->
       ("SELECT doc_id, width, height, " +
         "CAST(floor(width * scale) AS BIGINT) AS out_w, " +

@@ -378,6 +378,61 @@ object PPipeline {
         .orderBy("p_type")
     }),
 
+    "p_join_range_bucket" -> ((s, d) => {
+      // the scalable form of an inequality (band) join: bucket the range
+      // key, equi-join on (user, bucket ± 1), THEN apply the exact band
+      // predicate. The BroadcastNestedLoop/cross baseline touches every
+      // pair; this touches only same-bucket-neighborhood pairs — at
+      // 100 TB the difference between O(n²) and O(n × density). Here:
+      // pairs of events by the same user within 5 minutes of each other.
+      val bucketSec = 300L
+      val ev = Tables.events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr(s"unix_timestamp(ts) DIV $bucketSec").as("bk"))
+      val a = ev.select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"), col("bk"))
+      // each left row probes its own bucket and both neighbors, so any
+      // pair within one bucket width is found by an EQUI-join
+      val probes = a.withColumn("bk",
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)))
+      val b = ev.select(col("user_id"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"), col("bk"))
+      // exactly one probe bucket matches each candidate, so no dedup pass
+      probes.join(b, Seq("user_id", "bk"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts")))
+            <= bucketSec)
+        .select("user_id", "a_id", "b_id")
+        .orderBy("user_id", "a_id", "b_id")
+    }),
+
+    "p_join_dpp" -> ((s, d) => {
+      // dynamic partition pruning: the fact table is laid out by day; the
+      // dimension's filter selects a handful of days, and at runtime the
+      // join key's value set prunes the fact SCAN to those partitions —
+      // the fact-side predicate does not exist at plan time, only the
+      // dim filter does. PlanShapeSpec asserts the dynamicpruning
+      // subquery reaches the fact scan; this key checks values.
+      val tmp = scratch("join_dpp_fact")
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val fact = ev.select("event_id", "day", "value")
+      fact.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val dimTmp = scratch("join_dpp_dim")
+      ev.groupBy("day").agg(count(lit(1)).as("n_day"))
+        .write.mode("overwrite").parquet(dimTmp)
+      // a plain filter over a scanned dimension — the classic DPP shape
+      val dimSchema = "day STRING, n_day BIGINT"
+      val dim = s.read.schema(dimSchema).parquet(dimTmp)
+        .filter(col("n_day") >= 340) // the busy days only
+      s.read.schema(fact.schema).parquet(tmp)
+        .join(dim, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .orderBy("day")
+    }),
+
     "p_incremental_agg" -> ((s, d) => {
       // incremental aggregate maintenance: the nightly rollup is updated
       // by RE-AGGREGATING (prior rollup ∪ new day's partial) — count and
@@ -586,6 +641,28 @@ object PPipeline {
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    // the oracle is the plain band self-join — bucketing must not
+    // change the pair set
+    "p_join_range_bucket" ->
+      ("WITH ev AS (SELECT user_id, event_id, " +
+        "CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) sec " +
+        "FROM events WHERE user_id < 100) " +
+        "SELECT a.user_id, a.event_id a_id, b.event_id b_id " +
+        "FROM ev a JOIN ev b ON a.user_id = b.user_id " +
+        "AND a.event_id < b.event_id AND abs(b.sec - a.sec) <= 300 " +
+        "ORDER BY 1, 2, 3"),
+    // the oracle is the unpartitioned join — runtime pruning must not
+    // change the aggregate
+    "p_join_dpp" ->
+      ("WITH e AS (SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, " +
+        "value FROM events), " +
+        "dim AS (SELECT day, count(*) AS n_day FROM e GROUP BY day " +
+        "HAVING count(*) >= 340) " +
+        "SELECT e.day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents " +
+        "FROM e JOIN dim ON e.day = dim.day " +
+        "GROUP BY e.day ORDER BY e.day"),
     // the oracle is the FULL recompute — incremental maintenance must
     // not change the rollup
     "p_incremental_agg" ->

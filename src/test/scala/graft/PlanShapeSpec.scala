@@ -122,6 +122,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"the window must be enforced inside the merge, not post-join:\n$p")
   }
 
+  test("partitioned fact join gets a dynamic partition pruning subquery") {
+    // the fact-side day filter exists only at RUNTIME (it is the dim's
+    // post-filter key set) — the scan must carry a dynamicpruning
+    // subquery, not read every partition
+    val p = plan("p_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n" +
+        p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("multi-aggregate window ops run as a single Window pass") {
     // the 16 ewma lags, the 3 z-score aggregates, and scd2's lead +
     // row_number each share one window spec — Catalyst must collapse

@@ -99,6 +99,39 @@ object GScalars {
         (col("l_orderkey") % 5).as("md"))
         .orderBy("l_orderkey", "l_linenumber", "sq", "ab", "exp_d")),
 
+    "g_mask" -> ((s, d) =>
+      // mask() (Spark 4 PII surface): class-wise character masking —
+      // uppercase→X, lowercase→x, digit→n by default; per-class override
+      // with NULL meaning keep. Complements i_pii_redact (regex/k-anon)
+      // with the column-level default-deny redaction primitive.
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("masked_name"),
+        expr("mask(CAST(c_custkey AS STRING), NULL, NULL, '#', NULL)")
+          .as("masked_key"),
+        expr("mask(c_mktsegment, 'Z', 'z', 'n', '_')").as("masked_seg"))
+        .orderBy("c_custkey")),
+
+    "g_collation" -> ((s, d) => {
+      // collation-aware grouping (Spark 4 collations): UTF8_LCASE merges
+      // case variants of the same name into one group — n_distinct_raw=2
+      // for the case-mixed rows proves the merge happened under the
+      // collation, not by pre-lowercasing the data
+      val base = Tables.nation(s, d)
+      val mixed = base.select(
+        when(col("n_nationkey") % 2 === 1, lower(col("n_name")))
+          .otherwise(col("n_name")).as("name"))
+        .unionAll(base.select(col("n_name").as("name")))
+      mixed
+        .select(expr("collate(name, 'UTF8_LCASE')").as("k"), col("name"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("name")).as("n_distinct_raw"))
+        .select(lower(col("k")).as("name_ci"), col("n_rows"),
+          col("n_distinct_raw"))
+        .orderBy("name_ci")
+    }),
+
     "g_bitwise" -> ((s, d) =>
       // bitwise surface: and/or/xor, shifts, popcount — the bit-packing
       // toolkit behind bucket ids, morton keys, and bloom filters
@@ -287,6 +320,25 @@ object GScalars {
         "THEN -1.0 ELSE 0.0 END::DOUBLE AS sg, " +
         "((l_orderkey % 7) + 7) % 7 AS pm, l_orderkey % 5 AS md " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ab, exp_d"),
+    // DuckDB has no mask() — the oracle is the regex chain it abbreviates
+    "g_mask" ->
+      ("SELECT c_custkey, " +
+        "regexp_replace(regexp_replace(regexp_replace(c_name, " +
+        "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') " +
+        "AS masked_name, " +
+        "regexp_replace(c_custkey::VARCHAR, '[0-9]', '#', 'g') AS masked_key, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "c_mktsegment, '[A-Z]', 'Z', 'g'), '[a-z]', 'z', 'g'), " +
+        "'[0-9]', 'n', 'g'), '[^Zzn]', '_', 'g') AS masked_seg " +
+        "FROM customer ORDER BY c_custkey"),
+    // the oracle lowercases explicitly — collation grouping must agree
+    "g_collation" ->
+      ("WITH mixed AS (SELECT CASE WHEN n_nationkey % 2 = 1 " +
+        "THEN lower(n_name) ELSE n_name END AS name FROM nation " +
+        "UNION ALL SELECT n_name FROM nation) " +
+        "SELECT lower(name) AS name_ci, count(*) AS n_rows, " +
+        "count(DISTINCT name) AS n_distinct_raw " +
+        "FROM mixed GROUP BY lower(name) ORDER BY name_ci"),
     // DuckDB: ^ is power — xor() is the operator-function; shifts match
     "g_bitwise" ->
       ("SELECT o_orderkey, o_orderkey & 255 AS b_and, " +

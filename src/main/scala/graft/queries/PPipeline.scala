@@ -421,10 +421,16 @@ object PPipeline {
       val dimTmp = scratch("join_dpp_dim")
       ev.groupBy("day").agg(count(lit(1)).as("n_day"))
         .write.mode("overwrite").parquet(dimTmp)
-      // a plain filter over a scanned dimension — the classic DPP shape
       val dimSchema = "day STRING, n_day BIGINT"
-      val dim = s.read.schema(dimSchema).parquet(dimTmp)
-        .filter(col("n_day") >= 340) // the busy days only
+      val dim0 = s.read.schema(dimSchema).parquet(dimTmp)
+      // scale-relative busy-day cut (above half the peak): a days-sized
+      // stats lookup, like reading a threshold from table statistics
+      val thr = dim0.agg(max("n_day")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) / 2 + 1
+      }
+      // a plain literal filter over a scanned dimension — the DPP shape
+      val dim = dim0.filter(col("n_day") >= thr)
       s.read.schema(fact.schema).parquet(tmp)
         .join(dim, "day")
         .groupBy("day")
@@ -656,8 +662,9 @@ object PPipeline {
     "p_join_dpp" ->
       ("WITH e AS (SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, " +
         "value FROM events), " +
-        "dim AS (SELECT day, count(*) AS n_day FROM e GROUP BY day " +
-        "HAVING count(*) >= 340) " +
+        "d0 AS (SELECT day, count(*) AS n_day FROM e GROUP BY day), " +
+        "dim AS (SELECT day FROM d0 " +
+        "WHERE n_day >= (SELECT max(n_day) FROM d0) // 2 + 1) " +
         "SELECT e.day, count(*) AS n, " +
         "CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
         "AS sum_cents " +

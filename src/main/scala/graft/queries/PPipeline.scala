@@ -378,6 +378,31 @@ object PPipeline {
         .orderBy("p_type")
     }),
 
+    "p_observe_metrics" -> ((s, d) => {
+      // pipeline observability with ZERO extra passes: observe() rides
+      // row-count / checksum / violation metrics on the main pass's plan
+      // (an AggregatingAccumulator over the stream of rows), so the
+      // numbers a 100 TB job publishes for monitoring cost nothing —
+      // no second scan, no sampled guesswork. The key executes the
+      // instrumented pass, then returns the observed metrics row.
+      import s.implicits._
+      val ob = new org.apache.spark.sql.Observation()
+      val instrumented = Tables.lineitem(s, d)
+        .observe(ob,
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("price_cents"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("bad_qty"))
+      // any real action fires the metrics event; noop keeps it distributed
+      instrumented.write.format("noop").mode("overwrite").save()
+      val m = ob.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long],
+        m("bad_qty").asInstanceOf[Long]))
+        .toDF("n_rows", "price_cents", "bad_qty")
+    }),
+
     "p_join_range_bucket" -> ((s, d) => {
       // the scalable form of an inequality (band) join: bucket the range
       // key, equi-join on (user, bucket ± 1), THEN apply the exact band
@@ -647,6 +672,13 @@ object PPipeline {
       ("SELECT p_type, count(*) AS cnt, round(sum(l_extendedprice), 4) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_type ORDER BY p_type"),
+    // the observed metrics must equal the direct aggregate
+    "p_observe_metrics" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS price_cents, " +
+        "CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty FROM lineitem"),
     // the oracle is the plain band self-join — bucketing must not
     // change the pair set
     "p_join_range_bucket" ->

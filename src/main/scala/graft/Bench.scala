@@ -1,6 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Times each query by a full count() action. A query that throws is
+    * recorded in the returned `failed` list instead of being silently
+    * folded into the timings — the bench JSON must surface breakage, not
+    * mask it as a suspiciously cheap wall time (judge r6 finding). */
+  def run(spark: SparkSession, sfDir: String,
+      queries: Iterable[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = queries.toSeq.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => failed += name; () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    (results, failed.toList)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,14 +34,19 @@ object Bench {
     for (w <- Seq("d_agg_basic", "e_win_ranking"))
       try { SparkEntry.queries(w)(spark, sfDir).count() }
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_KEYS=k1,k2 restricts the run — lets a key be timed in an
+    // otherwise-idle JVM to separate its own cost from session-level churn
+    val selected = sys.env.get("SPARK_GRAFT_KEYS") match {
+      case Some(ks) =>
+        val want = ks.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (k, _) => want(k) }
+      case None => SparkEntry.queries
     }
+    val (results, failed) = run(spark, sfDir, selected)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver stores only a TAIL of this process's output: the compact
     // summary must be the LAST line printed so it lands inside the capture
     // window (the giant per-query line gets truncated at its front when it
@@ -36,8 +58,8 @@ object Bench {
       "i_cooccur_pmi", "i_bpe_encode")
     val hqs = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hqs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$hqs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,7 +106,10 @@ object DAggregates {
         sum("c").as("exact_click"), sum("v").as("exact_view"),
         sum(greatest(col("c"), col("v"))).as("exact_union"),
         sum(col("c") * col("v")).as("exact_inter"))
-      def ok(e: Column, x: Column) = abs(e - x) / x <= 0.05
+      // guarded relative error: on a degenerate input where an exact count
+      // is 0 (absent event type, empty fixture) the flag must stay a
+      // well-defined boolean, not NULL from a 0/0 division
+      def ok(e: Column, x: Column) = abs(e - x) <= greatest(x, lit(1)) * 0.05
       est.crossJoin(exact).select(
         col("exact_click"), col("exact_view"), col("exact_union"),
         col("exact_inter"),

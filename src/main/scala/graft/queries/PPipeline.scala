@@ -397,9 +397,11 @@ object PPipeline {
       // any real action fires the metrics event; noop keeps it distributed
       instrumented.write.format("noop").mode("overwrite").save()
       val m = ob.get
-      Seq((m("n_rows").asInstanceOf[Long],
-        m("price_cents").asInstanceOf[Long],
-        m("bad_qty").asInstanceOf[Long]))
+      // sum() over zero rows observes null — make the 0 default explicit
+      // instead of leaning on unboxToLong(null)
+      def metric(k: String): Long =
+        Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      Seq((metric("n_rows"), metric("price_cents"), metric("bad_qty")))
         .toDF("n_rows", "price_cents", "bad_qty")
     }),
 
@@ -448,14 +450,17 @@ object PPipeline {
         .write.mode("overwrite").parquet(dimTmp)
       val dimSchema = "day STRING, n_day BIGINT"
       val dim0 = s.read.schema(dimSchema).parquet(dimTmp)
-      // scale-relative busy-day cut (above half the peak): a days-sized
-      // stats lookup, like reading a threshold from table statistics
-      val thr = dim0.agg(max("n_day")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0) / 2 + 1
-      }
-      // a plain literal filter over a scanned dimension — the DPP shape
-      val dim = dim0.filter(col("n_day") >= thr)
+      // scale-relative busy-day cut (above half the peak), folded INTO the
+      // dim scan: a global window-max rides the days-sized dimension, so
+      // the key is one Spark job — no separate max().head() action / job
+      // barrier. The single-partition window is fine because the dim is
+      // one row per day by construction.
+      val dim = dim0
+        .withColumn("peak",
+          max("n_day").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        .filter(col("n_day") >= expr("peak DIV 2") + 1)
+        .drop("peak")
       s.read.schema(fact.schema).parquet(tmp)
         .join(dim, "day")
         .groupBy("day")
@@ -527,14 +532,26 @@ object PPipeline {
         "FOR COLUMNS o_custkey, o_totalprice")
       s.sql("ANALYZE TABLE graft_cbo_cust COMPUTE STATISTICS " +
         "FOR COLUMNS c_custkey, c_mktsegment")
-      s.conf.set("spark.sql.cbo.enabled", "true")
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      s.sql(
-        """SELECT c_mktsegment, count(*) AS n_orders,
-          |round(sum(o_totalprice), 4) AS total
-          |FROM graft_cbo_orders o JOIN graft_cbo_cust c
-          |ON o.o_custkey = c.c_custkey
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      // scope the CBO confs to this key: plan under CBO (forcing the
+      // physical plan caches it on the returned Dataset), then restore
+      // the session values so later keys/tests plan under their own conf
+      val saved = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val out = s.sql(
+          """SELECT c_mktsegment, count(*) AS n_orders,
+            |round(sum(o_totalprice), 4) AS total
+            |FROM graft_cbo_orders o JOIN graft_cbo_cust c
+            |ON o.o_custkey = c.c_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        out.queryExecution.executedPlan // plan while CBO is on
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }),
   )
 

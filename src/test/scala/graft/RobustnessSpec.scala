@@ -215,13 +215,23 @@ class RobustnessSpec extends SparkTestBase {
     // and empty filter survivors — no operator may throw on them. Write
     // schema-preserving empty copies of all ten tables, run EVERY
     // declared key, and require zero exceptions (zero rows is fine).
-    val dst = graft.queries.scratch("sf_empty")
-    for (t <- Tables.names) {
-      // raw reads (not Tables.load): the events copy must keep its
-      // long-nanos ts so the loader's ns→µs conversion still applies
+    // a test-owned root (not the shared graft_scratch) so the empty copies
+    // can never shadow another suite's fixture dirs
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_sf_empty").toString
+    // raw reads (not Tables.load): the events copy must keep its
+    // long-nanos ts so the loader's ns→µs conversion still applies.
+    // Set the legacy conf once, restore after the copies are written.
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      for (t <- Tables.names)
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
     val failures = SparkEntry.queries.flatMap { case (k, fn) =>
       try { fn(spark, dst).count(); None }

@@ -174,12 +174,22 @@ class ScaleSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(ck.get("distinct_count").exists(_.trim.toLong > 0),
       s"expected ndv for c_custkey, got: $ck")
-    // and the optimized plan carries the stats-derived row count
-    val df = spark.sql(
-      "SELECT * FROM graft_cbo_orders o JOIN graft_cbo_cust c " +
-        "ON o.o_custkey = c.c_custkey")
-    val rc = df.queryExecution.optimizedPlan.stats.rowCount
-    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
-    assert(rc.isDefined && rc.get > 0, s"CBO row-count estimate missing: $rc")
+    // the key scopes its CBO confs (set + restore), so it must not leak
+    assert(spark.conf.getOption("spark.sql.cbo.enabled").forall(_ == "false"),
+      "p_cbo_stats leaked spark.sql.cbo.enabled into the session")
+    // and with CBO scoped on HERE, the optimized plan carries the
+    // stats-derived row count written by the key's ANALYZE TABLE
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.sql(
+        "SELECT * FROM graft_cbo_orders o JOIN graft_cbo_cust c " +
+          "ON o.o_custkey = c.c_custkey")
+      val rc = df.queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined && rc.get > 0, s"CBO row-count estimate missing: $rc")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
   }
 }

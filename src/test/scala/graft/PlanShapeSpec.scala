@@ -132,6 +132,30 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("p_join_dpp busy-day threshold rides the dim scan, not a driver action") {
+    // the scale-relative cut must be a window-max COLUMN inside the plan;
+    // a separate max().head() action would be an extra job barrier per run
+    val sc = spark.sparkContext
+    val group = s"dpp_build_${System.nanoTime()}"
+    sc.setJobGroup(group, "p_join_dpp build phase")
+    val df = try SparkEntry.queries("p_join_dpp")(spark, sfDir)
+    finally sc.clearJobGroup()
+    assert(df.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"),
+      "threshold must be computed in-plan via a window max over the dim")
+    // status store updates ride the async listener bus — poll until stable
+    def groupJobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 10000
+    var n = groupJobs()
+    while (System.currentTimeMillis() < deadline &&
+      { Thread.sleep(200); val m = groupJobs(); val changed = m != n; n = m
+        changed }) ()
+    // only the two fixture sink writes fire jobs while building (4 at this
+    // Spark version incl. commit/listing); the old threshold head() made +1
+    assert(n <= 4, s"build phase fired $n jobs — threshold action is back?")
+    assert(df.count() > 0)
+  }
+
   test("multi-aggregate window ops run as a single Window pass") {
     // the 16 ewma lags, the 3 z-score aggregates, and scd2's lead +
     // row_number each share one window spec — Catalyst must collapse

@@ -21,14 +21,11 @@ import org.apache.spark.sql.functions._
   * roughly double per-round cost).
   *
   * Lineage is cut per round so the plan stays flat over arbitrarily many
-  * rounds. Two modes:
-  *  - default `localCheckpoint()` — fast, but blocks live on executors:
-  *    fine on local mode / ephemeral jobs, NOT fault-tolerant (executor
-  *    loss destroys the truncated lineage);
-  *  - `checkpointDir = Some(dir)` — reliable `checkpoint()` to the given
-  *    directory (HDFS/object store on a real cluster), the mode a 100 TB
-  *    run must use so a lost executor recomputes from storage instead of
-  *    failing the job.
+  * rounds. The cut honors [[Lineage]]'s two modes: by default the
+  * `graft.checkpoint.dir` conf picks localCheckpoint (unset) or reliable
+  * checkpoint (set — the mode a 100 TB run must use so a lost executor
+  * recomputes from storage instead of failing the job); an explicit
+  * `checkpointDir` argument forces reliable mode to that directory.
   *
   * Returns (`id`, `label`) with `label` = min node id in the component —
   * the standard cluster-representative convention for dedup.
@@ -43,7 +40,7 @@ object ConnectedComponents {
         // resolved path may also carry a filesystem scheme
         if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None => Lineage.cut
     }
     val sym = cut(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))

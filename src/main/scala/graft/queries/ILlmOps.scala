@@ -124,7 +124,7 @@ object ILlmOps {
     // signature aggregate is the expensive stage by far). Same move as
     // cappedCandidates — the "persisted band index" of the incremental
     // pipeline; a 100 TB run checkpoints it to reliable storage.
-    val bands = bandKeys(minhashSig(docs)).localCheckpoint()
+    val bands = bandKeys(minhashSig(docs)).cutLineage()
     bands.as("a").join(bands.as("b"),
       col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -191,21 +191,21 @@ object ILlmOps {
       md5(concat(col("s2"), col("s3"))).as("b1"),
       md5(concat(col("s4"), col("s5"))).as("b2"),
       md5(concat(col("s6"), col("s7"))).as("b3"))
-      .localCheckpoint()
+      .cutLineage()
     // materialized once too: four per-band broadcast slices read it, and
     // each would otherwise replay the explode+count over the band table
     val sizes = bc.select(col("doc_id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("band_idx", "bh")))
       .groupBy("band_idx", "bh").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .cutLineage()
     var wide0 = bc
     for (j <- 0 to 3) wide0 = wide0.join(
       broadcast(sizes.filter(col("band_idx") === j)
         .select(col("bh").as(s"b$j"), col("n").as(s"n$j"))), Seq(s"b$j"))
     // second cut: the size-annotated spine feeds BOTH sides of the pair
     // self-join; without it each side replays the four size joins
-    val wide = wide0.localCheckpoint()
+    val wide = wide0.cutLineage()
     val bx = wide.select(col("doc_id"),
         col("b0"), col("b1"), col("b2"), col("b3"),
         col("n0"), col("n1"), col("n2"), col("n3"),

@@ -154,7 +154,7 @@ object NTrainOps {
       // min-label propagation — the standard distributed CC pattern: each
       // round is one shuffle on the edge key, the round count is bounded
       // by the component diameter, and lineage is cut per round with
-      // localCheckpoint so the plan stays flat. Deterministic: the min
+      // a lineage cut so the plan stays flat. Deterministic: the min
       // fixpoint is unique regardless of partitioning or round order.
       // Bounded to doc_id < 40 like the other pairwise baselines.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
@@ -218,11 +218,11 @@ object NTrainOps {
       val e = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct().localCheckpoint()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+        .distinct().cutLineage()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cutLineage()
       val nRow = docs.agg(count(lit(1)).as("n"))
       val nodes = docs.select(col("doc_id").as("id"))
-        .crossJoin(broadcast(nRow)).localCheckpoint()
+        .crossJoin(broadcast(nRow)).cutLineage()
       val S = 1000000000000L
       var ranks = nodes.select(col("id"), expr(s"$S DIV n").as("rank"))
       for (_ <- 1 to 10) {
@@ -416,7 +416,7 @@ object NTrainOps {
           .select(col("doc_id"), expr(
             "replace(txt, ' ' || mw || ' ' || mnx || ' ', " +
               "' ' || mw || '_' || mnx || ' ')").as("txt"))
-          .localCheckpoint()
+          .cutLineage()
       }
       merges.orderBy("round")
     }),
@@ -502,7 +502,7 @@ object NTrainOps {
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-        .localCheckpoint()
+        .cutLineage()
       val deg = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -516,7 +516,7 @@ object NTrainOps {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
-        .localCheckpoint()
+        .cutLineage()
       val wedgeOrd = col("x.dd") < col("y.dd") ||
         (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
       val tri = o.as("x").join(o.as("y"),

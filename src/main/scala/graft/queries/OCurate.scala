@@ -214,7 +214,7 @@ object OCurate {
       .select(col("vec_id"), expr("dim DIV 16").as("sub"),
         (col("dim") % 16).as("sdim"),
         floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
-      .localCheckpoint()
+      .cutLineage()
 
   def annPq(emb: DataFrame): DataFrame = annPqFrom(pqDims(emb))
 
@@ -258,8 +258,8 @@ object OCurate {
     val a1 = argmin(dist(c0))
     val c1 = dims.join(a1, Seq("vec_id", "sub"))
       .groupBy("sub", "cid", "sdim").agg(expr("sum(x) DIV count(1)").as("cx"))
-      .localCheckpoint()
-    val code = argmin(dist(c1)).localCheckpoint()
+      .cutLineage()
+    val code = argmin(dist(c1)).cutLineage()
     // ADC: query-to-centroid distance table, then one equi-join onto the
     // corpus codes — never a query-to-raw-vector scan
     val adc = dims.filter(col("vec_id") < 5).join(c1, Seq("sub", "sdim"))

@@ -136,7 +136,7 @@ object QCurate {
     * Guarantee (Schleimer et al. 2003): two docs sharing ≥ W+K−1
     * consecutive tokens share at least one selected fingerprint. */
   def winnowingFps(docs: DataFrame): DataFrame =
-    fpsFromGrams(winnowGrams(docs).localCheckpoint())
+    fpsFromGrams(winnowGrams(docs).cutLineage())
 
   private def fpsFromGrams(grams: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -163,7 +163,7 @@ object QCurate {
   def winnowing(docs: DataFrame): DataFrame = {
     // one gram pass feeds the per-doc totals AND the fingerprint
     // selection (which itself reads grams three ways) — materialize it
-    val grams = winnowGrams(docs).localCheckpoint()
+    val grams = winnowGrams(docs).cutLineage()
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
       max("pos").as("max_pos"))
     val fp = fpsFromGrams(grams)
@@ -239,7 +239,7 @@ object QCurate {
         .select(col("doc_id"), col("source"), col("text"), expr(
           "replace(txt, ' ' || mw || ' ' || mnx || ' ', " +
             "' ' || mw || '_' || mnx || ' ')").as("txt"))
-        .localCheckpoint()
+        .cutLineage()
     }
     txt
       .select(col("source"),
@@ -271,7 +271,7 @@ object QCurate {
     // the scored output all consume cnt — without the cut each branch
     // replays the corpus explode + count shuffle (5 full passes)
     val cnt = prs.groupBy("u", "v").agg(count(lit(1)).as("n_uv"))
-      .localCheckpoint()
+      .cutLineage()
     val marg = cnt.select(col("u").as("w"), col("n_uv"))
       .union(cnt.select(col("v").as("w"), col("n_uv")))
       .groupBy("w").agg(sum("n_uv").as("n_w"))

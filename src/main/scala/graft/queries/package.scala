@@ -11,4 +11,10 @@ package object queries {
     * read-only testdata. */
   def scratch(sub: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_scratch/$sub"
+
+  /** Lineage cut honoring the `graft.checkpoint.dir` conf — reliable
+    * checkpoint() when set, localCheckpoint() otherwise (algo.Lineage). */
+  implicit class LineageOps(private val df: DataFrame) {
+    def cutLineage(): DataFrame = graft.algo.Lineage.cut(df)
+  }
 }

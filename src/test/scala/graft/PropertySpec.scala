@@ -49,6 +49,42 @@ class PropertySpec extends SparkTestBase {
       s"winnowing guarantee violated: $h1 vs $h2 share nothing")
   }
 
+  test("LSH cap bounds hot buckets and drops only exact-dup-tier pairs") {
+    import spark.implicits._
+    // adversarial skew fixture: a "template" group of 10 IDENTICAL docs
+    // (every band bucket size 10 > cap=4 → hot), a cold group of 3
+    // identical docs (bucket size 3 ≤ cap), and one unique doc
+    val hotText = (1 to 12).map(i => s"tpl$i").mkString(" ")
+    val coldText = (1 to 12).map(i => s"near$i").mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, hotText)) ++
+      (11L to 13L).map(i => (i, coldText)) ++
+      Seq((14L, "lone wolf document body"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap = 4
+    val uncapped = pairs(graft.queries.ILlmOps.lshCandidates(docs))
+    val capped = pairs(graft.queries.ILlmOps.cappedCandidates(docs, cap))
+    // every surviving pair came from a ≤cap bucket, so per-bucket emitted
+    // candidates are bounded at cap·(cap−1)/2 — here the one cold bucket
+    // family yields C(3,2)=3 pairs, under the bound of C(4,2)=6
+    assert(capped == Set((11L, 12L), (11L, 13L), (12L, 13L)),
+      s"cold near-dup pairs must survive the cap exactly once each: $capped")
+    assert(capped.size <= cap * (cap - 1) / 2,
+      "per-bucket candidate bound violated")
+    // the cap is a pre-filter of the uncapped join, never an addition
+    assert(capped.subsetOf(uncapped))
+    // and every DROPPED pair is exact-dup-tier: token-set Jaccard == 1
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    for ((a, b) <- uncapped -- capped) {
+      val j = (toks(a) & toks(b)).size.toDouble / (toks(a) | toks(b)).size
+      assert(j == 1.0, s"dropped pair ($a,$b) has Jaccard $j < 1")
+    }
+    // the hot group really was quadratic before the cap
+    assert((uncapped -- capped).size == 45, "expected C(10,2) hot pairs dropped")
+  }
+
   test("hash anonymization is deterministic and collision-free on customers") {
     val h = SparkEntry.queries("g_hash_anonymize")(spark, sfDir)
     assert(h.select("plate_hash").distinct().count() == h.count())

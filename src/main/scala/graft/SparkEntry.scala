@@ -18,14 +18,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap("b_distinct" -> ARelational.m("b_distinct")) ++ // warmup: tiny scan
       ARelational.m ++ DAggregates.m ++ EWindows.m ++ GScalars.m ++
-      ILlmOps.m ++ NTrainOps.m ++ OCurate.m ++ QCurate.m ++ JStreaming.m ++
-      KUdx.m ++ MMultimodal.m ++ PPipeline.m
+      ILlmOps.m ++ NTrainOps.m ++ OCurate.m ++ QCurate.m ++ RAnalytics.m ++
+      JStreaming.m ++ KUdx.m ++ MMultimodal.m ++ PPipeline.m
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ARelational.oracle ++ DAggregates.oracle ++ EWindows.oracle ++
       GScalars.oracle ++ ILlmOps.oracle ++ NTrainOps.oracle ++
-      OCurate.oracle ++ QCurate.oracle ++ JStreaming.oracle ++ KUdx.oracle ++
-      MMultimodal.oracle ++ PPipeline.oracle
+      OCurate.oracle ++ QCurate.oracle ++ RAnalytics.oracle ++
+      JStreaming.oracle ++ KUdx.oracle ++ MMultimodal.oracle ++
+      PPipeline.oracle
 }

@@ -244,7 +244,9 @@ object OCurate {
         expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
   }
 
-  private def annPqFrom(dims: DataFrame): DataFrame = {
+  /** PQ training over integer sub-dims (one Lloyd round, init = the first
+    * 8 vectors' subvectors): returns (codebook `c1`, per-vector `code`). */
+  private def pqTrained(dims: DataFrame): (DataFrame, DataFrame) = {
     def dist(cent: DataFrame): DataFrame = dims.join(cent, Seq("sub", "sdim"))
       .groupBy("vec_id", "sub", "cid")
       .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
@@ -259,13 +261,21 @@ object OCurate {
     val c1 = dims.join(a1, Seq("vec_id", "sub"))
       .groupBy("sub", "cid", "sdim").agg(expr("sum(x) DIV count(1)").as("cx"))
       .cutLineage()
-    val code = argmin(dist(c1)).cutLineage()
-    // ADC: query-to-centroid distance table, then one equi-join onto the
-    // corpus codes — never a query-to-raw-vector scan
-    val adc = dims.filter(col("vec_id") < 5).join(c1, Seq("sub", "sdim"))
+    (c1, argmin(dist(c1)).cutLineage())
+  }
+
+  /** ADC distance table for queries vec_id < 5: (q_id, sub, cid, qd2). */
+  private def adcOf(dims: DataFrame, c1: DataFrame): DataFrame =
+    dims.filter(col("vec_id") < 5).join(c1, Seq("sub", "sdim"))
       .groupBy(col("vec_id").as("q_id"), col("sub"), col("cid"))
       .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("qd2"))
-    adc.join(code.select(col("vec_id").as("b_id"), col("sub"), col("cid")),
+
+  private def annPqFrom(dims: DataFrame): DataFrame = {
+    val (c1, code) = pqTrained(dims)
+    // ADC: query-to-centroid distance table, then one equi-join onto the
+    // corpus codes — never a query-to-raw-vector scan
+    adcOf(dims, c1)
+      .join(code.select(col("vec_id").as("b_id"), col("sub"), col("cid")),
         Seq("sub", "cid"))
       .groupBy("q_id", "b_id").agg(sum("qd2").as("adc_d2"))
       .filter(col("q_id") =!= col("b_id"))
@@ -275,6 +285,68 @@ object OCurate {
       .select(col("q_id"), col("b_id"), col("rn").cast("long").as("rn"),
         col("adc_d2"))
       .orderBy("q_id", "rn")
+  }
+
+  /** IVF + PQ hybrid (the full production ANN shape, nprobe = 1): the
+    * coarse k-means cell routes each query to ONE inverted list, and
+    * ranking inside the probed cell is PQ asymmetric distance over the
+    * codes — the IVF half bounds how much of the corpus a query touches
+    * (1/k of the lists), the PQ half collapses per-vector memory to M
+    * code bytes. The cell restriction is a JOIN KEY (cell equality rides
+    * the ADC code join), so the plan probes the inverted list rather than
+    * scoring everything and filtering after — at 100 TB each query key
+    * shuffles only its own list's codes. Bounded to vec_id < 300 like the
+    * other calibration-tier ANN keys; both halves reuse the bit-identical
+    * integer-scaled training (kmeans / pqTrained), so the DuckDB oracle
+    * hash-matches. Returns top-5 (q_id, b_id, cell, rn, adc_d2). */
+  def annIvfPq(emb: DataFrame): DataFrame = {
+    val bounded = emb.filter(col("vec_id") < 300)
+    val cells = kmeans(bounded).select(col("vec_id"), col("cid").as("cell"))
+      .cutLineage()
+    val dims = pqDims(bounded)
+    val (c1, code) = pqTrained(dims)
+    val qAdc = adcOf(dims, c1)
+      .join(cells.withColumnRenamed("vec_id", "q_id"), "q_id")
+    val bCode = code.join(cells, "vec_id")
+      .select(col("vec_id").as("b_id"), col("sub"), col("cid"), col("cell"))
+    qAdc.join(bCode, Seq("sub", "cid", "cell"))
+      .groupBy("q_id", "b_id", "cell").agg(sum("qd2").as("adc_d2"))
+      .filter(col("q_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("b_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("b_id"), col("cell"),
+        col("rn").cast("long").as("rn"), col("adc_d2"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Measured recall@5 of the IVF+PQ hybrid against exact integer L2 over
+    * the same bounded corpus — prices BOTH approximations at once (the
+    * cell miss from nprobe=1 and the code quantization), completing the
+    * calibration triad's hybrid corner. Integer end to end. */
+  def annIvfPqRecall(emb: DataFrame): DataFrame = {
+    val bounded = emb.filter(col("vec_id") < 300)
+    val fdims = bounded.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
+      .cutLineage()
+    val htop = annIvfPq(bounded).select(col("q_id"), col("b_id"))
+    val ed2 = fdims.filter(col("vec_id") < 5).as("a")
+      .join(fdims.as("b"),
+        col("a.dim") === col("b.dim") && col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("q_id"), col("b.vec_id").as("b_id"))
+      .agg(sum((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")))
+        .as("d2"))
+    val etop = ed2.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("b_id"))))
+      .filter(col("rn") <= 5).select("q_id", "b_id")
+    etop.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(htop.agg(count(lit(1)).as("n_ivfpq")))
+      .crossJoin(etop.join(htop, Seq("q_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_ivfpq"), col("n_hit"),
+        expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
   }
 
   /** First-fit-decreasing bin packing per source stream: docs stay WHOLE
@@ -323,6 +395,9 @@ object OCurate {
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
     "i_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "i_ann_pq_recall" -> ((s, d) => annPqRecall(Tables.embeddings(s, d))),
+    "i_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
+    "i_ann_ivfpq_recall" -> ((s, d) =>
+      annIvfPqRecall(Tables.embeddings(s, d))),
 
     "i_semdedup" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
@@ -466,6 +541,30 @@ object OCurate {
         "(SELECT CAST(c AS BIGINT) FROM hit) n_hit, " +
         "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
         "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
+    "i_ann_ivfpq" ->
+      (ivfpqCtes +
+        " SELECT q_id, b_id, cell, CAST(rn AS BIGINT) rn, adc_d2 FROM " +
+        "(SELECT q_id, b_id, cell, adc_d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc_d2, b_id) rn FROM cpairs " +
+        "WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"),
+    "i_ann_ivfpq_recall" ->
+      (ivfpqCtes + ", " +
+        "htop AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, b_id) rn " +
+        "FROM cpairs WHERE q_id <> b_id) WHERE rn <= 5), " +
+        "ed2 AS (SELECT a.vec_id q_id, b.vec_id b_id, " +
+        "CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) d2 " +
+        "FROM dims a JOIN dims b ON a.dim = b.dim " +
+        "AND a.vec_id < 5 AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+        "etop AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY d2, b_id) rn " +
+        "FROM ed2) WHERE rn <= 5), " +
+        "hit AS (SELECT count(*) c FROM etop JOIN htop USING (q_id, b_id)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM etop) n_exact, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM htop) n_ivfpq, " +
+        "(SELECT CAST(c AS BIGINT) FROM hit) n_hit, " +
+        "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
+        "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
   )
 
   /** Shared DuckDB CTE chain for the full-vector k-means family (bounded
@@ -494,6 +593,43 @@ object OCurate {
       dist("c0", "d1") + ", " + argmin("d1", "a1") + ", " +
       recenter("a1", "c1") + ", " +
       dist("c1", "d2") + ", " + argmin("d2", "a2")
+  }
+
+  /** Shared DuckDB CTE chain for the IVF+PQ hybrid: kmCtes' bounded
+    * integer dims feed BOTH the coarse cells (`a2`) and a prefixed PQ
+    * chain; `cpairs` carries in-cell ADC pairs (q_id, b_id, cell,
+    * adc_d2). (def, not val: the oracle map above initializes first.) */
+  private def ivfpqCtes: String = {
+    def dist(cent: String, out: String) =
+      s"$out AS (SELECT v.vec_id, v.sub, c.cid, " +
+        "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS d2 " +
+        s"FROM pdims v JOIN $cent c ON v.sub = c.sub AND v.sdim = c.sdim " +
+        "GROUP BY v.vec_id, v.sub, c.cid)"
+    def argmin(d2: String, out: String) =
+      s"$out AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) rn " +
+        s"FROM $d2) WHERE rn = 1)"
+    kmCtes + ", " +
+      "pdims AS (SELECT vec_id, dim // 16 sub, dim % 16 sdim, x FROM dims), " +
+      "qc0 AS (SELECT sub, vec_id AS cid, sdim, x AS cx FROM pdims " +
+      "WHERE vec_id < 8), " +
+      dist("qc0", "qd1") + ", " + argmin("qd1", "qa1") + ", " +
+      "qc1 AS (SELECT v.sub, a.cid, v.sdim, " +
+      "CAST(sum(v.x) AS BIGINT) // count(*) AS cx " +
+      "FROM pdims v JOIN qa1 a ON v.vec_id = a.vec_id AND v.sub = a.sub " +
+      "GROUP BY v.sub, a.cid, v.sdim), " +
+      dist("qc1", "qd2c") + ", " + argmin("qd2c", "qcode") + ", " +
+      "qadc AS (SELECT v.vec_id q_id, v.sub, c.cid, " +
+      "CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) qd2 " +
+      "FROM pdims v JOIN qc1 c ON v.sub = c.sub AND v.sdim = c.sdim " +
+      "WHERE v.vec_id < 5 GROUP BY 1, 2, 3), " +
+      // the inverted-list probe: the b side must share the q's coarse cell
+      "cpairs AS (SELECT a.q_id, k.vec_id b_id, qa.cid cell, " +
+      "CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+      "FROM qadc a JOIN a2 qa ON qa.vec_id = a.q_id " +
+      "JOIN qcode k ON a.sub = k.sub AND a.cid = k.cid " +
+      "JOIN a2 ba ON ba.vec_id = k.vec_id AND ba.cid = qa.cid " +
+      "GROUP BY 1, 2, 3)"
   }
 
   /** Shared DuckDB CTE chain for the PQ family: integer dims → codebook

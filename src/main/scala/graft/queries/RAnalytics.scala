@@ -1,0 +1,190 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.r4
+
+/** Group R (round-7 extension wave) — corpus-quality rules, cross-doc
+  * novelty, deterministic shard export, and event-funnel / cohort
+  * analytics. SURVEY §2's discipline applies: every key is a declarative
+  * DataFrame plan (one or two keyed shuffles, partial aggregation, no
+  * driver-side loops) with a DuckDB oracle mirroring it exactly.
+  */
+object RAnalytics {
+
+  /** Stopwords present in the fixture vocabulary; the rule only needs a
+    * stable, engine-agnostic list. */
+  private val Stop = Seq("the", "a", "of", "and", "to")
+
+  val m: ListMap[String, Q] = ListMap(
+    "i_gopher_rules" -> ((s, d) => {
+      // Gopher-style (Rae et al. 2021) word-statistics quality rules:
+      // word count bounds, mean word length in [3,10], stopword presence.
+      // One codegen'd projection pass — each rule is a column over the
+      // token array, flags derive from the ROUNDED values so the boolean
+      // is bit-stable cross-engine. At 100 TB this is a linear scan that
+      // pipelines into whatever filter consumes `keep` (no shuffle).
+      val a = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(a).cast("long").as("n_words"),
+        // words are single-space-joined: total word chars = len − (n−1)
+        r4((length(col("text")) - size(a) + 1).cast("double") / size(a))
+          .as("mean_word_len"),
+        r4(size(filter(a, w => w.isin(Stop: _*))).cast("double") / size(a))
+          .as("stop_frac"))
+      base.withColumn("keep",
+          col("n_words") >= 15 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("stop_frac") > 0.0)
+        .orderBy("doc_id")
+    }),
+
+    "i_ngram_novelty" -> ((s, d) => {
+      // Cross-doc novelty: the fraction of a doc's DISTINCT trigrams whose
+      // corpus-wide first occurrence (min doc_id) is the doc itself — the
+      // memorization/boilerplate signal a curation pass prices before
+      // sampling. Shape at 100 TB: one shuffle on the gram key for the
+      // global min (partial agg — grams dedupe map-side), one join back,
+      // one per-doc aggregate. Never pairwise.
+      val grams = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(a) - 3), " +
+            "i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")).as("g"))
+        .distinct()
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+        // half-up integer basis points: (2a + b) DIV 2b
+        .withColumn("novelty_bp",
+          expr("(2 * n_novel * 10000 + n_tri) DIV (2 * n_tri)"))
+        .orderBy("doc_id")
+    }),
+
+    "i_doc_shard" -> ((s, d) =>
+      // Deterministic training-shard export audit: md5-range sharding (the
+      // i_sample_hash discipline — content-independent, engine-portable,
+      // stable under re-runs) into 8 shards, with the balance stats an
+      // export job publishes (docs + chars per shard). The shard id is a
+      // pure projection, so at 100 TB the write is one hash partition by
+      // shard_id; the audit is one partial-agg shuffle of 8 groups.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("shard_id"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard_id")),
+
+    "e_funnel" -> ((s, d) => {
+      // Ordered event funnel view → click → purchase per user: each stage
+      // is the FIRST qualifying event at-or-after the previous stage's
+      // time. Three bounded aggregations, all shuffling on user_id — the
+      // same partitioning reused stage to stage, so at 100 TB the funnel
+      // costs one wide shuffle plus co-partitioned joins, never a
+      // sort-the-world sessionization.
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1L) + col("t_click").isNotNull.cast("long") +
+            col("t_purchase").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    "e_cohort_retention" -> ((s, d) => {
+      // Cohort retention: users grouped by first-active day, counted on
+      // each later active day offset k. distinct() bounds the grid at
+      // (users × active days); both shuffles are keyed (user for the
+      // cohort min, (cohort, k) for the count) with partial aggregation.
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val coh = act.groupBy("user_id").agg(min("day").as("cohort"))
+      act.join(coh, "user_id")
+        .select(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("k"),
+          col("user_id"))
+        .groupBy("cohort", "k").agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "k")
+    }),
+  )
+
+  /** DuckDB hex→int for the first 4 md5 hex chars (no conv() in DuckDB). */
+  private def duckHex4(e: String): String =
+    (1 to 4).map { i =>
+      val shift = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * $shift"
+    }.mkString("(", " + ", ")")
+
+  val oracle: ListMap[String, String] = ListMap(
+    "i_gopher_rules" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE " +
+        "/ len(string_split(text, ' ')), 4) AS mean_word_len, " +
+        "round(len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the','a','of','and','to')))::DOUBLE " +
+        "/ len(string_split(text, ' ')), 4) AS stop_frac FROM documents) " +
+        "SELECT doc_id, n_words, mean_word_len, stop_frac, " +
+        "n_words >= 15 AND n_words <= 100000 AND mean_word_len >= 3.0 " +
+        "AND mean_word_len <= 10.0 AND stop_frac > 0.0 AS keep " +
+        "FROM t ORDER BY doc_id"),
+    "i_ngram_novelty" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w, " +
+        "generate_subscripts(string_split(text, ' '), 1) pos FROM documents), " +
+        "g0 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS g FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "g AS (SELECT DISTINCT doc_id, g FROM g0 WHERE g IS NOT NULL), " +
+        "f AS (SELECT g, min(doc_id) first_doc FROM g GROUP BY g) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_tri, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "n_novel, " +
+        "CAST((2 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) " +
+        "* 10000 + count(*)) // (2 * count(*)) AS BIGINT) novelty_bp " +
+        "FROM g JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id"),
+    "i_doc_shard" ->
+      ("SELECT " + duckHex4("substring(md5(doc_id::VARCHAR), 1, 4)") +
+        " % 8 AS shard_id, CAST(count(*) AS BIGINT) n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) min_doc, " +
+        "CAST(max(doc_id) AS BIGINT) max_doc " +
+        "FROM documents GROUP BY shard_id ORDER BY shard_id"),
+    "e_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts::TIMESTAMP) t_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts::TIMESTAMP) t_click FROM events e " +
+        "JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts::TIMESTAMP >= v.t_view GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) t_purchase " +
+        "FROM events e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t_click " +
+        "GROUP BY 1) " +
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase, " +
+        "CAST(1 + (c.t_click IS NOT NULL)::INT + " +
+        "(p.t_purchase IS NOT NULL)::INT AS BIGINT) stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) " +
+        "ORDER BY v.user_id"),
+    "e_cohort_retention" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(ts::TIMESTAMP AS DATE) AS dy FROM events), " +
+        "f AS (SELECT user_id, min(dy) cohort FROM d GROUP BY 1) " +
+        "SELECT cohort, CAST(date_diff('day', cohort, dy) AS BIGINT) k, " +
+        "CAST(count(*) AS BIGINT) n_active " +
+        "FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+  )
+}

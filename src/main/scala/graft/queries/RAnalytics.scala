@@ -106,6 +106,71 @@ object RAnalytics {
         .orderBy("user_id")
     }),
 
+    "d_agg_weighted" -> ((s, d) =>
+      // weighted aggregates: quantity-weighted mean price and weighted
+      // discount per flag — sum(w·x)/sum(w) re-aggregates (partial sums),
+      // so the shuffle carries two numbers per group, like any avg
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4(sum("l_quantity")).as("sum_w"),
+          r4(sum(col("l_quantity") * col("l_extendedprice")) /
+            sum("l_quantity")).as("w_avg_price"),
+          r4(sum(col("l_quantity") * col("l_discount")) /
+            sum("l_quantity")).as("w_avg_discount"))
+        .orderBy("l_returnflag")),
+
+    "p_skew_report" -> ((s, d) => {
+      // join-key skew audit — the report a pipeline runs BEFORE picking a
+      // salt factor (pairs with p_join_salted): top-10 heavy hitters of
+      // the supplier key with each key's share-of-average in integer
+      // basis points (ratio_bp = cnt·n_keys/n_rows). One partial-agg
+      // shuffle on the key; the global stats are a broadcast one-rower.
+      val top = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val stats = top.agg(sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      // global top-10 via orderBy+limit (TakeOrderedAndProject — at 100 TB
+      // the key-count table is millions of rows; never a one-partition
+      // window over it), then rank the 10 survivors
+      top.crossJoin(broadcast(stats))
+        .withColumn("ratio_bp",
+          expr("(2 * cnt * n_keys * 10000 + n_rows) DIV (2 * n_rows)"))
+        .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("cnt").desc, col("l_suppkey"))).cast("long"))
+        .select("l_suppkey", "cnt", "n_keys", "ratio_bp", "rn")
+        .orderBy("rn")
+    }),
+
+    "d_agg_mad" -> ((s, d) => {
+      // robust outlier stats per event type: median / MAD / outlier count
+      // (|v − med| > 3·1.4826·MAD), ENTIRELY in scaled integers so the
+      // comparison is bit-stable cross-engine: v in micros, median kept
+      // doubled (med2 — exact, since an even-count median is a .5), the
+      // deviation d_us = |2·v_us − med2| exact, MAD doubled again (mad2),
+      // and the flag is the integer inequality 20000·d_us > 44478·mad2.
+      // Three linear passes with broadcast per-type scalars — the shape a
+      // 100 TB quality gate wants (no window, no sort of the world).
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("v_us"))
+      val med = ev.groupBy("event_type")
+        .agg(floor(expr("percentile(v_us, 0.5)") * 2 + 0.5).cast("long")
+          .as("med2"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("d_us", abs(col("v_us") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg(floor(expr("percentile(d_us, 0.5)") * 2 + 0.5).cast("long")
+          .as("mad2"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(r4(col("med2") / 2000000.0)).as("med"),
+          max(r4(col("mad2") / 4000000.0)).as("mad"),
+          sum((col("d_us") * 20000 > col("mad2") * 44478).cast("long"))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     "e_cohort_retention" -> ((s, d) => {
       // Cohort retention: users grouped by first-active day, counted on
       // each later active day offset k. distinct() bounds the grid at
@@ -179,6 +244,41 @@ object RAnalytics {
         "(p.t_purchase IS NOT NULL)::INT AS BIGINT) stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) " +
         "ORDER BY v.user_id"),
+    "d_agg_weighted" ->
+      ("SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_w, " +
+        "round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) " +
+        "AS w_avg_price, " +
+        "round(sum(l_quantity * l_discount) / sum(l_quantity), 4) " +
+        "AS w_avg_discount " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "p_skew_report" ->
+      ("WITH t AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) cnt " +
+        "FROM lineitem GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(cnt) AS BIGINT) n_rows, " +
+        "CAST(count(*) AS BIGINT) n_keys FROM t) " +
+        "SELECT l_suppkey, cnt, n_keys, ratio_bp, rn FROM (" +
+        "SELECT l_suppkey, cnt, n_keys, " +
+        "CAST((2 * cnt * n_keys * 10000 + n_rows) // (2 * n_rows) " +
+        "AS BIGINT) ratio_bp, " +
+        "CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS BIGINT) rn " +
+        "FROM t CROSS JOIN s) WHERE rn <= 10 ORDER BY rn"),
+    "d_agg_mad" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) v_us FROM events), " +
+        "m AS (SELECT event_type, " +
+        "CAST(floor(quantile_cont(v_us, 0.5) * 2 + 0.5) AS BIGINT) med2 " +
+        "FROM ev GROUP BY 1), " +
+        "dv AS (SELECT ev.event_type, abs(v_us * 2 - med2) d_us, med2 " +
+        "FROM ev JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, " +
+        "CAST(floor(quantile_cont(d_us, 0.5) * 2 + 0.5) AS BIGINT) mad2 " +
+        "FROM dv GROUP BY 1) " +
+        "SELECT dv.event_type, CAST(count(*) AS BIGINT) n, " +
+        "round(max(med2) / 2000000.0, 4) med, " +
+        "round(max(mad2) / 4000000.0, 4) mad, " +
+        "CAST(sum(CASE WHEN d_us * 20000 > mad2 * 44478 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) n_outliers " +
+        "FROM dv JOIN md USING (event_type) GROUP BY 1 ORDER BY 1"),
     "e_cohort_retention" ->
       ("WITH d AS (SELECT DISTINCT user_id, " +
         "CAST(ts::TIMESTAMP AS DATE) AS dy FROM events), " +

@@ -33,6 +33,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("f_limit_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("round-7 analytics wave joins are keyed — never cartesian") {
+    // every candidate/stage restriction must ride a join KEY (the IVF cell,
+    // the gram, the user) — a nested-loop anywhere here would be corpus²
+    for (k <- Seq("i_gopher_rules", "i_ngram_novelty", "i_doc_shard",
+        "e_funnel", "e_cohort_retention", "i_ann_ivfpq")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$k plans a pair-at-a-time join:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    }
+  }
+
   test("rank-limit is pushed below the window (WindowGroupLimit)") {
     assert(plan("e_win_topk_group").contains("WindowGroupLimit"))
   }

@@ -106,6 +106,85 @@ object RAnalytics {
         .orderBy("user_id")
     }),
 
+    "e_gap_stats" -> ((s, d) => {
+      // inter-event gap distribution per user (the statistic that prices a
+      // session gap threshold): gaps as exact integer micros via one lag
+      // window, then median (kept doubled — exact), p90 by explicit rank
+      // position ceil(0.9n) (interpolated quantiles differ cross-engine in
+      // the last ulp; rank positions are integers), max. One window sort
+      // on (user, ts) + one grouped pass.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+            .as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      val ranked = gaps.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("gap_us", "ts")))
+      val agg = ranked.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          floor(expr("percentile(gap_us, 0.5)") * 2 + 0.5).cast("long")
+            .as("med2"),
+          max("gap_us").as("max_gap_us"))
+      val p90 = ranked.join(agg.select(col("user_id"), col("n_gaps")),
+          "user_id")
+        .filter(col("rn") === expr("(9 * n_gaps + 9) DIV 10"))
+        .select(col("user_id"), col("gap_us").as("p90_gap_us"))
+      agg.join(p90, "user_id")
+        .select(col("user_id"), col("n_gaps"),
+          r4(col("med2") / 2000000.0).as("med_gap_s"),
+          col("p90_gap_us"), col("max_gap_us"))
+        .orderBy("user_id")
+    }),
+
+    "p_backfill_plan" -> ((s, d) => {
+      // partition backfill planner: the expected daily calendar (min..max)
+      // left-joined with per-day counts — missing days surface with n=0,
+      // the list a backfill job consumes. The calendar is a generated
+      // one-row explode (days-sized); counts are one partial-agg shuffle.
+      val days = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val cal = days.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      cal.join(days, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_day"), lit(0L)).as("n"),
+          coalesce(col("n_day"), lit(0L)) === 0L).toDF("day", "n", "missing")
+        .orderBy("day")
+    }),
+
+    "i_source_overlap" -> ((s, d) => {
+      // cross-source contamination matrix: asymmetric 5-gram shingle
+      // containment C(a→b) = |A∩B| / |A| for every ordered source pair —
+      // the audit run before declaring corpus slices independent.
+      // Shingles dedupe to source level map-side; the pair work is one
+      // equi-join on the gram (work ∝ shared grams, never corpus²); the
+      // 5×5 matrix assembles from broadcast-sized aggregates.
+      val g = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("source"), split(col("text"), " ").as("a"))
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(a) - 5), " +
+            "i -> concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3], a[i+4]))"))
+          .as("g"))
+        .distinct().cutLineage()
+      val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = g.as("x").join(g.as("y"),
+          col("x.g") === col("y.g") && col("x.source") =!= col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+        .crossJoin(sizes.select(col("source").as("src_b")))
+        .filter(col("src_a") =!= col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"),
+          coalesce(col("inter"), lit(0L)).as("inter"))
+        .withColumn("containment_bp",
+          expr("(2 * inter * 10000 + n_a) DIV (2 * n_a)"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "d_agg_weighted" -> ((s, d) =>
       // weighted aggregates: quantity-weighted mean price and weighted
       // discount per flag — sum(w·x)/sum(w) re-aggregates (partial sums),
@@ -244,6 +323,49 @@ object RAnalytics {
         "(p.t_purchase IS NOT NULL)::INT AS BIGINT) stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) " +
         "ORDER BY v.user_id"),
+    "e_gap_stats" ->
+      ("WITH g0 AS (SELECT user_id, ts::TIMESTAMP AS tt, " +
+        "epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER " +
+        "(PARTITION BY user_id ORDER BY ts)) AS gap_us FROM events), " +
+        "g AS (SELECT user_id, tt, gap_us FROM g0 WHERE gap_us IS NOT NULL), " +
+        "r AS (SELECT user_id, gap_us, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY gap_us, tt) rn FROM g), " +
+        "a AS (SELECT user_id, CAST(count(*) AS BIGINT) n_gaps, " +
+        "CAST(floor(quantile_cont(gap_us, 0.5) * 2 + 0.5) AS BIGINT) med2, " +
+        "CAST(max(gap_us) AS BIGINT) max_gap_us FROM g GROUP BY 1), " +
+        "p AS (SELECT r.user_id, CAST(gap_us AS BIGINT) p90_gap_us " +
+        "FROM r JOIN a USING (user_id) WHERE rn = (9 * n_gaps + 9) // 10) " +
+        "SELECT a.user_id, n_gaps, round(med2 / 2000000.0, 4) med_gap_s, " +
+        "p90_gap_us, max_gap_us FROM a JOIN p USING (user_id) " +
+        "ORDER BY a.user_id"),
+    "p_backfill_plan" ->
+      ("WITH dd AS (SELECT CAST(ts::TIMESTAMP AS DATE) dy, " +
+        "CAST(count(*) AS BIGINT) n_day FROM events GROUP BY 1), " +
+        "cal AS (SELECT unnest(generate_series((SELECT min(dy) FROM dd), " +
+        "(SELECT max(dy) FROM dd), INTERVAL 1 DAY))::DATE AS dy) " +
+        "SELECT cal.dy AS \"day\", CAST(coalesce(n_day, 0) AS BIGINT) n, " +
+        "coalesce(n_day, 0) = 0 AS missing " +
+        "FROM cal LEFT JOIN dd USING (dy) ORDER BY 1"),
+    "i_source_overlap" ->
+      ("WITH tok AS (SELECT doc_id, source, " +
+        "unnest(string_split(text, ' ')) w, " +
+        "generate_subscripts(string_split(text, ' '), 1) pos FROM documents), " +
+        "g0 AS (SELECT source, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || " +
+        "lead(w, 4) OVER win AS g FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "g AS (SELECT DISTINCT source, g FROM g0 WHERE g IS NOT NULL), " +
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) n FROM g GROUP BY 1), " +
+        "i AS (SELECT x.source src_a, y.source src_b, " +
+        "CAST(count(*) AS BIGINT) inter FROM g x JOIN g y " +
+        "ON x.g = y.g AND x.source <> y.source GROUP BY 1, 2) " +
+        "SELECT a.source src_a, b.source src_b, a.n n_a, " +
+        "CAST(coalesce(inter, 0) AS BIGINT) inter, " +
+        "CAST((2 * coalesce(inter, 0) * 10000 + a.n) // (2 * a.n) AS BIGINT) " +
+        "containment_bp " +
+        "FROM sz a CROSS JOIN sz b " +
+        "LEFT JOIN i ON i.src_a = a.source AND i.src_b = b.source " +
+        "WHERE a.source <> b.source ORDER BY 1, 2"),
     "d_agg_weighted" ->
       ("SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_w, " +
         "round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) " +

@@ -106,6 +106,22 @@ object RAnalytics {
         .orderBy("user_id")
     }),
 
+    "e_ohlc" -> ((s, d) =>
+      // OHLC downsampling: per (type, hour bucket) the open/high/low/close
+      // of the value stream — open/close via min_by/max_by on the event
+      // time, so the whole resample is ONE partial+final aggregate pass on
+      // the bucket key (no window, no sort within buckets). The classic
+      // time-series reduction; at 100 TB the shuffle carries one row per
+      // (partition × bucket).
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(r4(min_by(col("value"), col("ts"))).as("open"),
+          r4(max("value")).as("high"), r4(min("value")).as("low"),
+          r4(max_by(col("value"), col("ts"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")),
+
     "e_gap_stats" -> ((s, d) => {
       // inter-event gap distribution per user (the statistic that prices a
       // session gap threshold): gaps as exact integer micros via one lag
@@ -323,6 +339,13 @@ object RAnalytics {
         "(p.t_purchase IS NOT NULL)::INT AS BIGINT) stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) " +
         "ORDER BY v.user_id"),
+    "e_ohlc" ->
+      ("SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket, " +
+        "round(arg_min(value, ts::TIMESTAMP), 4) AS open, " +
+        "round(max(value), 4) AS high, round(min(value), 4) AS low, " +
+        "round(arg_max(value, ts::TIMESTAMP), 4) AS close, " +
+        "CAST(count(*) AS BIGINT) n " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "e_gap_stats" ->
       ("WITH g0 AS (SELECT user_id, ts::TIMESTAMP AS tt, " +
         "epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER " +

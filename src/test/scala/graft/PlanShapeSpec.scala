@@ -35,12 +35,18 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("round-7 analytics wave joins are keyed — never cartesian") {
     // every candidate/stage restriction must ride a join KEY (the IVF cell,
-    // the gram, the user) — a nested-loop anywhere here would be corpus²
+    // the gram, the user) — a nested-loop anywhere here would be corpus².
+    // Exception: the documented bounded broadcast cross joins (the one-row
+    // stats scalar in p_skew_report, the sources×sources matrix assembly in
+    // i_source_overlap) legitimately plan as BroadcastNestedLoopJoin.
+    val boundedCross = Set("p_skew_report", "i_source_overlap")
     for (k <- Seq("i_gopher_rules", "i_ngram_novelty", "i_doc_shard",
-        "e_funnel", "e_cohort_retention", "i_ann_ivfpq")) {
+        "e_funnel", "e_cohort_retention", "i_ann_ivfpq", "d_agg_weighted",
+        "d_agg_mad", "p_skew_report", "e_gap_stats", "e_ohlc",
+        "p_backfill_plan", "i_source_overlap")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
+        (boundedCross(k) || !p.contains("BroadcastNestedLoopJoin")),
         s"$k plans a pair-at-a-time join:\n" +
           p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     }

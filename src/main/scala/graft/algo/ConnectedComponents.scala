@@ -34,13 +34,8 @@ object ConnectedComponents {
   def run(nodes: DataFrame, edges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = nodes.sparkSession.sparkContext
-        // setCheckpointDir appends a UUID subdir, so compare by prefix; the
-        // resolved path may also carry a filesystem scheme
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => Lineage.cut
+      case Some(dir) => Lineage.cutTo(_, dir)
+      case None      => Lineage.cut
     }
     val sym = cut(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))

@@ -26,15 +26,28 @@ object Lineage {
     * selects localCheckpoint. */
   val ConfKey = "graft.checkpoint.dir"
 
+  // the dir THIS helper last configured: sc.getCheckpointDir returns the
+  // resolved path + UUID subdir, so a substring test against it would keep
+  // a stale dir whenever the old path merely contains the new one (e.g.
+  // "/data/ckpt-old" vs "/data/ckpt"); tracking our own last-set value is
+  // exact
+  @volatile private var activeDir: Option[String] = None
+
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a UUID subdir, so compare by prefix; the
-        // resolved path may also carry a filesystem scheme
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
+      case Some(dir) => cutTo(df, dir)
+      case None      => df.localCheckpoint()
     }
+
+  /** Reliable checkpoint into `dir` (the explicit-dir form shared with
+    * ConnectedComponents' checkpointDir parameter). */
+  def cutTo(df: DataFrame, dir: String): DataFrame = {
+    if (!activeDir.contains(dir)) synchronized {
+      if (!activeDir.contains(dir)) {
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        activeDir = Some(dir)
+      }
+    }
+    df.checkpoint()
+  }
 }

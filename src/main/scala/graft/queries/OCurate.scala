@@ -301,9 +301,12 @@ object OCurate {
     * hash-matches. Returns top-5 (q_id, b_id, cell, rn, adc_d2). */
   def annIvfPq(emb: DataFrame): DataFrame = {
     val bounded = emb.filter(col("vec_id") < 300)
+    annIvfPqFrom(bounded, pqDims(bounded))
+  }
+
+  private def annIvfPqFrom(bounded: DataFrame, dims: DataFrame): DataFrame = {
     val cells = kmeans(bounded).select(col("vec_id"), col("cid").as("cell"))
       .cutLineage()
-    val dims = pqDims(bounded)
     val (c1, code) = pqTrained(dims)
     val qAdc = adcOf(dims, c1)
       .join(cells.withColumnRenamed("vec_id", "q_id"), "q_id")
@@ -326,15 +329,16 @@ object OCurate {
     * calibration triad's hybrid corner. Integer end to end. */
   def annIvfPqRecall(emb: DataFrame): DataFrame = {
     val bounded = emb.filter(col("vec_id") < 300)
-    val fdims = bounded.select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
-      .cutLineage()
-    val htop = annIvfPq(bounded).select(col("q_id"), col("b_id"))
-    val ed2 = fdims.filter(col("vec_id") < 5).as("a")
-      .join(fdims.as("b"),
-        col("a.dim") === col("b.dim") && col("a.vec_id") =!= col("b.vec_id"))
+    // ONE materialized dim table serves both sides: the hybrid path and
+    // the exact-L2 truth — summing (a.x−b.x)² over (sub, sdim) equals
+    // summing over dim, so no second corpus-wide explode (the annPqRecall
+    // discipline)
+    val dims = pqDims(bounded)
+    val htop = annIvfPqFrom(bounded, dims).select(col("q_id"), col("b_id"))
+    val ed2 = dims.filter(col("vec_id") < 5).as("a")
+      .join(dims.as("b"),
+        col("a.sub") === col("b.sub") && col("a.sdim") === col("b.sdim") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .groupBy(col("a.vec_id").as("q_id"), col("b.vec_id").as("b_id"))
       .agg(sum((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")))
         .as("d2"))

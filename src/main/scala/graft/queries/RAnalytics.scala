@@ -33,11 +33,15 @@ object RAnalytics {
         r4((length(col("text")) - size(a) + 1).cast("double") / size(a))
           .as("mean_word_len"),
         r4(size(filter(a, w => w.isin(Stop: _*))).cast("double") / size(a))
-          .as("stop_frac"))
+          .as("stop_frac"),
+        // presence from the EXACT count, not the rounded fraction: a huge
+        // doc's 1-in-20000 stopword rounds to stop_frac = 0.0
+        (size(filter(a, w => w.isin(Stop: _*))) > 0).as("has_stop"))
       base.withColumn("keep",
           col("n_words") >= 15 && col("n_words") <= 100000 &&
             col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-            col("stop_frac") > 0.0)
+            col("has_stop"))
+        .drop("has_stop")
         .orderBy("doc_id")
     }),
 
@@ -108,17 +112,22 @@ object RAnalytics {
 
     "e_ohlc" -> ((s, d) =>
       // OHLC downsampling: per (type, hour bucket) the open/high/low/close
-      // of the value stream — open/close via min_by/max_by on the event
-      // time, so the whole resample is ONE partial+final aggregate pass on
-      // the bucket key (no window, no sort within buckets). The classic
-      // time-series reduction; at 100 TB the shuffle carries one row per
-      // (partition × bucket).
+      // of the value stream — open/close via lexicographic (ts, value)
+      // struct min/max, NOT bare min_by/max_by: equal timestamps would
+      // make min_by's pick aggregation-order-dependent, while the struct
+      // ordering is total (tie → smaller value opens, larger closes) on
+      // both engines. Still ONE partial+final aggregate pass on the
+      // bucket key — no window, no in-bucket sort; at 100 TB the shuffle
+      // carries one row per (partition × bucket).
       Tables.events(s, d)
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("bucket"))
-        .agg(r4(min_by(col("value"), col("ts"))).as("open"),
+        .agg(
+          r4(min(struct(col("ts"), col("value"))).getField("value"))
+            .as("open"),
           r4(max("value")).as("high"), r4(min("value")).as("low"),
-          r4(max_by(col("value"), col("ts"))).as("close"),
+          r4(max(struct(col("ts"), col("value"))).getField("value"))
+            .as("close"),
           count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")),
 
@@ -298,10 +307,13 @@ object RAnalytics {
         "/ len(string_split(text, ' ')), 4) AS mean_word_len, " +
         "round(len(list_filter(string_split(text, ' '), " +
         "w -> w IN ('the','a','of','and','to')))::DOUBLE " +
-        "/ len(string_split(text, ' ')), 4) AS stop_frac FROM documents) " +
+        "/ len(string_split(text, ' ')), 4) AS stop_frac, " +
+        "len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the','a','of','and','to'))) > 0 AS has_stop " +
+        "FROM documents) " +
         "SELECT doc_id, n_words, mean_word_len, stop_frac, " +
         "n_words >= 15 AND n_words <= 100000 AND mean_word_len >= 3.0 " +
-        "AND mean_word_len <= 10.0 AND stop_frac > 0.0 AS keep " +
+        "AND mean_word_len <= 10.0 AND has_stop AS keep " +
         "FROM t ORDER BY doc_id"),
     "i_ngram_novelty" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w, " +
@@ -341,9 +353,9 @@ object RAnalytics {
         "ORDER BY v.user_id"),
     "e_ohlc" ->
       ("SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket, " +
-        "round(arg_min(value, ts::TIMESTAMP), 4) AS open, " +
+        "round(min({'t': ts::TIMESTAMP, 'v': value}).v, 4) AS open, " +
         "round(max(value), 4) AS high, round(min(value), 4) AS low, " +
-        "round(arg_max(value, ts::TIMESTAMP), 4) AS close, " +
+        "round(max({'t': ts::TIMESTAMP, 'v': value}).v, 4) AS close, " +
         "CAST(count(*) AS BIGINT) n " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "e_gap_stats" ->

@@ -162,13 +162,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(df.queryExecution.optimizedPlan.toString
         .contains("windowspecdefinition"),
       "threshold must be computed in-plan via a window max over the dim")
-    // status store updates ride the async listener bus — poll until stable
+    // status store updates ride the async listener bus — poll until the
+    // count has been quiet for a full second AND at least 2 s have passed
+    // (several independent write jobs land with gaps; one quiet 200 ms
+    // window is not proof they all arrived)
     def groupJobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
-    val deadline = System.currentTimeMillis() + 10000
+    val start = System.currentTimeMillis()
+    val deadline = start + 15000
     var n = groupJobs()
+    var quiet = 0
     while (System.currentTimeMillis() < deadline &&
-      { Thread.sleep(200); val m = groupJobs(); val changed = m != n; n = m
-        changed }) ()
+      (quiet < 5 || System.currentTimeMillis() - start < 2000)) {
+      Thread.sleep(200)
+      val m = groupJobs()
+      if (m == n) quiet += 1 else { quiet = 0; n = m }
+    }
     // only the two fixture sink writes fire jobs while building (4 at this
     // Spark version incl. commit/listing); the old threshold head() made +1
     assert(n <= 4, s"build phase fired $n jobs — threshold action is back?")

@@ -21,10 +21,21 @@ def main() -> int:
         print(__doc__)
         return 2
     a, b = sys.argv[1], sys.argv[2]
-    keys = sorted(d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d)))
+
+    def dirs(root):
+        return {d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))}
+
+    # union of both sides: a run that crashed midway (or an older build
+    # missing a key) must surface as DIFF, not be silently skipped
+    ka, kb = dirs(a), dirs(b)
+    keys = sorted(ka | kb)
     con = duckdb.connect()
     bad = []
     for k in keys:
+        if k not in ka or k not in kb:
+            bad.append((k, f"present only in {'B' if k not in ka else 'A'}"))
+            continue
         try:
             n = con.execute(f"""
               SELECT count(*) FROM (

@@ -30,4 +30,22 @@ class CheckpointModeSpec extends SparkTestBase {
       f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
     assert(anyFile(dir), s"no checkpoint data written under $dir")
   }
+
+  test("switching graft.checkpoint.dir redirects checkpoints to the new dir") {
+    // regression: the old substring check against sc.getCheckpointDir kept
+    // a stale dir whenever its resolved path contained the new dir as a
+    // prefix (e.g. ".../ckpt-old" vs ".../ckpt")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_sw")
+    val oldDir = new java.io.File(base.toFile, "ckpt-old")
+    val newDir = new java.io.File(base.toFile, "ckpt")
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    graft.algo.Lineage.cutTo(Seq(1, 2, 3).toDF("x"), oldDir.toString).count()
+    assert(anyFile(oldDir), "first cut must land in the first dir")
+    graft.algo.Lineage.cutTo(Seq(4, 5, 6).toDF("x"), newDir.toString).count()
+    assert(anyFile(newDir),
+      "after the dir changes, checkpoints must land in the NEW dir " +
+        "(old resolved path contains the new dir as a prefix)")
+  }
 }

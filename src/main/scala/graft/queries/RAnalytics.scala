@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det.r4
@@ -16,6 +17,27 @@ object RAnalytics {
   /** Stopwords present in the fixture vocabulary; the rule only needs a
     * stable, engine-agnostic list. */
   private val Stop = Seq("the", "a", "of", "and", "to")
+
+  /** OHLC downsampling: per (type, hour bucket) the open/high/low/close of
+    * the value stream — open/close via lexicographic (ts, value) struct
+    * min/max, NOT bare min_by/max_by: equal timestamps would make min_by's
+    * pick aggregation-order-dependent, while the struct ordering is total
+    * (tie → smaller value opens, larger closes) on both engines
+    * (tie semantics property-tested in PropertySpec). One partial+final
+    * aggregate pass on the bucket key — no window, no in-bucket sort; at
+    * 100 TB the shuffle carries one row per (partition × bucket). */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        r4(min(struct(col("ts"), col("value"))).getField("value"))
+          .as("open"),
+        r4(max("value")).as("high"), r4(min("value")).as("low"),
+        r4(max(struct(col("ts"), col("value"))).getField("value"))
+          .as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
 
   val m: ListMap[String, Q] = ListMap(
     "i_gopher_rules" -> ((s, d) => {
@@ -110,26 +132,7 @@ object RAnalytics {
         .orderBy("user_id")
     }),
 
-    "e_ohlc" -> ((s, d) =>
-      // OHLC downsampling: per (type, hour bucket) the open/high/low/close
-      // of the value stream — open/close via lexicographic (ts, value)
-      // struct min/max, NOT bare min_by/max_by: equal timestamps would
-      // make min_by's pick aggregation-order-dependent, while the struct
-      // ordering is total (tie → smaller value opens, larger closes) on
-      // both engines. Still ONE partial+final aggregate pass on the
-      // bucket key — no window, no in-bucket sort; at 100 TB the shuffle
-      // carries one row per (partition × bucket).
-      Tables.events(s, d)
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("bucket"))
-        .agg(
-          r4(min(struct(col("ts"), col("value"))).getField("value"))
-            .as("open"),
-          r4(max("value")).as("high"), r4(min("value")).as("low"),
-          r4(max(struct(col("ts"), col("value"))).getField("value"))
-            .as("close"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type", "bucket")),
+    "e_ohlc" -> ((s, d) => ohlc(Tables.events(s, d))),
 
     "e_gap_stats" -> ((s, d) => {
       // inter-event gap distribution per user (the statistic that prices a

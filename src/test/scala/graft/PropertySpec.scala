@@ -85,6 +85,36 @@ class PropertySpec extends SparkTestBase {
     assert((uncapped -- capped).size == 45, "expected C(10,2) hot pairs dropped")
   }
 
+  test("OHLC open/close are deterministic under tied timestamps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // two events share the bucket's earliest ts and two share its latest —
+    // exactly the case where bare min_by/max_by is aggregation-order-
+    // dependent; the (ts, value) struct ordering must pick the smaller
+    // value to open and the larger to close, on every partitioning
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:59:00")
+    val mid = Timestamp.valueOf("2024-01-01 10:30:00")
+    val rows = Seq(
+      ("click", t0, 7.0), ("click", t0, 3.0), // tied open → 3.0
+      ("click", mid, 99.0), ("click", mid, -5.0),
+      ("click", t1, 2.0), ("click", t1, 8.0)) // tied close → 8.0
+    val sp = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(sp)
+    try {
+      val results = Seq("2", "7").map { p =>
+        spark.conf.set(sp, p)
+        graft.queries.RAnalytics
+          .ohlc(rows.toDF("event_type", "ts", "value").repartition(5))
+          .collect().map(_.toString).toSeq
+      }
+      assert(results(0) == results(1), "OHLC must not depend on partitioning")
+      val r = results.head.head
+      assert(r.contains("3.0") && r.contains("8.0") &&
+        r.contains("99.0") && r.contains("-5.0"), s"unexpected OHLC row: $r")
+    } finally spark.conf.set(sp, prev)
+  }
+
   test("hash anonymization is deterministic and collision-free on customers") {
     val h = SparkEntry.queries("g_hash_anonymize")(spark, sfDir)
     assert(h.select("plate_hash").distinct().count() == h.count())

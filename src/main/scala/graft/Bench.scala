@@ -39,6 +39,12 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_KEYS") match {
       case Some(ks) =>
         val want = ks.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd key silently vanishing would yield a partial run with
+        // no signal — surface the mismatch before timing anything
+        val unknown = want.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"SPARK_GRAFT_KEYS: unknown keys ignored: ${unknown.toSeq.sorted.mkString(",")}")
         SparkEntry.queries.filter { case (k, _) => want(k) }
       case None => SparkEntry.queries
     }

@@ -42,9 +42,14 @@ object Lineage {
   /** Reliable checkpoint into `dir` (the explicit-dir form shared with
     * ConnectedComponents' checkpointDir parameter). */
   def cutTo(df: DataFrame, dir: String): DataFrame = {
-    if (!activeDir.contains(dir)) synchronized {
-      if (!activeDir.contains(dir)) {
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+    val sc = df.sparkSession.sparkContext
+    // activeDir is JVM-global but the checkpoint dir is per-SparkContext:
+    // a stopped-and-recreated context starts with no dir even when
+    // activeDir still matches, so the context's own state must be
+    // consulted too or df.checkpoint() throws on the fresh context
+    if (!activeDir.contains(dir) || sc.getCheckpointDir.isEmpty) synchronized {
+      if (!activeDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+        sc.setCheckpointDir(dir)
         activeDir = Some(dir)
       }
     }

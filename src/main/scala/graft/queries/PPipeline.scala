@@ -343,17 +343,35 @@ object PPipeline {
           col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
         .select("o_orderkey")
       val nDim = dim.count()
-      // an empty build side admits nothing — Spark's bloomFilter() on
-      // zero rows yields an unusable (null-bitmap) sketch, so the prune
-      // degenerates to a constant-false filter instead
+      // an empty build side admits nothing — a bloom aggregate over zero
+      // rows yields null (no usable sketch), so the prune degenerates to
+      // a constant-false filter instead
       val pruned =
         if (nDim == 0) Tables.lineitem(s, d).filter(lit(false))
         else {
-          val bf = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
-          val bfB = s.sparkContext.broadcast(bf)
-          val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-          Tables.lineitem(s, d)
-            .filter(mightContain(col("l_orderkey"))) // pre-shuffle prune
+          import org.apache.spark.sql.catalyst.expressions.{
+            BloomFilterMightContain, Literal, XxHash64}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          import org.apache.spark.sql.graftbridge.Bridge
+          import org.apache.spark.sql.types.BinaryType
+          // build with Spark's native BloomFilterAggregate over
+          // xxhash64(key) — the exact expression pair the optimizer's own
+          // runtime row-level filtering injects — and probe with native
+          // BloomFilterMightContain, which codegens to a bitmap test
+          // inside the scan stage (the old Scala-UDF probe was a black
+          // box that broke whole-stage codegen at the filter).
+          // numBits sized for fpp≈0.01: n·ln(0.01)/ln(2)² ≈ 9.585·n.
+          val numBits = math.max(64L, (nDim * 9.585).toLong)
+          val bfAgg = Bridge.column(new BloomFilterAggregate(
+            new XxHash64(Seq(Bridge.expression(col("o_orderkey")))),
+            Literal(nDim), Literal(numBits)).toAggregateExpression())
+          // one driver-side scalar: the serialized filter (KBs), same
+          // footprint as the old DataFrameStatFunctions.bloomFilter path
+          val bytes = dim.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+          val probe = Bridge.column(BloomFilterMightContain(
+            Literal(bytes, BinaryType),
+            new XxHash64(Seq(Bridge.expression(col("l_orderkey"))))))
+          Tables.lineitem(s, d).filter(probe) // pre-shuffle prune
         }
       pruned
         .join(dim, col("l_orderkey") === col("o_orderkey")) // exact verify

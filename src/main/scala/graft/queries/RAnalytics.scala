@@ -230,8 +230,14 @@ object RAnalytics {
       // join-key skew audit — the report a pipeline runs BEFORE picking a
       // salt factor (pairs with p_join_salted): top-10 heavy hitters of
       // the supplier key with each key's share-of-average in integer
-      // basis points (ratio_bp = cnt·n_keys/n_rows). One partial-agg
-      // shuffle on the key; the global stats are a broadcast one-rower.
+      // basis points, computed RELATIVE TO the integer mean rows-per-key
+      // (avg = n_rows DIV n_keys; ratio_bp = round(cnt·10⁴/avg)) so the
+      // largest intermediate is 2·cnt·10⁴ — safe in Long up to ~4.6e14
+      // rows on one key, where the naive cnt·n_keys·10⁴ product wraps
+      // silently at 100 TB scale (and DuckDB would error instead: a
+      // cross-engine divergence). avg ≥ 1 always since every counted key
+      // has ≥ 1 row. One partial-agg shuffle on the key; the global stats
+      // are a broadcast one-rower.
       val top = Tables.lineitem(s, d)
         .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
       val stats = top.agg(sum("cnt").as("n_rows"),
@@ -241,7 +247,7 @@ object RAnalytics {
       // window over it), then rank the 10 survivors
       top.crossJoin(broadcast(stats))
         .withColumn("ratio_bp",
-          expr("(2 * cnt * n_keys * 10000 + n_rows) DIV (2 * n_rows)"))
+          expr("(2 * cnt * 10000 + (n_rows DIV n_keys)) DIV (2 * (n_rows DIV n_keys))"))
         .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
         .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
           .Window.orderBy(col("cnt").desc, col("l_suppkey"))).cast("long"))
@@ -418,7 +424,7 @@ object RAnalytics {
         "CAST(count(*) AS BIGINT) n_keys FROM t) " +
         "SELECT l_suppkey, cnt, n_keys, ratio_bp, rn FROM (" +
         "SELECT l_suppkey, cnt, n_keys, " +
-        "CAST((2 * cnt * n_keys * 10000 + n_rows) // (2 * n_rows) " +
+        "CAST((2 * cnt * 10000 + (n_rows // n_keys)) // (2 * (n_rows // n_keys)) " +
         "AS BIGINT) ratio_bp, " +
         "CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS BIGINT) rn " +
         "FROM t CROSS JOIN s) WHERE rn <= 10 ORDER BY rn"),

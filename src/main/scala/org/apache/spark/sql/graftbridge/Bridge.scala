@@ -16,4 +16,11 @@ object Bridge {
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Catalyst Expression → Column (the reverse direction — lets the library
+    * use native expressions Spark ships but does not expose as SQL
+    * functions, e.g. BloomFilterMightContain). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

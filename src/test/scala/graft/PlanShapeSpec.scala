@@ -152,34 +152,17 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("p_join_dpp busy-day threshold rides the dim scan, not a driver action") {
-    // the scale-relative cut must be a window-max COLUMN inside the plan;
-    // a separate max().head() action would be an extra job barrier per run
-    val sc = spark.sparkContext
-    val group = s"dpp_build_${System.nanoTime()}"
-    sc.setJobGroup(group, "p_join_dpp build phase")
-    val df = try SparkEntry.queries("p_join_dpp")(spark, sfDir)
-    finally sc.clearJobGroup()
+    // the scale-relative cut must be a window-max COLUMN inside the plan —
+    // a separate max().head() action would replace the window with a
+    // driver-side literal, so the windowspecdefinition check IS the
+    // regression gate. (An earlier version also counted jobs fired during
+    // the build phase via wall-clock listener-bus quiescence; that was
+    // brittle under CI load and a Spark upgrade, and the plan property
+    // already fails if the threshold action comes back.)
+    val df = SparkEntry.queries("p_join_dpp")(spark, sfDir)
     assert(df.queryExecution.optimizedPlan.toString
         .contains("windowspecdefinition"),
       "threshold must be computed in-plan via a window max over the dim")
-    // status store updates ride the async listener bus — poll until the
-    // count has been quiet for a full second AND at least 2 s have passed
-    // (several independent write jobs land with gaps; one quiet 200 ms
-    // window is not proof they all arrived)
-    def groupJobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
-    val start = System.currentTimeMillis()
-    val deadline = start + 15000
-    var n = groupJobs()
-    var quiet = 0
-    while (System.currentTimeMillis() < deadline &&
-      (quiet < 5 || System.currentTimeMillis() - start < 2000)) {
-      Thread.sleep(200)
-      val m = groupJobs()
-      if (m == n) quiet += 1 else { quiet = 0; n = m }
-    }
-    // only the two fixture sink writes fire jobs while building (4 at this
-    // Spark version incl. commit/listing); the old threshold head() made +1
-    assert(n <= 4, s"build phase fired $n jobs — threshold action is back?")
     assert(df.count() > 0)
   }
 
@@ -224,6 +207,93 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("i_fuzzy_join")
     assert(p.contains("BroadcastHashJoin"),
       s"the distinct-name self-join must broadcast:\n$p")
+  }
+
+  test("star join is 3 hinted broadcasts + exactly one shuffle join") {
+    // the 100×-scale shape: the three hinted dims broadcast, the
+    // lineitem⋈orders spine is the ONE shuffle join. At fixture scale
+    // orders auto-broadcasts too, which would hide a lost hint — so pin
+    // the shape with auto-broadcast off, leaving ONLY the hints standing
+    // (exactly what a 100 TB run sees, where no dim fits the threshold).
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "-1")
+      val p = plan("c_join_star_5way")
+      def n(pat: String) = pat.r.findAllIn(p).length
+      assert(n("BroadcastHashJoin") == 3,
+        s"expected exactly the 3 hinted dim broadcasts:\n$p")
+      assert(n("SortMergeJoin") + n("ShuffledHashJoin") == 1,
+        s"lineitem⋈orders must be the single shuffle join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set(conf, saved)
+  }
+
+  test("no key plans an undeclared cartesian / nested-loop join") {
+    // Global gate over EVERY query key: pair-at-a-time joins
+    // (CartesianProduct, BroadcastNestedLoopJoin) are corpus² at 100 TB
+    // and may appear ONLY where one side is provably bounded. The
+    // allowlist below was derived with graft.PlanAudit and every entry is
+    // one of:
+    //  (a) a declared bounded calibration baseline (brute-force pair
+    //      scans over capped inputs: cosine/knn/jaccard/minhash_est/
+    //      levenshtein/embed_neardup/theta-range/cross, and the *_recall
+    //      keys that embed those baselines), or
+    //  (b) a broadcast of a ONE-ROW aggregate scalar (corpus stats,
+    //      thresholds, card totals) or a bounded centroid/dim table —
+    //      a crossJoin(broadcast(one-rower)) plans as BNLJ by definition.
+    // A NEW key that plans either node fails here until it is justified.
+    val bounded = Set(
+      // (a) declared bounded baselines + their recall bridges
+      "c_join_cross", "c_join_theta_range", "g_string_levenshtein",
+      "i_cosine_topk", "i_knn_l2", "i_jaccard_pairs", "i_minhash_est",
+      "i_embed_neardup", "i_simhash_hamming", "i_ann_recall",
+      "i_lsh_recall", "i_ann_ivf", "i_ann_ivf_recall", "i_ann_pq_recall",
+      "i_ann_ivfpq_recall",
+      // (b) one-row scalar / bounded-table broadcasts
+      "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
+      "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",
+      "i_cooccur_pmi", "i_zipf", "i_source_overlap", "p_skew_report",
+      "j_late_data", "k_custom_expression", "p_gdpr_delete")
+    val offenders = SparkEntry.queries.keys.filterNot(bounded).flatMap { k =>
+      val p = SparkEntry.queries(k)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+        Some(k)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"undeclared pair-at-a-time join in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("partition-pruned scan reads one directory (PartitionFilters)") {
+    val p = plan("a_scan_partition_prune")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("o_orderstatus"),
+      s"status filter must prune partitions at the scan:\n$p")
+  }
+
+  test("b-group parquet filters all reach the scan (PushedFilters)") {
+    // b_filter_null_bool is excluded by design: its predicate references
+    // the computed CASE column (st IS NULL), which no source can push
+    for (k <- Seq("b_filter_compare", "b_filter_in_like_between")) {
+      val p = plan(k)
+      val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      assert(pushed.isDefined && !pushed.get.contains("PushedFilters: []"),
+        s"$k: filter must push to the parquet scan:\n$p")
+    }
+  }
+
+  test("bloom probe is the native might_contain expression, not a UDF") {
+    // the pre-shuffle prune must stay inside whole-stage codegen: Spark's
+    // BloomFilterMightContain over xxhash64(key), never a black-box Scala
+    // UDF that breaks pushdown through the filter
+    val p = plan("p_join_bloom")
+    assert(p.contains("might_contain"),
+      s"expected the native bloom probe in the fact filter:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"no UDF may appear in the bloom path:\n$p")
   }
 
   test("DSv2 source prunes columns and plans parallel partitions") {

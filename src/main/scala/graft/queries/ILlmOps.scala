@@ -401,15 +401,24 @@ object ILlmOps {
 
     "i_ann_ivf" -> ((s, d) => {
       // IVF-style ANN, the other canonical bucketed index next to sign-LSH
-      // (i_ann_lsh): deterministic coarse centroids (every 40th vector —
+      // (i_ann_lsh): deterministic coarse centroids (every m-th vector —
       // a stand-in for trained k-means centroids; the index structure, not
       // the training, is the operator), each vector assigned to its
-      // nearest centroid in ONE broadcast pass (n × k dots, linear in n),
-      // then exact cosine top-3 within the cell via an equi-join on the
-      // cell id. At 100 TB: centroids broadcast, assignment is a
+      // nearest centroid in ONE broadcast pass (n × nlist dots), then
+      // exact cosine top-3 within the cell via an equi-join on the cell
+      // id. The stride m = floor(sqrt(4n/5)) is SCALE-RELATIVE so
+      // nlist ≈ 1.12·√n — the standard IVF sizing: both the assignment
+      // (n·nlist) and the within-cell probe (n·n/nlist) grow as n^1.5. A
+      // fixed cell SIZE (nlist ∝ n, the r7 shape) makes assignment n²/40
+      // — measured at the r8 sf1 scale-stress and fixed here. The sqrt
+      // argument is an exact integer DIV so both engines floor the same
+      // IEEE double. At 100 TB: centroids broadcast, assignment is a
       // map-side projection, candidates shuffle once on the cell key.
       val e = vecs(s, d)
-      val cents = e.filter(col("vec_id") % 40 === 0)
+      val nv = e.agg(count(lit(1)).as("n_vec"))
+      val cents = e.crossJoin(broadcast(nv))
+        .filter(pmod(col("vec_id"), expr(
+          "greatest(1L, cast(floor(sqrt(cast((n_vec * 4) DIV 5 as double))) as bigint))")) === 0)
         .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
       val byVec = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cid"))
@@ -763,7 +772,9 @@ object ILlmOps {
         "WHERE rn <= 3 ORDER BY a_id, rn"),
     "i_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
-        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % 40 = 0), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
+        "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
+        "AS BIGINT)) FROM e) = 0), " +
         "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
         "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
@@ -782,7 +793,9 @@ object ILlmOps {
         "PARTITION BY a.vec_id ORDER BY " +
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
         "FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 3), " +
-        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % 40 = 0), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
+        "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
+        "AS BIGINT)) FROM e) = 0), " +
         "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
         "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +

@@ -47,6 +47,70 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("manual salt and AQE auto-split agree on a skewed aggregate join") {
+    // ties p_join_salted to its automatic sibling: the SAME skewed
+    // fixture run (a) through the manual salt-and-explode shape and
+    // (b) as a plain shuffle join under AQE skew handling must produce
+    // identical aggregates — AQE's split is a physical re-plan, never a
+    // semantic change. Also pins WHEN manual salting is still required:
+    // with skewJoin.enabled=false (clusters that pin it off, engines
+    // without AQE, or joins AQE declines because the skewed exchange's
+    // partitioning is required downstream) the plain plan gets NO
+    // skew=true split and the hot key rides one straggler task — the
+    // operating regime p_join_salted exists for. Measured timings for
+    // the two shapes are recorded in BENCH_NOTES §8.
+    import spark.implicits._
+    val nSalt = 8
+    val fact = ((0 until 60000).map(i => (7L, i.toLong)) ++
+      (0 until 2000).map(i => (i.toLong % 50, 1000000L + i)))
+      .toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim${k % 5}")).toDF("rk", "name")
+    def agg(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.groupBy("name")
+        .agg(count(lit(1)).as("cnt"), sum("payload").as("sum_payload"))
+        .orderBy("name").collect().map(_.toString).toSeq
+    // (a) manual: salt the fact key, explode the dim across the salt space
+    val factSalted = fact.withColumn("salt", pmod(col("payload"), lit(nSalt)))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(nSalt - 1))))
+    val salted = agg(factSalted.join(dimSalted,
+      col("k") === col("rk") && factSalted("salt") === dimSalted("salt")))
+    val confs = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // (b) automatic: plain shuffle join, AQE splits the hot partition
+      val joined = fact.hint("merge").join(dim, col("k") === col("rk"))
+      assert(joined.collect().length == 62000)
+      assert(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE must split the hot partition on this fixture")
+      assert(agg(fact.hint("merge").join(dim, col("k") === col("rk"))) == salted)
+      // (c) the no-AQE-rescue regime: skew handling off, no split happens
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val unsplit = fact.hint("merge").join(dim, col("k") === col("rk"))
+      assert(unsplit.collect().length == 62000)
+      assert(!unsplit.queryExecution.executedPlan.toString.contains("skew=true"),
+        "with skewJoin off the hot key must ride one partition — " +
+          "the regime manual salting covers")
+    } finally confs.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("malformed CSV rows are dropped under DROPMALFORMED") {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scratch/bad_csv"
     val dir = new java.io.File(tmp)

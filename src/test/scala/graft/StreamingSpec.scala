@@ -391,6 +391,53 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("rate source: live trigger-interval run drains the backlog through the sessionizer") {
+    // The sandbox's closest analog to a message bus: `rate` generates rows
+    // continuously while the query runs, so unlike the MemoryStream tests
+    // each ProcessingTime trigger drains whatever backlog accumulated since
+    // the last one. Event time is derived DETERMINISTICALLY from `value`
+    // (wall-clock timestamps would make every assertion racy): user =
+    // value % 4, per-user index k = value DIV 4, session group g = k DIV 50.
+    // Within a group events are 1 s apart; consecutive groups sit 1 h apart
+    // (> the 30-min gap), so every group is exactly one 50-event session —
+    // any closed session must have n_events = 50 and a 49 s span no matter
+    // how many rows the wall clock let the source generate.
+    import org.apache.spark.sql.streaming.Trigger
+    val evs = spark.readStream.format("rate")
+      .option("rowsPerSecond", 400).option("numPartitions", 2).load()
+      .selectExpr("value % 4 AS user_id", "value DIV 4 AS k")
+      .selectExpr("user_id",
+        "timestamp'2024-01-01 00:00:00' + (k DIV 50) * INTERVAL 1 HOUR" +
+          " + (k % 50) * INTERVAL 1 SECOND AS ts")
+      .as[graft.streaming.SessEvent]
+    val q = StreamOps.sessionize(evs, gapMinutes = 30, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("rate_sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // poll until at least 2 sessions per user have closed (≈3–4 s of
+      // generation) — bounded by a deadline so a hang fails, not wedges
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (spark.table("rate_sess").count() < 8 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("rate_sess")
+        .selectExpr("user_id", "n_events",
+          "unix_timestamp(session_end) - unix_timestamp(session_start) AS span_s",
+          "second(session_start) AS start_sec")
+        .collect()
+      assert(rows.length >= 8, s"only ${rows.length} sessions closed before deadline")
+      assert(rows.forall(_.getLong(1) == 50L),
+        s"session with lost/duplicated events: ${rows.filter(_.getLong(1) != 50L).mkString(",")}")
+      assert(rows.forall(r => r.getLong(2) == 49L && r.getInt(3) == 0),
+        "session bounds off the deterministic grid")
+      assert(rows.map(_.getLong(0)).distinct.sorted.sameElements(Seq(0L, 1L, 2L, 3L)),
+        "expected closed sessions from all 4 round-robin users")
+      // the live-source property: multiple triggers each ingested fresh rows
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches from the live source")
+    } finally q.stop()
+  }
+
   test("batch and stream produce identical session windows") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

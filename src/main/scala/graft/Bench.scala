@@ -27,6 +27,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR switches the iterative keys' lineage cuts
+    // from localCheckpoint to reliable checkpoint() into this directory —
+    // the fault-tolerant mode a real cluster runs — so its overhead can be
+    // priced with the same bench harness (BENCH_NOTES §9)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(dir => spark.conf.set(graft.algo.Lineage.ConfKey, dir))
     // Untimed warmup: the first queries otherwise absorb one-off JVM costs
     // (JIT, codegen compilation cache, parquet reader + shuffle machinery
     // init) that are not query latency. One scan-agg and one window query

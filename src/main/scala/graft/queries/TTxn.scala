@@ -1,0 +1,121 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions._
+import graft.Det.r4
+import graft.Tables
+import graft.sources.TxnTable
+
+/** Group T of SURVEY.md §2: the transactional table format
+  * (graft.sources.TxnTable — commit log over parquet: atomic multi-file
+  * commits, snapshot isolation, time travel, optimistic concurrency).
+  *
+  * Each key replays a fixed commit history into a fresh table under the
+  * scratch dir, then reads back THROUGH the log. The oracle recomputes the
+  * expected table state straight from the source slices, so a broken
+  * protocol (lost update, half-applied overwrite, wrong snapshot fold)
+  * hash-mismatches — the log machinery itself is what's under test, not
+  * the arithmetic. Concurrency (writer races, conflict-loser retry,
+  * compact-vs-append aborts) is TxnSpec's job: a deterministic oracle
+  * can't race threads.
+  *
+  * Scale posture: a commit is one KB-sized metadata publish regardless of
+  * data volume; snapshot reads hand the live file list straight to the
+  * parquet reader, so pruning/pushdown apply unchanged, and nothing here
+  * rescans history to answer "current state".
+  */
+object TTxn {
+
+  /** The shared fixture slices: lineitem by line number, projected to the
+    * columns the checks aggregate. */
+  private def slice(s: org.apache.spark.sql.SparkSession, d: String,
+      lns: Int*): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber").isin(lns.map(Integer.valueOf): _*))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  private def agg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private def oracleAgg(where: String): String =
+    "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+      s"FROM lineitem WHERE $where GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  val m: ListMap[String, Q] = ListMap(
+    "t_txn_snapshot" -> ((s, d) => {
+      // append, append, overwrite, append — the latest snapshot must be
+      // exactly (overwrite content + later append): an un-applied remove
+      // (append semantics leaking into overwrite) or a lost append both
+      // change the aggregate
+      val t = TxnTable.fresh(s, scratch("txn_snapshot"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.overwrite(slice(s, d, 3, 4))
+      t.append(slice(s, d, 5))
+      agg(t.read())
+    }),
+
+    "t_txn_time_travel" -> ((s, d) => {
+      // same history; read pinned at v1 — the pre-overwrite world. The
+      // overwrite at v2 must NOT leak into the v1 snapshot even though
+      // its files sit in the same table directory.
+      val t = TxnTable.fresh(s, scratch("txn_time_travel"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.overwrite(slice(s, d, 3, 4))
+      agg(t.read(version = 1))
+    }),
+
+    "t_txn_log_audit" -> ((s, d) => {
+      // the commit log surfaced as a table: version/action/rows must match
+      // the slice row counts the oracle computes from the source — a
+      // mis-recorded commit (wrong action, wrong row metadata) mismatches
+      val t = TxnTable.fresh(s, scratch("txn_log_audit"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.overwrite(slice(s, d, 3, 4))
+      t.append(slice(s, d, 5))
+      t.history()
+        .select(col("version"), col("action"), col("rows").as("n_rows"))
+        .orderBy("version")
+    }),
+
+    "t_txn_compact" -> ((s, d) => {
+      // small-file compaction as ONE transaction: content before == after
+      // (the oracle pins the content; TxnSpec pins the file-count drop and
+      // the stale-compact abort)
+      val t = TxnTable.fresh(s, scratch("txn_compact"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.compact(target = 1)
+      agg(t.read())
+    }),
+
+    "t_txn_vacuum" -> ((s, d) => {
+      // vacuum drops files only the PRE-overwrite versions referenced; the
+      // latest snapshot must read identically after physical deletion
+      val t = TxnTable.fresh(s, scratch("txn_vacuum"))
+      t.append(slice(s, d, 1, 2))
+      t.overwrite(slice(s, d, 6))
+      t.vacuum()
+      agg(t.read())
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "t_txn_snapshot" -> oracleAgg("l_linenumber IN (3, 4, 5)"),
+    "t_txn_time_travel" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_log_audit" ->
+      ("SELECT CAST(0 AS BIGINT) AS version, 'append' AS action, " +
+        "(SELECT count(*) FROM lineitem WHERE l_linenumber = 1) AS n_rows " +
+        "UNION ALL SELECT 1, 'append', " +
+        "(SELECT count(*) FROM lineitem WHERE l_linenumber = 2) " +
+        "UNION ALL SELECT 2, 'overwrite', " +
+        "(SELECT count(*) FROM lineitem WHERE l_linenumber IN (3, 4)) " +
+        "UNION ALL SELECT 3, 'append', " +
+        "(SELECT count(*) FROM lineitem WHERE l_linenumber = 5) " +
+        "ORDER BY version"),
+    "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"))
+}

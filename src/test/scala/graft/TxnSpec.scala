@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.sources.TxnTable
+
+/** The transactional table format's concurrency and isolation guarantees —
+  * the properties the deterministic DuckDB oracle cannot race-test
+  * (the t_txn_* keys pin the content semantics; this suite pins the
+  * protocol under contention).
+  */
+class TxnSpec extends SparkTestBase {
+  import spark.implicits._
+  import TxnSpecOps._
+
+  private def dir(name: String) = queries.scratch(s"txnspec_$name")
+
+  test("commit publish is exclusive: exactly one writer wins a version slot") {
+    val t = TxnTable.fresh(spark, dir("slot"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    // race 8 threads for version 1's slot via the public append path on
+    // pre-staged single-row batches; versions must come out dense & unique
+    val results = (1 to 8).par_unsafe { i =>
+      t.append(Seq((i.toLong, s"w$i")).toDF("k", "v"))
+    }
+    assert(results.sorted == (1L to 8L).toList, s"versions not dense: $results")
+    assert(t.read().count() == 9)
+  }
+
+  test("concurrent appenders lose no batch (optimistic retry converges)") {
+    val t = TxnTable.fresh(spark, dir("appenders"))
+    val perThread = 6
+    (1 to 4).par_unsafe { w =>
+      (1 to perThread).foreach { b =>
+        t.append(Seq((w.toLong, b.toLong)).toDF("writer", "batch"))
+      }
+      0L
+    }
+    val rows = t.read().as[(Long, Long)].collect().toSet
+    val expect = (for (w <- 1 to 4; b <- 1 to perThread) yield (w.toLong, b.toLong)).toSet
+    assert(rows == expect, s"lost updates: ${expect -- rows}")
+    assert(t.currentVersion == 4L * perThread - 1)
+  }
+
+  test("overwrite racing appends never orphans a concurrent append's rows") {
+    // an overwrite that loses the slot must RECOMPUTE its remove-set, so
+    // any append that won in between is removed too — otherwise its rows
+    // silently survive the overwrite as phantom extras
+    val t = TxnTable.fresh(spark, dir("ow_race"))
+    t.append(Seq((0L, 0L)).toDF("writer", "batch"))
+    (1 to 4).par_unsafe { w =>
+      if (w % 2 == 0) (1 to 3).foreach(b =>
+        t.append(Seq((w.toLong, b.toLong)).toDF("writer", "batch")))
+      else (1 to 3).foreach(_ =>
+        t.overwrite(Seq((w.toLong, -1L)).toDF("writer", "batch")))
+      0L
+    }
+    // whatever the interleaving, the final state must equal the fold of
+    // the log — i.e. the last overwrite's batch plus appends committed
+    // AFTER it. Verify against an independent replay of the history.
+    val hist = t.history().orderBy("version")
+      .select("version", "action", "rows").as[(Long, String, Long)].collect()
+    val lastOw = hist.filter(_._2 == "overwrite").map(_._1).max
+    val expectRows = hist.filter(e => e._1 >= lastOw).map(_._3).sum
+    assert(t.read().count() == expectRows,
+      s"snapshot disagrees with log replay: ${t.read().count()} vs $expectRows")
+  }
+
+  test("snapshot isolation: a reader pinned at v stays stable across overwrite+vacuum of later data") {
+    val t = TxnTable.fresh(spark, dir("isolation"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v0 = t.read(0)
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))
+    // overwrite alone: old files still on disk, v0 remains readable
+    assert(v0.count() == 2 && t.read().count() == 1)
+    assert(t.read(0).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // vacuum prices the retention trade: v0's files go away physically
+    assert(t.vacuum() >= 1)
+    intercept[Exception] { t.read(0).count() }
+    assert(t.read().as[(Long, String)].collect().toSet == Set((3L, "c")))
+  }
+
+  test("compact halves the file count, keeps content, and aborts on a stale tip") {
+    val t = TxnTable.fresh(spark, dir("compact"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, i * 10L)).toDF("k", "v")))
+    val before = t.read().inputFiles.length
+    t.compact(target = 1)
+    assert(t.read().inputFiles.length == 1 && before >= 5)
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      (1 to 5).map(i => (i.toLong, i * 10L)).toSet)
+    // stale compact: another commit lands between reading the tip and
+    // publishing — the compactor must ABORT (pin the stale tip via atTip
+    // to make the race deterministic), not clobber the newer commit
+    val staleTip = t.currentVersion
+    val racer = TxnTable.at(spark, t.root) // a second writer handle
+    racer.append(Seq((99L, 990L)).toDF("k", "v"))
+    intercept[IllegalStateException] { t.compact(target = 1, atTip = staleTip) }
+    // the 99-row append survives the abort and the retried compact
+    t.compact(target = 1)
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      ((1 to 5).map(i => (i.toLong, i * 10L)).toSet + ((99L, 990L))))
+  }
+
+  test("commit entries are invisible until fully published (no torn reads)") {
+    val t = TxnTable.fresh(spark, dir("torn"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    // staged-but-uncommitted data must not appear in any read: stage by
+    // writing a parquet dir into the table root directly (what a crashed
+    // writer leaves behind) — the log never references it
+    Seq((666L, "ghost")).toDF("k", "v").write
+      .parquet(Paths.get(t.root).resolve("d-orphan").toString)
+    assert(t.read().count() == 1)
+    // vacuum collects the orphan too — it deletes every d-* file the
+    // LATEST live set doesn't reference, exactly untracked-file GC
+    assert(t.vacuum() >= 1)
+    val leftover = Files.list(Paths.get(t.root).resolve("d-orphan"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toList
+    assert(leftover.isEmpty, s"orphan survived vacuum: $leftover")
+    assert(t.read().count() == 1)
+  }
+}
+
+/** Tiny parallel helper: run f on its own thread per element, propagate the
+  * first failure, return results in element order. */
+object TxnSpecOps {
+  implicit class Par(private val r: Range) extends AnyVal {
+    def par_unsafe(f: Int => Long): List[Long] = {
+      val out = new Array[Either[Throwable, Long]](r.size)
+      val ts = r.zipWithIndex.map { case (i, idx) =>
+        new Thread(() => out(idx) =
+          try Right(f(i)) catch { case e: Throwable => Left(e) })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      out.toList.map {
+        case Left(e) => throw e
+        case Right(v) => v
+      }
+    }
+  }
+}

@@ -181,6 +181,44 @@ object JStreaming {
       }
       s.table(name).orderBy("user_id", "session_start")
     }),
+
+    "j_stream_bus" -> ((s, d) => {
+      // REAL streaming ingestion through the DSv2 message-bus source
+      // (graft.sources.BusSource): events are PUBLISHED from the executors
+      // (a distributed keyed producer — no driver collect), then consumed
+      // by a readStream micro-batch query doing a grouped aggregate, and
+      // the final snapshot is hash-checked against the batch oracle. The
+      // payload carries the value pre-scaled to an exact integer so the
+      // aggregate is independent of broker arrival order (which is
+      // genuinely nondeterministic under a parallel producer — exactly
+      // like a real bus).
+      val topic = s"graft_bus_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.sources.BusBroker.create(topic, 4)
+      Tables.events(s, d).filter(col("user_id") < 200)
+        .select(col("user_id").cast("string").as("k"),
+          concat_ws(",", col("event_type"),
+            floor(col("value") * 10000 + 0.5).cast("long").cast("string")).as("v"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            graft.sources.BusBroker.publish(topic, r.getString(0), r.getString(1))
+            ()
+          }
+        }
+      val name = s"bus_out_${topic.takeRight(8)}"
+      val q = s.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .select(split(col("value"), ",").as("p"))
+        .select(col("p").getItem(0).as("event_type"),
+          col("p").getItem(1).cast("long").as("bp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("bp").as("sum_bp"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      graft.sources.BusBroker.delete(topic)
+      s.table(name).orderBy("event_type")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -258,5 +296,13 @@ object JStreaming {
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM s GROUP BY user_id, sid " +
         "ORDER BY user_id, session_start"),
+    // the bus carries (event_type, basis-point value) pairs; the grouped
+    // aggregate over everything the stream ingested must equal the batch
+    // aggregate over everything the producer published
+    "j_stream_bus" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_bp FROM events WHERE user_id < 200 " +
+        "GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Message-bus streaming source: the full DataSource V2 micro-batch
+  * contract (offset tracking, per-partition range planning, replay,
+  * checkpoint restart) against a partitioned append-only broker — the
+  * abstraction a Kafka/Kinesis integration implements, exercised end to
+  * end without a network broker in the sandbox.
+  *
+  * What Spark drives (and what this source therefore proves): each trigger
+  * asks `latestOffset`, plans one `InputPartition` per broker partition
+  * over the `(start, end]` offset range, reads records by offset, persists
+  * the end offset in the streaming checkpoint, and on restart resumes from
+  * the checkpointed offset — exactly-once ingestion with replayability
+  * (the broker retains its log, so a fresh query re-reads from earliest).
+  * StreamingSpec pins restart-no-duplication, replay, and multi-partition
+  * range planning.
+  *
+  * `BusBroker` is the declared in-JVM stand-in (like the multimodal
+  * decoder stub): records live in driver memory, which local[n] executors
+  * share, so `PartitionReader.get` reads them directly. A production
+  * deployment replaces ONLY the three `BusBroker` calls (endOffsets,
+  * fetch — a network client on the executor — and publish); every line
+  * Spark touches (offsets, planning, readers, checkpoint JSON) is the real
+  * contract and ships unchanged. Scale posture: partitions read in
+  * parallel with no cross-partition coordination; offsets are per-
+  * partition longs so checkpoint state is O(partitions) bytes.
+  *
+  * Usage:
+  * {{{
+  *   BusBroker.create(topic, nPartitions)
+  *   BusBroker.publish(topic, key, value)   // partition = hash(key)
+  *   spark.readStream.format("graft.sources.BusSource")
+  *     .option("topic", topic).load()       // partition, offset, key, value
+  * }}}
+  */
+class BusSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BusSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val topic = properties.get("topic")
+    require(topic != null, "BusSource needs .option(\"topic\", ...)")
+    new BusTable(topic)
+  }
+}
+
+object BusSource {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+/** The in-JVM broker: per-topic, per-partition append-only record logs.
+  * Publish is the only mutation; records are never rewritten, so any
+  * offset range reads back identically forever (infinite retention). */
+object BusBroker {
+  private case class Topic(parts: Array[ArrayBuffer[(String, String)]])
+  private val topics = TrieMap.empty[String, Topic]
+
+  def create(topic: String, nPartitions: Int): Unit =
+    topics.put(topic, Topic(Array.fill(nPartitions)(ArrayBuffer.empty)))
+
+  def delete(topic: String): Unit = topics.remove(topic)
+
+  def nPartitions(topic: String): Int = topics(topic).parts.length
+
+  /** Append one record; the partition is the key's hash (stable across
+    * publishers, like a keyed Kafka producer). Returns (partition, offset). */
+  def publish(topic: String, key: String, value: String): (Int, Long) = {
+    val t = topics(topic)
+    val p = math.floorMod(key.hashCode, t.parts.length)
+    val log = t.parts(p)
+    log.synchronized { log += ((key, value)); (p, log.length - 1L) }
+  }
+
+  def endOffsets(topic: String): Array[Long] =
+    topics(topic).parts.map(l => l.synchronized(l.length.toLong))
+
+  /** Records of `partition` with offsets in [from, until). */
+  def fetch(topic: String, partition: Int, from: Long, until: Long)
+      : IndexedSeq[(Long, String, String)] = {
+    val log = topics(topic).parts(partition)
+    log.synchronized {
+      (from until until).map(o => (o, log(o.toInt)._1, log(o.toInt)._2))
+    }
+  }
+}
+
+class BusTable(topic: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_bus($topic)"
+  override def schema(): StructType = BusSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new BusScan(topic)
+}
+
+/** Per-partition end offsets, JSON-round-tripped through the streaming
+  * checkpoint (the durability contract on restart). */
+case class BusOffset(ends: Array[Long]) extends Offset {
+  override def json(): String = ends.mkString("[", ",", "]")
+}
+
+object BusOffset {
+  def parse(s: String): BusOffset =
+    BusOffset(s.stripPrefix("[").stripSuffix("]").split(',')
+      .filter(_.nonEmpty).map(_.trim.toLong))
+}
+
+case class BusRange(topic: String, partition: Int, from: Long, until: Long)
+  extends InputPartition
+
+class BusScan(topic: String) extends Scan {
+  override def readSchema(): StructType = BusSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BusStream(topic)
+}
+
+class BusStream(topic: String) extends MicroBatchStream {
+  override def initialOffset(): Offset =
+    BusOffset(Array.fill(BusBroker.nPartitions(topic))(0L)) // earliest
+  override def latestOffset(): Offset = BusOffset(BusBroker.endOffsets(topic))
+  override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
+  override def commit(end: Offset): Unit = () // infinite retention: no trim
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].ends
+    val e = end.asInstanceOf[BusOffset].ends
+    s.indices.iterator
+      .map(p => BusRange(topic, p, s(p), e(p)))
+      .filter(r => r.from < r.until)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BusReaderFactory
+}
+
+class BusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[BusRange]
+    // the broker fetch happens reader-side: on a real cluster this is the
+    // executor's network read from the bus, here it is the shared-JVM log
+    val recs = BusBroker.fetch(r.topic, r.partition, r.from, r.until)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < recs.length }
+      override def get(): InternalRow = {
+        val (off, k, v) = recs(i)
+        InternalRow(r.partition, off,
+          UTF8String.fromString(k), UTF8String.fromString(v))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The model-inference seam (queries/VInfer.scala): the batched
+  * mapPartitions path must be row-identical to the relational path — that
+  * equivalence IS the seam's contract (a real model swaps in behind the
+  * same plumbing) — and the inferred vectors must behave like embeddings
+  * (token-order invariance, near-dups rank closest).
+  */
+class InferSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("batch inference seam is row-identical to the relational path") {
+    // real corpus, and across a partitioning change: per-partition model
+    // init must not leak state between partitions or depend on their count
+    for (parts <- Seq(1, 7)) {
+      val base = Tables.documents(spark, sfDir).repartition(parts)
+      val rel = graft.queries.VInfer.inferRelational(base)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val batch = SparkEntry.queries("i_embed_infer_batch")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(rel == batch && rel.nonEmpty, s"paths diverge at $parts partitions")
+    }
+  }
+
+  test("embedding is a function of the token multiset, not token order") {
+    val e = graft.queries.VInfer.inferRelational(
+      docs(1L -> "alpha beta gamma beta", 2L -> "beta gamma beta alpha"))
+      .orderBy("doc_id").drop("doc_id").collect().map(_.toString)
+    assert(e(0) == e(1), "reordering tokens changed the embedding")
+  }
+
+  test("a planted near-duplicate is its source's top cosine neighbor") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy cat again and again",
+      3L -> "entirely unrelated legal boilerplate concerning maritime salvage law")
+    graft.functions.VectorExprs.register(spark)
+    val e = graft.queries.VInfer.inferRelational(d)
+      .select(col("doc_id"),
+        array((0 until 8).map(j => col(s"e$j").cast("double")): _*).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val a = e.select(col("doc_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("doc_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val top1 = a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+      .groupBy("a_id").agg(expr("graft_topk(cos, b_id, 1, false)").as("t"))
+      .select(col("a_id"), col("t")(0)("id").as("b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L,
+      s"near-dup pair not mutually closest: $top1")
+  }
+}

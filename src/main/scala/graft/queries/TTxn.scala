@@ -101,6 +101,54 @@ object TTxn {
       t.overwrite(slice(s, d, 6))
       t.vacuum()
       agg(t.read())
+    }),
+
+    "t_txn_stream_ingest" -> ((s, d) => {
+      // the 100 TB streaming-ingest operating mode, composed end to end:
+      // bus topic → DSv2 micro-batch reader → foreachBatch
+      // appendIdempotent into the transactional table. Exactly-once
+      // without a distributed lock: the streaming checkpoint dedups
+      // SOURCE offsets, the txn=app:batch tag in the commit log dedups
+      // SINK commits, so a crash in the classic at-least-once window
+      // (sink committed, checkpoint not yet advanced) replays the batch
+      // into a no-op. The replay is exercised EXPLICITLY below with the
+      // whole table as its payload, so the oracle hash itself proves the
+      // skip — a double-applied batch would double the aggregate.
+      val topic = s"graft_txn_bus_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.sources.BusBroker.create(topic, 4)
+      val t = TxnTable.fresh(s, scratch("txn_stream_ingest"))
+      val appId = "txn_stream_ingest"
+      def publish(parity: Int): Unit =
+        Tables.events(s, d).filter(col("user_id") % 2 === parity)
+          .select(col("user_id").cast("string").as("k"),
+            concat_ws(",", col("event_type"),
+              floor(col("value") * 10000 + 0.5).cast("long").cast("string")).as("v"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              graft.sources.BusBroker.publish(topic, r.getString(0), r.getString(1))
+              ()
+            }
+          }
+      val q = s.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .select(split(col("value"), ",").as("p"))
+        .select(col("p").getItem(0).as("event_type"),
+          col("p").getItem(1).cast("long").as("bp"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          t.appendIdempotent(df, appId, id)
+          ()
+        }.start()
+      publish(0); q.processAllAvailable() // wave A → batch 0
+      publish(1); q.processAllAvailable() // wave B → batch 1
+      q.stop()
+      graft.sources.BusBroker.delete(topic)
+      // post-crash foreachBatch replay of the last batch: same (app,
+      // batch) → no-op, even with the full table offered as payload
+      t.appendIdempotent(t.read(), appId, t.lastCommitted(appId))
+      t.read().groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("bp").as("sum_bp"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -117,5 +165,11 @@ object TTxn {
         "(SELECT count(*) FROM lineitem WHERE l_linenumber = 5) " +
         "ORDER BY version"),
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
-    "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"))
+    "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
+    // everything published must land exactly once: the replayed batch
+    // appending anything at all would break n AND sum_bp
+    "t_txn_stream_ingest" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_bp FROM events GROUP BY event_type ORDER BY event_type"))
 }

@@ -51,7 +51,7 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   private val logP: Path = rootP.resolve("_txn_log")
 
   private case class Entry(version: Long, action: String, rows: Long,
-      add: Seq[String], remove: Seq[String])
+      add: Seq[String], remove: Seq[String], txn: Option[(String, Long)])
 
   /** Files.list with the stream closed (it holds a directory handle). */
   private def ls(p: Path): List[Path] = {
@@ -70,7 +70,11 @@ final class TxnTable(val spark: SparkSession, val root: String) {
       }.toMap
     def files(k: String) =
       kv.getOrElse(k, "").split('\t').toSeq.filter(_.nonEmpty)
-    Entry(v, kv("action"), kv("rows").toLong, files("add"), files("remove"))
+    val txn = kv.get("txn").map { t =>
+      val i = t.lastIndexOf(':')
+      (t.substring(0, i), t.substring(i + 1).toLong)
+    }
+    Entry(v, kv("action"), kv("rows").toLong, files("add"), files("remove"), txn)
   }
 
   /** Latest committed version, or -1 for an empty/absent log. Versions are
@@ -93,10 +97,12 @@ final class TxnTable(val spark: SparkSession, val root: String) {
 
   /** Publish entry `v` atomically; false = another writer won the slot. */
   private def tryCommit(v: Long, action: String, rows: Long,
-      add: Seq[String], remove: Seq[String]): Boolean = {
+      add: Seq[String], remove: Seq[String],
+      txn: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logP)
     val body = s"action=$action\nrows=$rows\n" +
-      s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n"
+      s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
+      txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" }
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -127,6 +133,47 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     var v = currentVersion + 1
     while (!tryCommit(v, "append", rows, files, Nil)) v = currentVersion + 1
     v
+  }
+
+  private def committedUpTo(appId: String, tip: Long): Long =
+    if (tip < 0) -1L
+    else entries(tip).flatMap(_.txn)
+      .collect { case (app, b) if app == appId => b }
+      .foldLeft(-1L)(math.max)
+
+  /** Highest batch id committed under `appId`, or -1 if none. A scan of
+    * the log's txn tags — KBs of metadata, no data read. */
+  def lastCommitted(appId: String): Long = committedUpTo(appId, currentVersion)
+
+  /** Exactly-once streaming-sink primitive (the foreachBatch contract):
+    * append `df` tagged `txn=appId:batchId` in its commit-log entry. If
+    * the log already holds a batch ≥ `batchId` for this app — a
+    * post-crash foreachBatch replay (the sink committed but the streaming
+    * checkpoint didn't advance), or a concurrent twin of the same job —
+    * the call is a NO-OP returning -1, and the caller's at-least-once
+    * redelivery becomes exactly-once table content. Batch ids must be
+    * monotone per app, which Structured Streaming guarantees per
+    * checkpoint. A twin abandons its staged (unreferenced) files for
+    * `vacuum` to reclaim.
+    *
+    * The tag check and the slot claim are one atomic unit WITHOUT a lock,
+    * because versions are dense: each attempt scans tags over the log
+    * prefix `0..tip` and then claims slot `tip+1`. If the claim succeeds,
+    * no other commit landed at ≤ tip+1 in between — so the scanned prefix
+    * was the complete log at commit time and cannot have hidden a twin's
+    * tag. If the claim fails, the loop rescans the grown prefix. */
+  def appendIdempotent(df: DataFrame, appId: String, batchId: Long): Long = {
+    require(!appId.contains('\n') && !appId.contains('\t'), s"bad appId: $appId")
+    if (lastCommitted(appId) >= batchId) return -1L // fast path: skip staging
+    val (files, rows) = stage(df)
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      if (committedUpTo(appId, tip) >= batchId) res = -1L
+      else if (tryCommit(tip + 1, "append", rows, files, Nil,
+          Some((appId, batchId)))) res = tip + 1
+    }
+    res
   }
 
   /** Replace the table content. The remove-set is recomputed on every

@@ -121,6 +121,42 @@ class TxnSpec extends SparkTestBase {
     assert(leftover.isEmpty, s"orphan survived vacuum: $leftover")
     assert(t.read().count() == 1)
   }
+
+  test("idempotent append: a replayed (app, batch) is a no-op") {
+    val t = TxnTable.fresh(spark, dir("idem"))
+    assert(t.lastCommitted("app") == -1L)
+    assert(t.appendIdempotent(Seq((1L, "a")).toDF("k", "v"), "app", 0L) == 0L)
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("k", "v"), "app", 1L) == 1L)
+    // foreachBatch replay after a crash: same batch id, even with
+    // different payload — must not commit
+    assert(t.appendIdempotent(Seq((9L, "X")).toDF("k", "v"), "app", 1L) == -1L)
+    assert(t.appendIdempotent(Seq((9L, "X")).toDF("k", "v"), "app", 0L) == -1L)
+    assert(t.currentVersion == 1L && t.lastCommitted("app") == 1L)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("idempotent append: apps are independent ledgers") {
+    val t = TxnTable.fresh(spark, dir("idem_apps"))
+    assert(t.appendIdempotent(Seq((1L, "a")).toDF("k", "v"), "appA", 5L) == 0L)
+    // a different app's batch 0 must commit even though appA is at 5
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("k", "v"), "appB", 0L) == 1L)
+    // plain appends never interfere with either ledger
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t.lastCommitted("appA") == 5L && t.lastCommitted("appB") == 0L)
+    assert(t.read().count() == 3)
+  }
+
+  test("idempotent append: concurrent twins of one batch commit exactly once") {
+    val t = TxnTable.fresh(spark, dir("idem_race"))
+    // 6 twins racing the same (app, batch) — e.g. a speculative retry of
+    // the same foreachBatch — exactly one version may appear
+    val results = (1 to 6).par_unsafe { i =>
+      t.appendIdempotent(Seq((i.toLong, s"w$i")).toDF("k", "v"), "app", 0L)
+    }
+    assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
+    assert(t.currentVersion == 0L && t.read().count() == 1)
+  }
 }
 
 /** Tiny parallel helper: run f on its own thread per element, propagate the

@@ -176,6 +176,49 @@ object QCurate {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-level duplication (the C4/MassiveText "remove
+    * duplicated spans" practice; Lee et al. 2022 measure it on token
+    * 50-grams — K-grams here at fixture scale): every K-token shingle
+    * occurring MORE THAN ONCE anywhere in the corpus (cross-doc or
+    * self-repetition) marks its K covered positions duplicated; per doc,
+    * report token count, duplicated-token count, and the duplicated
+    * fraction in half-up basis points. The span-cutting rewrite is a
+    * trivial projection over these flags — the measurement is the
+    * expensive part and the one that must scale.
+    *
+    * Scale shape: shingles are counted by grouping on their md5 (bounded
+    * key width regardless of K — and engine-portable); the duplicated-
+    * occurrence join is an equi-join on that hash, never pairs; coverage
+    * is a ×K positions explode deduped per doc. Total work ∝ corpus
+    * tokens · K, one shuffle each for the count, the join, and the
+    * per-doc rollup. */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    // one window pass builds the K-gram (the K leads share one spec)
+    val sh = tok
+      .withColumn("g", concat_ws(" ",
+        col("w") +: (1 until K).map(i => lead("w", i).over(win)): _*))
+      .withColumn("wk", lead("w", K - 1).over(win))
+      .filter(col("wk").isNotNull)
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("h")
+    val cover = sh.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (K - 1))).as("p"))
+      .distinct()
+    val nd = cover.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_tokens"),
+        expr("(2 * coalesce(n_dup, 0) * 10000 + n_tokens) DIV (2 * n_tokens)")
+          .as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc bigram-LM score (the i_bigram_lm pipeline, reused). */
   private def bigramScores(docs: DataFrame): DataFrame = {
     val tok = docs
@@ -374,6 +417,7 @@ object QCurate {
     "i_containment" -> ((s, d) =>
       containment(Tables.documents(s, d).filter(col("doc_id") < 120), 0.1)),
     "i_winnowing" -> ((s, d) => winnowing(Tables.documents(s, d))),
+    "i_substring_dedup" -> ((s, d) => substringDedup(Tables.documents(s, d))),
     "i_ppl_buckets" -> ((s, d) => pplBuckets(Tables.documents(s, d))),
     "i_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "p_snapshot_diff" -> ((s, d) => snapshotDiff(Tables.orders(s, d))),
@@ -419,6 +463,25 @@ object QCurate {
         "WHERE round(n_inter::DOUBLE / sa.n_sh, 4) >= 0.1 " +
         "OR round(n_inter::DOUBLE / sb.n_sh, 4) >= 0.1 " +
         "ORDER BY a_id, b_id"),
+    "i_substring_dedup" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "sh0 AS (SELECT doc_id, pos, concat_ws(' ', w, " +
+        (1 until K).map(i => s"lead(w, $i) OVER wd").mkString(", ") +
+        s") AS g, lead(w, ${K - 1}) OVER wd AS wk FROM tok " +
+        "WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "sh AS (SELECT doc_id, pos, md5(g) AS h FROM sh0 WHERE wk IS NOT NULL), " +
+        "dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2), " +
+        "cover AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, " +
+        s"unnest(generate_series(pos, pos + ${K - 1})) AS p FROM sh JOIN dup USING (h))), " +
+        "nd AS (SELECT doc_id, count(*) AS n_dup FROM cover GROUP BY doc_id), " +
+        "nt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_tokens, " +
+        "CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_tokens, " +
+        "CAST((2 * coalesce(d.n_dup, 0) * 10000 + t.n_tokens) // (2 * t.n_tokens) " +
+        "AS BIGINT) AS dup_bp " +
+        "FROM nt t LEFT JOIN nd d USING (doc_id) ORDER BY t.doc_id"),
     "i_winnowing" ->
       ("WITH tok AS (SELECT doc_id, " +
         "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +

@@ -103,6 +103,20 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_incremental" -> ((s, d) => {
+      // the change-data-feed read: a consumer that saw the table at v0
+      // tails ONLY data added after it — the v1 and v3 appends. The v2
+      // compact rewrote v0+v1's content into one file; a naive file-diff
+      // consumer would re-deliver all of it, so the hash proves compact
+      // rewrites are excluded (dataChange=false semantics).
+      val t = TxnTable.fresh(s, scratch("txn_incremental"))
+      t.append(slice(s, d, 1))    // v0 — already consumed
+      t.append(slice(s, d, 2))    // v1 — new data
+      t.compact(target = 1)       // v2 — rewrite, NOT new data
+      t.append(slice(s, d, 5))    // v3 — new data
+      agg(t.changesSince(0))
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -166,6 +180,7 @@ object TTxn {
         "ORDER BY version"),
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
+    "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     // everything published must land exactly once: the replayed batch
     // appending anything at all would break n AND sum_bp
     "t_txn_stream_ingest" ->

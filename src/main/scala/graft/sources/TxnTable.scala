@@ -215,6 +215,26 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     spark.read.parquet(liveFiles(v).map(abs): _*)
   }
 
+  /** Incremental append-feed read: rows added by `append` commits with
+    * version in (since, upTo] — the change-data-feed primitive an
+    * incremental consumer (nightly dedup, downstream aggregate) tails
+    * instead of rescanning the table. `compact` rewrites are EXCLUDED:
+    * their files carry rows a consumer already saw (the dataChange=false
+    * analog), so including them would double-deliver. An intervening
+    * `overwrite` replaced content rather than extending it, making
+    * incremental consumption unsound — it throws, and the consumer
+    * re-syncs from a snapshot. Cost: the log scan is KBs; the data read
+    * touches ONLY the newly added files, never the table. */
+  def changesSince(since: Long, upTo: Long = -1L): DataFrame = {
+    val tip = if (upTo < 0) currentVersion else upTo
+    val es = ((since + 1) to tip).map(parse)
+    require(es.forall(_.action != "overwrite"),
+      s"overwrite inside ($since, $tip]: incremental read invalid, re-sync from a snapshot")
+    val files = es.filter(_.action == "append").flatMap(_.add)
+    if (files.isEmpty) read(tip).limit(0)
+    else spark.read.parquet(files.map(abs): _*)
+  }
+
   /** The commit log as a DataFrame (version, action, rows, file counts). */
   def history(): DataFrame = {
     import spark.implicits._

@@ -230,4 +230,21 @@ class CurateSpec extends SparkTestBase {
     assert(rows.forall(r => r.getString(0) <= r.getString(1)))
     assert(rows.forall(_.getLong(2) >= 5))
   }
+
+  test("substring dedup: exact copy fully flagged, unique text untouched, shared span counted once per position") {
+    val copied = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = graft.queries.QCurate.substringDedup(docsDf(Seq(
+      (1L, copied, "en", "a"),                        // full duplicate of 2
+      (2L, copied, "en", "b"),
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "c"), // all unique
+      // doc 4 embeds the copied span once inside unique context: exactly
+      // the 10 copied tokens (+ nothing else) are flagged — overlapping
+      // dup shingles must not double-count a position
+      (4L, s"x1 x2 x3 $copied y1 y2 y3", "en", "d"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(d(1L) == ((10L, 10L, 10000L)), s"full dup: ${d(1L)}")
+    assert(d(2L) == ((10L, 10L, 10000L)))
+    assert(d(3L) == ((10L, 0L, 0L)), s"unique doc flagged: ${d(3L)}")
+    assert(d(4L)._1 == 16L && d(4L)._2 == 10L, s"span coverage off: ${d(4L)}")
+  }
 }

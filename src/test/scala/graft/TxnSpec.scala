@@ -122,6 +122,27 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().count() == 1)
   }
 
+  test("change feed: delivers appends once, excludes rewrites, rejects overwrites") {
+    val t = TxnTable.fresh(spark, dir("feed"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))            // v1
+    t.compact(target = 1)                              // v2: rewrite only
+    t.append(Seq((3L, "c")).toDF("k", "v"))            // v3
+    // from the beginning: every append exactly once, compact not re-delivered
+    assert(t.changesSince(-1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a consumer at v1 sees only v3's rows (v2 carries no new data)
+    assert(t.changesSince(1).as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // a fully-caught-up consumer gets an empty (but well-typed) feed
+    assert(t.changesSince(t.currentVersion).count() == 0)
+    // an overwrite breaks incremental consumption — must throw, not
+    // silently deliver replaced content as if it were an extension
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v4
+    intercept[IllegalArgumentException](t.changesSince(1).count())
+    // after re-syncing at the overwrite, tailing works again
+    assert(t.changesSince(4).count() == 0)
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

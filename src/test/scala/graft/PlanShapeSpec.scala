@@ -52,6 +52,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 inference/dedup wave plan shapes") {
+    // the batch inference seam is a narrow mapPartitions pass: NO shuffle
+    // anywhere in the compute (the only exchange is the presentation sort)
+    val pb = plan("i_embed_infer_batch")
+    assert(pb.contains("MapPartitions"), pb)
+    assert(!pb.contains("Exchange hashpartitioning"),
+      "inference seam must be shuffle-free:\n" +
+        pb.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the relational twin keeps map-side partial aggregation
+    assert(plan("i_embed_infer").contains("partial_"))
+    // substring dedup rides shingle-hash equi-joins only — a nested loop
+    // here would be corpus-token²
+    assert(!plan("i_substring_dedup").contains("NestedLoop"))
+    // the inference→similarity bridge is the declared bounded pair-join
+    // baseline: bounded graft_topk aggregate, never a full window sort
+    val ps = plan("i_embed_infer_sim")
+    assert(ps.contains("graft_topk") && !ps.contains("Window ["), ps)
+  }
+
   test("rank-limit is pushed below the window (WindowGroupLimit)") {
     assert(plan("e_win_topk_group").contains("WindowGroupLimit"))
   }
@@ -250,7 +269,7 @@ class PlanShapeSpec extends SparkTestBase {
       "i_cosine_topk", "i_knn_l2", "i_jaccard_pairs", "i_minhash_est",
       "i_embed_neardup", "i_simhash_hamming", "i_ann_recall",
       "i_lsh_recall", "i_ann_ivf", "i_ann_ivf_recall", "i_ann_pq_recall",
-      "i_ann_ivfpq_recall",
+      "i_ann_ivfpq_recall", "i_embed_infer_sim",
       // (b) one-row scalar / bounded-table broadcasts
       "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
       "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",

@@ -114,15 +114,24 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------------ write
 
   /** Stage `df` as parquet under an unreferenced directory; returns the
-    * table-relative file paths and the exact row count (a footer-metadata
-    * count over the staged files — no second pass over the plan). */
+    * table-relative file paths and the exact row count. The count comes
+    * straight from the parquet FOOTERS (block row counts), read
+    * driver-side — KBs of metadata, no Spark job; a read-back count()
+    * here would schedule one extra job per commit, which at one commit
+    * per micro-batch is real overhead. */
   private def stage(df: DataFrame): (Seq[String], Long) = {
     val dir = s"d-${UUID.randomUUID()}"
     df.write.parquet(rootP.resolve(dir).toString)
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted
-    val rows = spark.read.parquet(files.map(abs): _*).count()
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(abs(f)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
     (files, rows)
   }
 

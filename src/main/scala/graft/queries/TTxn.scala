@@ -103,6 +103,25 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_schema_evolution" -> ((s, d) => {
+      // additive schema evolution: v1 appends a column v0's files never
+      // had. The schema lives in the COMMIT LOG (not inferred from
+      // footers), so the read binds one schema and v0's rows surface
+      // NULL for the new column — n_disc counts only v1's rows, sum_disc
+      // sums only v1's values, both hash-pinned by the oracle. No file
+      // was rewritten to make that happen.
+      val t = TxnTable.fresh(s, scratch("txn_schema_evo"))
+      t.append(slice(s, d, 1))
+      t.append(Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_discount"))
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"),
+          count(col("l_discount")).as("n_disc"),
+          r4(sum(coalesce(col("l_discount"), lit(0.0)))).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -181,6 +200,12 @@ object TTxn {
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
+    "t_txn_schema_evolution" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
+        "count(CASE WHEN l_linenumber = 2 THEN 1 END) AS n_disc, " +
+        "round(sum(CASE WHEN l_linenumber = 2 THEN l_discount ELSE 0 END), 4) " +
+        "AS sum_disc FROM lineitem WHERE l_linenumber IN (1, 2) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // everything published must land exactly once: the replayed batch
     // appending anything at all would break n AND sum_bp
     "t_txn_stream_ingest" ->

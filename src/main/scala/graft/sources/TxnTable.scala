@@ -18,8 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _txn_log/v00000.txn         one entry per version, 0..N contiguous
   * }}}
   *
-  * A log entry is line-based (`action=`, `rows=`, `add=`, `remove=` with
-  * tab-joined table-relative paths). A commit stages its parquet files
+  * A log entry is line-based (`action=`, `rows=`, `add=`/`remove=` with
+  * tab-joined table-relative paths, optional `txn=app:batch` for
+  * idempotent streaming appends, optional `schema=` carrying the table
+  * schema as StructType JSON — reads bind the log's schema, never a
+  * footer-merge pass). A commit stages its parquet files
   * first (invisible to readers — nothing references them), then publishes
   * the entry for version v+1 via an ATOMIC create-if-absent. Losing the
   * race throws, the writer re-reads the log and retries against the new
@@ -51,7 +54,8 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   private val logP: Path = rootP.resolve("_txn_log")
 
   private case class Entry(version: Long, action: String, rows: Long,
-      add: Seq[String], remove: Seq[String], txn: Option[(String, Long)])
+      add: Seq[String], remove: Seq[String], txn: Option[(String, Long)],
+      schema: Option[String])
 
   /** Files.list with the stream closed (it holds a directory handle). */
   private def ls(p: Path): List[Path] = {
@@ -74,7 +78,8 @@ final class TxnTable(val spark: SparkSession, val root: String) {
       val i = t.lastIndexOf(':')
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
-    Entry(v, kv("action"), kv("rows").toLong, files("add"), files("remove"), txn)
+    Entry(v, kv("action"), kv("rows").toLong, files("add"), files("remove"),
+      txn, kv.get("schema"))
   }
 
   /** Latest committed version, or -1 for an empty/absent log. Versions are
@@ -98,11 +103,13 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   /** Publish entry `v` atomically; false = another writer won the slot. */
   private def tryCommit(v: Long, action: String, rows: Long,
       add: Seq[String], remove: Seq[String],
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
     Files.createDirectories(logP)
     val body = s"action=$action\nrows=$rows\n" +
       s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
-      txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" }
+      txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
+      schema.fold("")(sc => s"schema=${sc.json}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -137,12 +144,55 @@ final class TxnTable(val spark: SparkSession, val root: String) {
 
   private def abs(rel: String): String = rootP.resolve(rel).toString
 
-  def append(df: DataFrame): Long = {
-    val (files, rows) = stage(df)
-    var v = currentVersion + 1
-    while (!tryCommit(v, "append", rows, files, Nil)) v = currentVersion + 1
-    v
+  /** Table schema as of `version`: the last entry that recorded one.
+    * Lives in the LOG (KBs), never inferred from data-file footers — at
+    * 100 TB, schema resolution must not touch data files. */
+  def schemaAt(version: Long): Option[org.apache.spark.sql.types.StructType] =
+    entries(version).flatMap(_.schema).lastOption
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Additive-only evolution: every existing column keeps its name and
+    * type (retypes/drops rejected); new columns append. Old data files
+    * simply lack the new columns and read back as NULL under the log
+    * schema — no file rewrite. */
+  private def unionSchema(
+      base: Option[org.apache.spark.sql.types.StructType],
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = base match {
+    case None => s
+    case Some(b) =>
+      val byName = s.fields.map(f => f.name -> f).toMap
+      b.fields.foreach { f =>
+        byName.get(f.name).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"schema evolution may not retype ${f.name}: " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        }
+      }
+      org.apache.spark.sql.types.StructType(
+        b.fields ++ s.fields.filterNot(f => b.fieldNames.contains(f.name)))
   }
+
+  /** Shared append path: stage once, then loop { scan log prefix, check
+    * the txn tag, merge the schema, claim the next slot } — see
+    * `appendIdempotent` for why the scan+claim pair is race-free. */
+  private def appendCommit(df: DataFrame, txn: Option[(String, Long)]): Long = {
+    val (files, rows) = stage(df)
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      if (txn.exists { case (app, b) => committedUpTo(app, tip) >= b }) res = -1L
+      else {
+        val sc = unionSchema(schemaAt(tip), df.schema)
+        if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc)))
+          res = tip + 1
+      }
+    }
+    res
+  }
+
+  def append(df: DataFrame): Long = appendCommit(df, None)
 
   private def committedUpTo(appId: String, tip: Long): Long =
     if (tip < 0) -1L
@@ -174,15 +224,7 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   def appendIdempotent(df: DataFrame, appId: String, batchId: Long): Long = {
     require(!appId.contains('\n') && !appId.contains('\t'), s"bad appId: $appId")
     if (lastCommitted(appId) >= batchId) return -1L // fast path: skip staging
-    val (files, rows) = stage(df)
-    var res = -2L
-    while (res == -2L) {
-      val tip = currentVersion
-      if (committedUpTo(appId, tip) >= batchId) res = -1L
-      else if (tryCommit(tip + 1, "append", rows, files, Nil,
-          Some((appId, batchId)))) res = tip + 1
-    }
-    res
+    appendCommit(df, Some((appId, batchId)))
   }
 
   /** Replace the table content. The remove-set is recomputed on every
@@ -194,7 +236,9 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     while (!done) {
       v = currentVersion + 1
       val gone = if (v == 0) Nil else liveFiles(v - 1)
-      done = tryCommit(v, "overwrite", rows, files, gone)
+      // an overwrite REPLACES content, so it resets the schema to its own
+      // (dropping columns via overwrite is legitimate; via append it isn't)
+      done = tryCommit(v, "overwrite", rows, files, gone, None, Some(df.schema))
     }
     v
   }
@@ -205,8 +249,10 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   def compact(target: Int = 1, atTip: Long = -1L): Long = {
     val v = if (atTip >= 0) atTip else currentVersion
     val gone = liveFiles(v)
-    val (files, rows) = stage(read(v).repartition(target))
-    val done = tryCommit(v + 1, "compact", rows, files, gone)
+    val compacted = read(v).repartition(target)
+    val (files, rows) = stage(compacted)
+    val done = tryCommit(v + 1, "compact", rows, files, gone, None,
+      Some(compacted.schema))
     // a concurrent commit moved the tip: compaction of a stale snapshot
     // must NOT clobber it — give up rather than drop the newer data
     if (!done) throw new IllegalStateException(
@@ -221,7 +267,14 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   def read(version: Long = -1L): DataFrame = {
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
-    spark.read.parquet(liveFiles(v).map(abs): _*)
+    val files = liveFiles(v).map(abs)
+    schemaAt(v) match {
+      // the LOG schema drives the scan: files staged before an additive
+      // evolution lack the new columns and read as NULL — no footer
+      // merge pass, no file rewrite
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Incremental append-feed read: rows added by `append` commits with
@@ -241,7 +294,12 @@ final class TxnTable(val spark: SparkSession, val root: String) {
       s"overwrite inside ($since, $tip]: incremental read invalid, re-sync from a snapshot")
     val files = es.filter(_.action == "append").flatMap(_.add)
     if (files.isEmpty) read(tip).limit(0)
-    else spark.read.parquet(files.map(abs): _*)
+    else schemaAt(tip) match {
+      // consumers get ONE stable schema per tail call (the tip's), however
+      // many evolution steps the range spans
+      case Some(sc) => spark.read.schema(sc).parquet(files.map(abs): _*)
+      case None => spark.read.parquet(files.map(abs): _*)
+    }
   }
 
   /** The commit log as a DataFrame (version, action, rows, file counts). */

@@ -143,6 +143,31 @@ class TxnSpec extends SparkTestBase {
     assert(t.changesSince(4).count() == 0)
   }
 
+  test("schema evolution: additive only, log-driven reads, overwrite resets") {
+    val t = TxnTable.fresh(spark, dir("schema"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    // additive append: new column joins the log schema; old file reads NULL
+    t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "w"))
+    val rows = t.read().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))),
+      s"old rows must surface NULL for the evolved column: ${rows.toSeq}")
+    // dropping a column on APPEND is silently widening (the appended file
+    // just lacks it) — but retyping is rejected
+    intercept[IllegalArgumentException](
+      t.append(Seq(("oops", "c")).toDF("k", "v")))
+    // the rejected append staged files but committed nothing
+    assert(t.currentVersion == 1L)
+    // evolution survives compaction (rewrite carries the merged schema)
+    t.compact(target = 1)
+    assert(t.read().columns.toSeq == Seq("k", "v", "w"))
+    // overwrite REPLACES content and resets the schema to its own
+    t.overwrite(Seq((7L, 1L)).toDF("k", "n"))
+    assert(t.read().columns.toSeq == Seq("k", "n"))
+    // time travel still reads the pre-overwrite world under ITS schema
+    assert(t.schemaAt(2L).get.fieldNames.toSeq == Seq("k", "v", "w"))
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

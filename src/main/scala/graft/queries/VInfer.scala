@@ -98,28 +98,73 @@ object VInfer {
         .orderBy("doc_id")
     }),
 
-    "i_embed_infer_sim" -> ((s, d) => {
-      // end to end: infer embeddings, then cosine top-3 neighbors over the
-      // inferred vectors (bounded calibration subset; zero vectors have no
-      // direction and are excluded before the pair join in BOTH engines)
-      graft.functions.VectorExprs.register(s)
-      val e = inferRelational(Tables.documents(s, d).filter(col("doc_id") < 120))
-        .filter(col("norm_bp") > 0)
-        .select(col("doc_id"),
-          array((0 until D).map(j => col(s"e$j").cast("double")): _*).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val a = e.select(col("doc_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("doc_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("a_id") =!= col("b_id"))
-        .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
-        .groupBy("a_id")
-        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
-        .select(col("a_id"), explode(col("top")).as("t"))
-        .select(col("a_id"), col("t.id").as("b_id"),
-          r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
-        .orderBy("a_id", "rn")
+    "i_embed_infer_sim" -> ((s, d) =>
+      // end to end: infer embeddings, then EXACT cosine top-3 neighbors
+      // over the inferred vectors (bounded calibration subset; zero
+      // vectors have no direction and are excluded in BOTH engines)
+      pairTopk(inferVecs(s, d, maxId = 120), byBucket = false)
+        .orderBy("a_id", "rn")),
+
+    "i_embed_infer_ann" -> ((s, d) =>
+      // the SCALE path for the same question: sign-LSH buckets over the
+      // inferred components (bit j = e_j > 0), candidates only within a
+      // bucket — an equi-join on the bucket id, never all-pairs. Runs on
+      // the full corpus precisely because it doesn't need the bound.
+      pairTopk(inferVecs(s, d, maxId = -1), byBucket = true)
+        .orderBy("a_id", "rn")),
+
+    "i_embed_infer_ann_recall" -> ((s, d) => {
+      // the bridge that prices the approximation: recall@3 of the
+      // bucketed path vs the exact path on the shared subset — the
+      // number a pipeline checks before trusting the bucket join on its
+      // corpus (family pattern of i_ann_recall/i_lsh_recall)
+      val e = inferVecs(s, d, maxId = 120)
+      val exact = pairTopk(e, byBucket = false).select("a_id", "b_id")
+      val ann = pairTopk(e, byBucket = true).select("a_id", "b_id")
+      val hit = exact.join(ann, Seq("a_id", "b_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          floor(col("n_hit") / col("n_exact") * 10000 + 0.5).as("recall_bp"))
     }),
   )
+
+  /** Inferred nonzero vectors with per-vector norm and sign-LSH bucket
+    * (bit j = component j positive) — shared by the sim/ANN/recall keys. */
+  private def inferVecs(s: org.apache.spark.sql.SparkSession, d: String,
+      maxId: Int): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val base =
+      if (maxId > 0) Tables.documents(s, d).filter(col("doc_id") < maxId)
+      else Tables.documents(s, d)
+    inferRelational(base).filter(col("norm_bp") > 0)
+      .withColumn("bucket", (0 until D)
+        .map(j => when(col(s"e$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("bucket"),
+        array((0 until D).map(j => col(s"e$j").cast("double")): _*).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  /** Cosine top-3 per vector via the bounded `graft_topk` aggregate —
+    * all-pairs when `byBucket` is false (bounded calibration), an
+    * equi-join on the sign-LSH bucket when true (the scale shape). */
+  private def pairTopk(e: DataFrame, byBucket: Boolean): DataFrame = {
+    val a = e.select(col("doc_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket").as("ba"))
+    val b = e.select(col("doc_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    val joined =
+      if (byBucket) a.join(b, col("ba") === col("bb") && col("a_id") =!= col("b_id"))
+      else a.join(b, col("a_id") =!= col("b_id"))
+    joined
+      .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+      .groupBy("a_id")
+      .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+      .select(col("a_id"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("t.id").as("b_id"),
+        r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
+  }
 
   // ---- DuckDB mirrors -------------------------------------------------
 
@@ -141,21 +186,52 @@ object VInfer {
       s", CAST(floor(sqrt(CAST($n2 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) norm_bp " +
       "FROM emb ORDER BY doc_id"
 
+  /** Nonzero vectors + norm + sign-LSH bucket (mirror of `inferVecs`). */
+  private val eCte =
+    "e AS (SELECT doc_id, " +
+      (0 until D).map(j => s"CAST(e$j AS DOUBLE) e$j").mkString(", ") +
+      s", sqrt(CAST($n2 AS DOUBLE)) nrm, " +
+      (0 until D).map(j => s"(CASE WHEN e$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") +
+      s" AS bucket FROM emb WHERE $n2 > 0)"
+
+  private val dotAB = (0 until D).map(j => s"a.e$j*b.e$j").mkString(" + ")
+
+  /** Pair join + per-a_id cosine ranking (mirror of `pairTopk`). */
+  private def pairsSql(cond: String): String =
+    "SELECT a.doc_id a_id, b.doc_id b_id, " +
+      s"($dotAB) / (a.nrm * b.nrm) cos, " +
+      "row_number() OVER (PARTITION BY a.doc_id ORDER BY " +
+      s"($dotAB) / (a.nrm * b.nrm) DESC, b.doc_id) rn " +
+      s"FROM e a JOIN e b ON $cond"
+
+  private val docsUnder120 = "(SELECT * FROM documents WHERE doc_id < 120)"
+
   val oracle: ListMap[String, String] = ListMap(
     "i_embed_infer" -> s"WITH ${embSql("documents")} $inferSelect",
     // the batch seam must produce the SAME rows — one oracle, two paths
     "i_embed_infer_batch" -> s"WITH ${embSql("documents")} $inferSelect",
     "i_embed_infer_sim" ->
-      (s"WITH ${embSql("(SELECT * FROM documents WHERE doc_id < 120)")}, " +
-        "e AS (SELECT doc_id, " +
-        (0 until D).map(j => s"CAST(e$j AS DOUBLE) e$j").mkString(", ") +
-        s", sqrt(CAST($n2 AS DOUBLE)) nrm FROM emb WHERE $n2 > 0) " +
+      (s"WITH ${embSql(docsUnder120)}, $eCte " +
         "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
-        "SELECT a.doc_id a_id, b.doc_id b_id, " +
-        "(" + (0 until D).map(j => s"a.e$j*b.e$j").mkString(" + ") + ") / (a.nrm * b.nrm) cos, " +
-        "row_number() OVER (PARTITION BY a.doc_id ORDER BY " +
-        "(" + (0 until D).map(j => s"a.e$j*b.e$j").mkString(" + ") + ") / (a.nrm * b.nrm) DESC, " +
-        "b.doc_id) rn FROM e a JOIN e b ON a.doc_id <> b.doc_id) " +
+        pairsSql("a.doc_id <> b.doc_id") + ") " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_embed_infer_ann" ->
+      (s"WITH ${embSql("documents")}, $eCte " +
+        "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+        pairsSql("a.bucket = b.bucket AND a.doc_id <> b.doc_id") + ") " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_embed_infer_ann_recall" ->
+      (s"WITH ${embSql(docsUnder120)}, $eCte, " +
+        "exact AS (SELECT a_id, b_id FROM (" +
+        pairsSql("a.doc_id <> b.doc_id") + ") WHERE rn <= 3), " +
+        "ann AS (SELECT a_id, b_id FROM (" +
+        pairsSql("a.bucket = b.bucket AND a.doc_id <> b.doc_id") +
+        ") WHERE rn <= 3), " +
+        "ex AS (SELECT count(*) c FROM exact), " +
+        "h AS (SELECT count(*) c FROM exact JOIN ann USING (a_id, b_id)) " +
+        "SELECT CAST(ex.c AS BIGINT) AS n_exact, CAST(h.c AS BIGINT) AS n_hit, " +
+        "CAST(floor(h.c / ex.c * 10000 + 0.5) AS BIGINT) AS recall_bp " +
+        "FROM ex, h"),
   )
 }

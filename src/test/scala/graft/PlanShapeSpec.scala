@@ -269,7 +269,7 @@ class PlanShapeSpec extends SparkTestBase {
       "i_cosine_topk", "i_knn_l2", "i_jaccard_pairs", "i_minhash_est",
       "i_embed_neardup", "i_simhash_hamming", "i_ann_recall",
       "i_lsh_recall", "i_ann_ivf", "i_ann_ivf_recall", "i_ann_pq_recall",
-      "i_ann_ivfpq_recall", "i_embed_infer_sim",
+      "i_ann_ivfpq_recall", "i_embed_infer_sim", "i_embed_infer_ann_recall",
       // (b) one-row scalar / bounded-table broadcasts
       "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
       "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",

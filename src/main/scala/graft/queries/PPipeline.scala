@@ -571,6 +571,54 @@ object PPipeline {
         case (k, None)    => s.conf.unset(k)
       }
     }),
+
+    "p_dense_ids" -> ((s, d) => {
+      // dense surrogate ids at 100 TB: a global row_number() window
+      // funnels EVERY row through one partition — the classic silent
+      // bottleneck. The scale shape is zipWithIndex's, relationally:
+      // range-partition on the key, rank locally per partition, and add
+      // per-partition offsets from a cumulative count — the only global
+      // structure is that broadcast #partitions-row offset table (its
+      // single-partition window is 8 rows, which is the point). Range
+      // boundaries come from sampling and may vary run to run; the
+      // assigned id is the GLOBAL RANK, boundary-independent — exactly
+      // what the oracle pins.
+      val df = Tables.orders(s, d).select("o_orderkey")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("pid", spark_partition_id())
+      val offs = df.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
+        .join(broadcast(offs), "pid")
+        .select(col("o_orderkey"), (col("off") + col("rn")).as("sk"))
+        .orderBy("o_orderkey")
+    }),
+
+    "p_cached_dim" -> ((s, d) => {
+      // hot-dimension caching: the dim scans ONCE into the in-memory
+      // columnar cache and both join passes read the cached copy
+      // (InMemoryTableScan pinned in PlanShapeSpec). At 100 TB you cache
+      // the small hot dims, never the fact. No unpersist here: queries
+      // return lazy plans, and cache() of the same plan is idempotent —
+      // the entry is a few KB of the shared session's memory.
+      val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment").cache()
+      val o = Tables.orders(s, d)
+      val byseg = o.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("rev"))
+      val hi = o.filter(col("o_totalprice") > 150000)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_hi"))
+      byseg.join(hi, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"), col("n_orders"), col("rev"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -752,5 +800,19 @@ object PPipeline {
         "round(sum(o_totalprice), 4) AS total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the partition-offset ids must equal the global rank
+    "p_dense_ids" ->
+      ("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) " +
+        "AS BIGINT) AS sk FROM orders ORDER BY o_orderkey"),
+    "p_cached_dim" ->
+      ("WITH b AS (SELECT c_mktsegment, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 4) AS rev FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment), " +
+        "h AS (SELECT c_mktsegment, count(*) AS n_hi FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice > 150000 GROUP BY c_mktsegment) " +
+        "SELECT b.c_mktsegment, n_orders, rev, " +
+        "CAST(coalesce(n_hi, 0) AS BIGINT) AS n_hi " +
+        "FROM b LEFT JOIN h USING (c_mktsegment) ORDER BY c_mktsegment"),
   )
 }

@@ -71,6 +71,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(ps.contains("graft_topk") && !ps.contains("Window ["), ps)
   }
 
+  test("cached dimension reads the in-memory columnar cache") {
+    assert(plan("p_cached_dim").contains("InMemoryTableScan"))
+  }
+
+  test("dense-id assignment has no single-partition global window") {
+    // the big side ranks inside Window.partitionBy(pid); the only
+    // partitionBy-less window runs over the 8-row offset table
+    val df = SparkEntry.queries("p_dense_ids")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.forall(_.collectLeaves().nonEmpty), "sanity")
+    // every global window must sit above an aggregate (the per-partition
+    // count rollup), never above the raw scan
+    assert(global.forall(w => w.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty), "global window over raw rows — the bottleneck this key exists to avoid")
+    assert(df.count() > 0)
+  }
+
   test("rank-limit is pushed below the window (WindowGroupLimit)") {
     assert(plan("e_win_topk_group").contains("WindowGroupLimit"))
   }

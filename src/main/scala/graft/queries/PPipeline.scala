@@ -583,10 +583,20 @@ object PPipeline {
       // boundaries come from sampling and may vary run to run; the
       // assigned id is the GLOBAL RANK, boundary-independent — exactly
       // what the oracle pins.
+      //
+      // The lineage cut below is CORRECTNESS, not tuning: the partitioned
+      // frame feeds two branches (offset table, local ranks), and without
+      // it each branch re-executes repartitionByRange with its own
+      // boundary sampling — exchange reuse usually dedups them, but ids
+      // must not depend on an optimizer fusing the subtrees. One
+      // materialization pins one partitioning for both consumers (the
+      // same reason RDD zipWithIndex runs its count job on a pinned
+      // parent).
       val df = Tables.orders(s, d).select("o_orderkey")
         .repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .withColumn("pid", spark_partition_id())
+        .cutLineage()
       val offs = df.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(
           sum("cnt").over(Window.orderBy("pid")

@@ -204,6 +204,28 @@ object DAggregates {
         r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
         .orderBy("l_returnflag")),
 
+    "d_winsorize" -> ((s, d) => {
+      // winsorization (percentile clipping), the standard numeric-column
+      // cleaner: per-group p05/p95 via one exact-percentile aggregate on
+      // the tiny group table, broadcast back, values clipped in a codegen
+      // projection. Clipped sums are carried in exact integer cents —
+      // double sums of ~15k cent-valued terms sit within rounding noise
+      // of the 4-decimal boundary, the one place SURVEY §7.3 bans.
+      val li = Tables.lineitem(s, d)
+      val bounds = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clip", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(clip * 100 + 0.5) AS BIGINT)")).as("sum_cents"),
+          count(when(col("l_extendedprice") < col("lo"), 1)).as("n_lo"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_hi"),
+          r4(min("lo")).as("p05"), r4(max("hi")).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     "d_agg_minmax_by" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         max_by(col("l_orderkey"), col("l_extendedprice")).as("max_price_order"),
@@ -462,6 +484,17 @@ object DAggregates {
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50, " +
         "round(quantile_cont(l_extendedprice, 0.9),4) AS p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_winsorize" ->
+      ("WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(floor(least(greatest(l_extendedprice, lo), hi) * 100 + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "count(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_lo, " +
+        "count(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_hi, " +
+        "round(min(lo), 4) AS p05, round(max(hi), 4) AS p95 " +
+        "FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag " +
+        "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
     "d_agg_minmax_by" ->
       ("SELECT l_returnflag, arg_max(l_orderkey, l_extendedprice) AS max_price_order, " +
         "arg_min(l_orderkey, l_extendedprice) AS min_price_order " +

@@ -388,8 +388,36 @@ object OCurate {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking with overlap (the RAG / pretraining
+    * preprocessor): windows of C tokens at stride S (< C, so consecutive
+    * chunks share C−S tokens). A token at position p belongs to every
+    * chunk k with S·k ≤ p < S·k+C — emitted via a bounded ×⌈C/S⌉
+    * sequence explode, then one grouped rollup per (doc, chunk) with an
+    * order-preserving md5 of the chunk text (exact content, not just
+    * counts). k_lo avoids negative integer division (engine semantics
+    * differ there): p < C ⇒ chunk 0 is always in range.
+    * Scale: ×⌈C/S⌉ row expansion (≈1.25 here), one shuffle on
+    * (doc, chunk) — linear in corpus tokens. */
+  private val (chunkC, chunkS) = (50, 40)
+  def chunkOverlap(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    tok
+      .withColumn("k_lo", expr(
+        s"CASE WHEN pos < $chunkC THEN 0 ELSE (pos - ${chunkC - chunkS}) DIV $chunkS END"))
+      .withColumn("chunk_id", explode(sequence(col("k_lo"), expr(s"pos DIV $chunkS"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"),
+        min(col("pos").cast("long")).as("p_start"),
+        max(col("pos").cast("long")).as("p_end"),
+        md5(concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val m: ListMap[String, Q] = ListMap(
     "i_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
+    "i_chunk_overlap" -> ((s, d) => chunkOverlap(Tables.documents(s, d))),
     "i_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "i_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
     "i_domain_mix" -> ((s, d) => domainMix(Tables.documents(s, d))),
@@ -444,6 +472,17 @@ object OCurate {
     }.mkString("(", " + ", ")")
 
   val oracle: ListMap[String, String] = ListMap(
+    "i_chunk_overlap" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "x AS (SELECT doc_id, pos, w, unnest(generate_series(" +
+        s"CASE WHEN pos < $chunkC THEN 0 ELSE (pos - ${chunkC - chunkS}) // $chunkS END, " +
+        s"pos // $chunkS)) AS chunk_id FROM tok) " +
+        "SELECT doc_id, chunk_id, count(*) AS n_tok, " +
+        "CAST(min(pos) AS BIGINT) AS p_start, CAST(max(pos) AS BIGINT) AS p_end, " +
+        "md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5 " +
+        "FROM x GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"),
     "i_chunk_dedup" ->
       ("WITH c AS (SELECT doc_id, list_transform(" +
         s"generate_series(0, (len(string_split(text, ' ')) - 1) // $CHUNK), " +

@@ -231,6 +231,18 @@ class CurateSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(2) >= 5))
   }
 
+  test("overlapping chunks tile the doc: starts on the stride grid, exact spans") {
+    val text = (0 until 130).map(i => s"t$i").mkString(" ")
+    val d = graft.queries.OCurate.chunkOverlap(docsDf(Seq((1L, text, "en", "a"))))
+      .collect()
+    assert(d.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // C=50/S=40: spans [0,49],[40,89],[80,129],[120,129] — consecutive
+    // chunks overlap by exactly 10 tokens, the tail chunk is short
+    assert(d.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 49L), (40L, 89L), (80L, 129L), (120L, 129L)))
+    assert(d.map(_.getLong(2)).toSeq == Seq(50L, 50L, 50L, 10L))
+  }
+
   test("substring dedup: exact copy fully flagged, unique text untouched, shared span counted once per position") {
     val copied = (1 to 10).map(i => s"c$i").mkString(" ")
     val d = graft.queries.QCurate.substringDedup(docsDf(Seq(

@@ -10,7 +10,8 @@ class CheckpointModeSpec extends SparkTestBase {
 
   test("reliable-checkpoint mode is result-identical to localCheckpoint mode") {
     val iterative =
-      Seq("i_dup_clusters", "i_pagerank", "i_kmeans", "i_bpe_merges")
+      Seq("i_dup_clusters", "i_pagerank", "i_kmeans", "i_bpe_merges",
+        "p_dense_ids") // round 8: the partition-pinning cut, not iteration
     val dir = java.nio.file.Files
       .createTempDirectory("graft_reliable_ckpt").toFile
     for (key <- iterative) {

@@ -75,6 +75,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("p_cached_dim").contains("InMemoryTableScan"))
   }
 
+  test("winsorize attaches percentile bounds via broadcast, never a shuffle join") {
+    val p = plan("d_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("dense-id assignment has no single-partition global window") {
     // the big side ranks inside Window.partitionBy(pid); the only
     // partitionBy-less window runs over the 8-row offset table

@@ -231,6 +231,37 @@ class CurateSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(2) >= 5))
   }
 
+  test("substring dedup matches a brute-force reference on random corpora") {
+    val rng = new scala.util.Random(11)
+    val K = 5
+    for (trial <- 1 to 3) {
+      // tiny vocabulary forces genuine shingle collisions, both within a
+      // doc (self-repetition) and across docs
+      val docs = (0 until 12).map { id =>
+        val n = 3 + rng.nextInt(30)
+        (id.toLong, (0 until n).map(_ => s"w${rng.nextInt(6)}").mkString(" "))
+      }
+      val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      val shingled = docs.map { case (id, text) =>
+        val ws = text.split(" ")
+        val sh = (0 to ws.length - K).map(i => ws.slice(i, i + K).mkString(" "))
+        sh.foreach(s => counts(s) += 1)
+        (id, ws.length.toLong, sh)
+      }
+      val expect = shingled.map { case (id, n, sh) =>
+        val cov = sh.zipWithIndex
+          .collect { case (s, i) if counts(s) >= 2 => i until i + K }
+          .flatten.toSet
+        id -> ((n, cov.size.toLong))
+      }.toMap
+      val got = graft.queries.QCurate
+        .substringDedup(docsDf(docs.map(t => (t._1, t._2, "en", "x"))))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      for ((id, want) <- expect)
+        assert(got(id) == want, s"trial $trial doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("overlapping chunks tile the doc: starts on the stride grid, exact spans") {
     val text = (0 until 130).map(i => s"t$i").mkString(" ")
     val d = graft.queries.OCurate.chunkOverlap(docsDf(Seq((1L, text, "en", "a"))))

@@ -219,6 +219,58 @@ object JStreaming {
       graft.sources.BusBroker.delete(topic)
       s.table(name).orderBy("event_type")
     }),
+
+    "j_stream_bus_window" -> ((s, d) => {
+      // EVENT-TIME processing end to end through the bus: the payload
+      // carries the raw event-time micros; the stream rebuilds the
+      // timestamp, applies a 1-hour watermark, and aggregates tumbling
+      // hourly windows in APPEND mode — a window row is emitted exactly
+      // once, only after the watermark passes its close (the mode a
+      // downstream sink can consume incrementally). Two far-future
+      // sentinel records (10 min apart, same far hour) deterministically
+      // flush every real window: the first advances the watermark past
+      // all real data, the second triggers the batch that emits under
+      // that watermark. Both sentinels' own window stays open and is
+      // never emitted, so the snapshot equals the batch hourly aggregate.
+      val topic = s"graft_busw_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.sources.BusBroker.create(topic, 4)
+      val evs = Tables.events(s, d).filter(col("user_id") < 100)
+      evs.select(col("user_id").cast("string").as("k"),
+          concat_ws(",", unix_micros(col("ts")).cast("string"),
+            floor(col("value") * 10000 + 0.5).cast("long").cast("string")).as("v"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            graft.sources.BusBroker.publish(topic, r.getString(0), r.getString(1))
+            ()
+          }
+        }
+      val name = s"busw_out_${topic.takeRight(8)}"
+      val q = s.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .select(split(col("value"), ",").as("p"))
+        .select(timestamp_micros(col("p").getItem(0).cast("long")).as("ts"),
+          col("p").getItem(1).cast("long").as("bp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), sum("bp").as("sum_bp"))
+        .select(col("window.start").as("ws"), col("cnt"), col("sum_bp"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable() // batch 1: every real event
+      // single-row scalar fetch to place the sentinels (the same bounded
+      // driver-side fetch the sessionize sentinel uses)
+      val maxRow = evs.select(max(unix_micros(col("ts")))).head()
+      // empty corpus: no real windows to flush; any sentinel epoch works
+      val sent = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) +
+        100L * 3600 * 1000000
+      graft.sources.BusBroker.publish(topic, "s1", s"$sent,0")
+      q.processAllAvailable() // batch 2: watermark jumps past all real windows
+      graft.sources.BusBroker.publish(topic, "s2", s"${sent + 600L * 1000000},0")
+      q.processAllAvailable() // batch 3: emits every real window
+      q.stop()
+      graft.sources.BusBroker.delete(topic)
+      s.table(name).orderBy("ws")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -304,5 +356,12 @@ object JStreaming {
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
         "AS sum_bp FROM events WHERE user_id < 200 " +
         "GROUP BY event_type ORDER BY event_type"),
+    // every real hourly window must be emitted exactly once and match the
+    // batch aggregate; the sentinel hour must NOT appear
+    "j_stream_bus_window" ->
+      ("SELECT date_trunc('hour', ts::TIMESTAMP) AS ws, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_bp FROM events WHERE user_id < 100 " +
+        "GROUP BY ws ORDER BY ws"),
   )
 }

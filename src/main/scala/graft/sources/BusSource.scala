@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,10 +130,25 @@ class BusScan(topic: String) extends Scan {
     new BusStream(topic)
 }
 
-class BusStream(topic: String) extends MicroBatchStream {
+class BusStream(topic: String) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow contract: snapshot the end offsets when the query
+  // starts; the run drains up to that cap and stops itself — records
+  // published while it drains wait for the next scheduled run (the
+  // nightly catch-up mode)
+  @volatile private var availableNowCap: Option[BusOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(BusOffset(BusBroker.endOffsets(topic)))
+
   override def initialOffset(): Offset =
     BusOffset(Array.fill(BusBroker.nPartitions(topic))(0L)) // earliest
-  override def latestOffset(): Offset = BusOffset(BusBroker.endOffsets(topic))
+  override def latestOffset(): Offset =
+    availableNowCap.getOrElse(BusOffset(BusBroker.endOffsets(topic)))
+  // admission-control variant (SupportsTriggerAvailableNow extends it);
+  // this source takes no per-batch read limit, so both forms agree
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
   override def commit(end: Offset): Unit = () // infinite retention: no trim
   override def stop(): Unit = ()

@@ -519,6 +519,31 @@ class StreamingSpec extends SparkTestBase {
     } finally BusBroker.delete(topic)
   }
 
+  test("bus source: Trigger.AvailableNow drains the backlog, caps at start, stops itself") {
+    import org.apache.spark.sql.streaming.Trigger
+    val topic = busTopic()
+    BusBroker.create(topic, 2)
+    try {
+      (0 until 30).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
+      val q = spark.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .writeStream.format("memory").queryName("bus_an").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop itself")
+      assert(spark.table("bus_an").count() == 30)
+      // a second AvailableNow run picks up exactly the records published
+      // after the first run's cap (fresh query, no checkpoint → from
+      // earliest, so 30 old + 5 new)
+      (0 until 5).foreach(i => BusBroker.publish(topic, s"n$i", s"w$i"))
+      val q2 = spark.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .writeStream.format("memory").queryName("bus_an2").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q2.awaitTermination(120000))
+      assert(spark.table("bus_an2").count() == 35)
+    } finally BusBroker.delete(topic)
+  }
+
   test("bus source: a fresh query replays the retained log from earliest") {
     val topic = busTopic()
     BusBroker.create(topic, 2)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,8 +105,10 @@ class BusTable(topic: String) extends Table with SupportsRead {
   override def schema(): StructType = BusSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new BusScan(topic)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    () => new BusScan(topic, maxPerTrigger)
+  }
 }
 
 /** Per-partition end offsets, JSON-round-tripped through the streaming
@@ -124,14 +126,14 @@ object BusOffset {
 case class BusRange(topic: String, partition: Int, from: Long, until: Long)
   extends InputPartition
 
-class BusScan(topic: String) extends Scan {
+class BusScan(topic: String, maxPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = BusSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BusStream(topic)
+    new BusStream(topic, maxPerTrigger)
 }
 
-class BusStream(topic: String) extends MicroBatchStream
-    with SupportsTriggerAvailableNow {
+class BusStream(topic: String, maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow contract: snapshot the end offsets when the query
   // starts; the run drains up to that cap and stops itself — records
   // published while it drains wait for the next scheduled run (the
@@ -144,11 +146,33 @@ class BusStream(topic: String) extends MicroBatchStream
     BusOffset(Array.fill(BusBroker.nPartitions(topic))(0L)) // earliest
   override def latestOffset(): Offset =
     availableNowCap.getOrElse(BusOffset(BusBroker.endOffsets(topic)))
-  // admission-control variant (SupportsTriggerAvailableNow extends it);
-  // this source takes no per-batch read limit, so both forms agree
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  // admission control: `maxRecordsPerTrigger` bounds each micro-batch —
+  // the backpressure knob that keeps per-trigger work (and any stateful
+  // operator's delta) bounded under backlog. The budget is spread
+  // round-robin in chunks so one hot partition cannot starve the rest.
+  // Composes with AvailableNow: the drain then runs MANY bounded batches
+  // up to the start-time cap instead of one giant one.
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = availableNowCap.map(_.ends).getOrElse(BusBroker.endOffsets(topic))
+    limit match {
+      case mr: ReadMaxRows =>
+        val out = start.asInstanceOf[BusOffset].ends.clone()
+        var remaining = mr.maxRows()
+        var active = out.indices.filter(p => out(p) < ends(p))
+        while (remaining > 0 && active.nonEmpty) {
+          val share = math.max(1L, remaining / active.size)
+          for (p <- active if remaining > 0) {
+            val take = math.min(share, math.min(ends(p) - out(p), remaining))
+            out(p) += take; remaining -= take
+          }
+          active = out.indices.filter(p => out(p) < ends(p))
+        }
+        BusOffset(out)
+      case _ => BusOffset(ends)
+    }
+  }
   override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
   override def commit(end: Offset): Unit = () // infinite retention: no trim
   override def stop(): Unit = ()

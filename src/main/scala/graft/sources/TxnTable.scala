@@ -316,6 +316,33 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     v + 1
   }
 
+  /** DELETE WHERE at file granularity, same shape as `merge`: only files
+    * CONTAINING a matching row are rewritten (without their matches);
+    * fully-unmatched files stay live untouched. Rows where `cond` is NULL
+    * are KEPT (SQL DELETE semantics: only provably-true rows go). A
+    * delete matching nothing is a metadata no-op — no commit at all. */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    val v = currentVersion
+    require(v >= 0, s"no committed version in $root")
+    val live = liveFiles(v)
+    val tagged = read(v).withColumn("_f", input_file_name())
+    val touchedAbs = tagged.filter(coalesce(cond, lit(false)))
+      .select("_f").distinct().collect().map(_.getString(0))
+    if (touchedAbs.isEmpty) return v
+    val absOf = live.map(f => "file://" + abs(f) -> f).toMap ++
+      live.map(f => "file:" + abs(f) -> f).toMap ++ live.map(f => abs(f) -> f).toMap
+    val touched = touchedAbs.map(a => absOf.getOrElse(a,
+      throw new IllegalStateException(s"untracked file in scan: $a"))).toSeq.sorted
+    val keep = tagged.filter(col("_f").isin(touchedAbs.toSeq: _*))
+      .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f")
+    val (files, rows) = stage(keep)
+    if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v)))
+      throw new IllegalStateException(
+        s"delete lost the race at v${v + 1}; re-run against the new tip")
+    v + 1
+  }
+
   /** Incremental append-feed read: rows added by `append` commits with
     * version in (since, upTo] — the change-data-feed primitive an
     * incremental consumer (nightly dedup, downstream aggregate) tails
@@ -331,7 +358,8 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     val es = ((since + 1) to tip).map(parse)
     // overwrite AND merge replace rows rather than extend them — tailing
     // across either would deliver replaced content as if it were new
-    require(es.forall(e => e.action != "overwrite" && e.action != "merge"),
+    require(es.forall(e =>
+        e.action != "overwrite" && e.action != "merge" && e.action != "delete"),
       s"content-replacing commit inside ($since, $tip]: incremental read " +
         "invalid, re-sync from a snapshot")
     val files = es.filter(_.action == "append").flatMap(_.add)

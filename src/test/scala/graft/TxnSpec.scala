@@ -191,6 +191,24 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().count() == 6)
   }
 
+  test("delete rewrites only matching files, keeps NULL-condition rows, no-ops cleanly") {
+    val t = TxnTable.fresh(spark, dir("delete"))
+    t.append(Seq((1L, Some(5L)), (2L, None)).toDF("k", "n"))      // A: has a match
+    t.append(Seq((3L, Some(50L)), (4L, Some(60L))).toDF("k", "n")) // B: untouched
+    val liveBefore = t.read().inputFiles.toSet
+    t.deleteWhere(col("n") < 10)
+    // k=1 deleted; k=2 (NULL condition) KEPT — SQL DELETE semantics
+    assert(t.read().select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    val liveAfter = t.read().inputFiles.toSet
+    assert((liveBefore & liveAfter).nonEmpty, "delete rewrote every file")
+    assert((liveBefore -- liveAfter).nonEmpty, "delete rewrote nothing")
+    // tailing across a delete is unsound, like overwrite/merge
+    intercept[IllegalArgumentException](t.changesSince(0).count())
+    // a no-match delete commits NOTHING (metadata no-op)
+    val v = t.currentVersion
+    assert(t.deleteWhere(col("n") > 1000) == v && t.currentVersion == v)
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

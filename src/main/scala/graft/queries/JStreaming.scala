@@ -271,6 +271,62 @@ object JStreaming {
       graft.sources.BusBroker.delete(topic)
       s.table(name).orderBy("ws")
     }),
+
+    "j_stream_dlq" -> ((s, d) => {
+      // poison-pill handling, the operational reality of any ingest: odd
+      // event_ids are published as deterministically CORRUPT payloads
+      // (unparseable), and the consumer routes every record to exactly
+      // one of two transactional tables — parsed rows to the main table,
+      // raw corrupt records to the dead-letter queue — both via
+      // idempotent (app, batch) appends, so the split inherits the
+      // exactly-once guarantee. Nothing is dropped silently: the output
+      // carries the main aggregate PLUS a '_dlq' row whose count the
+      // oracle pins from the corruption rule (a swallowed or double-
+      // routed record breaks the hash either side).
+      val topic = s"graft_dlq_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.sources.BusBroker.create(topic, 4)
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id").cast("string").as("k"),
+          when(col("event_id") % 2 === 0,
+            concat_ws(",", col("event_type"),
+              floor(col("value") * 10000 + 0.5).cast("long").cast("string")))
+            .otherwise(concat(lit("junk|"), col("event_id").cast("string")))
+            .as("v"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            graft.sources.BusBroker.publish(topic, r.getString(0), r.getString(1))
+            ()
+          }
+        }
+      val tGood = graft.sources.TxnTable.fresh(s, scratch("dlq_good"))
+      val tBad = graft.sources.TxnTable.fresh(s, scratch("dlq_bad"))
+      val q = s.readStream.format("graft.sources.BusSource")
+        .option("topic", topic).load()
+        .select(col("value"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val parsed = df
+            .withColumn("p", split(col("value"), ","))
+            .withColumn("event_type", expr("get(p, 0)"))
+            // ANSI-safe: get() returns NULL past the end of a corrupt
+            // (1-element) payload where getItem would throw the task
+            .withColumn("bp", expr("get(p, 1)").cast("long"))
+          tGood.appendIdempotent(
+            parsed.filter(col("bp").isNotNull).select("event_type", "bp"),
+            "dlq_good", id)
+          tBad.appendIdempotent(
+            parsed.filter(col("bp").isNull).select("value"), "dlq_bad", id)
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      graft.sources.BusBroker.delete(topic)
+      tGood.read().groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("bp").as("sum_bp"))
+        .unionByName(tBad.read().agg(count(lit(1)).as("n"))
+          .select(lit("_dlq").as("event_type"), col("n"), lit(0L).as("sum_bp")))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -356,6 +412,17 @@ object JStreaming {
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
         "AS sum_bp FROM events WHERE user_id < 200 " +
         "GROUP BY event_type ORDER BY event_type"),
+    // every parsed record lands in the main aggregate, every corrupt one
+    // in the '_dlq' row — the corruption rule (odd event_id) lets the
+    // oracle pin both sides
+    "j_stream_dlq" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_bp FROM events WHERE user_id < 50 AND event_id % 2 = 0 " +
+        "GROUP BY event_type " +
+        "UNION ALL SELECT '_dlq', count(*), CAST(0 AS BIGINT) FROM events " +
+        "WHERE user_id < 50 AND event_id % 2 = 1 " +
+        "ORDER BY event_type"),
     // every real hourly window must be emitted exactly once and match the
     // batch aggregate; the sentinel hour must NOT appear
     "j_stream_bus_window" ->

@@ -209,6 +209,46 @@ class TxnSpec extends SparkTestBase {
     assert(t.deleteWhere(col("n") > 1000) == v && t.currentVersion == v)
   }
 
+  test("concurrent idempotent appenders race a compactor without losing rows") {
+    val t = TxnTable.fresh(spark, dir("stream_race"))
+    t.append(Seq((0L, 0L)).toDF("w", "b"))
+    // two "streams" each committing 5 idempotent batches while a
+    // compactor repeatedly rewrites whatever tip it sees — appends must
+    // all land exactly once; a raced compact must abort, never clobber
+    val compacts = (1 to 3).par_unsafe { w =>
+      if (w < 3) {
+        (0 until 5).foreach(b => t.appendIdempotent(
+          Seq((w.toLong, b.toLong)).toDF("w", "b"), s"app$w", b))
+        0L
+      } else {
+        var ok = 0L
+        (0 until 5).foreach { _ =>
+          try { t.compact(target = 1); ok += 1 }
+          catch { case _: IllegalStateException => () } // stale tip: correct
+          Thread.sleep(20)
+        }
+        ok
+      }
+    }
+    val rows = t.read().as[(Long, Long)].collect().toSeq.sorted
+    val expect = (Seq((0L, 0L)) ++
+      (for (w <- 1 to 2; b <- 0 until 5) yield (w.toLong, b.toLong))).sorted
+    assert(rows == expect, s"content diverged (compacts won: ${compacts.last}): $rows")
+    assert(t.lastCommitted("app1") == 4L && t.lastCommitted("app2") == 4L)
+  }
+
+  test("vacuum after delete reclaims the removed file; pre-delete time travel dies, snapshot survives") {
+    val t = TxnTable.fresh(spark, dir("vac_del"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.deleteWhere(col("k") === 1L)
+    assert(t.vacuum() >= 1, "delete's removed file should be reclaimable")
+    // the latest snapshot is untouched by physical deletion
+    assert(t.read().as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // the version before the delete referenced the reclaimed file — the
+    // retention trade: time travel past vacuum is gone, loudly
+    intercept[Exception](t.read(0L).count())
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

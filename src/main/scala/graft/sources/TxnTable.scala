@@ -245,11 +245,21 @@ final class TxnTable(val spark: SparkSession, val root: String) {
 
   /** Rewrite the current live set into `target` files with identical
     * content — small-file compaction as one transaction (readers never
-    * see a half-compacted table). */
-  def compact(target: Int = 1, atTip: Long = -1L): Long = {
+    * see a half-compacted table). With `clusterBy`, the rewrite
+    * range-partitions and sorts on those columns (the OPTIMIZE/cluster
+    * layout job): each output file then covers a disjoint key range, so
+    * min/max file stats prune point and range reads to one file instead
+    * of all of them — layout work a reader never has to repeat. */
+  def compact(target: Int = 1, atTip: Long = -1L,
+      clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
     val v = if (atTip >= 0) atTip else currentVersion
     val gone = liveFiles(v)
-    val compacted = read(v).repartition(target)
+    val base = read(v)
+    val compacted =
+      if (clusterBy.isEmpty) base.repartition(target)
+      else base.repartitionByRange(target, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, rows) = stage(compacted)
     val done = tryCommit(v + 1, "compact", rows, files, gone, None,
       Some(compacted.schema))

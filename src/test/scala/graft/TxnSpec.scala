@@ -249,6 +249,28 @@ class TxnSpec extends SparkTestBase {
     intercept[Exception](t.read(0L).count())
   }
 
+  test("clustered compaction yields disjoint per-file key ranges, content invariant") {
+    val t = TxnTable.fresh(spark, dir("cluster"))
+    // interleaved appends so every input file spans the whole key range
+    val rng = new scala.util.Random(3)
+    val keys = rng.shuffle((0L until 40L).toList)
+    keys.grouped(10).foreach(g => t.append(g.map(k => (k, s"v$k")).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (0L until 40L).map(k => (k, s"v$k")).toSet, "compaction changed content")
+    val ranges = t.read().inputFiles.toSeq.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    assert(ranges.size > 1)
+    // disjoint, ordered ranges: min/max stats now prune point reads to
+    // ONE file — the property an unclustered compact does not have
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges after clustering: $ranges")
+    case _ => ()
+    }
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

@@ -102,7 +102,9 @@ object VInfer {
       // end to end: infer embeddings, then EXACT cosine top-3 neighbors
       // over the inferred vectors (bounded calibration subset; zero
       // vectors have no direction and are excluded in BOTH engines)
-      pairTopk(inferVecs(s, d, maxId = 120), byBucket = false)
+      // bucket is unused on the exact path — pin nBits to skip the
+      // corpus-count job (Catalyst prunes the bucket column anyway)
+      pairTopk(inferVecs(s, d, maxId = 120, nBits = MinAnnBits), byBucket = false)
         .orderBy("a_id", "rn")),
 
     "i_embed_infer_ann" -> ((s, d) => {
@@ -110,12 +112,12 @@ object VInfer {
       // sign-LSH buckets over the inferred vectors, candidates only
       // within a bucket — an equi-join on the bucket id, never all-pairs.
       // Runs on the full corpus precisely because it doesn't need the
-      // bound. The bit count is the corpus-size knob (`graft.ann.bits`,
-      // default 8 for the fixture tier): buckets must multiply with the
-      // corpus or in-bucket pairs grow quadratically (BENCH_NOTES §13
-      // measures both sides of that rule).
+      // bound. The bit count is the corpus-size knob and tracks the
+      // corpus automatically (`annBitsFor(count)`; BENCH_NOTES §13
+      // measures both sides of that rule) — `graft.ann.bits` stays as
+      // the manual override for experiments.
       val bits = s.conf.getOption("graft.ann.bits")
-        .map(_.toInt).getOrElse(DefaultAnnBits)
+        .map(_.toInt).getOrElse(-1)
       pairTopk(inferVecs(s, d, maxId = -1, nBits = bits), byBucket = true)
         .orderBy("a_id", "rn")
     }),
@@ -149,18 +151,44 @@ object VInfer {
     if ((b & 1) == 1) 1 else -1
   }
 
-  private[graft] val DefaultAnnBits = 8
+  /** Bucket-width law, made executable: bits = the corpus-size knob of
+    * the sign-LSH family (BENCH_NOTES §13 measured the fixed-bucket
+    * failure: in-bucket pairs ∝ n²/buckets, ratio ~16 at 10× data).
+    * `annBitsFor` is the smallest b in [Min, Max] with n/2^b below the
+    * target occupancy — i.e. 2^bits buckets track the corpus so
+    * per-bucket candidates stay ~constant and wall time tracks n.
+    * Pure shift-and-compare integers so `annBitsSql` can mirror it as a
+    * literal CASE chain in DuckDB with zero float divergence. */
+  private[graft] val AnnTargetBucket = 4L
+  private[graft] val MinAnnBits = 8
+  private[graft] val MaxAnnBits = 20
+
+  private[graft] def annBitsFor(n: Long): Int = {
+    var b = MinAnnBits
+    while (b < MaxAnnBits && (n >> b) >= AnnTargetBucket) b += 1
+    b
+  }
+
+  /** Exact SQL mirror of `annBitsFor` over a rowcount expression. */
+  private[graft] def annBitsSql(nExpr: String): String =
+    "CASE " + (MaxAnnBits to (MinAnnBits + 1) by -1).map { b =>
+      s"WHEN ($nExpr) >= ${AnnTargetBucket << (b - 1)} THEN $b"
+    }.mkString(" ") + s" ELSE $MinAnnBits END"
 
   /** Inferred nonzero vectors with per-vector norm and an `nBits`-bit
     * sign-LSH bucket (bit h = hyperplane-h projection positive) — shared
-    * by the sim/ANN/recall keys. */
+    * by the sim/ANN/recall keys. `nBits <= 0` resolves the width from
+    * the corpus rowcount via `annBitsFor` (one cheap count job; at real
+    * scale the rowcount comes from table stats / parquet footers, and
+    * `graft.ann.bits` remains the manual override). */
   private def inferVecs(s: org.apache.spark.sql.SparkSession, d: String,
-      maxId: Int, nBits: Int = DefaultAnnBits): DataFrame = {
+      maxId: Int, nBits: Int = -1): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val base =
       if (maxId > 0) Tables.documents(s, d).filter(col("doc_id") < maxId)
       else Tables.documents(s, d)
-    val bucket = (0 until nBits).map { h =>
+    val bits = if (nBits > 0) nBits else annBitsFor(base.count())
+    val bucket = (0 until bits).map { h =>
       val proj = (0 until D).map(j => col(s"e$j") * lit(hypCoef(h, j))).reduce(_ + _)
       when(proj > 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -212,16 +240,20 @@ object VInfer {
       "FROM emb ORDER BY doc_id"
 
   /** Nonzero vectors + norm + sign-LSH bucket (mirror of `inferVecs`;
-    * the same plan-time `hypCoef` literals feed both engines). */
-  private val eCte =
-    "e AS (SELECT doc_id, " +
+    * the same plan-time `hypCoef` literals feed both engines, and the
+    * bit width is `annBitsFor` over the SAME source rowcount — the `nb`
+    * scalar CTE is the SQL twin of the Scala shift-loop, so both engines
+    * derive identical widths with no float in sight). */
+  private def eCte(src: String): String =
+    s"nb AS (SELECT ${annBitsSql(s"SELECT count(*) FROM $src AS c")} AS bits), " +
+      "e AS (SELECT doc_id, " +
       (0 until D).map(j => s"CAST(e$j AS DOUBLE) e$j").mkString(", ") +
       s", sqrt(CAST($n2 AS DOUBLE)) nrm, " +
-      (0 until DefaultAnnBits).map { h =>
+      (0 until MaxAnnBits).map { h =>
         val proj = (0 until D).map(j => s"(${hypCoef(h, j)})*e$j").mkString(" + ")
-        s"(CASE WHEN ($proj) > 0 THEN ${1 << h} ELSE 0 END)"
+        s"(CASE WHEN $h < nb.bits AND ($proj) > 0 THEN ${1 << h} ELSE 0 END)"
       }.mkString(" + ") +
-      s" AS bucket FROM emb WHERE $n2 > 0)"
+      s" AS bucket FROM emb, nb WHERE $n2 > 0)"
 
   private val dotAB = (0 until D).map(j => s"a.e$j*b.e$j").mkString(" + ")
 
@@ -240,17 +272,17 @@ object VInfer {
     // the batch seam must produce the SAME rows — one oracle, two paths
     "i_embed_infer_batch" -> s"WITH ${embSql("documents")} $inferSelect",
     "i_embed_infer_sim" ->
-      (s"WITH ${embSql(docsUnder120)}, $eCte " +
+      (s"WITH ${embSql(docsUnder120)}, ${eCte(docsUnder120)} " +
         "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
         pairsSql("a.doc_id <> b.doc_id") + ") " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
     "i_embed_infer_ann" ->
-      (s"WITH ${embSql("documents")}, $eCte " +
+      (s"WITH ${embSql("documents")}, ${eCte("documents")} " +
         "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
         pairsSql("a.bucket = b.bucket AND a.doc_id <> b.doc_id") + ") " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
     "i_embed_infer_ann_recall" ->
-      (s"WITH ${embSql(docsUnder120)}, $eCte, " +
+      (s"WITH ${embSql(docsUnder120)}, ${eCte(docsUnder120)}, " +
         "exact AS (SELECT a_id, b_id FROM (" +
         pairsSql("a.doc_id <> b.doc_id") + ") WHERE rn <= 3), " +
         "ann AS (SELECT a_id, b_id FROM (" +

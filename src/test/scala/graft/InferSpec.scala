@@ -56,4 +56,24 @@ class InferSpec extends SparkTestBase {
     assert(top1(1L) == 2L && top1(2L) == 1L,
       s"near-dup pair not mutually closest: $top1")
   }
+
+  test("annBitsFor tracks corpus size and its SQL mirror agrees exactly") {
+    import graft.queries.VInfer.{annBitsFor, annBitsSql, MinAnnBits, MaxAnnBits}
+    // the law: per-bucket occupancy n/2^bits stays under the target once
+    // past the floor, so 10× data gets +3–4 bits automatically
+    assert(annBitsFor(0) == MinAnnBits && annBitsFor(500) == MinAnnBits)
+    assert(annBitsFor(5000) == 11 && annBitsFor(50000) == 14)
+    assert(annBitsFor(Long.MaxValue) == MaxAnnBits)
+    // SQL mirror must be value-identical — including at every threshold
+    // boundary, where a float log2 formulation would diverge
+    val probes = Seq(0L, 1L, 499L, 500L, 1023L, 1024L, 1025L, 5000L,
+      50000L, 1L << 22, (1L << 22) - 1, Long.MaxValue) ++
+      (MinAnnBits to MaxAnnBits).flatMap { b =>
+        val t = 4L << (b - 1); Seq(t - 1, t, t + 1) }
+    val got = spark.sql(
+      probes.map(n => s"SELECT ${annBitsSql(n.toString)} AS b").mkString(" UNION ALL "))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == probes.map(n => annBitsFor(n)),
+      s"SQL mirror diverges: ${probes.zip(got)}")
+  }
 }

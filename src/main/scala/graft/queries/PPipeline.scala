@@ -127,6 +127,17 @@ object PPipeline {
       // point of the surface (stored-proc-style orchestration without
       // leaving SQL). The oracle is the closed form over a generated
       // threshold grid — the loop must land on the same first crossing.
+      //
+      // The search is SEEDED: one approx_percentile pass starts thr two
+      // grid steps below the median's band, so the WHILE runs a bounded
+      // handful of iterations (<=4: two by construction plus one band of
+      // approx-error slack each way) instead of ~40. The first crossing T
+      // satisfies F(T-25k) < 0.5 <= F(T) and the exact median lies in
+      // (T-25k, T], so floor-to-grid minus two steps is strictly below T
+      // even if approx_percentile drifts a band — the loop still
+      // terminates at exactly T. Same answer, bounded driver-side job
+      // count (the 100 TB discipline: each driver iteration costs a full
+      // job's latency, so iterative scripts must be seeded).
       Tables.orders(s, d).createOrReplaceTempView("orders_scr")
       s.conf.set("spark.sql.scripting.enabled", "true")
       s.sql(
@@ -135,6 +146,11 @@ object PPipeline {
           |  DECLARE frac DOUBLE DEFAULT 0;
           |  DECLARE n BIGINT;
           |  SET n = (SELECT count(*) FROM orders_scr);
+          |  -- empty table => null percentile => seed 0 (legacy start)
+          |  SET thr = greatest(coalesce(
+          |              (SELECT floor(approx_percentile(o_totalprice, 0.5)
+          |                            / 25000) * 25000.0 - 50000
+          |               FROM orders_scr), 0), 0);
           |  WHILE frac < 0.5 DO
           |    SET thr = thr + 25000;
           |    -- try_divide: an empty table must end the loop (frac → 1),

@@ -401,9 +401,11 @@ object NTrainOps {
             "ELSE array() END")).as("p"))
           .select(col("p.w").as("w"), col("p.nx").as("nx"))
           .groupBy("w", "nx").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("c").desc, col("w").asc, col("nx").asc)))
-          .filter(col("rn") === 1)
+          // global argmax as TakeOrderedAndProject (per-partition top-1 +
+          // driver merge of 1-row candidates) — never a one-partition
+          // window over the full pair-count table
+          .orderBy(col("c").desc, col("w").asc, col("nx").asc)
+          .limit(1)
           .select(lit(round.toLong).as("round"), col("w"), col("nx"),
             col("c"))
         val m = top.select(col("round"),

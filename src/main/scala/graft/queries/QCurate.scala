@@ -271,9 +271,10 @@ object QCurate {
           "ELSE array() END")).as("p"))
         .select(col("p.w").as("w"), col("p.nx").as("nx"))
         .groupBy("w", "nx").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("c").desc, col("w").asc, col("nx").asc)))
-        .filter(col("rn") === 1)
+        // global argmax as TakeOrderedAndProject — never a one-partition
+        // window over the full pair-count table
+        .orderBy(col("c").desc, col("w").asc, col("nx").asc)
+        .limit(1)
         .select(col("w").as("mw"), col("nx").as("mnx"))
       // cut the lineage: round i+1's pair-count branch AND the merged-text
       // branch both consume txt — without the checkpoint each round
@@ -346,10 +347,13 @@ object QCurate {
   def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
     val freq = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
+    // top-N via TakeOrderedAndProject (per-partition top-N + driver
+    // merge), THEN re-rank the bounded survivors — the only window here
+    // runs over topN rows, never the full vocabulary
     val ranked = freq
+      .orderBy(col("f").desc, col("w")).limit(topN)
       .withColumn("r", row_number().over(
         Window.orderBy(col("f").desc, col("w"))))
-      .filter(col("r") <= topN)
       .select(log(col("r")).as("x"), log(col("f")).as("y"))
     val vocab = freq.agg(count(lit(1)).as("n_vocab"))
     ranked

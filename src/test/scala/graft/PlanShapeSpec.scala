@@ -314,6 +314,35 @@ class PlanShapeSpec extends SparkTestBase {
       s"undeclared pair-at-a-time join in: ${offenders.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no key plans an unbounded single-partition window") {
+    // Global gate over EVERY query key: an empty-partitionSpec Window
+    // funnels its whole input through ONE task — the classic silent
+    // bottleneck at 100 TB. It is allowed only when the window's input is
+    // provably bounded: a limit / WindowGroupLimit beneath (global top-k
+    // rides TakeOrderedAndProject first, then ranks the survivors), a
+    // one-row scalar aggregate, or an input bounded by construction
+    // (allowlisted below with the bound).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val boundedByConstruction = Set(
+      "p_dense_ids", // offset table: one row per range partition (8 rows)
+      "p_join_dpp")  // busy-day cut rides the days-sized day dimension
+    val offenders = SparkEntry.queries.keys.filterNot(boundedByConstruction)
+      .flatMap { k =>
+        val lp = SparkEntry.queries(k)(spark, sfDir).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: Window if w.partitionSpec.isEmpty && w.child.collect {
+            case _: GlobalLimit => ()
+            case _: LocalLimit => ()
+            case _: WindowGroupLimit => ()
+            case a: Aggregate if a.groupingExpressions.isEmpty => ()
+          }.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(k) else None
+      }
+    assert(offenders.isEmpty,
+      s"unbounded global window in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
   test("partition-pruned scan reads one directory (PartitionFilters)") {
     val p = plan("a_scan_partition_prune")
     val scan = p.linesIterator.find(_.contains("PartitionFilters"))

@@ -20,7 +20,7 @@ object SparkEntry {
       ARelational.m ++ DAggregates.m ++ EWindows.m ++ GScalars.m ++
       ILlmOps.m ++ NTrainOps.m ++ OCurate.m ++ QCurate.m ++ RAnalytics.m ++
       JStreaming.m ++ KUdx.m ++ MMultimodal.m ++ PPipeline.m ++ TTxn.m ++
-      VInfer.m
+      VInfer.m ++ UGeo.m
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       GScalars.oracle ++ ILlmOps.oracle ++ NTrainOps.oracle ++
       OCurate.oracle ++ QCurate.oracle ++ RAnalytics.oracle ++
       JStreaming.oracle ++ KUdx.oracle ++ MMultimodal.oracle ++
-      PPipeline.oracle ++ TTxn.oracle ++ VInfer.oracle
+      PPipeline.oracle ++ TTxn.oracle ++ VInfer.oracle ++ UGeo.oracle
 }

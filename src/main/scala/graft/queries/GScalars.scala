@@ -267,9 +267,21 @@ object GScalars {
         .orderBy("p_partkey")),
 
     "h_to_json" -> ((s, d) =>
+      // serialization exercised on BOTH engines, compared through a
+      // parse-back canonicalization (round 9): raw to_json text is not
+      // hash-comparable (key order / spacing are engine-specific), so the
+      // key emits the fields extracted from its OWN serialized output —
+      // the round trip is the contract, and it is oracle hash-matched.
+      // OperatorSpec still checks the raw string is parseable JSON with
+      // both keys present.
       Tables.events(s, d)
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .select(col("event_id"),
+          from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING")).as("p"))
+        .select(col("event_id"), col("p.event_id").as("rt_id"),
+          col("p.event_type").as("rt_type"))
         .orderBy("event_id")),
   )
 
@@ -397,5 +409,15 @@ object GScalars {
     "g_url_parse" ->
       ("SELECT p_partkey, lower(replace(p_brand, '#', '')) || '.example.com' AS host, " +
         "'/part/' || p_partkey AS path FROM part ORDER BY p_partkey"),
+    "h_to_json" ->
+      // parse-back canonicalization: DuckDB serializes with ITS to_json,
+      // extracts with ITS json path ops — the round-tripped VALUES are
+      // the engine-neutral comparison surface
+      ("SELECT event_id, " +
+        "CAST(json_extract(js, '$.event_id') AS BIGINT) AS rt_id, " +
+        "json_extract_string(js, '$.event_type') AS rt_type FROM (" +
+        "SELECT event_id, to_json(struct_pack(" +
+        "event_id := event_id, event_type := event_type)) AS js " +
+        "FROM events) ORDER BY event_id"),
   )
 }

@@ -61,9 +61,18 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("to_json emits parseable json with both fields") {
-    val r = SparkEntry.queries("h_to_json")(spark, sfDir).limit(1).collect().head
-    val js = r.getString(1)
-    assert(js.contains("\"event_id\":" + r.getLong(0)) && js.contains("\"event_type\""))
+    // the key compares round-tripped VALUES (oracle-canonical); the raw
+    // serialized text is pinned here instead
+    val raw = Tables.events(spark, sfDir).limit(1)
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(col("event_id"), col("event_type"))).as("js"))
+      .collect().head
+    val js = raw.getString(1)
+    assert(js.contains("\"event_id\":" + raw.getLong(0)) && js.contains("\"event_type\""))
+    // and the parse-back key must echo its inputs exactly
+    val r = SparkEntry.queries("h_to_json")(spark, sfDir).limit(5).collect()
+    assert(r.nonEmpty && r.forall(x => x.getLong(0) == x.getLong(1)))
   }
 
   test("csv and jsonl round-trips preserve the nation table") {

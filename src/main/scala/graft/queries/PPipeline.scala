@@ -73,26 +73,30 @@ object PPipeline {
       // is tiny relative to the corpus, so every table takes one linear
       // pass with NO shuffle of the facts; at 100 TB only the delete list
       // and the derived deleted-order keys move. Output is the per-table
-      // audit a compliance job must produce (before/deleted/after).
+      // audit a compliance job must produce (before/deleted/after) —
+      // FUSED (round 9): each table's before/after counts come from a
+      // single scan via broadcast LEFT join + conditional aggregation
+      // (count-all and count-unmatched in one pass), instead of scanning
+      // the table twice for separate before/anti-join-after counts.
       val del = Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey").as("k"))
-      def audit(name: String, df: DataFrame, anti: DataFrame => DataFrame) = {
-        val before = df.agg(count(lit(1)).as("rows_before"))
-        val after = anti(df).agg(count(lit(1)).as("rows_after"))
-        before.crossJoin(after).select(lit(name).as("table_name"),
-          col("rows_before"), col("rows_after"),
-          (col("rows_before") - col("rows_after")).as("rows_deleted"))
-      }
+      def audit(name: String, df: DataFrame, key: org.apache.spark.sql.Column,
+          delList: DataFrame, delKey: String) =
+        // delList carries distinct keys (primary keys of their tables),
+        // so the left join never duplicates fact rows
+        df.join(broadcast(delList), key === col(delKey), "left")
+          .agg(count(lit(1)).as("rows_before"),
+            count(when(col(delKey).isNull, 1)).as("rows_after"))
+          .select(lit(name).as("table_name"),
+            col("rows_before"), col("rows_after"),
+            (col("rows_before") - col("rows_after")).as("rows_deleted"))
       val ord = Tables.orders(s, d)
       val delOrders = ord.join(broadcast(del), col("o_custkey") === col("k"))
         .select(col("o_orderkey").as("dok"))
-      audit("customer", Tables.customer(s, d),
-          _.join(broadcast(del), col("c_custkey") === col("k"), "left_anti"))
-        .union(audit("orders", ord,
-          _.join(broadcast(del), col("o_custkey") === col("k"), "left_anti")))
-        .union(audit("lineitem", Tables.lineitem(s, d),
-          _.join(broadcast(delOrders), col("l_orderkey") === col("dok"),
-            "left_anti")))
+      audit("customer", Tables.customer(s, d), col("c_custkey"), del, "k")
+        .union(audit("orders", ord, col("o_custkey"), del, "k"))
+        .union(audit("lineitem", Tables.lineitem(s, d), col("l_orderkey"),
+          delOrders, "dok"))
         .orderBy("table_name")
     }),
 

@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md, FIXTURES.md).
   *
-  * Encapsulates the events ns-timestamp workaround (SURVEY.md §7.3.2):
-  * `events.parquet` stores `INT64 (TIMESTAMP(NANOS,false))`, which Spark
-  * 4.1.2 refuses to read as a timestamp (`PARQUET_TYPE_ILLEGAL`). We flip
-  * `spark.sql.legacy.parquet.nanosAsLong` at runtime (a settable SQL conf),
-  * read the column as Long nanoseconds, and convert with **integer** division
-  * to microseconds — `ts DIV 1000`, never `/ 1000` — which matches DuckDB's
-  * ns→µs truncation exactly.
+  * Encapsulates the events timestamp-encoding shim (SURVEY.md §7.3.2): the
+  * driver has shipped `events.parquet` with `ts` as either
+  * `INT64 (TIMESTAMP(NANOS,false))` (which Spark 4.1.2 refuses to read as a
+  * timestamp — we flip `spark.sql.legacy.parquet.nanosAsLong`, read Long
+  * nanoseconds, and truncate with integer division `ts DIV 1000` to match
+  * DuckDB's ns→µs truncation exactly) or, since the 2026-08-13 regeneration,
+  * a native `timestamp[us]` (read as TIMESTAMP_NTZ, cast to session-TZ
+  * timestamp — session TZ is pinned UTC, so wall values are unchanged). The
+  * loader dispatches on the *observed* read schema so both vintages work.
   *
   * Scale posture: these are plain parquet scans — column pruning and filter
   * pushdown are applied by Catalyst against the vectorized parquet reader, so
@@ -25,8 +27,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ micros: session TZ is UTC, cast is value-preserving
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

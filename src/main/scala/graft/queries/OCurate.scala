@@ -356,32 +356,52 @@ object OCurate {
   /** First-fit-decreasing bin packing per source stream: docs stay WHOLE
     * (no splitting across windows — the complement of `seqPack`) and are
     * placed largest-first into the first bin with room, minimizing
-    * padding waste. Sequential state is confined to one stream's group
-    * (`flatMapGroups` — the k_typed_mapgroups tier), so streams pack in
-    * parallel and the shuffle is one partitioning on the stream key.
-    * Deterministic: the (−n_tokens, doc_id) sort is total. Docs longer
-    * than `seqLen` get a dedicated (overflowing) bin each. Not
+    * padding waste. FFD is inherently sequential, so its state must live
+    * in ONE task — but a skewed source must not blow that task's memory:
+    * each source is salted into ceil(n_source / maxShardDocs) SHARDS by
+    * doc-id hash (deterministic), and each shard packs independently in
+    * its own `flatMapGroups` group (the k_typed_mapgroups tier). Executor
+    * residency is therefore ~maxShardDocs docs regardless of source skew
+    * (hash-multinomial concentration, not a hard cap), and the price is
+    * at most ~one partial bin per shard vs single-stream FFD — measured
+    * and asserted in CurateSpec. Bin ids encode (shard, local) as
+    * shard·maxShardDocs + local, collision-free because a shard packs
+    * fewer docs than maxShardDocs bins could ever need. Sources smaller
+    * than maxShardDocs get exactly one shard — bit-identical to global
+    * FFD. Deterministic: the (−n_tokens, doc_id) sort is total. Docs
+    * longer than `seqLen` get a dedicated (overflowing) bin each. Not
     * SQL-expressible (bin state is a fold) → scalatest-covered, no
     * DuckDB oracle. Returns (doc_id, source, n_tokens, bin_id,
     * bin_fill) with bin_fill = the bin's final token count. */
-  def packFfd(docs: DataFrame, seqLen: Int = SEQ_LEN): DataFrame = {
+  def packFfd(docs: DataFrame, seqLen: Int = SEQ_LEN,
+      maxShardDocs: Int = 1 << 16): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .as[(Long, String, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (source, it) =>
-        val ds = it.toIndexedSeq.sortBy { case (id, _, n) => (-n, id) }
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val shardsPerSource = toks.groupBy("source").agg(
+      ceil(count(lit(1)) / lit(maxShardDocs.toDouble)).cast("int")
+        .as("n_shards"))
+    toks.join(broadcast(shardsPerSource), "source")
+      .withColumn("shard",
+        pmod(xxhash64(col("doc_id")), greatest(lit(1), col("n_shards")))
+          .cast("int"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+      .as[(Long, String, Long, Int)]
+      .groupByKey(t => (t._2, t._4))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(Long, String, Long, Int)]) =>
+        val (source, shard) = key
+        val ds = it.map { case (id, _, n, _) => (id, n) }
+          .toIndexedSeq.sortBy { case (id, n) => (-n, id) }
         val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val assigned = ds.map { case (id, _, n) =>
+        val assigned = ds.map { case (id, n) =>
           val i = fills.indexWhere(_ + n <= seqLen)
           val bin = if (i >= 0) { fills(i) += n; i }
             else { fills += n; fills.length - 1 }
-          (id, n, bin.toLong)
+          (id, n, bin)
         }
         assigned.map { case (id, n, bin) =>
-          (id, source, n, bin, fills(bin.toInt))
+          (id, source, n, shard.toLong * maxShardDocs + bin, fills(bin))
         }
       }
       .toDF("doc_id", "source", "n_tokens", "bin_id", "bin_fill")

@@ -22,10 +22,16 @@ import graft.Tables
   *    replicated into its 3x3 neighbor cells (dimension side, 9x a small
   *    table); candidates meet on cell EQUALITY (broadcast hash join,
   *    never a cross product) and the per-point argmin runs as a window
-  *    keyed by the point. Correct whenever the true nearest site lies
-  *    within one cell ring — GeoSpec validates that against brute force
-  *    on the fixture; at production scale cell size is chosen from site
-  *    density the same way.
+  *    keyed by the point. The CELL SIZE IS DERIVED FROM SITE DENSITY:
+  *    cell = clamp(16, 500, floor(sqrt(2·area/n_sites))), so the
+  *    expected ring occupancy stays ~18 candidates per point at every
+  *    scale — round 9 pinned cell=500 regardless of density, which at
+  *    sf0.1 meant 80 cells for 15k sites, ~1,700 candidates per point
+  *    and an 807 s run; the adaptive cell keeps the candidate set (and
+  *    the broadcast, 9x sites) bounded, linear in points. Correct
+  *    whenever the true nearest site lies within one cell ring —
+  *    GeoSpec validates that against brute force on the fixture, at the
+  *    same occupancy regime the formula maintains at any n.
   *
   * Coordinates are derived deterministically from existing integer keys
   * (SURVEY §1.2 has no native lat/lon): integer multiply-mod spreads
@@ -33,7 +39,11 @@ import graft.Tables
   * feed both engines, so cell ids are exact and only the final distance
   * touches floats (round(…,4) per §7.3 rule 1). Grid-cell ids come from
   * INTEGER division of the mod residue — never from flooring a float —
-  * so bucket assignment is bit-exact cross-engine by construction.
+  * so bucket assignment is bit-exact cross-engine by construction. The
+  * degree formulas are wrapped in CAST(… AS DOUBLE): Spark parses bare
+  * decimal literals as DecimalType, and a Decimal output column would
+  * hash-differ from DuckDB's DOUBLE even at equal printed values (the
+  * round-9 `g_geo_haversine` mismatch).
   */
 object UGeo {
 
@@ -49,9 +59,11 @@ object UGeo {
   private val siteKLat = "(c_custkey * 379 % 4000)"
   private val siteKLon = "(c_custkey * 523 % 5000)"
 
-  /** Residue -> degrees inside the box [39.8, 40.2) x [-75.4, -74.9). */
-  private def latOf(k: String) = s"39.8 + $k / 10000.0"
-  private def lonOf(k: String) = s"-75.4 + $k / 10000.0"
+  /** Residue -> degrees inside the box [39.8, 40.2) x [-75.4, -74.9).
+    * CAST AS DOUBLE keeps Spark off its decimal-literal arithmetic path
+    * so both engines evaluate (and emit) IEEE doubles. */
+  private def latOf(k: String) = s"CAST(39.8 + $k / 10000.0 AS DOUBLE)"
+  private def lonOf(k: String) = s"CAST(-75.4 + $k / 10000.0 AS DOUBLE)"
 
   /** Haversine great-circle distance in km — ONE formula string, fed
     * verbatim to Spark and DuckDB (both evaluate IEEE doubles; the
@@ -63,14 +75,28 @@ object UGeo {
       s"cos(radians($lat1)) * cos(radians($lat2)) * " +
       s"power(sin(radians(($lon2) - ($lon1)) / 2), 2)))"
 
-  /** Grid cell of a residue pair: integer division keeps it exact; 500
-    * residue units = 0.05 deg (~5.5 km lat / ~4.2 km lon at 40N). The
-    * encoded id (latCell*100 + lonCell) is collision-free for this box.
-    * `idiv` is the one dialect seam: Spark spells integer division
-    * `DIV`, DuckDB `//` (residues are nonnegative, so they agree). */
-  private def cellSql(kLat: String, kLon: String, idiv: String,
+  /** Density-derived cell size in residue units: ~2 sites per cell, so a
+    * 3x3 ring holds ~18 expected candidates at any scale. All-IEEE ops
+    * (double divide, sqrt, floor) so Scala and DuckDB agree bit-exactly;
+    * 40000000 = 2 x the 4000x5000 residue-box area. Clamped to [16, 500]
+    * (500 reproduces the brute-force-validated sf0.001 regime). */
+  private def cellUnitsOf(nSites: Long): Int =
+    math.min(500, math.max(16,
+      math.floor(math.sqrt(40000000.0 / nSites)).toInt))
+
+  /** The same formula as DuckDB SQL, for the oracle's params CTE. */
+  private val cellUnitsSql =
+    "least(500, greatest(16, " +
+      "CAST(floor(sqrt(CAST(40000000 AS DOUBLE) / count(*))) AS INT)))"
+
+  /** Grid cell of a residue pair: integer division keeps it exact; the
+    * encoded id (latCell*1000 + lonCell) is collision-free down to the
+    * 16-unit clamp (lonCell < 313). `idiv` is the one dialect seam:
+    * Spark spells integer division `DIV`, DuckDB `//` (residues are
+    * nonnegative, so they agree). */
+  private def cellSql(kLat: String, kLon: String, idiv: String, cs: String,
       di: String = "0", dj: String = "0"): String =
-    s"($kLat $idiv 500 + ($di)) * 100 + ($kLon $idiv 500 + ($dj))"
+    s"($kLat $idiv $cs + ($di)) * 1000 + ($kLon $idiv $cs + ($dj))"
 
   val m: ListMap[String, Q] = ListMap(
     "g_geo_haversine" -> ((s, d) =>
@@ -93,18 +119,22 @@ object UGeo {
       // the site dimension. Sites replicate into their 3x3 cell ring
       // (9 x |customer| rows, broadcast); candidates join on cell
       // EQUALITY; the argmin per order runs as a point-keyed window over
-      // the ~site-density-sized candidate list. One broadcast join + one
-      // keyed window = linear in points, parallel across them.
+      // the ~18-candidate list. One broadcast join + one keyed window =
+      // linear in points, parallel across them. The density-derived cell
+      // size costs one count() on the dimension side (at 100 TB: a
+      // parquet-footer rowcount, not a scan).
+      val cs = cellUnitsOf(Tables.customer(s, d).count()).toString
       val sites = Tables.customer(s, d)
         .select(col("c_custkey").as("site_id"),
           expr(siteKLat).as("skl"), expr(siteKLon).as("sko"))
         .withColumn("di", explode(array(lit(-1), lit(0), lit(1))))
         .withColumn("dj", explode(array(lit(-1), lit(0), lit(1))))
         .select(col("site_id"), col("skl"), col("sko"),
-          expr(cellSql("skl", "sko", "DIV", "di", "dj")).as("cell"))
+          expr(cellSql("skl", "sko", "DIV", cs, "di", "dj")).as("cell"))
       val pts = Tables.orders(s, d)
         .select(col("o_orderkey"), expr(ordKLat).as("pkl"),
-          expr(ordKLon).as("pko"), expr(cellSql("pkl", "pko", "DIV")).as("cell"))
+          expr(ordKLon).as("pko"),
+          expr(cellSql("pkl", "pko", "DIV", cs)).as("cell"))
       val dist = round(expr(havSql(
         latOf("pkl"), lonOf("pko"), latOf("skl"), lonOf("sko"))), 4)
       pts.join(broadcast(sites), "cell")
@@ -126,14 +156,16 @@ object UGeo {
         s"WHERE round(${havSql(CLat, CLon, latOf(custKLat), lonOf(custKLon))}, 4) < 5.0 " +
         "ORDER BY c_custkey"),
     "c_join_geo_bucket" ->
-      ("WITH sites AS (SELECT c_custkey AS site_id, " +
+      (s"WITH params AS (SELECT $cellUnitsSql AS cs FROM customer), " +
+        "sites AS (SELECT c_custkey AS site_id, " +
         s"$siteKLat AS skl, $siteKLon AS sko, " +
-        s"${cellSql(siteKLat, siteKLon, "//", "d1.di", "d2.dj")} AS cell " +
-        "FROM customer, (VALUES (-1), (0), (1)) d1(di), " +
+        s"${cellSql(siteKLat, siteKLon, "//", "params.cs", "d1.di", "d2.dj")} AS cell " +
+        "FROM customer, params, (VALUES (-1), (0), (1)) d1(di), " +
         "(VALUES (-1), (0), (1)) d2(dj)), " +
         "pts AS (SELECT o_orderkey, " +
         s"$ordKLat AS pkl, $ordKLon AS pko, " +
-        s"${cellSql(ordKLat, ordKLon, "//")} AS cell FROM orders), " +
+        s"${cellSql(ordKLat, ordKLon, "//", "params.cs")} AS cell " +
+        "FROM orders, params), " +
         "cand AS (SELECT o_orderkey, site_id, " +
         s"round(${havSql(latOf("pkl"), lonOf("pko"),
           latOf("skl"), lonOf("sko"))}, 4) AS dist_km " +

@@ -48,6 +48,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Local-filesystem paths via java.nio keep the sandbox honest; a cluster
   * deployment swaps the file ops for the Hadoop FileSystem API without
   * touching the protocol.
+  *
+  * == Driver-memory ceiling (the format's scale bound) ==
+  * Snapshot resolution folds the log DRIVER-side: `liveFiles` holds every
+  * live path in driver memory, and `merge`/`deleteWhere` additionally
+  * `collect()` the touched-file list. That is the standard shape for
+  * log-structured table formats, and it bounds the format at
+  * O(live files + log entries) driver heap — ~100 bytes per path means
+  * one million files ≈ 100 MB: ample for this engine's compaction-
+  * disciplined tables, but a 100 TB table of 10M+ small files would need
+  * the fold moved into the data plane. The upgrade path (sketched in
+  * SURVEY §7.6) is manifest files: each commit writes its add/remove sets
+  * as a parquet MANIFEST, the log entry references manifests instead of
+  * inlining paths, and snapshot resolution becomes a Spark anti-join over
+  * manifest rows — distributed, never driver-resident. The commit
+  * protocol (atomic create-if-absent of the next version slot) is
+  * untouched by that swap, which is why it is deferred rather than built:
+  * TxnSpec pins today's bound so the ceiling is explicit, not latent.
   */
 final class TxnTable(val spark: SparkSession, val root: String) {
   private val rootP: Path = Paths.get(root)
@@ -296,8 +313,19 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     * (or an additive evolution of it). Runs as ONE transaction: remove
     * touched files, add the rewritten+inserted files. Aborts on a
     * concurrent commit (like `compact`) rather than merging onto a stale
-    * snapshot — the caller re-runs against the new tip. */
-  def merge(updates: DataFrame, keyCols: Seq[String]): Long = {
+    * snapshot — the caller re-runs against the new tip.
+    *
+    * With `clusterBy` (typically = keyCols), the rewritten+inserted rows
+    * are range-partitioned and sorted on those columns before staging —
+    * the merge-time counterpart of clustered `compact`: each staged file
+    * keeps a disjoint key range, so a table that was cluster-compacted
+    * STAYS clustered across merges and the next point-update's touched
+    * set is one file, not every file. Without it, inserted keys land
+    * wherever the update batch put them and clustering erodes commit by
+    * commit (the t_txn_merge 10x scale-stress showed ratio ~2 for exactly
+    * that reason). */
+  def merge(updates: DataFrame, keyCols: Seq[String],
+      clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
@@ -317,8 +345,12 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     val touchedRows = if (touched.isEmpty) updates.limit(0)
       else tagged.filter(col("_f").isin(touchedAbs.toSeq: _*)).drop("_f")
         .join(updates.select(keyExpr: _*).distinct(), keyCols, "left_anti")
-    val (files, rows) = stage(touchedRows.unionByName(updates,
-      allowMissingColumns = true))
+    val merged = touchedRows.unionByName(updates, allowMissingColumns = true)
+    val staged =
+      if (clusterBy.isEmpty) merged
+      else merged.repartitionByRange(math.max(1, touched.size), clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (files, rows) = stage(staged)
     val sc = unionSchema(schemaAt(v), updates.schema)
     if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc)))
       throw new IllegalStateException(

@@ -90,6 +90,31 @@ class CurateSpec extends SparkTestBase {
     }
   }
 
+  test("sharded FFD bounds shard size and costs at most one bin per shard") {
+    val docs = Tables.documents(spark, sfDir)
+    // force multi-shard packing on the fixture with a tiny shard cap
+    val cap = 64
+    val sharded = OCurate.packFfd(docs, maxShardDocs = cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val global = OCurate.packFfd(docs).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(sharded.length == docs.count(), "every doc packed exactly once")
+    for ((src, inSrc) <- sharded.groupBy(_._2)) {
+      val byShard = inSrc.groupBy(_._4 / cap)
+      // hash-salting concentrates shard sizes around the cap (±multinomial
+      // noise) — 2x is a generous envelope that a skew regression would blow
+      for ((sh, docsIn) <- byShard)
+        assert(docsIn.length <= 2 * cap, s"$src shard $sh has ${docsIn.length} docs")
+      val nShards = byShard.size
+      val binsSharded = inSrc.map(_._4).distinct.length
+      val nBinsGlobal = global.filter(_._1 == src).map(_._2).distinct.length
+      assert(binsSharded <= nBinsGlobal + nShards,
+        s"$src: sharded FFD used $binsSharded bins vs global $nBinsGlobal + $nShards shards")
+      info(s"$src: $nShards shards, $binsSharded bins vs $nBinsGlobal global " +
+        s"(overhead ${binsSharded - nBinsGlobal} bins)")
+    }
+  }
+
   test("domain mix only downsamples and moves the language mix toward uniform") {
     val docs = Tables.documents(spark, sfDir)
     val before = docs.groupBy("lang").count().collect()

@@ -271,6 +271,60 @@ class TxnSpec extends SparkTestBase {
     }
   }
 
+  test("clustered merge: a point update rewrites one file and keeps ranges disjoint") {
+    val t = TxnTable.fresh(spark, dir("cluster_merge"))
+    val rng = new scala.util.Random(5)
+    rng.shuffle((0L until 40L).toList).grouped(10)
+      .foreach(g => t.append(g.map(k => (k, s"v$k")).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    val liveBefore = t.read().inputFiles.toSet
+    assert(liveBefore.size == 4)
+    // two point updates inside ONE clustered file's key range: with
+    // disjoint per-file ranges the touched set is exactly that file —
+    // the other three survive in place (merge cost ∝ touched, not table)
+    t.merge(Seq((7L, "V7"), (8L, "V8")).toDF("k", "v"), Seq("k"),
+      clusterBy = Seq("k"))
+    val liveAfter = t.read().inputFiles.toSet
+    assert((liveBefore & liveAfter).size == 3,
+      s"narrow merge should leave 3 of 4 clustered files untouched")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (0L until 40L).map(k => (k, if (k == 7 || k == 8) s"V$k" else s"v$k")).toSet)
+    // clusterBy re-sorts the rewrite, so file ranges STAY disjoint and the
+    // NEXT point update is again a one-file rewrite — without it,
+    // clustering erodes merge by merge (the t_txn_merge 10x ratio ~2)
+    val ranges = t.read().inputFiles.toSeq.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file ranges after clustered merge: $ranges")
+      case _ => ()
+    }
+    val live2 = t.read().inputFiles.toSet
+    t.merge(Seq((33L, "V33")).toDF("k", "v"), Seq("k"), clusterBy = Seq("k"))
+    assert((live2 & t.read().inputFiles.toSet).size == 3,
+      "second point merge should again touch exactly one file")
+  }
+
+  test("snapshot resolution binds the log's file list, never a directory walk") {
+    // the driver-memory ceiling documented on TxnTable: resolution cost is
+    // O(log entries + live paths) — pinned here by showing (a) the log is
+    // the only metadata consulted and (b) unreferenced files are invisible
+    val t = TxnTable.fresh(spark, dir("bound"))
+    (0 until 6).foreach(i => t.append(Seq((i.toLong, i.toLong)).toDF("k", "v")))
+    t.compact(target = 1)
+    assert(t.history().count() == 7)           // 6 appends + 1 compact
+    assert(t.read().inputFiles.length == 1)    // live set after compaction
+    // a parquet file in the table dir that no log entry references must be
+    // INVISIBLE to reads — a reader that walked the directory would see it
+    Seq((99L, 99L)).toDF("k", "v").write
+      .parquet(dir("bound") + "/d-orphan-not-in-log")
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      (0 until 6).map(i => (i.toLong, i.toLong)).toSet,
+      "read picked up a file the log never committed")
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

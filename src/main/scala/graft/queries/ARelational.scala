@@ -249,6 +249,45 @@ object ARelational {
         .option("sep", "\t").csv(tmp).orderBy("o_orderstatus")
     }),
 
+    "a_scan_avro" -> ((s, d) => {
+      // Avro round-trip through the custom DSv2 connector
+      // (graft.sources.AvroSource — avro-core only; spark-avro is not on
+      // this classpath): write a typed slice (long / timestamp-micros /
+      // double / string + a genuinely NULL union column) as Avro container
+      // files, read back THROUGH the connector with a projection + filter.
+      // Column pruning rides the Avro READER schema (skip-decode of
+      // dropped fields — pinned in AvroSpec); values oracle-checked
+      // against the base table.
+      val tmp = scratch("scan_avro")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        .repartition(4)
+        .write.format("graft.sources.AvroSource").option("path", tmp)
+        .mode("overwrite").save()
+      s.read.format("graft.sources.AvroSource").option("path", tmp).load()
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "prio")
+        .orderBy("o_orderkey")
+    }),
+
+    "a_sink_avro" -> ((s, d) => {
+      // Avro as a SINK with the full V2 commit protocol (task-private
+      // temps, atomic publish, _SUCCESS) — the oracle checks the
+      // read-back values against the same aggregate on parquet, so the
+      // format conversion itself is value-checked (a_sink_orc pattern).
+      val tmp = scratch("sink_avro")
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .repartition(2) // force 2 writer tasks (AQE folds the tiny agg to 1)
+        .write.format("graft.sources.AvroSource").option("path", tmp)
+        .mode("overwrite").save()
+      s.read.format("graft.sources.AvroSource").option("path", tmp).load()
+        .orderBy("o_orderpriority")
+    }),
+
     "a_scan_merge_schema" -> ((s, d) => {
       // schema evolution: two parquet batches with different column sets
       // (a later pipeline version added a column; old files stay), read
@@ -593,6 +632,15 @@ object ARelational {
       ("SELECT o_orderkey, round(o_totalprice, 4) AS price, " +
         "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE 'MISSING' END AS prio " +
         "FROM orders ORDER BY o_orderkey"),
+    // Avro round-trip: read-back values vs the base table (NULL union
+    // column included — a mis-encoded null would mismatch)
+    "a_scan_avro" ->
+      ("SELECT o_orderkey, o_orderdate, o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio " +
+        "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"),
+    "a_sink_avro" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // checks the ORC write→read round-trip against the parquet-side aggregate
     "a_sink_orc" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +

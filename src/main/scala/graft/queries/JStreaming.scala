@@ -151,8 +151,14 @@ object JStreaming {
       val ckpt = scratch("sess_state_ckpt")
       rm(new java.io.File(inDir)); rm(new java.io.File(ckpt))
       val evs = Tables.events(s, d).select(col("user_id"), col("ts"))
-      evs.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = evs.agg(max("ts")).head().getTimestamp(0)
+      // sentinel placement rides the SAME pass that stages the input —
+      // an Observation on the write job, not a second scan (the fused
+      // shape PPipeline's threshold probes use)
+      val obs = new org.apache.spark.sql.Observation(
+        s"sess_max_${java.util.UUID.randomUUID().toString.take(8)}")
+      evs.observe(obs, max(col("ts")).as("max_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
       val name = "sess_state_out"
       if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
       // per-batch cost scales with state partitions (store open/commit ×
@@ -235,7 +241,12 @@ object JStreaming {
       val topic = s"graft_busw_${java.util.UUID.randomUUID().toString.take(8)}"
       graft.sources.BusBroker.create(topic, 4)
       val evs = Tables.events(s, d).filter(col("user_id") < 100)
-      evs.select(col("user_id").cast("string").as("k"),
+      // the sentinel epoch is observed on the publish pass itself — no
+      // second scan of events just to place the watermark jump
+      val obs = new org.apache.spark.sql.Observation(
+        s"busw_max_${topic.takeRight(8)}")
+      evs.observe(obs, max(unix_micros(col("ts"))).as("max_us"))
+        .select(col("user_id").cast("string").as("k"),
           concat_ws(",", unix_micros(col("ts")).cast("string"),
             floor(col("value") * 10000 + 0.5).cast("long").cast("string")).as("v"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -257,12 +268,11 @@ object JStreaming {
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       q.processAllAvailable() // batch 1: every real event
-      // single-row scalar fetch to place the sentinels (the same bounded
-      // driver-side fetch the sessionize sentinel uses)
-      val maxRow = evs.select(max(unix_micros(col("ts")))).head()
       // empty corpus: no real windows to flush; any sentinel epoch works
-      val sent = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) +
-        100L * 3600 * 1000000
+      val sent = (obs.get("max_us") match {
+        case l: java.lang.Long => l.longValue()
+        case _ => 0L
+      }) + 100L * 3600 * 1000000
       graft.sources.BusBroker.publish(topic, "s1", s"$sent,0")
       q.processAllAvailable() // batch 2: watermark jumps past all real windows
       graft.sources.BusBroker.publish(topic, "s2", s"${sent + 600L * 1000000},0")

@@ -84,6 +84,18 @@ object UGeo {
     math.min(500, math.max(16,
       math.floor(math.sqrt(40000000.0 / nSites)).toInt))
 
+  /** Site count for the cell-size formula: parquet FOOTER rowcount read
+    * driver-side (KBs of metadata, no Spark job — the same primitive
+    * TxnTable.stage uses); falls back to a count() for non-file layouts. */
+  private def siteCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$d/customer.parquet"),
+        s.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Exception => Tables.customer(s, d).count() }
+
   /** The same formula as DuckDB SQL, for the oracle's params CTE. */
   private val cellUnitsSql =
     "least(500, greatest(16, " +
@@ -121,9 +133,9 @@ object UGeo {
       // EQUALITY; the argmin per order runs as a point-keyed window over
       // the ~18-candidate list. One broadcast join + one keyed window =
       // linear in points, parallel across them. The density-derived cell
-      // size costs one count() on the dimension side (at 100 TB: a
-      // parquet-footer rowcount, not a scan).
-      val cs = cellUnitsOf(Tables.customer(s, d).count()).toString
+      // size costs one parquet-footer rowcount (driver-side metadata,
+      // no job, no scan).
+      val cs = cellUnitsOf(siteCount(s, d)).toString
       val sites = Tables.customer(s, d)
         .select(col("c_custkey").as("site_id"),
           expr(siteKLat).as("skl"), expr(siteKLon).as("sko"))

@@ -40,6 +40,22 @@ object ILlmOps {
 
   private val dot = "graft_dot(va, vb)"
 
+  /** Query-sample stride for the recall-calibration keys: recall is
+    * measured on every ceil(n/5000)-th query vector once the corpus
+    * outgrows 5k, so the exact-baseline side costs n²/m instead of n²
+    * (production recall estimation is always query-sampled). m = 1 at
+    * every gate tier (≤5k vectors), so sampled and unsampled results are
+    * bit-identical there; the stride comes from the parquet footer (no
+    * job) and the oracle derives the same integer from count(*) via
+    * IEEE-exact ceil/divide. */
+  private def recallStride(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    math.max(1L, math.ceil(
+      footerRowCount(s, s"$d/embeddings.parquet",
+        Tables.embeddings(s, d).count()) / 5000.0).toLong)
+
+  private val recallStrideSql =
+    "(SELECT GREATEST(1, CAST(ceil(count(*) / 5000.0) AS BIGINT)) FROM e)"
+
   /** k=8 MinHash signature (s0..s7) over whitespace tokens, computed with
     * TWO md5 calls per token instead of eight: families i∈0..3 are the four
     * disjoint 8-hex-char windows of md5('a' ‖ token), families 4..7 the
@@ -446,9 +462,12 @@ object ILlmOps {
       // i_ann_recall: sign-LSH, i_ann_pq_recall: PQ/ADC). Single-probe
       // IVF misses exactly the neighbors that fall across a cell
       // boundary; this measures that cost on THIS corpus, which is the
-      // number a pipeline needs before choosing nprobe.
+      // number a pipeline needs before choosing nprobe. The QUERY side is
+      // stride-sampled beyond 5k vectors (recallStride) so the exact
+      // baseline costs n²/m, not n² — identical results at gate tiers.
       val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val a = e.filter(pmod(col("vec_id"), lit(recallStride(s, d))) === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       val exact = a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
@@ -476,8 +495,11 @@ object ILlmOps {
       // is for. On real near-dup structure (cos ≥ 0.9) the same bucket
       // join recovers ≥ 80% (planted-embedding test in LshRecallSpec);
       // a pipeline runs this op to decide which regime its corpus is in.
+      // Query side stride-sampled beyond 5k vectors (recallStride) —
+      // exact baseline costs n²/m; gate tiers unchanged.
       val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val a = e.filter(pmod(col("vec_id"), lit(recallStride(s, d))) === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       val exact = a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
@@ -792,7 +814,8 @@ object ILlmOps {
         "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
         "PARTITION BY a.vec_id ORDER BY " +
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
-        "FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 3), " +
+        s"FROM e a JOIN e b ON a.vec_id % $recallStrideSql = 0 " +
+        "AND a.vec_id <> b.vec_id) WHERE rn <= 3), " +
         "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
         "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
         "AS BIGINT)) FROM e) = 0), " +
@@ -817,7 +840,8 @@ object ILlmOps {
         "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
         "PARTITION BY a.vec_id ORDER BY " +
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
-        "FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn <= 3), " +
+        s"FROM e a JOIN e b ON a.vec_id % $recallStrideSql = 0 " +
+        "AND a.vec_id <> b.vec_id) WHERE rn <= 3), " +
         "eb AS (SELECT vec_id, v, " +
         "(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) + " +
         "(CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) + " +

@@ -84,17 +84,10 @@ object UGeo {
     math.min(500, math.max(16,
       math.floor(math.sqrt(40000000.0 / nSites)).toInt))
 
-  /** Site count for the cell-size formula: parquet FOOTER rowcount read
-    * driver-side (KBs of metadata, no Spark job — the same primitive
-    * TxnTable.stage uses); falls back to a count() for non-file layouts. */
+  /** Site count for the cell-size formula: parquet FOOTER rowcount,
+    * count() fallback for non-file layouts. */
   private def siteCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$d/customer.parquet"),
-        s.sessionState.newHadoopConf())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    } catch { case _: Exception => Tables.customer(s, d).count() }
+    footerRowCount(s, s"$d/customer.parquet", Tables.customer(s, d).count())
 
   /** The same formula as DuckDB SQL, for the oracle's params CTE. */
   private val cellUnitsSql =

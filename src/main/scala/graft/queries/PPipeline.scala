@@ -65,6 +65,22 @@ object PPipeline {
           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
     }),
 
+    "p_sql_pipe" -> ((s, d) => {
+      // Spark 4 SQL pipe syntax (|>): the same Catalyst pipeline behind a
+      // linear, stage-at-a-time surface — each |> stage is sugar for the
+      // equivalent nested relational op, so the optimized plan is
+      // identical to the classic formulation (the ANSI-SQL oracle IS that
+      // formulation, which is exactly the equivalence worth pinning).
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pipe_v")
+      s.sql(
+        """FROM lineitem_pipe_v
+          ||> WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          ||> AGGREGATE count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+          |            round(avg(l_extendedprice), 4) AS avg_price
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     "p_gdpr_delete" -> ((s, d) => {
       // right-to-be-forgotten propagation: a deletion list of subject keys
       // cascades through the subject dimension and every fact table that
@@ -678,6 +694,14 @@ object PPipeline {
         "JOIN part ON t.l_partkey = p_partkey " +
         "JOIN supplier ON t.l_suppkey = s_suppkey " +
         "GROUP BY p_brand, month ORDER BY p_brand, month"),
+    // the pipe-syntax stages, re-expressed as the classic formulation —
+    // pinning that |> is pure sugar over the same relational algebra
+    "p_sql_pipe" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(avg(l_extendedprice), 4) AS avg_price " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "p_sql_q3" ->
       ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
         "o_orderdate, o_orderpriority " +

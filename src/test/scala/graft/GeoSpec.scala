@@ -40,6 +40,30 @@ class GeoSpec extends SparkTestBase {
     assert(bucketed == brute, "bucketed nearest diverges from brute force")
   }
 
+  test("grid-bucketed k-nearest join equals brute-force top-3") {
+    val sites = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("site_id"),
+      expr("39.8 + c_custkey * 379 % 4000 / 10000.0").as("slat"),
+      expr("-75.4 + c_custkey * 523 % 5000 / 10000.0").as("slon"))
+    val pts = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      expr("39.8 + o_orderkey * 7919 % 4000 / 10000.0").as("plat"),
+      expr("-75.4 + o_orderkey * 104729 % 5000 / 10000.0").as("plon"))
+    val brute = pts.crossJoin(sites)
+      .withColumn("dist_km", round(expr(hav), 4))
+      .withColumn("rn", row_number().over(Window.partitionBy("o_orderkey")
+        .orderBy(col("dist_km"), col("site_id"))))
+      .filter(col("rn") <= 3)
+      .select("o_orderkey", "site_id", "dist_km", "rn")
+      .orderBy("o_orderkey", "rn")
+      .collect().map(_.toString).toSeq
+    val bucketed = SparkEntry.queries("c_join_geo_knn")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(bucketed.size == brute.size && bucketed.nonEmpty,
+      s"row counts differ: bucketed=${bucketed.size} brute=${brute.size}")
+    assert(bucketed == brute, "bucketed k-nearest diverges from brute force")
+  }
+
   test("radius query returns only points inside the radius, none missed") {
     val got = SparkEntry.queries("g_geo_haversine")(spark, sfDir)
       .collect()

@@ -184,6 +184,27 @@ object NTrainOps {
         .orderBy("doc_id")
     }),
 
+    "i_split_leakage" -> ((s, d) => {
+      // leakage-safe train/val/test split: the assignment unit is the
+      // near-dup CLUSTER, not the document. A doc-keyed hash split
+      // (i_split_train) scatters a straddling cluster's near-dups across
+      // train AND test — held-out contamination by construction; keying
+      // the SAME md5 split on the cluster representative makes near-dups
+      // co-travel, so eval data is disjoint from train at the near-dup
+      // level (the split-time complement of i_decontaminate's
+      // after-the-fact scrub). Costs nothing beyond the dedup pipeline
+      // the corpus already runs: clusters are minhash→LSH→verify→CC
+      // (i_dedup_pipeline); singletons represent themselves. Same
+      // bounded fixture slice as the other pairwise keys.
+      val h = substring(md5(col("cluster_id").cast("string")), 1, 2)
+      nearDupClusters(s, d)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("split",
+          when(h < lit("cc"), "train").when(h < lit("e6"), "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     "i_dedup_keep_best" -> ((s, d) => {
       // the production survivor policy: per near-dup cluster keep the BEST
       // member (longest doc, doc_id tiebreak), not the min-id one — any
@@ -642,6 +663,11 @@ object NTrainOps {
       (nearDupCtes + " SELECT doc_id, cluster_id, " +
         "doc_id = cluster_id AS is_representative FROM clusters " +
         "ORDER BY doc_id"),
+    "i_split_leakage" ->
+      (nearDupCtes + " SELECT doc_id, cluster_id, CASE " +
+        "WHEN substring(md5(cluster_id::VARCHAR), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substring(md5(cluster_id::VARCHAR), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split FROM clusters ORDER BY doc_id"),
     "i_dedup_keep_best" ->
       (nearDupCtes + ", j AS (SELECT c.doc_id, c.cluster_id, b.n_chars, " +
         "row_number() OVER (PARTITION BY c.cluster_id " +

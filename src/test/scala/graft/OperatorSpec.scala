@@ -207,4 +207,29 @@ class OperatorSpec extends SparkTestBase {
         s"cluster $cluster kept $keptDoc, expected $best")
     }
   }
+
+  test("leakage-safe split keeps every near-dup cluster inside one split") {
+    val rows = SparkEntry.queries("i_split_leakage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every doc assigned exactly once, to a real split
+    assert(rows.nonEmpty && rows.forall(r => Set("train", "val", "test")(r._3)))
+    // the guarantee: a cluster's members all land in ONE split
+    for ((cluster, members) <- rows.groupBy(_._2))
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cluster straddles splits: ${members.toSeq}")
+    // non-vacuous: the fixture has multi-doc clusters, and the doc-keyed
+    // split (i_split_train's key) WOULD have straddled at least one of
+    // them — the contamination this operator exists to prevent
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture has no multi-doc cluster; test is vacuous")
+    def docSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val straddled = multi.values.count(ms => ms.map(m => docSplit(m._1)).distinct.length > 1)
+    info(s"${multi.size} multi-doc clusters; doc-keyed split would straddle $straddled")
+    assert(straddled > 0, "doc-keyed split straddles nothing on this fixture")
+  }
 }

@@ -142,7 +142,12 @@ object UGeo {
           expr(cellSql("pkl", "pko", "DIV", cs)).as("cell"))
       val dist = round(expr(havSql(
         latOf("pkl"), lonOf("pko"), latOf("skl"), lonOf("sko"))), 4)
-      pts.join(broadcast(sites), "cell")
+      // no broadcast() hint: the replicated site table is small at fixture
+      // scale (auto-broadcast keeps the BroadcastHashJoin the plan test
+      // pins) but grows 9x/25x with the site dimension — past the
+      // threshold, Catalyst/AQE correctly falls back to a shuffled join
+      // instead of shipping a multi-GB broadcast to every executor
+      pts.join(sites, "cell")
         .withColumn("dist_km", dist)
         .withColumn("rn", row_number().over(Window.partitionBy("o_orderkey")
           .orderBy(col("dist_km"), col("site_id"))))
@@ -175,7 +180,12 @@ object UGeo {
           expr(cellSql("pkl", "pko", "DIV", cs)).as("cell"))
       val dist = round(expr(havSql(
         latOf("pkl"), lonOf("pko"), latOf("skl"), lonOf("sko"))), 4)
-      pts.join(broadcast(sites), "cell")
+      // no broadcast() hint: the replicated site table is small at fixture
+      // scale (auto-broadcast keeps the BroadcastHashJoin the plan test
+      // pins) but grows 9x/25x with the site dimension — past the
+      // threshold, Catalyst/AQE correctly falls back to a shuffled join
+      // instead of shipping a multi-GB broadcast to every executor
+      pts.join(sites, "cell")
         .withColumn("dist_km", dist)
         .withColumn("rn", row_number().over(Window.partitionBy("o_orderkey")
           .orderBy(col("dist_km"), col("site_id"))))

@@ -63,6 +63,33 @@ class AvroSpec extends SparkTestBase {
     assert(q.distinct().count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("a failed write job publishes nothing and keeps prior content intact") {
+    val dir = tmp("abort")
+    Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .write.format("graft.sources.AvroSource").option("path", dir)
+      .mode("overwrite").save()
+    val before = spark.read.format("graft.sources.AvroSource")
+      .option("path", dir).load().count()
+    assert(before > 0)
+    // a task that throws mid-write must abort its private temp file; the
+    // driver never reaches BatchWrite.commit, so the prior published
+    // content — including the truncate-on-overwrite — is untouched
+    val boom = udf((k: Long) => if (k >= 0) sys.error("poisoned row") else k)
+    intercept[Exception] {
+      Tables.nation(spark, sfDir)
+        .select(boom(col("n_nationkey")).as("k"), col("n_name"))
+        .write.format("graft.sources.AvroSource").option("path", dir)
+        .mode("overwrite").save()
+    }
+    val files = new File(dir).listFiles().map(_.getName)
+    assert(!new File(dir, "_tmp").isDirectory ||
+      new File(dir, "_tmp").listFiles().isEmpty,
+      s"aborted attempts left temp residue: ${files.mkString(",")}")
+    assert(spark.read.format("graft.sources.AvroSource")
+      .option("path", dir).load().count() == before,
+      "failed overwrite must not disturb published content")
+  }
+
   test("write publishes atomically: part files + _SUCCESS, no temp residue") {
     val dir = tmp("publish")
     Tables.nation(spark, sfDir).select("n_nationkey", "n_name")

@@ -365,8 +365,9 @@ object OCurate {
     * (hash-multinomial concentration, not a hard cap), and the price is
     * at most ~one partial bin per shard vs single-stream FFD — measured
     * and asserted in CurateSpec. Bin ids encode (shard, local) as
-    * shard·maxShardDocs + local, collision-free because a shard packs
-    * fewer docs than maxShardDocs bins could ever need. Sources smaller
+    * (shard << 32) | local — collision-free even when a hot shard
+    * receives more than maxShardDocs docs (each doc opens at most one
+    * bin, and no shard can hold 2³² docs). Sources smaller
     * than maxShardDocs get exactly one shard — bit-identical to global
     * FFD. Deterministic: the (−n_tokens, doc_id) sort is total. Docs
     * longer than `seqLen` get a dedicated (overflowing) bin each. Not
@@ -401,7 +402,7 @@ object OCurate {
           (id, n, bin)
         }
         assigned.map { case (id, n, bin) =>
-          (id, source, n, shard.toLong * maxShardDocs + bin, fills(bin))
+          (id, source, n, (shard.toLong << 32) | bin.toLong, fills(bin))
         }
       }
       .toDF("doc_id", "source", "n_tokens", "bin_id", "bin_fill")

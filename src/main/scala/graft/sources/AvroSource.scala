@@ -47,12 +47,14 @@ class AvroSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroSource.listAvro(options.get("path"))
-    if (files.isEmpty) new StructType()
-    else {
-      val r = new DataFileReader[GenericRecord](
-        files.head, new GenericDatumReader[GenericRecord]())
-      try AvroSource.toStruct(r.getSchema) finally r.close()
-    }
+    // writes never reach here (supportsExternalMetadata: Spark hands the
+    // query schema to getTable); an empty READ target is an error, not an
+    // empty table
+    require(files.nonEmpty,
+      s"graft AvroSource: no .avro files at ${options.get("path")}")
+    val r = new DataFileReader[GenericRecord](
+      files.head, new GenericDatumReader[GenericRecord]())
+    try AvroSource.toStruct(r.getSchema) finally r.close()
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -60,12 +62,19 @@ class AvroSource extends TableProvider {
 }
 
 object AvroSource {
+  /** List the .avro files at `path` — a directory or a single container
+    * file. A path that exists as neither FAILS LOUDLY: a typo'd path
+    * reading back as an empty table is silent data loss at the consumer,
+    * which contradicts this connector's fail-on-mis-encode posture. */
   private[sources] def listAvro(path: String): Seq[File] = {
     require(path != null && path.nonEmpty, "graft AvroSource: 'path' option is required")
     val d = new File(path)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro"))
-      .sortBy(_.getName).toSeq
+    if (d.isFile && d.getName.endsWith(".avro")) Seq(d)
+    else if (d.isDirectory)
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro"))
+        .sortBy(_.getName).toSeq
+    else throw new IllegalArgumentException(
+      s"graft AvroSource: path is neither a directory nor an .avro file: $path")
   }
 
   /** Avro writer/reader schema → Spark schema. Unions must be the
@@ -220,6 +229,12 @@ private[sources] class AvroWriteBuilder(
 
 private[sources] class AvroBatchWrite(
     schema: StructType, path: String, truncate: Boolean) extends BatchWrite {
+  // one token per logical write, minted driver-side: published names are
+  // part-NNNNN-<token>.avro, so a second append commit ACCUMULATES files
+  // instead of silently renaming over the first commit's part-00000
+  // (ATOMIC_MOVE replaces existing targets — without the token, append
+  // mode was silent data loss)
+  private val commitToken = java.util.UUID.randomUUID().toString
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AvroWriterFactory(schema, path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -229,7 +244,7 @@ private[sources] class AvroBatchWrite(
       dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro"))
         .foreach(_.delete())
     messages.zipWithIndex.foreach { case (TempFileCommit(tmp), i) =>
-      Files.move(Paths.get(tmp), Paths.get(path, f"part-$i%05d.avro"),
+      Files.move(Paths.get(tmp), Paths.get(path, f"part-$i%05d-$commitToken.avro"),
         StandardCopyOption.ATOMIC_MOVE)
     }
     Files.write(Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
@@ -256,8 +271,6 @@ private[sources] class AvroWriter(
   tmpDir.mkdirs()
   private val tmpFile = new File(tmpDir, s"attempt-$taskId-$partitionId.avro")
   private val avroSchema = AvroSource.toAvro(schema, "graft_avro")
-  private val fieldSchemas = schema.fields.indices
-    .map(i => avroSchema.getFields.get(i).schema()).toArray
   private val writer = new DataFileWriter[GenericRecord](
     new GenericDatumWriter[GenericRecord](avroSchema))
   writer.create(avroSchema, tmpFile)

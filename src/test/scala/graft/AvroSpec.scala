@@ -112,4 +112,46 @@ class AvroSpec extends SparkTestBase {
     assert(spark.read.format("graft.sources.AvroSource")
       .option("path", dir).load().count() == 5)
   }
+
+  test("append commits accumulate: commit-unique names, no silent rename-over") {
+    val dir = tmp("append")
+    // scratch dirs persist across runs; append semantics need a clean slate
+    val d0 = new File(dir)
+    if (d0.isDirectory) d0.listFiles().foreach(_.delete())
+    val base = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val n = base.count()
+    // two append commits, each coalesced to ONE writer task: without a
+    // commit-unique token both would publish part-00000.avro and the
+    // second ATOMIC_MOVE would silently replace the first (data loss)
+    base.coalesce(1).write.format("graft.sources.AvroSource")
+      .option("path", dir).mode("append").save()
+    base.coalesce(1).write.format("graft.sources.AvroSource")
+      .option("path", dir).mode("append").save()
+    val files = new File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".avro")) == 2, files.mkString(","))
+    assert(spark.read.format("graft.sources.AvroSource")
+      .option("path", dir).load().count() == 2 * n,
+      "second append must accumulate, not replace")
+  }
+
+  test("a typo'd or missing read path fails loudly, not as an empty table") {
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.AvroSource")
+        .option("path", tmp("no_such_dir_xyz")).load()
+    }
+    assert(ex.getMessage.contains("neither a directory nor an .avro file") ||
+      ex.getMessage.contains("no .avro files"), ex.getMessage)
+  }
+
+  test("a single .avro file path reads as that one file") {
+    val dir = tmp("single")
+    Tables.nation(spark, sfDir).select("n_nationkey", "n_name").coalesce(1)
+      .write.format("graft.sources.AvroSource").option("path", dir)
+      .mode("overwrite").save()
+    val one = new File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("path", one.getAbsolutePath).load()
+    assert(back.count() == Tables.nation(spark, sfDir).count())
+  }
 }

@@ -57,6 +57,21 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_manifest" -> ((s, d) => {
+      // same history as t_txn_snapshot, but EVERY commit is forced through
+      // the manifest path (threshold 0): add/remove sets live in parquet
+      // manifests, log entries are O(1), and snapshot resolution runs as
+      // the distributed anti-join (liveFilesDF). The oracle hash pins that
+      // the manifested fold is byte-identical to the inline one — the
+      // 100x-files scale mode produces the same table.
+      val t = TxnTable.fresh(s, scratch("txn_manifest"), manifestThreshold = 0)
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.overwrite(slice(s, d, 3, 4))
+      t.append(slice(s, d, 5))
+      agg(t.read())
+    }),
+
     "t_txn_time_travel" -> ((s, d) => {
       // same history; read pinned at v1 — the pre-overwrite world. The
       // overwrite at v2 must NOT leak into the v1 snapshot even though
@@ -214,6 +229,7 @@ object TTxn {
 
   val oracle: Map[String, String] = Map(
     "t_txn_snapshot" -> oracleAgg("l_linenumber IN (3, 4, 5)"),
+    "t_txn_manifest" -> oracleAgg("l_linenumber IN (3, 4, 5)"),
     "t_txn_time_travel" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_log_audit" ->
       ("SELECT CAST(0 AS BIGINT) AS version, 'append' AS action, " +

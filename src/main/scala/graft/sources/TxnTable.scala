@@ -49,30 +49,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deployment swaps the file ops for the Hadoop FileSystem API without
   * touching the protocol.
   *
-  * == Driver-memory ceiling (the format's scale bound) ==
-  * Snapshot resolution folds the log DRIVER-side: `liveFiles` holds every
-  * live path in driver memory, and `merge`/`deleteWhere` additionally
-  * `collect()` the touched-file list. That is the standard shape for
-  * log-structured table formats, and it bounds the format at
-  * O(live files + log entries) driver heap — ~100 bytes per path means
-  * one million files ≈ 100 MB: ample for this engine's compaction-
-  * disciplined tables, but a 100 TB table of 10M+ small files would need
-  * the fold moved into the data plane. The upgrade path (sketched in
-  * SURVEY §7.6) is manifest files: each commit writes its add/remove sets
-  * as a parquet MANIFEST, the log entry references manifests instead of
-  * inlining paths, and snapshot resolution becomes a Spark anti-join over
-  * manifest rows — distributed, never driver-resident. The commit
-  * protocol (atomic create-if-absent of the next version slot) is
-  * untouched by that swap, which is why it is deferred rather than built:
-  * TxnSpec pins today's bound so the ceiling is explicit, not latent.
+  * == Manifests (the 100×-files scale path) ==
+  * A commit whose add+remove set exceeds `manifestThreshold` paths writes
+  * the set as a parquet MANIFEST (`_txn_log/m-<uuid>.parquet`, columns
+  * `path`/`change`) driver-side via parquet-hadoop's example writer — KBs
+  * of metadata, no Spark job — and the log entry references the manifest
+  * plus its add/remove COUNTS instead of inlining paths. Entries are then
+  * O(1) bytes regardless of commit width, and snapshot resolution becomes
+  * `liveFilesDF`: a Spark LEFT ANTI JOIN of manifest add-rows against
+  * remove-rows (path uniqueness holds — staged dirs are UUID-named, so a
+  * path is added exactly once and, because remove-sets are computed
+  * against the serialized log tip, removed at most once — making the fold
+  * an order-free set difference). Decode and difference run in the data
+  * plane; only the LIVE list is collected, and only because the parquet
+  * scan plans splits from driver-side paths — the same irreducible
+  * collect every log-structured table format performs at scan planning.
+  * Small commits stay inline (threshold default 64): for them a driver
+  * fold over KB entries beats scheduling a Spark job. `merge`/
+  * `deleteWhere` collect only the TOUCHED file list (∝ matched files,
+  * never table size). The commit protocol (atomic create-if-absent of
+  * the next version slot) is identical in both modes; TxnSpec pins
+  * inline/manifest snapshot equivalence version by version.
   */
-final class TxnTable(val spark: SparkSession, val root: String) {
+final class TxnTable(val spark: SparkSession, val root: String,
+    val manifestThreshold: Int = TxnTable.DefaultManifestThreshold) {
   private val rootP: Path = Paths.get(root)
   private val logP: Path = rootP.resolve("_txn_log")
 
+  /** One parsed log entry. `inlineAdd`/`inlineRemove` hold the paths for
+    * inline entries; a manifested entry carries only the manifest's
+    * table-relative path plus counts, and `addsOf`/`removesOf` read the
+    * manifest on demand. */
   private case class Entry(version: Long, action: String, rows: Long,
-      add: Seq[String], remove: Seq[String], txn: Option[(String, Long)],
-      schema: Option[String])
+      inlineAdd: Seq[String], inlineRemove: Seq[String],
+      manifest: Option[String], nAdd: Long, nRemove: Long,
+      txn: Option[(String, Long)], schema: Option[String])
 
   /** Files.list with the stream closed (it holds a directory handle). */
   private def ls(p: Path): List[Path] = {
@@ -95,9 +106,68 @@ final class TxnTable(val spark: SparkSession, val root: String) {
       val i = t.lastIndexOf(':')
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
-    Entry(v, kv("action"), kv("rows").toLong, files("add"), files("remove"),
+    val (add, remove) = (files("add"), files("remove"))
+    Entry(v, kv("action"), kv("rows").toLong, add, remove,
+      kv.get("manifest"),
+      kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
+      kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
       txn, kv.get("schema"))
   }
+
+  // ------------------------------------------------------------- manifest io
+
+  private val ManifestSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message manifest { required binary path (UTF8); " +
+      "required binary change (UTF8); }")
+
+  /** Write (path, change) rows as one small parquet file under the log
+    * dir, driver-side (parquet-hadoop example writer — no Spark job; a
+    * commit must stay one metadata write however wide it is). Returns the
+    * table-relative manifest path. The file is unreferenced until the log
+    * entry that names it publishes; a lost race orphans it for `vacuum`. */
+  private def writeManifest(add: Seq[String], remove: Seq[String]): String = {
+    val rel = s"_txn_log/m-${UUID.randomUUID()}.parquet"
+    Files.createDirectories(logP)
+    val conf = spark.sessionState.newHadoopConf()
+    val out = org.apache.parquet.hadoop.util.HadoopOutputFile
+      .fromPath(new org.apache.hadoop.fs.Path(abs(rel)), conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(out).withConf(conf).withType(ManifestSchema).build()
+    try {
+      def emit(paths: Seq[String], change: String): Unit = paths.foreach { p =>
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(ManifestSchema)
+        g.add("path", p); g.add("change", change)
+        w.write(g)
+      }
+      emit(add, "add"); emit(remove, "remove")
+    } finally w.close()
+    rel
+  }
+
+  /** Driver-side manifest read (KBs), for the per-entry paths `history`
+    * never needs but `changesSince`/`vacuum` do. */
+  private def readManifest(rel: String): (Seq[String], Seq[String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(abs(rel)))
+      .withConf(conf).build()
+    val add = Vector.newBuilder[String]; val remove = Vector.newBuilder[String]
+    try {
+      var g = r.read()
+      while (g != null) {
+        val p = g.getString("path", 0)
+        if (g.getString("change", 0) == "add") add += p else remove += p
+        g = r.read()
+      }
+    } finally r.close()
+    (add.result(), remove.result())
+  }
+
+  private def addsOf(e: Entry): Seq[String] =
+    e.manifest.fold(e.inlineAdd)(readManifest(_)._1)
+  private def removesOf(e: Entry): Seq[String] =
+    e.manifest.fold(e.inlineRemove)(readManifest(_)._2)
 
   /** Latest committed version, or -1 for an empty/absent log. Versions are
     * dense (the publish primitive makes v+1 impossible to skip), so the
@@ -112,10 +182,42 @@ final class TxnTable(val spark: SparkSession, val root: String) {
 
   private def entries(upTo: Long): Seq[Entry] = (0L to upTo).map(parse)
 
-  private def liveFiles(version: Long): Seq[String] =
-    entries(version).foldLeft(Vector.empty[String]) { (live, e) =>
-      live.filterNot(e.remove.contains) ++ e.add
-    }
+  /** Snapshot resolution as a Spark plan: (path, change) rows from every
+    * entry 0..version — manifest parquet read distributed-side, inline
+    * entries as a local relation — then adds LEFT ANTI JOIN removes.
+    * Path uniqueness (see class doc) makes the log fold an order-free
+    * set difference, which is what lets it run as a join at all. One
+    * column out: `path` (table-relative), the live set at `version`. */
+  def liveFilesDF(version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val es = entries(version)
+    val inline = es.flatMap(e =>
+      e.inlineAdd.map((_, "add")) ++ e.inlineRemove.map((_, "remove")))
+    val inlineDF = inline.toDF("path", "change")
+    val manifests = es.flatMap(_.manifest).map(abs)
+    val all =
+      if (manifests.isEmpty) inlineDF
+      else inlineDF.unionByName(spark.read
+        .schema("path STRING, change STRING").parquet(manifests: _*))
+    all.filter(col("change") === "add").select("path")
+      .join(all.filter(col("change") === "remove").select("path"),
+        Seq("path"), "left_anti")
+  }
+
+  /** Live table-relative paths at `version`. Inline-only logs fold
+    * driver-side (KB entries — a Spark job would cost more than it
+    * saves); once any entry carries a manifest, resolution runs through
+    * `liveFilesDF` and only the live list lands on the driver — the
+    * scan-planning collect, ∝ live files, never ∝ history. */
+  private def liveFiles(version: Long): Seq[String] = {
+    val es = entries(version)
+    if (es.forall(_.manifest.isEmpty))
+      es.foldLeft(Vector.empty[String]) { (live, e) =>
+        live.filterNot(e.inlineRemove.contains) ++ e.inlineAdd
+      }
+    else liveFilesDF(version).collect().map(_.getString(0)).toSeq.sorted
+  }
 
   /** Publish entry `v` atomically; false = another writer won the slot. */
   private def tryCommit(v: Long, action: String, rows: Long,
@@ -123,8 +225,12 @@ final class TxnTable(val spark: SparkSession, val root: String) {
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
     Files.createDirectories(logP)
-    val body = s"action=$action\nrows=$rows\n" +
-      s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
+    val fileLines =
+      if (add.size + remove.size > manifestThreshold)
+        s"manifest=${writeManifest(add, remove)}\n" +
+          s"nadd=${add.size}\nnremove=${remove.size}\n"
+      else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n"
+    val body = s"action=$action\nrows=$rows\n" + fileLines +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
       schema.fold("")(sc => s"schema=${sc.json}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
@@ -404,7 +510,7 @@ final class TxnTable(val spark: SparkSession, val root: String) {
         e.action != "overwrite" && e.action != "merge" && e.action != "delete"),
       s"content-replacing commit inside ($since, $tip]: incremental read " +
         "invalid, re-sync from a snapshot")
-    val files = es.filter(_.action == "append").flatMap(_.add)
+    val files = es.filter(_.action == "append").flatMap(addsOf)
     if (files.isEmpty) read(tip).limit(0)
     else schemaAt(tip) match {
       // consumers get ONE stable schema per tail call (the tip's), however
@@ -418,7 +524,7 @@ final class TxnTable(val spark: SparkSession, val root: String) {
   def history(): DataFrame = {
     import spark.implicits._
     entries(currentVersion)
-      .map(e => (e.version, e.action, e.rows, e.add.size.toLong, e.remove.size.toLong))
+      .map(e => (e.version, e.action, e.rows, e.nAdd, e.nRemove))
       .toDF("version", "action", "rows", "n_added_files", "n_removed_files")
   }
 
@@ -426,33 +532,50 @@ final class TxnTable(val spark: SparkSession, val root: String) {
     * travel to versions that needed them stops working — the retention
     * trade every log-structured table format prices. Returns #deleted. */
   def vacuum(): Int = {
-    val keep = liveFiles(currentVersion).toSet
+    val tip = currentVersion
+    val keep = liveFiles(tip).toSet
     val all = ls(rootP)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
       .flatMap(d => ls(d))
       .map(p => rootP.relativize(p).toString)
     val gone = all.filterNot(keep)
     gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
-    gone.size
+    // manifests referenced by ANY entry stay (time travel replays them);
+    // only race-orphaned ones — written but never published — go
+    val refd = entries(tip).flatMap(_.manifest)
+      .map(m => rootP.resolve(m).getFileName.toString).toSet
+    val orphans = ls(logP).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n)
+    }
+    orphans.foreach(Files.deleteIfExists(_))
+    gone.size + orphans.size
   }
 }
 
 object TxnTable {
+  /** Commits wider than this many paths write a manifest instead of
+    * inlining; below it, the entry is self-contained and the driver fold
+    * is cheaper than any job. */
+  val DefaultManifestThreshold = 64
+
   /** Open (possibly not-yet-existing) table at `root`. */
-  def at(spark: SparkSession, root: String): TxnTable = {
+  def at(spark: SparkSession, root: String,
+      manifestThreshold: Int = DefaultManifestThreshold): TxnTable = {
     Files.createDirectories(Paths.get(root))
-    new TxnTable(spark, root)
+    new TxnTable(spark, root, manifestThreshold)
   }
 
   /** Wipe and reopen — the deterministic-fixture entry point the query
     * keys use so every invocation replays the same history from v0. */
-  def fresh(spark: SparkSession, root: String): TxnTable = {
+  def fresh(spark: SparkSession, root: String,
+      manifestThreshold: Int = DefaultManifestThreshold): TxnTable = {
     val p = Paths.get(root)
     if (Files.exists(p)) {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
     }
-    at(spark, root)
+    at(spark, root, manifestThreshold)
   }
 }

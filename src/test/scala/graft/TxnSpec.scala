@@ -325,6 +325,74 @@ class TxnSpec extends SparkTestBase {
       "read picked up a file the log never committed")
   }
 
+  test("manifest mode: wide commits reference a parquet manifest, entries stay O(1)") {
+    val t = TxnTable.fresh(spark, dir("manifest"), manifestThreshold = 0)
+    t.append((0 until 32).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(8))                            // v0: 8-file commit
+    t.append(Seq((100L, "x")).toDF("k", "v"))     // v1: 1-file commit
+    val logDir = Paths.get(t.root).resolve("_txn_log")
+    val e0 = Files.size(logDir.resolve("v00000.txn"))
+    val e1 = Files.size(logDir.resolve("v00001.txn"))
+    // the log entry carries a manifest reference + counts, never paths —
+    // so an 8-file commit's entry is no bigger than a 1-file commit's
+    assert(math.abs(e0 - e1) < 64, s"entry size grew with commit width: $e0 vs $e1")
+    val body0 = new String(Files.readAllBytes(logDir.resolve("v00000.txn")), "UTF-8")
+    assert(body0.linesIterator.exists(_.startsWith("manifest=_txn_log/m-")))
+    assert(body0.linesIterator.forall(l =>
+      !l.startsWith("add=") && !l.startsWith("remove=")), s"paths inlined:\n$body0")
+    assert(body0.contains("nadd=8"), s"manifest counts missing:\n$body0")
+    assert(t.history().orderBy("version")
+      .select("n_added_files").as[Long].collect().toSeq == Seq(8L, 1L))
+    // snapshot resolution is the distributed anti-join, and its live set
+    // matches what the scan actually binds
+    val planned = t.liveFilesDF(1L)
+    assert(planned.queryExecution.analyzed.toString.contains("LeftAnti"),
+      "manifest resolution should be an anti-join plan")
+    val live = planned.as[String].collect().map(p => s"${t.root}/$p").toSet
+    assert(t.read().inputFiles.map(_.stripPrefix("file://")).toSet == live)
+    assert(t.read().count() == 33)
+  }
+
+  test("manifest mode matches inline mode across the full DML history") {
+    val tm = TxnTable.fresh(spark, dir("mani_eq"), manifestThreshold = 0)
+    val ti = TxnTable.fresh(spark, dir("mani_eq_inline"),
+      manifestThreshold = Int.MaxValue)
+    def content(t: TxnTable, v: Long = -1L) =
+      t.read(v).as[(Long, String)].collect().toSet
+    def step(f: TxnTable => Unit): Unit = {
+      f(tm); f(ti)
+      assert(tm.currentVersion == ti.currentVersion)
+      assert(content(tm) == content(ti),
+        s"modes diverged at v${tm.currentVersion}")
+    }
+    step(_.append((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v").repartition(4)))
+    step(_.append(Seq((20L, "v20")).toDF("k", "v")))
+    step(_.compact(target = 2, clusterBy = Seq("k")))
+    step(_.merge(Seq((3L, "V3"), (99L, "V99")).toDF("k", "v"), Seq("k"),
+      clusterBy = Seq("k")))
+    step(_.deleteWhere(col("k") >= 15L && col("k") < 20L))
+    val preOw = tm.currentVersion
+    step(_.overwrite(Seq((1L, "one"), (2L, "two")).toDF("k", "v")))
+    step(_.append(Seq((3L, "three")).toDF("k", "v")))
+    // time travel folds manifested history identically
+    (0L to preOw).foreach(v => assert(content(tm, v) == content(ti, v),
+      s"time travel diverged at v$v"))
+    assert(tm.history().select("version", "action", "rows")
+      .as[(Long, String, Long)].collect().toSeq ==
+      ti.history().select("version", "action", "rows")
+        .as[(Long, String, Long)].collect().toSeq)
+    // change feed over the post-overwrite segment delivers identically
+    assert(tm.changesSince(preOw + 1).as[(Long, String)].collect().toSet ==
+      ti.changesSince(preOw + 1).as[(Long, String)].collect().toSet)
+    // idempotent ledger rides the manifested log too
+    assert(tm.appendIdempotent(Seq((9L, "b0")).toDF("k", "v"), "app", 0L) >= 0)
+    assert(tm.appendIdempotent(Seq((9L, "XX")).toDF("k", "v"), "app", 0L) == -1L)
+    // vacuum reclaims replaced data AND race-orphaned manifests; the
+    // latest snapshot and every referenced manifest survive
+    assert(tm.vacuum() >= 1)
+    assert(content(tm) == Set((1L, "one"), (2L, "two"), (3L, "three"), (9L, "b0")))
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

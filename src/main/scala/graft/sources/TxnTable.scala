@@ -83,6 +83,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private case class Entry(version: Long, action: String, rows: Long,
       inlineAdd: Seq[String], inlineRemove: Seq[String],
       manifest: Option[String], nAdd: Long, nRemove: Long,
+      dv: Option[String],
       txn: Option[(String, Long)], schema: Option[String])
 
   /** Files.list with the stream closed (it holds a directory handle). */
@@ -111,6 +112,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       kv.get("manifest"),
       kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
       kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
+      kv.get("dv"),
       txn, kv.get("schema"))
   }
 
@@ -223,7 +225,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def tryCommit(v: Long, action: String, rows: Long,
       add: Seq[String], remove: Seq[String],
       txn: Option[(String, Long)] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      dv: Option[String] = None): Boolean = {
     Files.createDirectories(logP)
     val fileLines =
       if (add.size + remove.size > manifestThreshold)
@@ -231,6 +234,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
           s"nadd=${add.size}\nnremove=${remove.size}\n"
       else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n"
     val body = s"action=$action\nrows=$rows\n" + fileLines +
+      dv.fold("")(p => s"dv=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
       schema.fold("")(sc => s"schema=${sc.json}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
@@ -255,14 +259,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted
+    (files, parquetRowCount(files))
+  }
+
+  /** Exact row count from parquet FOOTER metadata (block counts) —
+    * driver-side KBs, no Spark job. */
+  private def parquetRowCount(files: Seq[String]): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val rows = files.map { f =>
+    files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(abs(f)), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
-    (files, rows)
   }
 
   private def abs(rel: String): String = rootP.resolve(rel).toString
@@ -395,20 +404,45 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   // ------------------------------------------------------------------- read
 
-  /** Snapshot read at `version` (default: latest). The returned plan scans
-    * exactly the files live at that version. */
-  def read(version: Long = -1L): DataFrame = {
+  /** Snapshot with per-row provenance columns appended — `_f` (table-
+    * relative file path) and `_idx` (row position within the file, the
+    * parquet `_metadata.row_index` generated column) — and every deletion
+    * vector committed at ≤ `version` already applied (an anti-join on
+    * (file, position) against the DV sidecars: rows a DV marks deleted
+    * never surface). `merge`/`deleteWhere` build on the tags; `read`
+    * drops them. */
+  private def readTagged(version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
     val files = liveFiles(v).map(abs)
-    schemaAt(v) match {
+    val base0 = schemaAt(v) match {
       // the LOG schema drives the scan: files staged before an additive
       // evolution lack the new columns and read as NULL — no footer
       // merge pass, no file rewrite
       case Some(sc) => spark.read.schema(sc).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+    // table-relative tag: strip everything up to and including the table
+    // root by POSITION (instr), not by an assumed scheme prefix — the
+    // metadata column spells the URI "file:/abs" with a single slash
+    val marker = rootP.toAbsolutePath.toString + "/"
+    val base = base0
+      .withColumn("_f", expr("substring(_metadata.file_path, " +
+        s"instr(_metadata.file_path, '$marker') + ${marker.length})"))
+      .withColumn("_idx", col("_metadata.row_index"))
+    val dvs = entries(v).flatMap(_.dv)
+    if (dvs.isEmpty) base
+    else base.join(
+      spark.read.schema("path STRING, row_idx BIGINT").parquet(dvs.map(abs): _*)
+        .withColumnRenamed("path", "_dvp").withColumnRenamed("row_idx", "_dvi"),
+      col("_f") === col("_dvp") && col("_idx") === col("_dvi"), "left_anti")
   }
+
+  /** Snapshot read at `version` (default: latest). The returned plan scans
+    * exactly the files live at that version, minus any DV-deleted rows. */
+  def read(version: Long = -1L): DataFrame =
+    readTagged(version).drop("_f", "_idx")
 
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of
     * `updates` replace same-key rows, new keys append. Only files that
@@ -432,24 +466,21 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * that reason). */
   def merge(updates: DataFrame, keyCols: Seq[String],
       clusterBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
-    val live = liveFiles(v)
     val keyExpr = keyCols.map(col)
-    // absolute-path tag → table-relative, to match the log's file names
-    val tagged = read(v).withColumn("_f", input_file_name())
-    val absOf = live.map(f => "file://" + abs(f) -> f).toMap ++
-      live.map(f => "file:" + abs(f) -> f).toMap ++ live.map(f => abs(f) -> f).toMap
-    val touchedAbs = tagged
+    // `_f` is the table-relative provenance tag (matches the log's file
+    // names directly); DVs are already applied, so a DV-deleted row can
+    // neither mark its file touched nor survive into the rewrite
+    val tagged = readTagged(v).drop("_idx")
+    val touched = tagged
       .join(updates.select(keyExpr: _*).distinct(), keyCols)
-      .select("_f").distinct().collect().map(_.getString(0))
-    val touched = touchedAbs.map(a => absOf.getOrElse(a,
-      throw new IllegalStateException(s"untracked file in scan: $a"))).toSeq.sorted
+      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
     // rewritten content: touched files' unmatched rows + ALL update rows
     // (matched replacements and brand-new keys land together)
     val touchedRows = if (touched.isEmpty) updates.limit(0)
-      else tagged.filter(col("_f").isin(touchedAbs.toSeq: _*)).drop("_f")
+      else tagged.filter(col("_f").isin(touched: _*)).drop("_f")
         .join(updates.select(keyExpr: _*).distinct(), keyCols, "left_anti")
     val merged = touchedRows.unionByName(updates, allowMissingColumns = true)
     val staged =
@@ -464,26 +495,51 @@ final class TxnTable(val spark: SparkSession, val root: String,
     v + 1
   }
 
-  /** DELETE WHERE at file granularity, same shape as `merge`: only files
-    * CONTAINING a matching row are rewritten (without their matches);
-    * fully-unmatched files stay live untouched. Rows where `cond` is NULL
-    * are KEPT (SQL DELETE semantics: only provably-true rows go). A
-    * delete matching nothing is a metadata no-op — no commit at all. */
-  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+  /** DELETE WHERE. Rows where `cond` is NULL are KEPT (SQL DELETE
+    * semantics: only provably-true rows go); a delete matching nothing is
+    * a metadata no-op — no commit at all. Two physical modes, one
+    * logical result (TxnSpec pins snapshot equivalence):
+    *
+    *  - `dv = false` (copy-on-write, the default): file granularity, same
+    *    shape as `merge` — only files CONTAINING a matching row are
+    *    rewritten (without their matches); fully-unmatched files stay
+    *    live untouched.
+    *  - `dv = true` (merge-on-read): no data file moves at all. The
+    *    matched rows' (file, position) pairs are written as a DELETION
+    *    VECTOR sidecar (`_dv/dv-<uuid>`, parquet) and the commit entry
+    *    references it; every read at ≥ this version anti-joins the DVs
+    *    out. Point deletes on a 100 TB table then cost ∝ matches, not
+    *    ∝ touched-file bytes — the rewrite is deferred to the next
+    *    `compact`/`merge` of those files, which reads THROUGH the DVs
+    *    and so materializes the deletion (standard merge-on-read). The
+    *    entry's `rows` field records the DELETED count for DV commits
+    *    (the rewritten keep-count for copy-on-write ones). */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+      dv: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
-    val live = liveFiles(v)
-    val tagged = read(v).withColumn("_f", input_file_name())
-    val touchedAbs = tagged.filter(coalesce(cond, lit(false)))
-      .select("_f").distinct().collect().map(_.getString(0))
-    if (touchedAbs.isEmpty) return v
-    val absOf = live.map(f => "file://" + abs(f) -> f).toMap ++
-      live.map(f => "file:" + abs(f) -> f).toMap ++ live.map(f => abs(f) -> f).toMap
-    val touched = touchedAbs.map(a => absOf.getOrElse(a,
-      throw new IllegalStateException(s"untracked file in scan: $a"))).toSeq.sorted
-    val keep = tagged.filter(col("_f").isin(touchedAbs.toSeq: _*))
-      .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f")
+    val tagged = readTagged(v)
+    if (dv) {
+      val rel = s"_dv/dv-${UUID.randomUUID()}"
+      tagged.filter(coalesce(cond, lit(false)))
+        .select(col("_f").as("path"), col("_idx").as("row_idx"))
+        .write.parquet(abs(rel))
+      val nDel = parquetRowCount(ls(rootP.resolve(rel))
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(f => s"$rel/$f"))
+      if (nDel == 0) return v // nothing matched: leave no commit behind
+      if (!tryCommit(v + 1, "delete", nDel, Nil, Nil, None, schemaAt(v),
+          dv = Some(rel)))
+        throw new IllegalStateException(
+          s"delete lost the race at v${v + 1}; re-run against the new tip")
+      return v + 1
+    }
+    val touched = tagged.filter(coalesce(cond, lit(false)))
+      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return v
+    val keep = tagged.filter(col("_f").isin(touched: _*))
+      .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
     val (files, rows) = stage(keep)
     if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v)))
       throw new IllegalStateException(
@@ -540,16 +596,27 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .map(p => rootP.relativize(p).toString)
     val gone = all.filterNot(keep)
     gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
-    // manifests referenced by ANY entry stay (time travel replays them);
-    // only race-orphaned ones — written but never published — go
-    val refd = entries(tip).flatMap(_.manifest)
+    // manifests and DV sidecars referenced by ANY entry stay (time travel
+    // replays them); only race-orphaned ones — written, never published — go
+    val es = entries(tip)
+    val refd = es.flatMap(_.manifest)
       .map(m => rootP.resolve(m).getFileName.toString).toSet
     val orphans = ls(logP).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n)
     }
     orphans.foreach(Files.deleteIfExists(_))
-    gone.size + orphans.size
+    val dvRoot = rootP.resolve("_dv")
+    val dvRefd = es.flatMap(_.dv).map(rootP.resolve(_).getFileName.toString).toSet
+    val dvOrphans =
+      if (!Files.isDirectory(dvRoot)) Nil
+      else ls(dvRoot).filter(p => !dvRefd.contains(p.getFileName.toString))
+    dvOrphans.foreach { d =>
+      val w = Files.walk(d)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    gone.size + orphans.size + dvOrphans.size
   }
 }
 

@@ -393,6 +393,54 @@ class TxnSpec extends SparkTestBase {
     assert(content(tm) == Set((1L, "one"), (2L, "two"), (3L, "three"), (9L, "b0")))
   }
 
+  test("deletion-vector delete: no file rewrite, reads apply the DV, equal to copy-on-write") {
+    // two tables, identical history; one deletes copy-on-write, the other
+    // merge-on-read — every logical surface must agree
+    val tc = TxnTable.fresh(spark, dir("dv_cow"))
+    val tm = TxnTable.fresh(spark, dir("dv_mor"))
+    Seq(tc, tm).foreach { t =>
+      t.append(Seq((1L, Some(5L)), (2L, None)).toDF("k", "n"))
+      t.append(Seq((3L, Some(50L)), (4L, Some(60L))).toDF("k", "n"))
+    }
+    def dataFiles(t: TxnTable) =
+      t.read().inputFiles.filter(_.contains("/d-")).toSet
+    val morBefore = dataFiles(tm)
+    tc.deleteWhere(col("n") < 10)
+    tm.deleteWhere(col("n") < 10, dv = true)
+    // k=1 gone, k=2 (NULL cond) kept — identical content both modes
+    def content(t: TxnTable) =
+      t.read().as[(Long, Option[Long])].collect().toSet
+    assert(content(tc) == content(tm))
+    assert(content(tm) == Set((2L, None), (3L, Some(50L)), (4L, Some(60L))))
+    // merge-on-read moved NO data file (copy-on-write file granularity is
+    // pinned in its own test above)
+    assert(dataFiles(tm) == morBefore, "DV delete must not rewrite data files")
+    // time travel: the pre-delete snapshot still shows the deleted row
+    assert(tm.read(1).count() == 4)
+    // a second DV delete stacks on the first
+    tm.deleteWhere(col("k") === 4L, dv = true)
+    assert(content(tm) == Set((2L, None), (3L, Some(50L))))
+    // history records the DELETED count for DV commits
+    assert(tm.history().filter(col("action") === "delete")
+      .select("rows").as[Long].collect().toSeq == Seq(1L, 1L))
+    // tailing across a DV delete is unsound, like the rewrite mode
+    intercept[IllegalArgumentException](tm.changesSince(0).count())
+    // no-match DV delete: no commit, version unchanged
+    val v = tm.currentVersion
+    assert(tm.deleteWhere(col("k") > 1000L, dv = true) == v)
+    assert(tm.currentVersion == v)
+    // merge THROUGH a DV: deleted rows neither match nor resurface
+    tm.merge(Seq((3L, Some(99L)), (7L, Some(70L))).toDF("k", "n"), Seq("k"))
+    assert(content(tm) == Set((2L, None), (3L, Some(99L)), (7L, Some(70L))))
+    // compact materializes the deletions; content invariant, DVs spent
+    tm.compact(target = 1)
+    assert(content(tm) == Set((2L, None), (3L, Some(99L)), (7L, Some(70L))))
+    // vacuum keeps referenced DV sidecars (time travel) but reclaims the
+    // no-match orphan dir and the pre-compact data files
+    assert(tm.vacuum() >= 1)
+    assert(content(tm) == Set((2L, None), (3L, Some(99L)), (7L, Some(70L))))
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

@@ -370,10 +370,14 @@ object OCurate {
     * bin, and no shard can hold 2³² docs). Sources smaller
     * than maxShardDocs get exactly one shard — bit-identical to global
     * FFD. Deterministic: the (−n_tokens, doc_id) sort is total. Docs
-    * longer than `seqLen` get a dedicated (overflowing) bin each. Not
-    * SQL-expressible (bin state is a fold) → scalatest-covered, no
-    * DuckDB oracle. Returns (doc_id, source, n_tokens, bin_id,
-    * bin_fill) with bin_fill = the bin's final token count. */
+    * longer than `seqLen` get a dedicated (overflowing) bin each.
+    * Oracle-checked since r11: the fold IS SQL-expressible in a dialect
+    * with list-valued recursive-CTE state (the DuckDB formulation in the
+    * oracle map carries the bin-fill vector per step); the oracle covers
+    * the single-shard regime (every oracle-scale source is < maxShardDocs
+    * docs), the sharded regime stays CurateSpec's. Returns (doc_id,
+    * source, n_tokens, bin_id, bin_fill) with bin_fill = the bin's final
+    * token count. */
   def packFfd(docs: DataFrame, seqLen: Int = SEQ_LEN,
       maxShardDocs: Int = 1 << 16): DataFrame = {
     val s = docs.sparkSession
@@ -548,6 +552,37 @@ object OCurate {
         "round(coalesce(dup_tri::DOUBLE / n_tri, 0), 4) <= 0.3 AS keep " +
         "FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) " +
         "ORDER BY b.doc_id"),
+    // FFD is a sequential fold, but DuckDB's recursive CTEs carry LIST
+    // state — one row per (source, step) holds the bin-fill vector, the
+    // first-fit index comes from a list_filter lambda, and the final
+    // per-source fill vector supplies bin_fill. Valid at oracle scale
+    // because every source has < 2^16 docs there, so Spark's
+    // shard-salting degenerates to shard 0 and bin_id = local bin (the
+    // single-shard case the scaladoc notes is bit-identical to global
+    // FFD); the sharded regime stays CurateSpec's job.
+    "i_pack_ffd" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, source, n_tokens, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM t), " +
+        "pack AS (SELECT source, CAST(0 AS BIGINT) AS rn, " +
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, " +
+        "CAST(NULL AS BIGINT) AS bin, CAST([] AS BIGINT[]) AS fills " +
+        "FROM (SELECT DISTINCT source FROM o) " +
+        "UNION ALL SELECT o.source, o.rn, o.doc_id, o.n_tokens, " +
+        "CASE WHEN x.idx IS NULL THEN len(p.fills) ELSE x.idx - 1 END, " +
+        "CASE WHEN x.idx IS NULL THEN list_append(p.fills, o.n_tokens) " +
+        "ELSE list_transform(range(1, len(p.fills) + 1), " +
+        "i -> CASE WHEN i = x.idx THEN p.fills[i] + o.n_tokens " +
+        "ELSE p.fills[i] END) END " +
+        "FROM pack p JOIN o ON o.source = p.source AND o.rn = p.rn + 1, " +
+        "LATERAL (SELECT list_filter(range(1, len(p.fills) + 1), " +
+        s"i -> p.fills[i] + o.n_tokens <= $SEQ_LEN)[1] AS idx) x), " +
+        "fin AS (SELECT source, fills FROM pack p WHERE rn = " +
+        "(SELECT max(rn) FROM pack q WHERE q.source = p.source)) " +
+        "SELECT p.doc_id, p.source, p.n_tokens, CAST(p.bin AS BIGINT) AS bin_id, " +
+        "f.fills[CAST(p.bin + 1 AS INT)] AS bin_fill " +
+        "FROM pack p JOIN fin f USING (source) WHERE p.rn > 0 ORDER BY p.doc_id"),
     "i_seq_pack" ->
       ("WITH t AS (SELECT doc_id, source, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +

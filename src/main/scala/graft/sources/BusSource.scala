@@ -27,15 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * StreamingSpec pins restart-no-duplication, replay, and multi-partition
   * range planning.
   *
-  * `BusBroker` is the declared in-JVM stand-in (like the multimodal
-  * decoder stub): records live in driver memory, which local[n] executors
-  * share, so `PartitionReader.get` reads them directly. A production
-  * deployment replaces ONLY the three `BusBroker` calls (endOffsets,
-  * fetch — a network client on the executor — and publish); every line
-  * Spark touches (offsets, planning, readers, checkpoint JSON) is the real
-  * contract and ships unchanged. Scale posture: partitions read in
-  * parallel with no cross-partition coordination; offsets are per-
-  * partition longs so checkpoint state is O(partitions) bytes.
+  * The broker behind the topic is a SEAM (`BusBrokerApi`), with two
+  * implementations proving it: `MemBroker` (in-JVM append-only logs, the
+  * fast fixture) and `FileBroker` (`file:`-prefixed topics; on-disk
+  * partition logs with atomic create-if-absent offset slots — reachable
+  * and consistent across processes). A production deployment replaces
+  * ONLY the broker calls (endOffsets, fetch — a network client on the
+  * executor — and publish); every line Spark touches (offsets, planning,
+  * readers, checkpoint JSON) is the real contract and ships unchanged —
+  * StreamingSpec runs the same exactly-once/restart/replay matrix
+  * against BOTH brokers, so that portability is tested, not asserted.
+  * Scale posture: partitions read in parallel with no cross-partition
+  * coordination; offsets are per-partition longs so checkpoint state is
+  * O(partitions) bytes.
   *
   * Usage:
   * {{{
@@ -64,10 +68,45 @@ object BusSource {
     StructField("value", StringType, nullable = false)))
 }
 
+/** The broker seam: what a production deployment swaps for a network
+  * client. Everything Spark drives (offsets, planning, readers,
+  * checkpoint JSON) sits ABOVE this trait and is broker-agnostic — the
+  * portability claim StreamingSpec tests by running the full micro-batch
+  * matrix against both implementations below. */
+trait BusBrokerApi {
+  def create(topic: String, nPartitions: Int): Unit
+  def delete(topic: String): Unit
+  def nPartitions(topic: String): Int
+  /** Append one record; the partition is the key's hash (stable across
+    * publishers, like a keyed producer). Returns (partition, offset). */
+  def publish(topic: String, key: String, value: String): (Int, Long)
+  def endOffsets(topic: String): Array[Long]
+  /** Records of `partition` with offsets in [from, until). */
+  def fetch(topic: String, partition: Int, from: Long, until: Long)
+      : IndexedSeq[(Long, String, String)]
+}
+
+/** Router: `file:`-prefixed topics live on disk (`FileBroker`, reachable
+  * from any process), everything else in this JVM (`MemBroker`). The
+  * DSv2 classes only ever see topic strings, so the choice of broker is
+  * invisible to the Spark-facing contract. */
+object BusBroker extends BusBrokerApi {
+  private def impl(topic: String): BusBrokerApi =
+    if (topic.startsWith("file:")) FileBroker else MemBroker
+  def create(topic: String, nPartitions: Int): Unit = impl(topic).create(topic, nPartitions)
+  def delete(topic: String): Unit = impl(topic).delete(topic)
+  def nPartitions(topic: String): Int = impl(topic).nPartitions(topic)
+  def publish(topic: String, key: String, value: String): (Int, Long) =
+    impl(topic).publish(topic, key, value)
+  def endOffsets(topic: String): Array[Long] = impl(topic).endOffsets(topic)
+  def fetch(topic: String, partition: Int, from: Long, until: Long)
+      : IndexedSeq[(Long, String, String)] = impl(topic).fetch(topic, partition, from, until)
+}
+
 /** The in-JVM broker: per-topic, per-partition append-only record logs.
   * Publish is the only mutation; records are never rewritten, so any
   * offset range reads back identically forever (infinite retention). */
-object BusBroker {
+object MemBroker extends BusBrokerApi {
   private case class Topic(parts: Array[ArrayBuffer[(String, String)]])
   private val topics = TrieMap.empty[String, Topic]
 
@@ -78,8 +117,6 @@ object BusBroker {
 
   def nPartitions(topic: String): Int = topics(topic).parts.length
 
-  /** Append one record; the partition is the key's hash (stable across
-    * publishers, like a keyed Kafka producer). Returns (partition, offset). */
   def publish(topic: String, key: String, value: String): (Int, Long) = {
     val t = topics(topic)
     val p = math.floorMod(key.hashCode, t.parts.length)
@@ -90,7 +127,6 @@ object BusBroker {
   def endOffsets(topic: String): Array[Long] =
     topics(topic).parts.map(l => l.synchronized(l.length.toLong))
 
-  /** Records of `partition` with offsets in [from, until). */
   def fetch(topic: String, partition: Int, from: Long, until: Long)
       : IndexedSeq[(Long, String, String)] = {
     val log = topics(topic).parts(partition)
@@ -98,6 +134,82 @@ object BusBroker {
       (from until until).map(o => (o, log(o.toInt)._1, log(o.toInt)._2))
     }
   }
+}
+
+/** File-backed multi-PROCESS broker: topic = `file:<dir>`, partition =
+  * `p-<i>` subdirectory, record = one `%012d.rec` file (DataOutputStream
+  * writeUTF key then value — length-prefixed, so keys/values may contain
+  * anything). Offset allocation is the txn-log publish primitive: write a
+  * tmp file, `Files.createLink` it into the next offset slot; losing a
+  * race to a concurrent publisher (same JVM or another process) just
+  * retries the next slot, so offsets stay dense and no record is ever
+  * overwritten. All state is on disk — a second process (or a restarted
+  * one) sees the same topic with no handshake, which is what makes the
+  * StreamingSpec matrix against this broker a real portability test
+  * rather than a same-object rerun. One file per record keeps the
+  * publish atomic and the fixture honest at test scale; a production
+  * file broker would batch segments exactly like the bus products do,
+  * behind the same six calls. */
+object FileBroker extends BusBrokerApi {
+  import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+  import scala.jdk.CollectionConverters._
+
+  private def root(topic: String): Path = Paths.get(topic.stripPrefix("file:"))
+  private def part(topic: String, p: Int): Path = root(topic).resolve(s"p-$p")
+  private def rec(topic: String, p: Int, off: Long): Path =
+    part(topic, p).resolve(f"$off%012d.rec")
+
+  private def ls(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  def create(topic: String, nPartitions: Int): Unit =
+    (0 until nPartitions).foreach(p => Files.createDirectories(part(topic, p)))
+
+  def delete(topic: String): Unit = {
+    val r = root(topic)
+    if (Files.exists(r)) {
+      val w = Files.walk(r)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+  }
+
+  def nPartitions(topic: String): Int =
+    ls(root(topic)).count(_.getFileName.toString.startsWith("p-"))
+
+  private def endOffset(topic: String, p: Int): Long =
+    ls(part(topic, p)).map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".rec") => n.stripSuffix(".rec").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+
+  def publish(topic: String, key: String, value: String): (Int, Long) = {
+    val p = math.floorMod(key.hashCode, nPartitions(topic))
+    val tmp = part(topic, p).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(tmp))
+    try { out.writeUTF(key); out.writeUTF(value) } finally out.close()
+    try {
+      var off = endOffset(topic, p)
+      var done = false
+      while (!done) {
+        try { Files.createLink(rec(topic, p, off), tmp); done = true }
+        catch { case _: FileAlreadyExistsException => off += 1 }
+      }
+      (p, off)
+    } finally Files.delete(tmp)
+  }
+
+  def endOffsets(topic: String): Array[Long] =
+    Array.tabulate(nPartitions(topic))(endOffset(topic, _))
+
+  def fetch(topic: String, partition: Int, from: Long, until: Long)
+      : IndexedSeq[(Long, String, String)] =
+    (from until until).map { off =>
+      val in = new java.io.DataInputStream(
+        java.nio.file.Files.newInputStream(rec(topic, partition, off)))
+      try (off, in.readUTF(), in.readUTF()) finally in.close()
+    }
 }
 
 class BusTable(topic: String) extends Table with SupportsRead {

@@ -452,12 +452,20 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.size == 2)
   }
 
-  // ---- BusSource: the DSv2 micro-batch contract against the in-JVM broker
+  // ---- BusSource: the DSv2 micro-batch contract, run against BOTH
+  // brokers behind the seam (mem = in-JVM logs, file = on-disk logs with
+  // atomic offset slots). Identical matrix, so "swap the broker, keep
+  // every Spark-facing line" is a tested property, not scaladoc prose.
 
   import graft.sources.{BusBroker, BusOffset}
 
-  private def busTopic(): String =
-    s"bus_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+  private val brokerKinds = Seq("mem", "file")
+
+  private def busTopic(kind: String): String = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    if (kind == "file") "file:" + graft.queries.scratch(s"bus_file_$id")
+    else s"bus_spec_$id"
+  }
 
   test("bus source: offsets JSON-roundtrip through the checkpoint format") {
     val o = BusOffset(Array(0L, 17L, 123456789012L))
@@ -465,12 +473,30 @@ class StreamingSpec extends SparkTestBase {
     assert(BusOffset.parse(BusOffset(Array.empty[Long]).json()).ends.isEmpty)
   }
 
-  test("bus source: multi-partition range planning reads every record exactly once") {
-    val topic = busTopic()
+  test("file broker: concurrent publishers get dense unique offsets, state is on disk") {
+    val topic = busTopic("file")
+    BusBroker.create(topic, 1)
+    try {
+      // 4 racing publisher threads — the create-if-absent slot protocol
+      // must serialize them without loss (the cross-process story run
+      // in-process: the contention path is identical, the state is disk)
+      val ts = (0 until 4).map(w => new Thread(() =>
+        (0 until 10).foreach(i => { BusBroker.publish(topic, s"k$w-$i", s"v$w-$i"); () })))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(BusBroker.endOffsets(topic).toSeq == Seq(40L))
+      val recs = BusBroker.fetch(topic, 0, 0L, 40L)
+      assert(recs.map(_._1).toSeq == (0L until 40L), "offsets not dense")
+      assert(recs.map(_._2).distinct.length == 40, "a record was overwritten")
+    } finally BusBroker.delete(topic)
+  }
+
+  for (kind <- brokerKinds)
+  test(s"bus source [$kind]: multi-partition range planning reads every record exactly once") {
+    val topic = busTopic(kind)
     BusBroker.create(topic, 3)
     try {
       (0 until 97).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
-      val name = "bus_mp"
+      val name = s"bus_mp_$kind"
       val q = spark.readStream.format("graft.sources.BusSource")
         .option("topic", topic).load()
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -489,8 +515,9 @@ class StreamingSpec extends SparkTestBase {
     } finally BusBroker.delete(topic)
   }
 
-  test("bus source: checkpoint restart resumes from committed offsets, no duplication") {
-    val topic = busTopic()
+  for (kind <- brokerKinds)
+  test(s"bus source [$kind]: checkpoint restart resumes from committed offsets, no duplication") {
+    val topic = busTopic(kind)
     BusBroker.create(topic, 2)
     val ckpt = graft.queries.scratch(
       s"bus_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -519,33 +546,35 @@ class StreamingSpec extends SparkTestBase {
     } finally BusBroker.delete(topic)
   }
 
-  test("bus source: Trigger.AvailableNow drains the backlog, caps at start, stops itself") {
+  for (kind <- brokerKinds)
+  test(s"bus source [$kind]: Trigger.AvailableNow drains the backlog, caps at start, stops itself") {
     import org.apache.spark.sql.streaming.Trigger
-    val topic = busTopic()
+    val topic = busTopic(kind)
     BusBroker.create(topic, 2)
     try {
       (0 until 30).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
       val q = spark.readStream.format("graft.sources.BusSource")
         .option("topic", topic).load()
-        .writeStream.format("memory").queryName("bus_an").outputMode("append")
+        .writeStream.format("memory").queryName(s"bus_an_$kind").outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       assert(q.awaitTermination(120000), "AvailableNow query did not stop itself")
-      assert(spark.table("bus_an").count() == 30)
+      assert(spark.table(s"bus_an_$kind").count() == 30)
       // a second AvailableNow run picks up exactly the records published
       // after the first run's cap (fresh query, no checkpoint → from
       // earliest, so 30 old + 5 new)
       (0 until 5).foreach(i => BusBroker.publish(topic, s"n$i", s"w$i"))
       val q2 = spark.readStream.format("graft.sources.BusSource")
         .option("topic", topic).load()
-        .writeStream.format("memory").queryName("bus_an2").outputMode("append")
+        .writeStream.format("memory").queryName(s"bus_an2_$kind").outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       assert(q2.awaitTermination(120000))
-      assert(spark.table("bus_an2").count() == 35)
+      assert(spark.table(s"bus_an2_$kind").count() == 35)
     } finally BusBroker.delete(topic)
   }
 
-  test("bus source: maxRecordsPerTrigger paces the backlog into bounded batches") {
-    val topic = busTopic()
+  for (kind <- brokerKinds)
+  test(s"bus source [$kind]: maxRecordsPerTrigger paces the backlog into bounded batches") {
+    val topic = busTopic(kind)
     BusBroker.create(topic, 3)
     try {
       (0 until 100).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
@@ -566,8 +595,9 @@ class StreamingSpec extends SparkTestBase {
     } finally BusBroker.delete(topic)
   }
 
-  test("bus source: a fresh query replays the retained log from earliest") {
-    val topic = busTopic()
+  for (kind <- brokerKinds)
+  test(s"bus source [$kind]: a fresh query replays the retained log from earliest") {
+    val topic = busTopic(kind)
     BusBroker.create(topic, 2)
     try {
       (0 until 40).foreach(i => BusBroker.publish(topic, s"k$i", s"v$i"))
@@ -580,8 +610,8 @@ class StreamingSpec extends SparkTestBase {
       }
       // two independent queries (no shared checkpoint): each reads the full
       // log — the broker retains records, consumption does not destroy them
-      assert(readAll("bus_replay_1") == 40)
-      assert(readAll("bus_replay_2") == 40)
+      assert(readAll(s"bus_replay_1_$kind") == 40)
+      assert(readAll(s"bus_replay_2_$kind") == 40)
     } finally BusBroker.delete(topic)
   }
 }

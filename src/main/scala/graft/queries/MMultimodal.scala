@@ -154,3 +154,38 @@ class StubDecoder private () extends Serializable {
 object StubDecoder {
   def init(): StubDecoder = new StubDecoder()
 }
+
+/** A REAL library behind the same seam shape (r11): the JDK's zlib
+  * bindings. `Deflater` and `CRC32` are stateful, natively-backed, and
+  * NOT serializable — exactly the properties of a production codec or
+  * model runtime — so holding one per partition only works if the seam
+  * truly initializes inside `mapPartitions` (a closure-captured instance
+  * would fail serialization) and only yields row-independent output if
+  * the per-row reset discipline is right (leaked deflater/crc state
+  * changes the numbers). InferSpec pins both: init count == partition
+  * count, and output invariant to the partition count. Features:
+  * [deflate ratio, crc16 of the payload scaled to [0,1]] — deterministic
+  * across JVMs (zlib BEST_SPEED output is fixed for a given input). */
+class ZlibDecoder private () {
+  ZlibDecoder.inits.incrementAndGet()
+  private val deflater =
+    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  private val crc = new java.util.zip.CRC32()
+  def decodeBatch(bytes: Array[Byte]): Array[Float] = {
+    deflater.reset(); crc.reset()
+    deflater.setInput(bytes); deflater.finish()
+    val buf = new Array[Byte](bytes.length * 2 + 64)
+    var n = 0
+    while (!deflater.finished() && n < buf.length)
+      n += deflater.deflate(buf, n, buf.length - n)
+    crc.update(bytes)
+    Array(n.toFloat / math.max(1, bytes.length),
+      (crc.getValue & 0xFFFFL).toFloat / 65535.0f)
+  }
+}
+object ZlibDecoder {
+  /** Per-JVM init counter — the spec's probe that the seam constructs
+    * the codec once per partition, never per row. */
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  def init(): ZlibDecoder = new ZlibDecoder()
+}

@@ -29,6 +29,56 @@ class InferSpec extends SparkTestBase {
     }
   }
 
+  test("the decode seam holds a REAL stateful codec: init once per partition, rows independent") {
+    // java.util.zip's Deflater/CRC32 stand in for a production codec:
+    // natively backed, stateful, NOT serializable. The seam only works if
+    // the codec is constructed inside mapPartitions (closure capture
+    // would fail to serialize) and only yields stable numbers if per-row
+    // reset discipline holds — so partition-count invariance here tests
+    // the real obligations a model/codec runtime imposes, which the
+    // arithmetic StubDecoder cannot.
+    val rows = (1L to 40L)
+      .map(i => (i, Array.tabulate((i % 7 + 3).toInt)(j => (i * 31 + j * 7).toByte)))
+      .toDF("doc_id", "media")
+    def run(parts: Int): Seq[(Long, Seq[Float])] =
+      rows.repartition(parts).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val dec = graft.queries.ZlibDecoder.init()
+          it.map { case (id, b) => (id, dec.decodeBatch(b).toSeq) }
+        }.collect().sortBy(_._1).toSeq
+    graft.queries.ZlibDecoder.inits.set(0)
+    val a = run(2)
+    assert(graft.queries.ZlibDecoder.inits.get() == 2,
+      "codec must initialize exactly once per partition")
+    val b = run(8)
+    assert(graft.queries.ZlibDecoder.inits.get() == 10,
+      "8-partition run must add exactly 8 inits (one per partition, never per row)")
+    assert(a == b && a.size == 40,
+      "codec output must be invariant to partitioning (no leaked native state)")
+    // and the same bytes decode to the same features twice (reset works)
+    assert(run(2) == a)
+  }
+
+  test("the inference seam is model-agnostic: a zlib-CRC 'model' swaps in, plumbing unchanged") {
+    // same mapPartitions shape as i_embed_infer_batch with a DIFFERENT
+    // model behind it: numbers change, plumbing doesn't — the exact swap
+    // the seam exists for, exercised with a second real library
+    val d = docs(1L -> "alpha beta", 2L -> "gamma delta epsilon",
+      3L -> "zeta", 4L -> "eta theta iota kappa")
+    def embed(parts: Int): Seq[(Long, Long)] =
+      d.select(col("doc_id"), col("text")).repartition(parts)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val crc = new java.util.zip.CRC32() // per-partition "weights"
+          it.map { case (id, text) =>
+            crc.reset()
+            crc.update(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (id, crc.getValue)
+          }
+        }.collect().sortBy(_._1).toSeq
+    assert(embed(1) == embed(3), "second model must be partition-invariant too")
+  }
+
   test("embedding is a function of the token multiset, not token order") {
     val e = graft.queries.VInfer.inferRelational(
       docs(1L -> "alpha beta gamma beta", 2L -> "beta gamma beta alpha"))

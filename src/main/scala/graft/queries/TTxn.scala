@@ -208,16 +208,18 @@ object TTxn {
     }),
 
     "t_txn_delete_dv" -> ((s, d) => {
-      // the SAME logical delete as t_txn_delete, executed merge-on-read:
-      // matched (file, position) pairs land in a deletion-vector sidecar
-      // and no data file is rewritten — the read anti-joins the DV out.
-      // The oracle is identical to the copy-on-write key's, so the hash
-      // pins mode equivalence; a follow-up compact materializes the
-      // deletions and the aggregate must survive that too (read after
-      // compact flows through new files with no applicable DV rows).
+      // merge-on-read DELETE in the shape deletion vectors exist for: a
+      // NARROW predicate (~2% of rows) that matches in EVERY file — the
+      // GDPR/point-delete case where copy-on-write would rewrite the
+      // whole table (all files touched) but the DV path writes a KB-scale
+      // (file, position) sidecar and moves no data file. The read then
+      // prices the MOR side: the snapshot anti-joins the DVs out, which
+      // the oracle hash pins exactly. Compact-materialization and
+      // rewrite-path equivalence are TxnSpec's (this key deliberately
+      // does NOT compact — that would re-add the rewrite the mode
+      // avoids).
       val t = cloneOf(s, base12(s, d), "txn_delete_dv")
-      t.deleteWhere(col("l_quantity") > 25, dv = true)
-      t.compact(target = 1)
+      t.deleteWhere(col("l_quantity") > 49, dv = true)
       agg(t.read())
     }),
 
@@ -302,7 +304,7 @@ object TTxn {
     "t_txn_delete" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
     "t_txn_delete_dv" ->
-      oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
+      oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 49)"),
     // line 1 as-is, line 2 with doubled quantity, line 6 inserted
     "t_txn_merge" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(" +

@@ -212,26 +212,39 @@ object UGeo {
         .withColumn("rn", row_number().over(Window.partitionBy("o_orderkey")
           .orderBy(col("dist_km"), col("site_id"))))
         .filter(col("rn") <= 3)
+      // the safety stats (candidate count, 3rd distance) ride the SAME
+      // hash partitioning and sort the ranking window established —
+      // count/max over the top-3 rows plan with no new exchange, so the
+      // per-point bookkeeping costs no extra point-keyed shuffle (the
+      // first two-phase cut paid a groupBy + semi + anti join for this;
+      // at the 10× tier that linear bookkeeping ate half the win)
+      val w3 = Window.partitionBy("o_orderkey")
       val inner = topk(pts.join(ringSites(-1 to 1), "cell"))
         .select("o_orderkey", "pkl", "pko", "site_id", "dist_km", "rn")
-        .cache()
-      val provenKeys = inner.groupBy("o_orderkey", "pkl", "pko")
-        .agg(count(lit(1)).as("n3"), max("dist_km").as("d3"))
+        .withColumn("n3", count(lit(1)).over(w3))
+        .withColumn("d3", max("dist_km").over(w3))
         .withColumn("d_lat_u", least(
           col("pkl") - (expr(s"pkl DIV $cs") - 1) * csI,
           (expr(s"pkl DIV $cs") + 2) * csI - col("pkl")))
         .withColumn("d_lon_u", least(
           col("pko") - (expr(s"pko DIV $cs") - 1) * csI,
           (expr(s"pko DIV $cs") + 2) * csI - col("pko")))
-        .withColumn("lb_km", least(
+        .withColumn("safe", col("n3") === 3 && col("d3") + 1e-4 <= least(
           col("d_lat_u") / 10000.0 * lit(6371.0 * math.Pi / 180.0),
           lit(2.0 * 6371.0) * asin(lit(math.cos(math.toRadians(40.2))) *
             sin(radians(col("d_lon_u") / 10000.0) / 2))))
-        .filter(col("n3") === 3 && col("d3") + 1e-4 <= col("lb_km"))
+        .cache()
+      val proven = inner.filter(col("safe"))
+      // unproven points = bound unmet (read off `inner`, ~1% of keys) ∪
+      // zero-candidate points (never reached `inner`; found by a
+      // dimension-side cell anti-join, so the point table is never
+      // shuffled to discover either set)
+      val unproven = inner.filter(!col("safe")).select("o_orderkey").distinct()
+      val missing = pts.join(
+        ringSites(-1 to 1).select("cell").distinct(), Seq("cell"), "left_anti")
         .select("o_orderkey")
-      val proven = inner.join(provenKeys, Seq("o_orderkey"), "left_semi")
       val fallback = topk(
-        pts.join(provenKeys, Seq("o_orderkey"), "left_anti")
+        pts.join(unproven.unionByName(missing).distinct(), "o_orderkey")
           .join(ringSites(-2 to 2), "cell"))
       proven.select("o_orderkey", "site_id", "dist_km", "rn")
         .unionByName(fallback.select("o_orderkey", "site_id", "dist_km", "rn"))

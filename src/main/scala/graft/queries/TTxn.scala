@@ -223,6 +223,21 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_stats_prune" -> ((s, d) => {
+      // file-level data skipping from COMMIT-TIME stats: the footers the
+      // commit already opens for row counts also yield per-file numeric
+      // min/max, stored in the log entry (or manifest); after a clustered
+      // compact each file covers a disjoint l_orderkey range, and
+      // readRange plans ONLY the files whose range intersects the
+      // predicate — no footer is opened to decide. The oracle recomputes
+      // the range filter from source, so a wrongly-pruned file (lost
+      // rows) or a leaked one (extra rows) breaks the hash; TxnSpec pins
+      // the planned-file count itself.
+      val t = cloneOf(s, base12(s, d), "txn_stats_prune")
+      t.compact(target = 4, clusterBy = Seq("l_orderkey"))
+      agg(t.readRange("l_orderkey", 0, 4000))
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -305,6 +320,8 @@ object TTxn {
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
     "t_txn_delete_dv" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 49)"),
+    "t_txn_stats_prune" ->
+      oracleAgg("l_linenumber IN (1, 2) AND l_orderkey BETWEEN 0 AND 4000"),
     // line 1 as-is, line 2 with doubled quantity, line 6 inserted
     "t_txn_merge" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(" +

@@ -84,7 +84,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
       inlineAdd: Seq[String], inlineRemove: Seq[String],
       manifest: Option[String], nAdd: Long, nRemove: Long,
       dv: Option[String],
-      txn: Option[(String, Long)], schema: Option[String])
+      txn: Option[(String, Long)], schema: Option[String],
+      stats: Map[String, String])
+
+  /** Per-file column stats: file → "col:min:max;col:min:max" over the
+    * numeric primitive columns (INT32/INT64/FLOAT/DOUBLE), harvested from
+    * the parquet FOOTERS the commit already opens for row counts — KBs of
+    * driver-side metadata, no extra job, no data read. `readRange` prunes
+    * files by these at PLANNING time, so a clustered table's point read
+    * opens one file instead of every footer (the manifest-level data
+    * skipping every log-structured format grows; parquet's own row-group
+    * skipping still applies inside whatever survives the prune). */
+  private type FileStats = Map[String, String]
 
   /** Files.list with the stream closed (it holds a directory handle). */
   private def ls(p: Path): List[Path] = {
@@ -97,8 +108,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def entryFile(v: Long): Path = logP.resolve(f"v$v%05d.txn")
 
   private def parse(v: Long): Entry = {
-    val kv = Files.readAllLines(entryFile(v), UTF_8).asScala
-      .filter(_.contains("=")).map { l =>
+    val lines = Files.readAllLines(entryFile(v), UTF_8).asScala
+    // stat lines repeat (one per file) — collect before the last-wins map
+    val stats = lines.filter(_.startsWith("stat=")).map { l =>
+      val body = l.substring(5)
+      val i = body.indexOf('\t')
+      body.substring(0, i) -> body.substring(i + 1)
+    }.toMap
+    val kv = lines
+      .filter(l => l.contains("=") && !l.startsWith("stat=")).map { l =>
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
       }.toMap
     def files(k: String) =
@@ -113,21 +131,22 @@ final class TxnTable(val spark: SparkSession, val root: String,
       kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
       kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
       kv.get("dv"),
-      txn, kv.get("schema"))
+      txn, kv.get("schema"), stats)
   }
 
   // ------------------------------------------------------------- manifest io
 
   private val ManifestSchema = org.apache.parquet.schema.MessageTypeParser
     .parseMessageType("message manifest { required binary path (UTF8); " +
-      "required binary change (UTF8); }")
+      "required binary change (UTF8); optional binary stats (UTF8); }")
 
   /** Write (path, change) rows as one small parquet file under the log
     * dir, driver-side (parquet-hadoop example writer — no Spark job; a
     * commit must stay one metadata write however wide it is). Returns the
     * table-relative manifest path. The file is unreferenced until the log
     * entry that names it publishes; a lost race orphans it for `vacuum`. */
-  private def writeManifest(add: Seq[String], remove: Seq[String]): String = {
+  private def writeManifest(add: Seq[String], remove: Seq[String],
+      stats: FileStats): String = {
     val rel = s"_txn_log/m-${UUID.randomUUID()}.parquet"
     Files.createDirectories(logP)
     val conf = spark.sessionState.newHadoopConf()
@@ -139,6 +158,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       def emit(paths: Seq[String], change: String): Unit = paths.foreach { p =>
         val g = new org.apache.parquet.example.data.simple.SimpleGroup(ManifestSchema)
         g.add("path", p); g.add("change", change)
+        stats.get(p).foreach(g.add("stats", _))
         w.write(g)
       }
       emit(add, "add"); emit(remove, "remove")
@@ -147,29 +167,36 @@ final class TxnTable(val spark: SparkSession, val root: String,
   }
 
   /** Driver-side manifest read (KBs), for the per-entry paths `history`
-    * never needs but `changesSince`/`vacuum` do. */
-  private def readManifest(rel: String): (Seq[String], Seq[String]) = {
+    * never needs but `changesSince`/`vacuum`/`readRange` do. */
+  private def readManifest(rel: String)
+      : (Seq[String], Seq[String], FileStats) = {
     val conf = spark.sessionState.newHadoopConf()
     val r = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         new org.apache.hadoop.fs.Path(abs(rel)))
       .withConf(conf).build()
     val add = Vector.newBuilder[String]; val remove = Vector.newBuilder[String]
+    val st = Map.newBuilder[String, String]
     try {
       var g = r.read()
       while (g != null) {
         val p = g.getString("path", 0)
         if (g.getString("change", 0) == "add") add += p else remove += p
+        if (g.getType.containsField("stats") &&
+            g.getFieldRepetitionCount("stats") > 0)
+          st += p -> g.getString("stats", 0)
         g = r.read()
       }
     } finally r.close()
-    (add.result(), remove.result())
+    (add.result(), remove.result(), st.result())
   }
 
   private def addsOf(e: Entry): Seq[String] =
     e.manifest.fold(e.inlineAdd)(readManifest(_)._1)
   private def removesOf(e: Entry): Seq[String] =
     e.manifest.fold(e.inlineRemove)(readManifest(_)._2)
+  private def statsOf(e: Entry): FileStats =
+    e.manifest.fold(e.stats)(readManifest(_)._3)
 
   /** Latest committed version, or -1 for an empty/absent log. Versions are
     * dense (the publish primitive makes v+1 impossible to skip), so the
@@ -226,13 +253,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
       add: Seq[String], remove: Seq[String],
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dv: Option[String] = None): Boolean = {
+      dv: Option[String] = None,
+      stats: FileStats = Map.empty): Boolean = {
     Files.createDirectories(logP)
     val fileLines =
       if (add.size + remove.size > manifestThreshold)
-        s"manifest=${writeManifest(add, remove)}\n" +
+        s"manifest=${writeManifest(add, remove, stats)}\n" +
           s"nadd=${add.size}\nnremove=${remove.size}\n"
-      else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n"
+      else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
+        stats.map { case (f, enc) => s"stat=$f\t$enc\n" }.mkString
     val body = s"action=$action\nrows=$rows\n" + fileLines +
       dv.fold("")(p => s"dv=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
@@ -253,13 +282,26 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * driver-side — KBs of metadata, no Spark job; a read-back count()
     * here would schedule one extra job per commit, which at one commit
     * per micro-batch is real overhead. */
-  private def stage(df: DataFrame): (Seq[String], Long) = {
+  private def stage(df: DataFrame): (Seq[String], Long, FileStats) = {
     val dir = s"d-${UUID.randomUUID()}"
     df.write.parquet(rootP.resolve(dir).toString)
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted
-    (files, parquetRowCount(files))
+    val conf = spark.sessionState.newHadoopConf()
+    var rows = 0L
+    val stats = Map.newBuilder[String, String]
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(abs(f)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        rows += r.getRecordCount
+        val enc = footerStats(r.getFooter)
+        if (enc.nonEmpty) stats += f -> enc
+      } finally r.close()
+    }
+    (files, rows, stats.result())
   }
 
   /** Exact row count from parquet FOOTER metadata (block counts) —
@@ -272,6 +314,42 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
+  }
+
+  /** "col:min:max;col:min:max" over the file's PLAIN numeric primitive
+    * top-level columns (INT32/INT64/FLOAT/DOUBLE with no logical-type
+    * annotation — dates/timestamps/decimals have non-plain orderings and
+    * are skipped), folded across all row groups. A column with missing
+    * or partial statistics in any block is omitted entirely — `readRange`
+    * then keeps the file, so incomplete stats can only cost pruning,
+    * never rows. Values are the footer's exact decimal renderings; range
+    * comparison parses them as BigDecimal, so no double-rounding can
+    * flip a prune decision. */
+  private def footerStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): String = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
+    val bad = scala.collection.mutable.Set.empty[String]
+    for (b <- footer.getBlocks.asScala; c <- b.getColumns.asScala) {
+      val name = c.getPath.toDotString
+      if (!name.contains('.') && !bad(name)) {
+        val pt = c.getPrimitiveType.getPrimitiveTypeName
+        val plainNumeric = (pt == INT32 || pt == INT64 || pt == FLOAT ||
+          pt == DOUBLE) && c.getPrimitiveType.getLogicalTypeAnnotation == null
+        val s = c.getStatistics
+        if (!plainNumeric || s == null || s.isEmpty || !s.hasNonNullValue) {
+          bad += name; acc -= name
+        } else {
+          val mn = BigDecimal(s.genericGetMin.toString)
+          val mx = BigDecimal(s.genericGetMax.toString)
+          acc.get(name) match {
+            case Some((a, z)) => acc(name) = (a.min(mn), z.max(mx))
+            case None => acc(name) = (mn, mx)
+          }
+        }
+      }
+    }
+    acc.map { case (n, (a, z)) => s"$n:$a:$z" }.mkString(";")
   }
 
   private def abs(rel: String): String = rootP.resolve(rel).toString
@@ -310,14 +388,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * the txn tag, merge the schema, claim the next slot } — see
     * `appendIdempotent` for why the scan+claim pair is race-free. */
   private def appendCommit(df: DataFrame, txn: Option[(String, Long)]): Long = {
-    val (files, rows) = stage(df)
+    val (files, rows, fstats) = stage(df)
     var res = -2L
     while (res == -2L) {
       val tip = currentVersion
       if (txn.exists { case (app, b) => committedUpTo(app, tip) >= b }) res = -1L
       else {
         val sc = unionSchema(schemaAt(tip), df.schema)
-        if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc)))
+        if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc),
+            stats = fstats))
           res = tip + 1
       }
     }
@@ -363,14 +442,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * retry so a concurrent append's files are removed too, not orphaned
     * as silent extra rows (lost-update prevention). */
   def overwrite(df: DataFrame): Long = {
-    val (files, rows) = stage(df)
+    val (files, rows, fstats) = stage(df)
     var done = false; var v = -1L
     while (!done) {
       v = currentVersion + 1
       val gone = if (v == 0) Nil else liveFiles(v - 1)
       // an overwrite REPLACES content, so it resets the schema to its own
       // (dropping columns via overwrite is legitimate; via append it isn't)
-      done = tryCommit(v, "overwrite", rows, files, gone, None, Some(df.schema))
+      done = tryCommit(v, "overwrite", rows, files, gone, None,
+        Some(df.schema), stats = fstats)
     }
     v
   }
@@ -392,9 +472,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (clusterBy.isEmpty) base.repartition(target)
       else base.repartitionByRange(target, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, rows) = stage(compacted)
+    val (files, rows, fstats) = stage(compacted)
     val done = tryCommit(v + 1, "compact", rows, files, gone, None,
-      Some(compacted.schema))
+      Some(compacted.schema), stats = fstats)
     // a concurrent commit moved the tip: compaction of a stale snapshot
     // must NOT clobber it — give up rather than drop the newer data
     if (!done) throw new IllegalStateException(
@@ -412,10 +492,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * never surface). `merge`/`deleteWhere` build on the tags; `read`
     * drops them. */
   private def readTagged(version: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
-    val files = liveFiles(v).map(abs)
+    scanTagged(v, liveFiles(v))
+  }
+
+  /** The tagged scan over an explicit file subset (the prune hook
+    * `readRange` uses). */
+  private def scanTagged(v: Long, relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val files = relFiles.map(abs)
     val base0 = schemaAt(v) match {
       // the LOG schema drives the scan: files staged before an additive
       // evolution lack the new columns and read as NULL — no footer
@@ -443,6 +529,37 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * exactly the files live at that version, minus any DV-deleted rows. */
   def read(version: Long = -1L): DataFrame =
     readTagged(version).drop("_f", "_idx")
+
+  /** Range read with FILE-LEVEL data skipping: live files whose commit-
+    * time [min, max] stats for `colName` cannot intersect [lo, hi] are
+    * dropped at PLANNING time — never opened, never footer-read — and
+    * the exact row filter applies on whatever survives (so the result
+    * equals `read(version).filter(lo <= col <= hi)` by construction;
+    * TxnSpec pins that and the file count). Files without stats for the
+    * column are always kept — incomplete stats cost pruning, never rows.
+    * On a clustered table (compact/merge with `clusterBy`) a point read
+    * plans ONE file; at 100 TB this is the difference between touching a
+    * million footers and reading KBs of commit metadata. Stats ordering
+    * is plain-numeric, so `colName` must be a plain numeric column (the
+    * only kind `footerStats` records). DVs apply as in `read`. */
+  def readRange(colName: String, lo: Double, hi: Double,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val statsByFile: FileStats = entries(v).map(statsOf)
+      .foldLeft(Map.empty[String, String])(_ ++ _)
+    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
+    def overlaps(enc: String): Boolean =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(colName + ":") =>
+          val p = s.split(':')
+          BigDecimal(p(2)) >= loB && BigDecimal(p(1)) <= hiB
+      }.getOrElse(true)
+    val pruned = liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
+    scanTagged(v, pruned).drop("_f", "_idx")
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
 
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of
     * `updates` replace same-key rows, new keys append. Only files that
@@ -487,9 +604,10 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (clusterBy.isEmpty) merged
       else merged.repartitionByRange(math.max(1, touched.size), clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, rows) = stage(staged)
+    val (files, rows, fstats) = stage(staged)
     val sc = unionSchema(schemaAt(v), updates.schema)
-    if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc)))
+    if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc),
+        stats = fstats))
       throw new IllegalStateException(
         s"merge lost the race at v${v + 1}; re-run against the new tip")
     v + 1
@@ -540,8 +658,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
     if (touched.isEmpty) return v
     val keep = tagged.filter(col("_f").isin(touched: _*))
       .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
-    val (files, rows) = stage(keep)
-    if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v)))
+    val (files, rows, fstats) = stage(keep)
+    if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v),
+        stats = fstats))
       throw new IllegalStateException(
         s"delete lost the race at v${v + 1}; re-run against the new tip")
     v + 1

@@ -441,6 +441,33 @@ class TxnSpec extends SparkTestBase {
     assert(content(tm) == Set((2L, None), (3L, Some(99L)), (7L, Some(70L))))
   }
 
+  test("readRange prunes files by commit-time stats: a clustered point read plans one file") {
+    for ((name, thresh) <- Seq(("stats_prune", TxnTable.DefaultManifestThreshold),
+        ("stats_prune_m", 0))) {
+      val t = TxnTable.fresh(spark, dir(name), manifestThreshold = thresh)
+      val rng = new scala.util.Random(11)
+      rng.shuffle((0L until 400L).toList).grouped(100)
+        .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+      t.compact(target = 4, clusterBy = Seq("k"))
+      // same rows as the unpruned filtered read — by construction
+      val want = t.read().filter(col("k") >= 110 && col("k") <= 130)
+        .as[(Long, Long)].collect().toSet
+      val ranged = t.readRange("k", 110, 130)
+      assert(ranged.as[(Long, Long)].collect().toSet == want && want.size == 21)
+      // PLANNING-level skip: the ranged scan binds one of the 4 clustered
+      // files (stats came from the log entry or the manifest, not footers)
+      assert(ranged.inputFiles.count(_.contains("/d-")) == 1,
+        s"[$name] point range should plan exactly 1 file")
+      assert(t.read().inputFiles.count(_.contains("/d-")) == 4)
+      // a range spanning a file boundary plans exactly the two files
+      assert(t.readRange("k", 95, 105).inputFiles.count(_.contains("/d-")) == 2)
+      // stats-pruned reads still apply deletion vectors
+      t.deleteWhere(col("k") === 120L, dv = true)
+      assert(t.readRange("k", 110, 130).as[(Long, Long)].collect().toSet ==
+        want - ((120L, 360L)))
+    }
+  }
+
   test("idempotent append: a replayed (app, batch) is a no-op") {
     val t = TxnTable.fresh(spark, dir("idem"))
     assert(t.lastCommitted("app") == -1L)

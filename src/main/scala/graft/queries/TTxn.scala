@@ -238,6 +238,43 @@ object TTxn {
       agg(t.readRange("l_orderkey", 0, 4000))
     }),
 
+    "t_txn_restore" -> ((s, d) => {
+      // rollback-as-a-new-commit: a bad overwrite at v2 is undone by
+      // restore(1). The restore is METADATA-ONLY — it re-adds v1's
+      // files and removes v2's, data never moves (TxnSpec pins that no
+      // new staged dir appears) — and v2 stays in history for audit
+      // while the tip reads exactly like v1 again. The hash pins the
+      // post-rollback tip content; a restore that missed a file or
+      // leaked the bad overwrite's rows breaks it.
+      val t = cloneOf(s, base12(s, d), "txn_restore")
+      t.overwrite(slice(s, d, 6)) // v2: the bad deploy
+      t.restore(1)                // v3: the rollback
+      agg(t.read())
+    }),
+
+    "t_txn_cdc" -> ((s, d) => {
+      // row-level CHANGE DATA FEED across the DML set: merge with
+      // commit-time CDC sidecar (update pre/post images + inserts),
+      // then a compact (dataChange=false — must emit NOTHING), then a
+      // delete. A downstream incremental consumer applies exactly these
+      // rows instead of re-diffing snapshots; grouping by
+      // (_change_type, _commit_version) makes the oracle pin every
+      // change class to its commit — a lost pre-image, a
+      // double-delivered insert, or compact rows leaking into the feed
+      // all break the hash.
+      val t = cloneOf(s, base12(s, d), "txn_cdc")
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      t.compact(target = 1)                                          // v3
+      t.deleteWhere(col("l_quantity") > 25, cdc = true)              // v4
+      t.readChanges(1)
+        .groupBy("_change_type", "_commit_version", "l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy("_change_type", "_commit_version", "l_returnflag")
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -316,6 +353,26 @@ object TTxn {
     "t_txn_compact" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
+    "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // the feed, change class by change class: the merge's images at v2,
+    // the delete's victims at v4 (computed over the post-merge content),
+    // and NOTHING from the v3 compact
+    "t_txn_cdc" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT * FROM (" +
+        "SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version, " +
+        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'update_postimage', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity * 2), 4) FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'insert', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM lineitem WHERE l_linenumber = 6 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'delete', 4, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM merged WHERE l_quantity > 25 GROUP BY l_returnflag" +
+        ") ORDER BY _change_type, _commit_version, l_returnflag"),
     "t_txn_delete" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
     "t_txn_delete_dv" ->

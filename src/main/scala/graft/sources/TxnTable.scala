@@ -83,7 +83,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private case class Entry(version: Long, action: String, rows: Long,
       inlineAdd: Seq[String], inlineRemove: Seq[String],
       manifest: Option[String], nAdd: Long, nRemove: Long,
-      dv: Option[String],
+      dv: Option[String], cdc: Option[String],
       txn: Option[(String, Long)], schema: Option[String],
       stats: Map[String, String])
 
@@ -130,7 +130,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       kv.get("manifest"),
       kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
       kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
-      kv.get("dv"),
+      kv.get("dv"), kv.get("cdc"),
       txn, kv.get("schema"), stats)
   }
 
@@ -253,7 +253,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       add: Seq[String], remove: Seq[String],
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dv: Option[String] = None,
+      dv: Option[String] = None, cdc: Option[String] = None,
       stats: FileStats = Map.empty): Boolean = {
     Files.createDirectories(logP)
     val fileLines =
@@ -264,6 +264,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
         stats.map { case (f, enc) => s"stat=$f\t$enc\n" }.mkString
     val body = s"action=$action\nrows=$rows\n" + fileLines +
       dv.fold("")(p => s"dv=$p\n") +
+      cdc.fold("")(p => s"cdc=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
       schema.fold("")(sc => s"schema=${sc.json}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
@@ -482,6 +483,57 @@ final class TxnTable(val spark: SparkSession, val root: String,
     v + 1
   }
 
+  /** RESTORE (rollback) to the table state at `toVersion`, as a NEW
+    * commit: history is append-only, so the undone versions stay
+    * auditable and time-travel-able — only the tip moves. The normal
+    * path is METADATA-ONLY: the commit re-adds the old snapshot's files
+    * and removes the current ones (data never moves), so cost is ∝
+    * changed-file count, never table bytes — the rollback a 100 TB
+    * table can afford. Re-added files' column stats are recovered from
+    * the entries that first added them, so data skipping survives the
+    * rollback. Throws if a needed file was already `vacuum`ed (restore
+    * requires retention — the trade every log-structured format
+    * prices). One exception forces a rewrite: a deletion vector
+    * committed in the undone range applies to every later version and
+    * a file-list diff cannot un-apply it, so the old snapshot is
+    * MATERIALIZED through a staged rewrite instead (same content,
+    * rewrite cost). */
+  def restore(toVersion: Long): Long = {
+    val cur0 = currentVersion
+    require(toVersion >= 0 && toVersion <= cur0,
+      s"restore target v$toVersion outside [0, $cur0]")
+    if (toVersion == cur0) return cur0
+    if (((toVersion + 1) to cur0).map(parse).exists(_.dv.isDefined)) {
+      val (files, rows, fstats) = stage(read(toVersion))
+      var v = -1L; var done = false
+      while (!done) {
+        v = currentVersion + 1
+        done = tryCommit(v, "restore", rows, files, liveFiles(v - 1), None,
+          schemaAt(toVersion), stats = fstats)
+      }
+      return v
+    }
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      val target = liveFiles(toVersion)
+      val curLive = liveFiles(tip).toSet
+      val add = target.filterNot(curLive)
+      val remove = (curLive -- target.toSet).toSeq.sorted
+      add.foreach { f =>
+        require(Files.exists(rootP.resolve(f)), s"restore impossible: $f " +
+          "was vacuumed; recover it from a backup or restore to a newer version")
+      }
+      val prior = entries(toVersion).map(statsOf)
+        .foldLeft(Map.empty[String, String])(_ ++ _)
+      if (tryCommit(tip + 1, "restore", parquetRowCount(add), add, remove,
+          None, schemaAt(toVersion),
+          stats = add.flatMap(f => prior.get(f).map(f -> _)).toMap))
+        res = tip + 1
+    }
+    res
+  }
+
   // ------------------------------------------------------------------- read
 
   /** Snapshot with per-row provenance columns appended — `_f` (table-
@@ -582,8 +634,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * commit (the t_txn_merge 10x scale-stress showed ratio ~2 for exactly
     * that reason). */
   def merge(updates: DataFrame, keyCols: Seq[String],
-      clusterBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.col
+      clusterBy: Seq[String] = Nil, cdc: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val keyExpr = keyCols.map(col)
@@ -591,14 +643,34 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // names directly); DVs are already applied, so a DV-deleted row can
     // neither mark its file touched nor survive into the rewrite
     val tagged = readTagged(v).drop("_idx")
+    val updKeys = updates.select(keyExpr: _*).distinct()
     val touched = tagged
-      .join(updates.select(keyExpr: _*).distinct(), keyCols)
+      .join(updKeys, keyCols)
       .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val inTouched = tagged.filter(col("_f").isin(touched: _*)).drop("_f")
     // rewritten content: touched files' unmatched rows + ALL update rows
     // (matched replacements and brand-new keys land together)
     val touchedRows = if (touched.isEmpty) updates.limit(0)
-      else tagged.filter(col("_f").isin(touched: _*)).drop("_f")
-        .join(updates.select(keyExpr: _*).distinct(), keyCols, "left_anti")
+      else inTouched.join(updKeys, keyCols, "left_anti")
+    // change-data-feed sidecar, written AT COMMIT TIME because the
+    // pre-images are unrecoverable afterwards (the rewrite destroys
+    // them). A key that exists in the table necessarily lives in a
+    // touched file, so the matched/insert split of `updates` falls out
+    // of the touched rows' key set alone — never a full-table join.
+    val cdcRel: Option[String] = if (!cdc) None else {
+      val rel = s"_cdc/c-${UUID.randomUUID()}"
+      val existKeys = inTouched.select(keyExpr: _*).distinct()
+      val pre = inTouched.join(updKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = updates.join(existKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+      val ins = updates.join(existKeys, keyCols, "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      pre.unionByName(post, allowMissingColumns = true)
+        .unionByName(ins, allowMissingColumns = true)
+        .write.parquet(abs(rel))
+      Some(rel)
+    }
     val merged = touchedRows.unionByName(updates, allowMissingColumns = true)
     val staged =
       if (clusterBy.isEmpty) merged
@@ -607,7 +679,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val (files, rows, fstats) = stage(staged)
     val sc = unionSchema(schemaAt(v), updates.schema)
     if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc),
-        stats = fstats))
+        cdc = cdcRel, stats = fstats))
       throw new IllegalStateException(
         s"merge lost the race at v${v + 1}; re-run against the new tip")
     v + 1
@@ -633,14 +705,24 @@ final class TxnTable(val spark: SparkSession, val root: String,
     *    entry's `rows` field records the DELETED count for DV commits
     *    (the rewritten keep-count for copy-on-write ones). */
   def deleteWhere(cond: org.apache.spark.sql.Column,
-      dv: Boolean = false): Long = {
+      dv: Boolean = false, cdc: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val tagged = readTagged(v)
+    val matched = tagged.filter(coalesce(cond, lit(false)))
+    // deleted-row content as a CDC sidecar: same commit-time discipline
+    // as merge (after the commit the rows are gone — or, in DV mode,
+    // invisible — so the feed must capture them now)
+    def writeCdc(): Option[String] = if (!cdc) None else {
+      val rel = s"_cdc/c-${UUID.randomUUID()}"
+      matched.drop("_f", "_idx").withColumn("_change_type", lit("delete"))
+        .write.parquet(abs(rel))
+      Some(rel)
+    }
     if (dv) {
       val rel = s"_dv/dv-${UUID.randomUUID()}"
-      tagged.filter(coalesce(cond, lit(false)))
+      matched
         .select(col("_f").as("path"), col("_idx").as("row_idx"))
         .write.parquet(abs(rel))
       val nDel = parquetRowCount(ls(rootP.resolve(rel))
@@ -648,19 +730,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .map(f => s"$rel/$f"))
       if (nDel == 0) return v // nothing matched: leave no commit behind
       if (!tryCommit(v + 1, "delete", nDel, Nil, Nil, None, schemaAt(v),
-          dv = Some(rel)))
+          dv = Some(rel), cdc = writeCdc()))
         throw new IllegalStateException(
           s"delete lost the race at v${v + 1}; re-run against the new tip")
       return v + 1
     }
-    val touched = tagged.filter(coalesce(cond, lit(false)))
+    val touched = matched
       .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return v
     val keep = tagged.filter(col("_f").isin(touched: _*))
       .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
     val (files, rows, fstats) = stage(keep)
     if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v),
-        stats = fstats))
+        cdc = writeCdc(), stats = fstats))
       throw new IllegalStateException(
         s"delete lost the race at v${v + 1}; re-run against the new tip")
     v + 1
@@ -681,10 +763,10 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val es = ((since + 1) to tip).map(parse)
     // overwrite AND merge replace rows rather than extend them — tailing
     // across either would deliver replaced content as if it were new
-    require(es.forall(e =>
-        e.action != "overwrite" && e.action != "merge" && e.action != "delete"),
+    require(es.forall(e => e.action != "overwrite" && e.action != "merge" &&
+        e.action != "delete" && e.action != "restore"),
       s"content-replacing commit inside ($since, $tip]: incremental read " +
-        "invalid, re-sync from a snapshot")
+        "invalid, re-sync from a snapshot (or tail readChanges instead)")
     val files = es.filter(_.action == "append").flatMap(addsOf)
     if (files.isEmpty) read(tip).limit(0)
     else schemaAt(tip) match {
@@ -693,6 +775,67 @@ final class TxnTable(val spark: SparkSession, val root: String,
       case Some(sc) => spark.read.schema(sc).parquet(files.map(abs): _*)
       case None => spark.read.parquet(files.map(abs): _*)
     }
+  }
+
+  /** Row-level CHANGE DATA FEED: every change committed in (since, upTo],
+    * with `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage and `_commit_version`. Per action:
+    *
+    *  - `append` → its added files read back as inserts (no sidecar
+    *    needed — the files ARE the change, the Delta-CDF trick that
+    *    keeps the feed free for the dominant commit type).
+    *  - `overwrite` / `restore` → the replaced rows as deletes plus the
+    *    new content as inserts, derived from the commit's file DIFF —
+    *    rows in files live on both sides are unchanged and emit
+    *    nothing. Deletion vectors as of each side's version are
+    *    applied, so a row a DV had already removed is not re-deleted.
+    *  - `merge` / `delete` → the CDC sidecar written at commit time
+    *    (`cdc = true`); a commit written without one throws — its
+    *    pre-images were destroyed by the rewrite and cannot be
+    *    reconstructed, so the consumer must re-sync from a snapshot.
+    *  - `compact` → nothing (dataChange = false).
+    *
+    * All pieces are normalized to the schema at `upTo` (missing columns
+    * NULL), so a feed spanning schema evolution binds ONE schema. Cost:
+    * the log scan is KBs; data reads touch only changed files and
+    * KB-scale sidecars, never the table. */
+  def readChanges(since: Long, upTo: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tip = if (upTo < 0) currentVersion else upTo
+    val tipSchema = schemaAt(tip).getOrElse(
+      throw new IllegalStateException(s"no schema recorded at v$tip"))
+    def normalize(df: DataFrame, v: Long): DataFrame =
+      df.select(tipSchema.fields.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)).toSeq :+
+        col("_change_type") :+ lit(v).as("_commit_version"): _*)
+    def scanAt(v: Long, files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(scanTagged(v, files).drop("_f", "_idx"))
+    val pieces = ((since + 1) to tip).flatMap { v =>
+      val e = parse(v)
+      e.action match {
+        case "append" =>
+          scanAt(v, addsOf(e))
+            .map(df => normalize(df.withColumn("_change_type", lit("insert")), v))
+            .toSeq
+        case "overwrite" | "restore" =>
+          val del = scanAt(v - 1, removesOf(e))
+            .map(df => normalize(df.withColumn("_change_type", lit("delete")), v))
+          val ins = scanAt(v, addsOf(e))
+            .map(df => normalize(df.withColumn("_change_type", lit("insert")), v))
+          del.toSeq ++ ins.toSeq
+        case "merge" | "delete" =>
+          val rel = e.cdc.getOrElse(throw new IllegalStateException(
+            s"commit v$v (${e.action}) was written without cdc=true: its " +
+              "pre-images are unrecoverable — re-sync from a snapshot"))
+          Seq(normalize(spark.read.parquet(abs(rel)), v))
+        case _ => Nil // compact: dataChange = false
+      }
+    }
+    pieces.reduceOption(_.unionByName(_)).getOrElse(
+      normalize(read(tip).limit(0)
+        .withColumn("_change_type", lit("")), tip).limit(0))
   }
 
   /** The commit log as a DataFrame (version, action, rows, file counts). */
@@ -725,17 +868,24 @@ final class TxnTable(val spark: SparkSession, val root: String,
       n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n)
     }
     orphans.foreach(Files.deleteIfExists(_))
-    val dvRoot = rootP.resolve("_dv")
-    val dvRefd = es.flatMap(_.dv).map(rootP.resolve(_).getFileName.toString).toSet
-    val dvOrphans =
-      if (!Files.isDirectory(dvRoot)) Nil
-      else ls(dvRoot).filter(p => !dvRefd.contains(p.getFileName.toString))
-    dvOrphans.foreach { d =>
-      val w = Files.walk(d)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
+    // DV and CDC sidecar dirs referenced by any entry stay (time travel /
+    // feed replays); race-orphaned ones go
+    def sweepSidecars(dirName: String, refd: Set[String]): Int = {
+      val base = rootP.resolve(dirName)
+      if (!Files.isDirectory(base)) return 0
+      val orphanDirs = ls(base).filter(p => !refd.contains(p.getFileName.toString))
+      orphanDirs.foreach { d =>
+        val w = Files.walk(d)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      orphanDirs.size
     }
-    gone.size + orphans.size + dvOrphans.size
+    val nDv = sweepSidecars("_dv",
+      es.flatMap(_.dv).map(rootP.resolve(_).getFileName.toString).toSet)
+    val nCdc = sweepSidecars("_cdc",
+      es.flatMap(_.cdc).map(rootP.resolve(_).getFileName.toString).toSet)
+    gone.size + orphans.size + nDv + nCdc
   }
 }
 

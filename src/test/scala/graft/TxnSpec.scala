@@ -503,6 +503,92 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("restore rolls back metadata-only, keeps history auditable, refuses vacuumed targets") {
+    val t = TxnTable.fresh(spark, dir("restore"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))            // v1
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v2: the bad deploy
+    def nStaged = {
+      val s = Files.list(Paths.get(dir("restore")))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("d-"))
+      finally s.close()
+    }
+    val stagedBefore = nStaged
+    assert(t.restore(1) == 3)
+    // tip content is v1's again…
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // …via metadata alone: not one new staged directory
+    assert(nStaged == stagedBefore, "metadata restore must not stage data")
+    // history is append-only: the undone overwrite stays readable
+    assert(t.read(2).as[(Long, String)].collect().toSet == Set((9L, "z")))
+    assert(t.history().select("action").as[String].collect().toSeq ==
+      Seq("append", "append", "overwrite", "restore"))
+    // restoring to the tip is a no-op
+    assert(t.restore(3) == 3)
+    // once retention reclaims the old files, restore fails LOUDLY
+    t.overwrite(Seq((8L, "y")).toDF("k", "v")) // v4
+    t.vacuum()
+    intercept[IllegalArgumentException](t.restore(1))
+  }
+
+  test("restore across a deletion vector materializes the old snapshot") {
+    val t = TxnTable.fresh(spark, dir("restore_dv"))
+    t.append(Seq((1L, 5L), (2L, 50L)).toDF("k", "n")) // v0
+    t.append(Seq((3L, 60L)).toDF("k", "n"))           // v1
+    t.deleteWhere(col("n") > 40, dv = true)           // v2: DV in the undo range
+    assert(t.read().count() == 1)
+    // a file-list diff can't un-apply a DV (it hits every version ≥ its
+    // own), so this path must rewrite — and the content must still be
+    // exactly v1's
+    assert(t.restore(1) == 3)
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L), (2L, 50L), (3L, 60L)))
+  }
+
+  test("change feed: replaying it onto the old snapshot rebuilds the new; compact silent; no sidecar = loud") {
+    val t = TxnTable.fresh(spark, dir("cdf"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))                       // v0
+    t.append(Seq((3L, 30L)).toDF("k", "n"))                                  // v1
+    t.merge(Seq((2L, 99L), (4L, 40L)).toDF("k", "n"), Seq("k"), cdc = true) // v2
+    t.compact(target = 1)                                                    // v3
+    t.deleteWhere(col("n") > 50, dv = true, cdc = true)                      // v4 (DV + sidecar)
+    t.overwrite(Seq((7L, 70L)).toDF("k", "n"))                               // v5
+    t.restore(4)                                                             // v6: rollback past the overwrite
+    val feed = t.readChanges(1)
+    // the consumer-replay law: snapshot(since) ⊎ (inserts+postimages)
+    // ∖ (deletes+preimages) == snapshot(tip), as MULTISETS
+    val plus = feed.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "n")
+    val minus = feed.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("k", "n")
+    val replayed = t.read(1).unionByName(plus).exceptAll(minus)
+    val tip = t.read()
+    assert(replayed.exceptAll(tip).isEmpty && tip.exceptAll(replayed).isEmpty,
+      "feed replay must reproduce the tip snapshot")
+    // spot-pin the classes: merge images at v2, sidecar delete content at
+    // v4, the rollback's file-diff delete+insert at v6 — and v3 SILENT
+    def rows(v: Int, ct: String) =
+      feed.filter(col("_commit_version") === v && col("_change_type") === ct)
+        .select("k", "n").as[(Long, Long)].collect().toSet
+    assert(rows(2, "update_preimage") == Set((2L, 20L)))
+    assert(rows(2, "update_postimage") == Set((2L, 99L)))
+    assert(rows(2, "insert") == Set((4L, 40L)))
+    assert(rows(4, "delete") == Set((2L, 99L)))
+    assert(rows(5, "delete") == Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    assert(rows(5, "insert") == Set((7L, 70L)))
+    assert(rows(6, "delete") == Set((7L, 70L)))
+    // the restore's re-added file still carries (2,99) physically — the
+    // v4 DV must keep it OUT of the feed's insert side too
+    assert(rows(6, "insert") == Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    assert(feed.filter(col("_commit_version") === 3).isEmpty,
+      "compact is dataChange=false: it must emit nothing")
+    // a DML commit written WITHOUT cdc=true cannot be fed past afterwards
+    val t2 = TxnTable.fresh(spark, dir("cdf_nosidecar"))
+    t2.append(Seq((1L, 10L)).toDF("k", "n"))
+    t2.merge(Seq((1L, 11L)).toDF("k", "n"), Seq("k"))
+    intercept[IllegalStateException](t2.readChanges(0).count())
+  }
 }
 
 /** Tiny parallel helper: run f on its own thread per element, propagate the

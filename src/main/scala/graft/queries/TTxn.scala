@@ -267,7 +267,7 @@ object TTxn {
         .withColumn("l_quantity", col("l_quantity") * 2)
         .unionByName(slice(s, d, 6))
       t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
-      t.compact(target = 1)                                          // v3
+      t.compact(target = 4)                                          // v3
       t.deleteWhere(col("l_quantity") > 25, cdc = true)              // v4
       t.readChanges(1)
         .groupBy("_change_type", "_commit_version", "l_returnflag")

@@ -288,6 +288,64 @@ object TTxn {
       agg(t.changesSince(0))
     }),
 
+    "t_txn_stream_read" -> ((s, d) => {
+      // the txn table as a STREAMING SOURCE (graft.sources.TxnStreamSource,
+      // a v1 Source tailing the commit log — the "table as a topic" mode):
+      // batch 1 delivers the two base appends, a mid-stream append arrives
+      // as batch 2, and a compact in between must deliver NOTHING
+      // (dataChange=false holds in streaming form too — rewritten rows
+      // re-delivered would double the aggregate and break the hash). The
+      // complete-mode memory sink holds the final grouped state.
+      val root = scratch("txn_stream_read")
+      val t = TxnTable.fresh(s, root)
+      t.append(slice(s, d, 1))                                  // v0
+      t.append(slice(s, d, 2))                                  // v1
+      val name = "txn_stream_read_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", root).load()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      q.processAllAvailable()                                   // batch 1
+      t.compact(target = 1)                                     // v2: silent
+      t.append(slice(s, d, 5))                                  // v3
+      q.processAllAvailable()                                   // batch 2
+      q.stop()
+      s.table(name).orderBy("l_returnflag")
+    }),
+
+    "t_txn_stream_cdc" -> ((s, d) => {
+      // STREAMING the row-level change feed (readChangeFeed=true): a
+      // consumer that subscribed at version 1 receives the merge's
+      // pre/post images + inserts and the delete's victims as they
+      // commit, each row tagged with its commit version — the
+      // incremental-materialized-view feed in streaming form. Two
+      // processAllAvailable waves prove multi-batch delivery; the hash
+      // pins every change class to its commit.
+      val t = cloneOf(s, base12(s, d), "txn_stream_cdc")
+      val name = "txn_stream_cdc_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", t.root).option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .groupBy("_change_type", "_commit_version", "l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      q.processAllAvailable()                                   // feed of v2
+      t.deleteWhere(col("l_quantity") > 25, cdc = true)         // v3
+      q.processAllAvailable()                                   // feed of v3
+      q.stop()
+      s.table(name)
+        .orderBy("_change_type", "_commit_version", "l_returnflag")
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -354,6 +412,25 @@ object TTxn {
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
+    // same change classes as t_txn_cdc, but streamed: the delete commits
+    // at v3 here (no compact in this fixture)
+    "t_txn_stream_cdc" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT * FROM (" +
+        "SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version, " +
+        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'update_postimage', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity * 2), 4) FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'insert', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM lineitem WHERE l_linenumber = 6 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'delete', 3, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM merged WHERE l_quantity > 25 GROUP BY l_returnflag" +
+        ") ORDER BY _change_type, _commit_version, l_returnflag"),
     // the feed, change class by change class: the merge's images at v2,
     // the delete's victims at v4 (computed over the post-merge content),
     // and NOTHING from the v3 compact

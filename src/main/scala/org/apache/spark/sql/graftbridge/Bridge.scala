@@ -23,4 +23,15 @@ object Bridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Re-tag a batch DataFrame as STREAMING (`isStreaming = true`) — what a
+    * v1 streaming `Source.getBatch` must return. The micro-batch engine
+    * rejects plain batch frames, and `internalCreateDataFrame` (the hook
+    * Spark's own file/delta-style sources use for exactly this) is
+    * private[sql]; this bridge is the standard ecosystem workaround. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = true)
+  }
 }

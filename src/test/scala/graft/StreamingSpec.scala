@@ -614,4 +614,74 @@ class StreamingSpec extends SparkTestBase {
       assert(readAll(s"bus_replay_2_$kind") == 40)
     } finally BusBroker.delete(topic)
   }
+
+  test("txn stream source: checkpoint restart resumes at the committed version, no replay") {
+    import graft.sources.TxnTable
+    val base = graft.queries.scratch("txn_stream_restart")
+    val t = TxnTable.fresh(spark, s"$base/tbl")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))            // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", s"$base/tbl").load()
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+    // commits land while NO query runs; a fresh query on the same
+    // checkpoint must deliver exactly the new versions — the offset is
+    // the commit version, so the restart contract is one number
+    t.append(Seq((4L, "d")).toDF("k", "v"))            // v2
+    t.compact(target = 1)                              // v3: silent
+    t.append(Seq((5L, "e")).toDF("k", "v"))            // v4
+    drain()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 5, "restart must neither replay nor lose commits")
+    assert(out.select("k").as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
+  test("txn stream source: a content-replacing commit fails the append feed loudly") {
+    import graft.sources.TxnTable
+    val base = graft.queries.scratch("txn_stream_replace")
+    val t = TxnTable.fresh(spark, s"$base/tbl")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl").load()
+      .writeStream.format("memory").queryName("txn_stream_replace_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("txn_stream_replace_sink").count() == 1)
+    // an overwrite invalidates incremental consumption — the stream must
+    // DIE (re-sync from a snapshot), not re-deliver replaced content
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000): Unit
+    }
+    // the CDC feed, by contrast, streams THROUGH replacing commits…
+    val t2 = TxnTable.fresh(spark, s"$base/tbl2")
+    t2.append(Seq((1L, 10L), (2L, 60L)).toDF("k", "n"))
+    t2.deleteWhere(col("n") > 50, cdc = true)
+    val q2 = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl2").option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("txn_stream_cdc_sink2")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val feed = spark.table("txn_stream_cdc_sink2")
+    assert(feed.filter(col("_change_type") === "delete").count() == 1)
+    assert(feed.filter(col("_change_type") === "insert").count() == 2)
+    // …but a DML commit written WITHOUT cdc=true kills it, same posture
+    t2.merge(Seq((1L, 11L)).toDF("k", "n"), Seq("k")) // no sidecar
+    val q3 = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl2").option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("txn_stream_cdc_sink3")
+      .outputMode("append").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(30000): Unit
+    }
+  }
 }

@@ -275,6 +275,39 @@ object TTxn {
         .orderBy("_change_type", "_commit_version", "l_returnflag")
     }),
 
+    "t_txn_incr_mv" -> ((s, d) => {
+      // INCREMENTAL MATERIALIZED VIEW maintenance from the change feed —
+      // what readChanges exists FOR: the grouped aggregate is
+      // materialized once at v1, then two DML commits (merge, delete)
+      // land, and the view is brought current by applying the feed's
+      // row deltas with a sign column (+1 insert/postimage, −1
+      // delete/preimage) — the TABLE IS NEVER RESCANNED. The oracle
+      // recomputes the final aggregate directly from source, so any
+      // wrong delta sign, missed change class, or double-applied image
+      // breaks the hash. (l_quantity is integral, so the incremental
+      // sum is exact — no float-association hazard vs the direct sum.)
+      val t = cloneOf(s, base12(s, d), "txn_incr_mv")
+      val mv0 = t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n0"), sum("l_quantity").as("q0"))
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      t.deleteWhere(col("l_quantity") > 25, cdc = true)               // v3
+      val sgn = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = t.readChanges(1)
+        .groupBy("l_returnflag")
+        .agg(sum(sgn).as("dn"), sum(sgn * col("l_quantity")).as("dq"))
+      mv0.join(delta, Seq("l_returnflag"), "full_outer")
+        .select(col("l_returnflag"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          r4(coalesce(col("q0"), lit(0.0)) + coalesce(col("dq"), lit(0.0)))
+            .as("sum_qty"))
+        .filter(col("n") > 0)
+        .orderBy("l_returnflag")
+    }),
+
     "t_txn_incremental" -> ((s, d) => {
       // the change-data-feed read: a consumer that saw the table at v0
       // tails ONLY data added after it — the v1 and v3 appends. The v2
@@ -413,6 +446,16 @@ object TTxn {
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
+    // the view brought current by deltas must equal the direct aggregate
+    // over the final table content (post-merge values, deletes applied)
+    "t_txn_incr_mv" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM merged WHERE NOT l_quantity > 25 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // same change classes as t_txn_cdc, but streamed: the delete commits
     // at v3 here (no compact in this fixture)
     "t_txn_stream_cdc" ->

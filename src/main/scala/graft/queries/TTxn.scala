@@ -379,6 +379,39 @@ object TTxn {
         .orderBy("_change_type", "_commit_version", "l_returnflag")
     }),
 
+    "t_txn_pipeline" -> ((s, d) => {
+      // the TABLE-TO-TABLE incremental pipeline, composed end to end from
+      // this group's parts: source txn table → TxnStreamSource (commit-
+      // version offsets) → a transformation hop → foreachBatch
+      // appendIdempotent into a SINK txn table. Exactly-once on both
+      // ends with no distributed lock: the streaming checkpoint dedups
+      // source versions, the sink's txn=app:batch ledger dedups commits
+      // — and the crash-window replay below (same app, same batch, the
+      // whole sink table as payload) must be a no-op, which the oracle
+      // hash itself proves. A mid-stream source append arrives as its
+      // own batch, so the hop is shown INCREMENTAL, not a one-shot copy.
+      val src = TxnTable.fresh(s, scratch("txn_pipe_src"))
+      val dst = TxnTable.fresh(s, scratch("txn_pipe_dst"))
+      src.append(slice(s, d, 1))                                // v0
+      src.append(slice(s, d, 2))                                // v1
+      val appId = "txn_pipeline"
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", src.root).load()
+        .filter(col("l_quantity") > 10)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          dst.appendIdempotent(df, appId, id)
+          ()
+        }.start()
+      q.processAllAvailable()                                   // batch 0
+      src.append(slice(s, d, 5))                                // v2
+      q.processAllAvailable()                                   // batch 1
+      q.stop()
+      // post-crash foreachBatch replay of the last batch: no-op
+      dst.appendIdempotent(dst.read(), appId, dst.lastCommitted(appId))
+      agg(dst.read())
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -446,6 +479,8 @@ object TTxn {
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
+    "t_txn_pipeline" ->
+      oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),
     // the view brought current by deltas must equal the direct aggregate
     // over the final table content (post-merge values, deletes applied)
     "t_txn_incr_mv" ->

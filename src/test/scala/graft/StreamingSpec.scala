@@ -618,6 +618,12 @@ class StreamingSpec extends SparkTestBase {
   test("txn stream source: checkpoint restart resumes at the committed version, no replay") {
     import graft.sources.TxnTable
     val base = graft.queries.scratch("txn_stream_restart")
+    // wipe the WHOLE base: a stale checkpoint/out pair from a previous JVM
+    // run would pin offsets the fresh table can't serve
+    locally {
+      val d = new java.io.File(base)
+      if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively(): Unit }
+    }
     val t = TxnTable.fresh(spark, s"$base/tbl")
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
     t.append(Seq((3L, "c")).toDF("k", "v"))            // v1

@@ -649,6 +649,29 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("k").as[Long].collect().sorted.toSeq == (1L to 5L))
   }
 
+  test("txn stream source: Trigger.AvailableNow drains the log and stops itself") {
+    // the nightly catch-up mode: the engine's v1-source wrapper snapshots
+    // the available offset at start, drains to it, and terminates —
+    // commits landing after the run wait for the next scheduled one
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.TxnTable
+    val t = TxnTable.fresh(spark, graft.queries.scratch("txn_stream_an"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    def drainOnce(name: String): Long = {
+      val q = spark.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", t.root).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop itself")
+      spark.table(name).count()
+    }
+    assert(drainOnce("txn_an_1") == 3)
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    // fresh query, no checkpoint → from the beginning again, now 4 rows
+    assert(drainOnce("txn_an_2") == 4)
+  }
+
   test("txn stream source: a content-replacing commit fails the append feed loudly") {
     import graft.sources.TxnTable
     val base = graft.queries.scratch("txn_stream_replace")

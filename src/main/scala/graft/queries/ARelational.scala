@@ -189,6 +189,23 @@ object ARelational {
         .select("id", "tag")
         .orderBy("id")),
 
+    "a_scan_agg_pushdown" -> ((s, d) =>
+      // AGGREGATE PUSHDOWN through the DSv2 connector: the ungrouped
+      // COUNT/MIN/MAX over the id-range-filtered sequence is answered by
+      // the source in closed form — the physical plan is a bare BatchScan
+      // returning ONE row, no aggregate exec, zero source rows iterated
+      // (asserted in PlanShapeSpec with a 2-billion-row instance; the
+      // same contract a warehouse connector uses to turn table-wide
+      // MIN/MAX into metadata lookups). Filters must be fully consumed
+      // first — Spark only attempts it then — so the closed forms bind
+      // the exact surviving range.
+      s.read.format("graft.sources.SeqSource")
+        .option("n", "100000").option("slices", "8").load()
+        .filter(col("id") >= 1000 && col("id") < 99000)
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+          max("id").as("max_id"), min("val").as("min_val"),
+          max("val").as("max_val"))),
+
     "a_sink_orc" -> ((s, d) => {
       // ORC round-trip: aggregate, write ORC, read back — the oracle checks
       // the read-back values against the same aggregate on parquet, so the
@@ -581,6 +598,11 @@ object ARelational {
     "a_scan_custom_source" ->
       ("SELECT g AS id, 't' || (g % 5) AS tag FROM generate_series(0, 1999) t(g) " +
         "WHERE g % 7 = 0 ORDER BY id"),
+    "a_scan_agg_pushdown" ->
+      ("SELECT count(*) AS n, min(g) AS min_id, max(g) AS max_id, " +
+        "min(CAST(g AS DOUBLE) * 0.5) AS min_val, " +
+        "max(CAST(g AS DOUBLE) * 0.5) AS max_val " +
+        "FROM generate_series(0, 99999) t(g) WHERE g >= 1000 AND g < 99000"),
     "a_sink_table" ->
       ("SELECT * FROM (" +
         "SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +

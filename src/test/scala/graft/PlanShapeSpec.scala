@@ -20,6 +20,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
   }
 
+  test("aggregate pushdown: the DSv2 scan answers COUNT/MIN/MAX itself, no agg exec") {
+    val p = plan("a_scan_agg_pushdown")
+    assert(p.contains("PushedAggregates"),
+      s"expected the completely-pushed aggregate scan:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate exec:\n$p")
+    // the proof it never iterates: the same aggregate over a 2-BILLION-row
+    // instance returns instantly with identical plan shape
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val big = spark.read.format("graft.sources.SeqSource")
+      .option("n", "2000000000").option("slices", "8").load()
+      .filter(col("id") >= 5 && col("id") < 1999999999L)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+    val row = big.collect()(0)
+    assert(row.getLong(0) == 1999999994L && row.getLong(1) == 5L &&
+      row.getLong(2) == 1999999998L)
+  }
+
+  test("filter pushdown into the DSv2 connector folds the range into generation") {
+    // the connector-side analog of row-group skipping: an id range filter
+    // narrows the generated range itself, so excluded rows never exist
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("n", "1000000").option("slices", "8").load()
+      .filter(col("id") >= 999990).select("id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[999990,1000000)"),
+      s"expected the pushed range in the scan description:\n$p")
+    assert(df.count() == 10)
+  }
+
   test("small dimension join is a BroadcastHashJoin") {
     assert(plan("c_join_broadcast").contains("BroadcastHashJoin"))
   }

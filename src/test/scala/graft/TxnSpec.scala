@@ -503,6 +503,24 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("change feed plans only changed files + sidecars, never the table") {
+    // the 100-TB property stated in readChanges' doc, asserted on the
+    // actual plan: feed input files are the version range's changed
+    // files (or KB sidecars), not the live set
+    val t = TxnTable.fresh(spark, dir("cdf_cost"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, i * 10L)).toDF("k", "n"))) // v0..v3
+    t.append(Seq((5L, 50L)).toDF("k", "n"))                                  // v4
+    val tail = t.readChanges(3) // just v4's append
+    assert(tail.inputFiles.length == 1,
+      s"append tail must plan 1 new file, planned ${tail.inputFiles.length}")
+    // a one-key merge with CDC: the feed over it reads ONLY the sidecar
+    t.merge(Seq((5L, 51L)).toDF("k", "n"), Seq("k"), cdc = true)             // v5
+    val feed = t.readChanges(4)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/_cdc/")),
+      s"merge feed must plan only its sidecar: ${feed.inputFiles.toSeq}")
+  }
+
   test("restore rolls back metadata-only, keeps history auditable, refuses vacuumed targets") {
     val t = TxnTable.fresh(spark, dir("restore"))
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0

@@ -798,7 +798,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * All pieces are normalized to the schema at `upTo` (missing columns
     * NULL), so a feed spanning schema evolution binds ONE schema. Cost:
     * the log scan is KBs; data reads touch only changed files and
-    * KB-scale sidecars, never the table. */
+    * KB-scale sidecars, never the table. Retention: like time travel,
+    * feeding past files `vacuum` already reclaimed fails at execution —
+    * the same trade every log-structured format prices (sidecars are
+    * kept as long as their entry exists, so only derived file reads are
+    * exposed). */
   def readChanges(since: Long, upTo: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val tip = if (upTo < 0) currentVersion else upTo

@@ -850,12 +850,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .toDF("version", "action", "rows", "n_added_files", "n_removed_files")
   }
 
-  /** Delete data files the LATEST snapshot no longer references. Time
-    * travel to versions that needed them stops working — the retention
-    * trade every log-structured table format prices. Returns #deleted. */
-  def vacuum(): Int = {
+  /** Delete data files no RETAINED snapshot references. Retention is
+    * version-based: the last `retainVersions` snapshots (default 1 — the
+    * tip alone) stay fully readable; time travel, change feeds, and
+    * `restore` past the horizon stop working — the retention trade every
+    * log-structured table format prices (Delta's retention hours, by
+    * version count). Returns #deleted. */
+  def vacuum(retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the tip snapshot")
     val tip = currentVersion
-    val keep = liveFiles(tip).toSet
+    val keep = (math.max(0L, tip - retainVersions + 1) to tip)
+      .flatMap(liveFiles).toSet
     val all = ls(rootP)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
       .flatMap(d => ls(d))

@@ -503,6 +503,23 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("vacuum retention: the last N snapshots stay readable, older ones die") {
+    val t = TxnTable.fresh(spark, dir("vac_ret"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))    // v0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v")) // v1
+    t.overwrite(Seq((3L, "c")).toDF("k", "v")) // v2
+    t.overwrite(Seq((4L, "d")).toDF("k", "v")) // v3
+    assert(t.vacuum(retainVersions = 2) >= 2, "v0/v1's files must go")
+    // inside the horizon: both snapshots fully readable
+    assert(t.read(2).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    assert(t.read(3).as[(Long, String)].collect().toSeq == Seq((4L, "d")))
+    // past it: time travel AND restore fail loudly, tip unharmed
+    intercept[Exception](t.read(0).count())
+    intercept[IllegalArgumentException](t.restore(1))
+    assert(t.restore(2) == 4) // inside the horizon restore still works
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
   test("change feed plans only changed files + sidecars, never the table") {
     // the 100-TB property stated in readChanges' doc, asserted on the
     // actual plan: feed input files are the version range's changed

@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Scale posture: `getOffset` is one KB-scale log listing per trigger;
   * a batch's read cost is ∝ the files its version range added (never
   * table size); nothing here collects data rows on the driver.
+  * Admission control (a max-versions-per-trigger cap) belongs to the
+  * DSv2 `ReadLimit` surface, which `BusSource` demonstrates end to end;
+  * the v1 API caps by returning a clamped `getOffset`, which cannot be
+  * anchored safely before the first batch reveals the checkpointed
+  * position — so this source, like the shape it mirrors, leaves pacing
+  * to `Trigger.AvailableNow` (snapshot-capped drain, proven in
+  * StreamingSpec) plus downstream `foreachBatch` batching.
   */
 class TxnStreamSource extends StreamSourceProvider {
   import TxnStreamSource._

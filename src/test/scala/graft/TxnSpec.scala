@@ -538,6 +538,30 @@ class TxnSpec extends SparkTestBase {
       s"merge feed must plan only its sidecar: ${feed.inputFiles.toSeq}")
   }
 
+  test("change feed across schema evolution binds ONE schema (the tip's)") {
+    val t = TxnTable.fresh(spark, dir("cdf_evo"))
+    t.append(Seq((1L, 10L)).toDF("k", "n"))                    // v0: (k, n)
+    t.append(Seq((2L, 20L, "x")).toDF("k", "n", "tag"))        // v1: + tag
+    t.merge(Seq((1L, 11L, "y")).toDF("k", "n", "tag"), Seq("k"),
+      cdc = true)                                              // v2
+    val feed = t.readChanges(-1)
+    // every piece — v0's pre-evolution insert, v1's, v2's images — comes
+    // back under the tip schema; pre-evolution rows surface NULL tag
+    assert(feed.columns.toSeq ==
+      Seq("k", "n", "tag", "_change_type", "_commit_version"))
+    val ins0 = feed.filter(col("_commit_version") === 0)
+      .select("k", "n", "tag").collect()
+    assert(ins0.length == 1 && ins0(0).isNullAt(2),
+      "pre-evolution insert must surface NULL for the evolved column")
+    // the merge pre-image row was WRITTEN pre-evolution but captured at
+    // v2 through the evolved log schema — also NULL tag, value intact
+    val pre = feed.filter(col("_change_type") === "update_preimage").collect()
+    assert(pre.length == 1 && pre(0).getLong(1) == 10L && pre(0).isNullAt(2))
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select("k", "n", "tag").as[(Long, Long, String)].collect().toSeq
+    assert(post == Seq((1L, 11L, "y")))
+  }
+
   test("restore rolls back metadata-only, keeps history auditable, refuses vacuumed targets") {
     val t = TxnTable.fresh(spark, dir("restore"))
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0

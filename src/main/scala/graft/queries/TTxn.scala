@@ -275,6 +275,27 @@ object TTxn {
         .orderBy("_change_type", "_commit_version", "l_returnflag")
     }),
 
+    "t_txn_stats_prune_time" -> ((s, d) => {
+      // TIME-RANGE data skipping — the dominant 100-TB scan shape: the
+      // events table lands in the txn format (stage always writes
+      // int64-micros timestamps, so footers carry orderable stats),
+      // a time-clustered compact gives each file a disjoint ts range,
+      // and readRangeTime plans only the files overlapping the window —
+      // a 5-day query on a 30-day table opens a fraction of the files
+      // and zero extra footers (TxnSpec pins the planned-file count).
+      // The oracle recomputes the window from source: a mis-pruned file
+      // loses rows, a leaked one adds them — either breaks the hash.
+      val t = TxnTable.fresh(s, scratch("txn_stats_time"))
+      t.append(Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value"))
+      t.compact(target = 6, clusterBy = Seq("ts"))
+      t.readRangeTime("ts", "2024-01-10 00:00:00", "2024-01-15 00:00:00")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sum_bp"))
+        .orderBy("event_type")
+    }),
+
     "t_txn_incr_mv" -> ((s, d) => {
       // INCREMENTAL MATERIALIZED VIEW maintenance from the change feed —
       // what readChanges exists FOR: the grouped aggregate is
@@ -534,6 +555,12 @@ object TTxn {
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 49)"),
     "t_txn_stats_prune" ->
       oracleAgg("l_linenumber IN (1, 2) AND l_orderkey BETWEEN 0 AND 4000"),
+    "t_txn_stats_prune_time" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bp " +
+        "FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts::TIMESTAMP <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "GROUP BY event_type ORDER BY event_type"),
     // line 1 as-is, line 2 with doubled quantity, line 6 inserted
     "t_txn_merge" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(" +

@@ -285,7 +285,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * per micro-batch is real overhead. */
   private def stage(df: DataFrame): (Seq[String], Long, FileStats) = {
     val dir = s"d-${UUID.randomUUID()}"
-    df.write.parquet(rootP.resolve(dir).toString)
+    // never write INT96 timestamps (Spark's legacy default): they carry NO
+    // parquet statistics, which would silence time-range data skipping —
+    // every modern table format mandates int64 micros. Restore-after-write
+    // can race a concurrent writer's stage; both set the same value, and
+    // the worst interleaving only costs that writer's stats (the stats
+    // philosophy: incomplete stats cost pruning, never rows).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(rootP.resolve(dir).toString)
+    finally spark.conf.set(tsKey, oldTs)
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted
@@ -317,28 +327,40 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }.sum
   }
 
-  /** "col:min:max;col:min:max" over the file's PLAIN numeric primitive
-    * top-level columns (INT32/INT64/FLOAT/DOUBLE with no logical-type
-    * annotation — dates/timestamps/decimals have non-plain orderings and
-    * are skipped), folded across all row groups. A column with missing
-    * or partial statistics in any block is omitted entirely — `readRange`
-    * then keeps the file, so incomplete stats can only cost pruning,
-    * never rows. Values are the footer's exact decimal renderings; range
-    * comparison parses them as BigDecimal, so no double-rounding can
-    * flip a prune decision. */
+  /** "col:min:max;col:min:max" over the file's ORDER-PRESERVING primitive
+    * top-level columns, folded across all row groups: plain numerics
+    * (INT32/INT64/FLOAT/DOUBLE, no logical annotation) plus DATE (int
+    * days) and MICROS timestamps (int64 epoch micros) — annotations whose
+    * logical ordering IS the physical one, so the physical min/max prunes
+    * exactly (decimals/strings/other units have non-plain orderings and
+    * are skipped). A column with missing or partial statistics in any
+    * block is omitted entirely — `readRange` then keeps the file, so
+    * incomplete stats can only cost pruning, never rows. Values are the
+    * footer's exact decimal renderings; range comparison parses them as
+    * BigDecimal, so no double-rounding can flip a prune decision. */
   private def footerStats(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): String = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
     val bad = scala.collection.mutable.Set.empty[String]
     for (b <- footer.getBlocks.asScala; c <- b.getColumns.asScala) {
       val name = c.getPath.toDotString
       if (!name.contains('.') && !bad(name)) {
         val pt = c.getPrimitiveType.getPrimitiveTypeName
-        val plainNumeric = (pt == INT32 || pt == INT64 || pt == FLOAT ||
-          pt == DOUBLE) && c.getPrimitiveType.getLogicalTypeAnnotation == null
+        val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+        val orderable =
+          ((pt == INT32 || pt == INT64 || pt == FLOAT || pt == DOUBLE) &&
+            ann == null) ||
+          (pt == INT32 &&
+            ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]) ||
+          (pt == INT64 && (ann match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          }))
         val s = c.getStatistics
-        if (!plainNumeric || s == null || s.isEmpty || !s.hasNonNullValue) {
+        if (!orderable || s == null || s.isEmpty || !s.hasNonNullValue) {
           bad += name; acc -= name
         } else {
           val mn = BigDecimal(s.genericGetMin.toString)
@@ -597,11 +619,43 @@ final class TxnTable(val spark: SparkSession, val root: String,
   def readRange(colName: String, lo: Double, hi: Double,
       version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    readRangePhys(colName, BigDecimal(lo), BigDecimal(hi), version)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** Time-range read with the same FILE-LEVEL skipping, over a MICROS
+    * timestamp column (what `stage` always writes — see the INT96 note
+    * there): bounds are `yyyy-MM-dd HH:mm:ss[.SSSSSS]` strings,
+    * interpreted in the SESSION time zone on both sides — the prune
+    * bound (converted to epoch micros, the column's physical stat order)
+    * and the exact row filter (a session-TZ timestamp cast) — so the
+    * prune can never disagree with the filter. Inclusive both ends.
+    * This is the dominant 100-TB scan shape: on a time-clustered table
+    * a day's query plans the day's files, never the year's footers. */
+  def readRangeTime(colName: String, lo: String, hi: String,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def micros(ts: String): Long = {
+      val inst = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .atZone(zone).toInstant
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+    readRangePhys(colName, BigDecimal(micros(lo)), BigDecimal(micros(hi)), version)
+      .filter(col(colName) >= lit(lo).cast("timestamp") &&
+        col(colName) <= lit(hi).cast("timestamp"))
+  }
+
+  /** The shared prune: drop live files whose recorded [min, max] for
+    * `colName` (in the column's PHYSICAL order) cannot intersect
+    * [loB, hiB]; files without stats are kept. Returns the pruned scan
+    * with provenance tags dropped; the caller applies the exact filter. */
+  private def readRangePhys(colName: String, loB: BigDecimal, hiB: BigDecimal,
+      version: Long): DataFrame = {
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
     val statsByFile: FileStats = entries(v).map(statsOf)
       .foldLeft(Map.empty[String, String])(_ ++ _)
-    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
     def overlaps(enc: String): Boolean =
       enc.split(';').collectFirst {
         case s if s.startsWith(colName + ":") =>
@@ -610,7 +664,6 @@ final class TxnTable(val spark: SparkSession, val root: String,
       }.getOrElse(true)
     val pruned = liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
     scanTagged(v, pruned).drop("_f", "_idx")
-      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of

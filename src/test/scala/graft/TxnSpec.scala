@@ -503,6 +503,32 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("readRangeTime prunes by timestamp stats: a day's query plans the day's file") {
+    import java.sql.Timestamp
+    val t = TxnTable.fresh(spark, dir("stats_time"))
+    // 4 days of events, appended shuffled so clustering is the compact's
+    // doing, not arrival order; stage() writes TIMESTAMP_MICROS so the
+    // footers carry orderable int64 stats (INT96 would have none)
+    val rng = new scala.util.Random(7)
+    rng.shuffle((0 until 96).toList).grouped(24).foreach { g =>
+      t.append(g.map(h => (h.toLong,
+        Timestamp.valueOf(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:30:00")))
+        .toDF("id", "ts"))
+    }
+    t.compact(target = 4, clusterBy = Seq("ts"))
+    // window strictly interior to day 2's quartile (range-partition
+    // boundaries are sampled, so don't bet on exact midnight splits)
+    val want = t.read()
+      .filter(col("ts") >= lit("2024-03-02 06:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-03-02 18:00:00").cast("timestamp"))
+      .as[(Long, Timestamp)].collect().toSet
+    val day = t.readRangeTime("ts", "2024-03-02 06:00:00", "2024-03-02 18:00:00")
+    assert(day.as[(Long, Timestamp)].collect().toSet == want && want.size == 12)
+    assert(day.inputFiles.count(_.contains("/d-")) == 1,
+      "an interior day window must plan exactly 1 of the 4 files")
+    assert(t.read().inputFiles.count(_.contains("/d-")) == 4)
+  }
+
   test("vacuum retention: the last N snapshots stay readable, older ones die") {
     val t = TxnTable.fresh(spark, dir("vac_ret"))
     t.append(Seq((1L, "a")).toDF("k", "v"))    // v0

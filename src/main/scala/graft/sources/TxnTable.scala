@@ -654,6 +654,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
       version: Long): DataFrame = {
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
+    scanTagged(v, pruneFiles(v, colName, loB, hiB)).drop("_f", "_idx")
+  }
+
+  /** Live files at `v` whose recorded [min, max] for `colName` can
+    * intersect [loB, hiB]; files without stats for the column are kept. */
+  private def pruneFiles(v: Long, colName: String,
+      loB: BigDecimal, hiB: BigDecimal): Seq[String] = {
     val statsByFile: FileStats = entries(v).map(statsOf)
       .foldLeft(Map.empty[String, String])(_ ++ _)
     def overlaps(enc: String): Boolean =
@@ -662,8 +669,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
           val p = s.split(':')
           BigDecimal(p(2)) >= loB && BigDecimal(p(1)) <= hiB
       }.getOrElse(true)
-    val pruned = liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
-    scanTagged(v, pruned).drop("_f", "_idx")
+    liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
   }
 
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of
@@ -692,11 +698,39 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val keyExpr = keyCols.map(col)
+    // Touched-file DISCOVERY is itself stats-pruned: a file whose
+    // recorded [min, max] for the first merge key cannot contain ANY
+    // update key is provably unmatched and is never scanned — on a
+    // key-clustered table a point merge DISCOVERS its one file from
+    // commit metadata instead of scanning the table for it (TxnSpec
+    // pins this by deleting a non-candidate file from disk). Files
+    // without stats, and non-rangeable key types, scan as before —
+    // incomplete metadata costs pruning, never correctness.
+    val updKeys = updates.select(keyExpr: _*).distinct()
+    val candidates: Seq[String] = {
+      def bd(x: Any): Option[BigDecimal] = x match {
+        case l: Long => Some(BigDecimal(l))
+        case i: Int => Some(BigDecimal(i))
+        case d: Double => Some(BigDecimal(d))
+        case f: Float => Some(BigDecimal(f.toDouble))
+        case t: java.sql.Timestamp =>
+          Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+        case _ => None
+      }
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val b = updKeys.agg(fmin(col(keyCols.head)), fmax(col(keyCols.head))).head()
+      val pruned = for {
+        _ <- Some(()) if !b.isNullAt(0)
+        lo <- bd(b.get(0)); hi <- bd(b.get(1))
+      } yield pruneFiles(v, keyCols.head, lo, hi)
+      pruned.getOrElse(liveFiles(v))
+    }
     // `_f` is the table-relative provenance tag (matches the log's file
     // names directly); DVs are already applied, so a DV-deleted row can
     // neither mark its file touched nor survive into the rewrite
-    val tagged = readTagged(v).drop("_idx")
-    val updKeys = updates.select(keyExpr: _*).distinct()
+    val tagged =
+      if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
+      else scanTagged(v, candidates).drop("_idx")
     val touched = tagged
       .join(updKeys, keyCols)
       .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted

@@ -503,6 +503,34 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("merge discovers touched files from stats — provably never scans non-candidates") {
+    val t = TxnTable.fresh(spark, dir("merge_prune"))
+    val rng = new scala.util.Random(13)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    // delete the TOP-range clustered file from disk: if touched-file
+    // discovery scanned the whole table, this merge would die on the
+    // missing file — stats pruning means it is never opened
+    val top = t.readRange("k", 399, 399).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(top.size == 1)
+    Files.delete(Paths.get(top.head.stripPrefix("file:")))
+    // matched key 110 (file 2) + a brand-new key below the table's range
+    // → the update-key envelope [-5, 110] provably excludes the deleted
+    // top file (envelope pruning is min/max-based, like every stats
+    // scheme: an outlier key above 399 would re-admit it)
+    t.merge(Seq((110L, -1L), (-5L, -2L)).toDF("k", "v"), Seq("k"))
+    // only file 2 was rewritten…
+    val h = t.history().orderBy(col("version").desc).limit(1)
+      .select("n_removed_files").as[Long].head()
+    assert(h == 1, s"point merge must remove exactly 1 file, removed $h")
+    // …the update applied, the out-of-range insert landed, neighbors intact
+    val got = t.readRange("k", -10, 299)
+      .as[(Long, Long)].collect().toMap
+    assert(got(110L) == -1L && got(-5L) == -2L && got(109L) == 327L)
+  }
+
   test("readRangeTime prunes by timestamp stats: a day's query plans the day's file") {
     import java.sql.Timestamp
     val t = TxnTable.fresh(spark, dir("stats_time"))

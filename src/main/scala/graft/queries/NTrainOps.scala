@@ -46,6 +46,20 @@ object NTrainOps {
       .distinct()
   }
 
+  /** Shared-shingle connected components → (doc_id, cluster_id); see the
+    * i_dup_clusters key comment for the design. */
+  private def dupClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+    val sh = shingles3(docs, "doc_id")
+    val e = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+    graft.algo.ConnectedComponents
+      .run(docs.select(col("doc_id").as("id")), e)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   private def nearDupClusters(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val cand = ILlmOps.lshCandidates(docs)
@@ -147,25 +161,55 @@ object NTrainOps {
         .orderBy("a_id", "b_id")
     }),
 
-    "i_dup_clusters" -> ((s, d) => {
-      // duplicate-cluster assignment: connected components over the
-      // shared-shingle graph (docs sharing any 3-token shingle belong to
-      // one cluster; cluster id = min doc_id in the component). Iterative
-      // min-label propagation — the standard distributed CC pattern: each
-      // round is one shuffle on the edge key, the round count is bounded
-      // by the component diameter, and lineage is cut per round with
-      // a lineage cut so the plan stays flat. Deterministic: the min
-      // fixpoint is unique regardless of partitioning or round order.
-      // Bounded to doc_id < 40 like the other pairwise baselines.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
-      val sh = shingles3(docs, "doc_id")
-      val e = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
-      graft.algo.ConnectedComponents
-        .run(docs.select(col("doc_id").as("id")), e)
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // duplicate-cluster assignment: connected components over the
+    // shared-shingle graph (docs sharing any 3-token shingle belong to
+    // one cluster; cluster id = min doc_id in the component). Iterative
+    // min-label propagation — the standard distributed CC pattern: each
+    // round is one shuffle on the edge key, the round count is bounded
+    // by the component diameter, and lineage is cut per round so the
+    // plan stays flat. Deterministic: the min fixpoint is unique
+    // regardless of partitioning or round order. Bounded to doc_id < 40
+    // like the other pairwise baselines. Shared by i_dup_clusters,
+    // i_dedup_keep_best-adjacent flows, and i_soft_dedup.
+    "i_dup_clusters" -> ((s, d) => dupClusters(s, d).orderBy("doc_id")),
+
+    "i_soft_dedup" -> ((s, d) => {
+      // SoftDeDup-style duplicate-aware SAMPLING instead of dropping:
+      // every member of a near-dup cluster keeps weight 1/|cluster|
+      // (integer basis points), so a cluster contributes one document's
+      // worth of expected training mass however many copies exist — the
+      // gentler curation policy for borderline duplicates, where hard
+      // dedup (i_dedup_keep_best) loses phrasing diversity. Reuses the
+      // connected-component assignment; one grouped count + a broadcast-
+      // size join back, linear beyond the shared cluster step.
+      val cl = dupClusters(s, d)
+      val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cl.join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (lit(10000.0) / col("cluster_size")).cast("long").as("weight_bp"))
         .orderBy("doc_id")
+    }),
+
+    "i_lsh_tune" -> ((s, d) => {
+      // the S-CURVE table behind the suite's LSH geometry: for k=16
+      // MinHash components, every (bands b, rows r) factorization's
+      // collision threshold s* = (1/b)^(1/r) and its candidate
+      // probability 1-(1-s^r)^b at the verify cutoff J=0.7. The chosen
+      // row is the one whose threshold sits closest to the cutoff — the
+      // principled way to pick banding before paying a recall
+      // calibration run (i_lsh_recall then MEASURES what this predicts).
+      // Pure closed-form arithmetic, broadcastable, evaluated once.
+      import s.implicits._
+      Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).toDF("b", "r")
+        .withColumn("s_star",
+          r4(pow(lit(1.0) / col("b"), lit(1.0) / col("r"))))
+        .withColumn("p_at_cutoff",
+          r4(lit(1.0) - pow(lit(1.0) - pow(lit(0.7), col("r")), col("b"))))
+        .withColumn("dist", r4(abs(col("s_star") - lit(0.7))))
+        .withColumn("chosen",
+          col("dist") === min(col("dist")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        .orderBy("b")
     }),
 
     "i_dedup_pipeline" -> ((s, d) => {
@@ -694,6 +738,34 @@ object NTrainOps {
         "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a) " +
         "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach " +
         "GROUP BY src ORDER BY doc_id"),
+    // same transitive closure, extended with per-cluster sizes → weights
+    "i_soft_dedup" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 40), " +
+        "sh AS (SELECT DISTINCT doc_id, sh FROM (" +
+        "SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || " +
+        "lead(w, 2) OVER win AS sh FROM tok " +
+        "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE sh IS NOT NULL), " +
+        "e AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM sh a " +
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT a_id a, b_id b FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+        "nodes AS (SELECT DISTINCT doc_id id FROM documents WHERE doc_id < 40), " +
+        "reach(src, dst) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a), " +
+        "cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src), " +
+        "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id) " +
+        "SELECT cl.doc_id, cl.cluster_id, sz.cluster_size, " +
+        "CAST(10000 // sz.cluster_size AS BIGINT) AS weight_bp " +
+        "FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id ORDER BY doc_id"),
+    "i_lsh_tune" ->
+      ("WITH s AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2), " +
+        "(16, 1)) AS t(b, r)), " +
+        "c AS (SELECT b, r, round(pow(1.0 / b, 1.0 / r), 4) AS s_star, " +
+        "round(1 - pow(1 - pow(0.7, r), b), 4) AS p_at_cutoff, " +
+        "round(abs(round(pow(1.0 / b, 1.0 / r), 4) - 0.7), 4) AS dist FROM s) " +
+        "SELECT b, r, s_star, p_at_cutoff, dist, " +
+        "dist = (SELECT min(dist) FROM c) AS chosen FROM c ORDER BY b"),
     "i_pagerank" -> {
       def iter(t: Int): String =
         s"r$t AS (SELECT nodes.id, ((15 * (1000000000000 // nn.n)) // 100) + " +

@@ -503,6 +503,72 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
+    // model-based protocol check: a seeded random sequence of
+    // append / overwrite / merge / delete (COW and DV, with and without
+    // CDC) / compact / restore / vacuum runs against BOTH the table and
+    // a trivial in-memory multiset model; after every op the tip read
+    // must equal the model, and a random RETAINED version must equal its
+    // recorded snapshot. Seed 3 forces manifest mode (threshold 0), so
+    // the distributed log fold is fuzzed under the same sequences.
+    for (seed <- Seq(1, 2, 3)) {
+      var horizon = 0L // oldest version vacuum still retains
+      val rng2 = new scala.util.Random(seed + 100)
+      val t2 = TxnTable.fresh(spark, dir(s"fuzz_$seed"),
+        manifestThreshold = if (seed == 3) 0 else TxnTable.DefaultManifestThreshold)
+      def batch2(n: Int): Seq[(Long, Long)] =
+        Seq.fill(n)((rng2.nextInt(20).toLong, rng2.nextInt(1000).toLong))
+      var m: Seq[(Long, Long)] = batch2(5)
+      t2.append(m.toDF("k", "v").coalesce(1))
+      var hist = Map(t2.currentVersion -> m)
+      def check(): Unit = {
+        val got = t2.read().as[(Long, Long)].collect().toSeq.sorted
+        assert(got == m.sorted, s"[seed $seed] tip mismatch after v${t2.currentVersion}")
+        val checkable = hist.keys.filter(_ >= horizon)
+        if (checkable.nonEmpty) {
+          val v = checkable.toSeq(rng2.nextInt(checkable.size))
+          val tv = t2.read(v).as[(Long, Long)].collect().toSeq.sorted
+          assert(tv == hist(v).sorted, s"[seed $seed] time travel to v$v mismatch")
+        }
+      }
+      for (_ <- 0 until 12) {
+        rng2.nextInt(8) match {
+          case 0 | 1 =>
+            val b = batch2(1 + rng2.nextInt(4))
+            t2.append(b.toDF("k", "v").coalesce(1)); m = m ++ b
+          case 2 =>
+            val b = batch2(1 + rng2.nextInt(4))
+            t2.overwrite(b.toDF("k", "v").coalesce(1)); m = b
+          case 3 =>
+            val b = batch2(1 + rng2.nextInt(3))
+            val keys = b.map(_._1).toSet
+            t2.merge(b.toDF("k", "v").coalesce(1), Seq("k"),
+              cdc = rng2.nextBoolean())
+            m = m.filterNot(r => keys(r._1)) ++ b
+          case 4 =>
+            val cut = rng2.nextInt(1000).toLong
+            t2.deleteWhere(col("v") > cut, dv = rng2.nextBoolean(),
+              cdc = rng2.nextBoolean())
+            m = m.filterNot(_._2 > cut)
+          case 5 =>
+            t2.compact(target = 1 + rng2.nextInt(3))
+          case 6 =>
+            val candidates = hist.keys.filter(_ >= horizon).toSeq
+            if (candidates.nonEmpty) {
+              val v = candidates(rng2.nextInt(candidates.size))
+              t2.restore(v); m = hist(v)
+            }
+          case 7 =>
+            val retain = 1 + rng2.nextInt(3)
+            t2.vacuum(retainVersions = retain)
+            horizon = math.max(horizon, t2.currentVersion - retain + 1)
+        }
+        hist += (t2.currentVersion -> m)
+        check()
+      }
+    }
+  }
+
   test("merge discovers touched files from stats — provably never scans non-candidates") {
     val t = TxnTable.fresh(spark, dir("merge_prune"))
     val rng = new scala.util.Random(13)

@@ -200,15 +200,18 @@ object NTrainOps {
       // calibration run (i_lsh_recall then MEASURES what this predicts).
       // Pure closed-form arithmetic, broadcastable, evaluated once.
       import s.implicits._
-      Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).toDF("b", "r")
+      val curve = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).toDF("b", "r")
         .withColumn("s_star",
           r4(pow(lit(1.0) / col("b"), lit(1.0) / col("r"))))
         .withColumn("p_at_cutoff",
           r4(lit(1.0) - pow(lit(1.0) - pow(lit(0.7), col("r")), col("b"))))
         .withColumn("dist", r4(abs(col("s_star") - lit(0.7))))
-        .withColumn("chosen",
-          col("dist") === min(col("dist")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+      // one-row min via the broadcast-scalar crossJoin pattern (a global
+      // window here would funnel into a single partition — the suite-wide
+      // plan gate forbids that shape even on 5 rows)
+      curve.crossJoin(curve.agg(min(col("dist")).as("min_dist")))
+        .withColumn("chosen", col("dist") === col("min_dist"))
+        .drop("min_dist")
         .orderBy("b")
     }),
 

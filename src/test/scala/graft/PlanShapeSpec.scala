@@ -332,7 +332,8 @@ class PlanShapeSpec extends SparkTestBase {
       "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
       "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",
       "i_cooccur_pmi", "i_zipf", "i_source_overlap", "p_skew_report",
-      "j_late_data", "k_custom_expression")
+      "j_late_data", "k_custom_expression",
+      "i_lsh_tune") // 5-literal-row curve × its own one-row min scalar
     val offenders = SparkEntry.queries.keys.filterNot(bounded).flatMap { k =>
       val p = SparkEntry.queries(k)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -40,6 +40,60 @@ object ILlmOps {
 
   private val dot = "graft_dot(va, vb)"
 
+  private val ivfOracleSql =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+      "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
+      "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
+      "AS BIGINT)) FROM e) = 0), " +
+      "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
+      "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
+      "FROM e CROSS JOIN c) WHERE rn = 1) " +
+      "SELECT a_id, cell, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+      "SELECT a.vec_id a_id, a.cell cell, b.vec_id b_id, " +
+      "list_cosine_similarity(a.v, b.v) cos, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+      "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
+      "WHERE rn <= 3 ORDER BY a_id, rn"
+
+  /** The IVF index BUILD: every vector assigned to its nearest coarse
+    * centroid → (vec_id, v, nrm, cell); see the i_ann_ivf key comment for
+    * the sizing rationale. Shared by the compute-inline key (i_ann_ivf)
+    * and the persisted-index key (i_ann_persist). */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val e = vecs(s, d)
+    val nv = e.agg(count(lit(1)).as("n_vec"))
+    val cents = e.crossJoin(broadcast(nv))
+      .filter(pmod(col("vec_id"), expr(
+        "greatest(1L, cast(floor(sqrt(cast((n_vec * 4) DIV 5 as double))) as bigint))")) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** The IVF QUERY side: exact cosine top-3 within each cell, one
+    * equi-join on the cell id over an (already-built) assignment. */
+  private def ivfTopk(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cell_b"))
+    a.join(b, col("cell") === col("cell_b") && col("a_id") =!= col("b_id"))
+      .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+      .groupBy("a_id", "cell")
+      .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+      .select(col("a_id"), col("cell"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("cell"), col("t.id").as("b_id"),
+        r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
+      .orderBy("a_id", "rn")
+  }
+
   /** Query-sample stride for the recall-calibration keys: recall is
     * measured on every ceil(n/5000)-th query vector once the corpus
     * outgrows 5k, so the exact-baseline side costs n²/m instead of n²
@@ -430,30 +484,25 @@ object ILlmOps {
       // argument is an exact integer DIV so both engines floor the same
       // IEEE double. At 100 TB: centroids broadcast, assignment is a
       // map-side projection, candidates shuffle once on the cell key.
-      val e = vecs(s, d)
-      val nv = e.agg(count(lit(1)).as("n_vec"))
-      val cents = e.crossJoin(broadcast(nv))
-        .filter(pmod(col("vec_id"), expr(
-          "greatest(1L, cast(floor(sqrt(cast((n_vec * 4) DIV 5 as double))) as bigint))")) === 0)
-        .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", expr("graft_dot(v, vc)") / (col("nrm") * col("nc")))
-        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      val a = assigned.select(col("vec_id").as("a_id"), col("v").as("va"),
-        col("nrm").as("na"), col("cell"))
-      val b = assigned.select(col("vec_id").as("b_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cell").as("cell_b"))
-      a.join(b, col("cell") === col("cell_b") && col("a_id") =!= col("b_id"))
-        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
-        .groupBy("a_id", "cell")
-        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
-        .select(col("a_id"), col("cell"), explode(col("top")).as("t"))
-        .select(col("a_id"), col("cell"), col("t.id").as("b_id"),
-          r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
-        .orderBy("a_id", "rn")
+      ivfTopk(ivfAssigned(s, d))
+    }),
+
+    "i_ann_persist" -> ((s, d) => {
+      // the BUILD-ONCE / QUERY-MANY form of the IVF index: the expensive
+      // assignment pass (n × nlist dots) runs once and LANDS IN A
+      // TRANSACTIONAL TABLE, cell-clustered on write; the query side then
+      // answers from the PERSISTED index alone — the nightly-index-job +
+      // all-day-queries production shape, with snapshot isolation between
+      // a rebuild and in-flight readers for free (an overwrite is
+      // invisible until its single log publish). The result is equal to
+      // i_ann_ivf BY CONSTRUCTION (double arrays round-trip parquet
+      // exactly), so the identical oracle pins both paths — and the
+      // query-side plan is a pure parquet-scan + cell equi-join, no
+      // broadcast assignment anywhere.
+      val idx = graft.sources.TxnTable.fresh(s, scratch("ann_ivf_idx"))
+      idx.overwrite(ivfAssigned(s, d))                // the index build
+      idx.compact(target = 4, clusterBy = Seq("cell")) // the layout job
+      ivfTopk(idx.read())                              // queries: index only
     }),
 
     "i_ann_ivf_recall" -> ((s, d) => {
@@ -792,22 +841,10 @@ object ILlmOps {
         "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
         "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) " +
         "WHERE rn <= 3 ORDER BY a_id, rn"),
-    "i_ann_ivf" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
-        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
-        "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
-        "AS BIGINT)) FROM e) = 0), " +
-        "asg AS (SELECT vec_id, v, cid AS cell FROM (" +
-        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-        "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
-        "FROM e CROSS JOIN c) WHERE rn = 1) " +
-        "SELECT a_id, cell, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
-        "SELECT a.vec_id a_id, a.cell cell, b.vec_id b_id, " +
-        "list_cosine_similarity(a.v, b.v) cos, " +
-        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
-        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
-        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id) " +
-        "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_ann_ivf" -> ivfOracleSql,
+    // identical by construction: the persisted index round-trips double
+    // arrays through parquet exactly, so the same oracle pins both paths
+    "i_ann_persist" -> ivfOracleSql,
     "i_ann_ivf_recall" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
         "exact AS (SELECT a_id, b_id FROM (" +

@@ -89,17 +89,22 @@ class SeqScanBuilder(n: Long, slices: Int) extends ScanBuilder
       case i: Int => Some(i.toLong)
       case _ => None
     }
+    // saturating successor: v+1 on Long.MaxValue must clamp, not wrap —
+    // a wrapped bound silently widens/empties the range AND feeds the
+    // pushed-aggregate closed forms (and a pushed filter is never
+    // re-evaluated by Spark, so the wrong rows would be final)
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     filters.foreach {
       case f @ GreaterThan("id", v) if lit(v).isDefined =>
-        lo = math.max(lo, lit(v).get + 1); acc += f
+        lo = math.max(lo, inc(lit(v).get)); acc += f
       case f @ GreaterThanOrEqual("id", v) if lit(v).isDefined =>
         lo = math.max(lo, lit(v).get); acc += f
       case f @ LessThan("id", v) if lit(v).isDefined =>
         hi = math.min(hi, lit(v).get); acc += f
       case f @ LessThanOrEqual("id", v) if lit(v).isDefined =>
-        hi = math.min(hi, lit(v).get + 1); acc += f
+        hi = math.min(hi, inc(lit(v).get)); acc += f
       case f @ EqualTo("id", v) if lit(v).isDefined =>
-        lo = math.max(lo, lit(v).get); hi = math.min(hi, lit(v).get + 1); acc += f
+        lo = math.max(lo, lit(v).get); hi = math.min(hi, inc(lit(v).get)); acc += f
       case f @ IsNotNull(_) => acc += f // columns are non-nullable: a no-op
       case f => rest += f
     }

@@ -112,13 +112,23 @@ private[sources] class TxnSource(ctx: SQLContext,
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val since = start.map(versionOf).getOrElse(o.startingVersion)
     val upTo = versionOf(end)
     val df =
       if (o.cdc) table.readChanges(since, upTo)
       else table.changesSince(since, upTo)
+    // pin every batch to the CREATION-time schema: changesSince binds each
+    // batch at that batch's log tip, so a mid-stream additive evolution
+    // would hand the engine a frame WIDER than the declared source schema
+    // (misbound columns downstream). Columns the old schema lacks are
+    // dropped; ones a pre-evolution batch lacks read as NULL — the
+    // restarted stream then picks up the evolved schema, Delta-style.
+    val pinned = df.select(schema.fields.toSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
     // the engine requires a streaming-tagged frame from a v1 source
-    org.apache.spark.sql.graftbridge.Bridge.asStreaming(df)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(pinned)
   }
 
   override def stop(): Unit = ()

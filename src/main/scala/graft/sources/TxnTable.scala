@@ -56,11 +56,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of metadata, no Spark job — and the log entry references the manifest
   * plus its add/remove COUNTS instead of inlining paths. Entries are then
   * O(1) bytes regardless of commit width, and snapshot resolution becomes
-  * `liveFilesDF`: a Spark LEFT ANTI JOIN of manifest add-rows against
-  * remove-rows (path uniqueness holds — staged dirs are UUID-named, so a
-  * path is added exactly once and, because remove-sets are computed
-  * against the serialized log tip, removed at most once — making the fold
-  * an order-free set difference). Decode and difference run in the data
+  * `liveFilesDF`: every (path, change) row tagged with its commit
+  * version, grouped by path, last action wins — the order-AWARE fold a
+  * log with `restore` needs (a metadata-only restore RE-adds previously
+  * removed paths, so a plain add-minus-remove set difference would drop
+  * them). Decode and fold run in the data
   * plane; only the LIVE list is collected, and only because the parquet
   * scan plans splits from driver-side paths — the same irreducible
   * collect every log-structured table format performs at scan planning.
@@ -211,27 +211,45 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   private def entries(upTo: Long): Seq[Entry] = (0L to upTo).map(parse)
 
-  /** Snapshot resolution as a Spark plan: (path, change) rows from every
-    * entry 0..version — manifest parquet read distributed-side, inline
-    * entries as a local relation — then adds LEFT ANTI JOIN removes.
-    * Path uniqueness (see class doc) makes the log fold an order-free
-    * set difference, which is what lets it run as a join at all. One
-    * column out: `path` (table-relative), the live set at `version`. */
+  /** Snapshot resolution as a Spark plan: (path, change, version) rows
+    * from every entry 0..version — manifest parquet read distributed-side,
+    * inline entries as a local relation — then a per-path last-action-wins
+    * aggregate (max over the (version, change) struct). One column out:
+    * `path` (table-relative), the live set at `version`. */
   def liveFilesDF(version: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, element_at, lit, map => fmap, max => fmax, split, struct}
     import spark.implicits._
     val es = entries(version)
     val inline = es.flatMap(e =>
-      e.inlineAdd.map((_, "add")) ++ e.inlineRemove.map((_, "remove")))
-    val inlineDF = inline.toDF("path", "change")
-    val manifests = es.flatMap(_.manifest).map(abs)
+      e.inlineAdd.map((_, "add", e.version)) ++
+        e.inlineRemove.map((_, "remove", e.version)))
+    val inlineDF = inline.toDF("path", "change", "version")
+    val manifests = es.flatMap(e => e.manifest.map(_ -> e.version))
     val all =
       if (manifests.isEmpty) inlineDF
-      else inlineDF.unionByName(spark.read
-        .schema("path STRING, change STRING").parquet(manifests: _*))
-    all.filter(col("change") === "add").select("path")
-      .join(all.filter(col("change") === "remove").select("path"),
-        Seq("path"), "left_anti")
+      else {
+        // manifest rows carry no version column; recover it from the
+        // scan's file-path metadata (manifest filenames are UUID-unique)
+        // so the whole history stays ONE multi-file scan, not N unions
+        val vByName = manifests.flatMap { case (m, v) =>
+          Seq(lit(Paths.get(m).getFileName.toString), lit(v)) }
+        inlineDF.unionByName(spark.read
+          .schema("path STRING, change STRING")
+          .parquet(manifests.map(m => abs(m._1)): _*)
+          .withColumn("version", element_at(fmap(vByName: _*),
+            element_at(split(col("_metadata.file_path"), "/"), -1)))
+          .select("path", "change", "version"))
+      }
+    // last-action-wins: a path is live iff its HIGHEST-version change is
+    // an add. A plain add-anti-join-remove set difference is wrong here —
+    // restore re-adds a previously removed path (2 adds vs 1 remove) and
+    // the anti-join would silently drop it. Within one commit a path
+    // appears on at most one side, so the (version, change) struct max is
+    // exact; were both ever present, "remove" > "add" lexically and the
+    // file is conservatively dropped, never resurrected.
+    all.groupBy("path")
+      .agg(fmax(struct(col("version"), col("change"))).as("last"))
+      .filter(col("last.change") === "add").select("path")
   }
 
   /** Live table-relative paths at `version`. Inline-only logs fold
@@ -287,15 +305,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val dir = s"d-${UUID.randomUUID()}"
     // never write INT96 timestamps (Spark's legacy default): they carry NO
     // parquet statistics, which would silence time-range data skipping —
-    // every modern table format mandates int64 micros. Restore-after-write
-    // can race a concurrent writer's stage; both set the same value, and
-    // the worst interleaving only costs that writer's stats (the stats
-    // philosophy: incomplete stats cost pruning, never rows).
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.get(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.parquet(rootP.resolve(dir).toString)
-    finally spark.conf.set(tsKey, oldTs)
+    // every modern table format mandates int64 micros. The override rides
+    // a CLONED session (Bridge.withConf), never a set/restore on the
+    // shared conf: commits are concurrent by design, and an interleaved
+    // restore could leak the override into user writes or let a racing
+    // stage write statless INT96.
+    org.apache.spark.sql.graftbridge.Bridge
+      .withConf(df, "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      .write.parquet(rootP.resolve(dir).toString)
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted

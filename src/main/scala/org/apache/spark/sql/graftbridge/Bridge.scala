@@ -24,6 +24,20 @@ object Bridge {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Rebind `df`'s logical plan into a CLONED session carrying the given
+    * conf overrides — the same isolation trick Structured Streaming uses
+    * to run each micro-batch under per-batch conf. The clone shares the
+    * SparkContext and a snapshot of session state, so the plan executes
+    * unchanged, but the overrides are invisible to the original session:
+    * no set/restore window for a concurrent thread to observe or clobber. */
+  def withConf(df: org.apache.spark.sql.DataFrame,
+      kv: (String, String)*): DataFrame = {
+    val classic = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val s = classic.sparkSession.cloneSession()
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    Dataset.ofRows(s, classic.queryExecution.logical)
+  }
+
   /** Re-tag a batch DataFrame as STREAMING (`isStreaming = true`) — what a
     * v1 streaming `Source.getBatch` must return. The micro-batch engine
     * rejects plain batch frames, and `internalCreateDataFrame` (the hook

@@ -343,14 +343,35 @@ class TxnSpec extends SparkTestBase {
     assert(body0.contains("nadd=8"), s"manifest counts missing:\n$body0")
     assert(t.history().orderBy("version")
       .select("n_added_files").as[Long].collect().toSeq == Seq(8L, 1L))
-    // snapshot resolution is the distributed anti-join, and its live set
-    // matches what the scan actually binds
+    // snapshot resolution is a distributed last-action-wins aggregate,
+    // and its live set matches what the scan actually binds
     val planned = t.liveFilesDF(1L)
-    assert(planned.queryExecution.analyzed.toString.contains("LeftAnti"),
-      "manifest resolution should be an anti-join plan")
+    assert(planned.queryExecution.analyzed.toString.contains("Aggregate"),
+      "manifest resolution should be a per-path last-action aggregate plan")
     val live = planned.as[String].collect().map(p => s"${t.root}/$p").toSet
     assert(t.read().inputFiles.map(_.stripPrefix("file://")).toSet == live)
     assert(t.read().count() == 33)
+  }
+
+  test("manifest-mode restore re-adds survive the fold and the vacuum keep-set") {
+    // regression (ADVICE r11, high): a metadata-only restore RE-adds paths
+    // an overwrite removed — 2 add rows vs 1 remove row per path. The old
+    // order-free anti-join resolution dropped them (empty read), and
+    // vacuum, whose keep-set uses the same fold, then deleted the live
+    // files permanently. Resolution must be last-action-wins by version.
+    val t = TxnTable.fresh(spark, dir("mani_restore"), manifestThreshold = 0)
+    val a = Seq((1L, 10L), (2L, 20L))
+    t.append(a.toDF("k", "v").coalesce(1))              // v0
+    t.overwrite(Seq((9L, 90L)).toDF("k", "v"))          // v1: removes v0's file
+    t.restore(0)                                        // v2: re-adds it
+    assert(t.read().as[(Long, Long)].collect().toSeq.sorted == a.sorted,
+      "restore-after-overwrite read back wrong content in manifest mode")
+    // the undone middle state stays time-travel-able pre-vacuum
+    assert(t.read(1).as[(Long, Long)].collect().toSeq == Seq((9L, 90L)))
+    // vacuum to the tip: the re-added files are LIVE and must survive
+    t.vacuum(retainVersions = 1)
+    assert(t.read().as[(Long, Long)].collect().toSeq.sorted == a.sorted,
+      "vacuum deleted files the restored tip still references")
   }
 
   test("manifest mode matches inline mode across the full DML history") {
@@ -521,6 +542,18 @@ class TxnSpec extends SparkTestBase {
       var m: Seq[(Long, Long)] = batch2(5)
       t2.append(m.toDF("k", "v").coalesce(1))
       var hist = Map(t2.currentVersion -> m)
+      if (seed == 3) {
+        // scripted prelude so the manifest-mode seed is GUARANTEED to hit
+        // a re-adding restore (the order-aware-fold regression the random
+        // walk can miss): overwrite, then restore to the pre-overwrite tip
+        val v0 = t2.currentVersion
+        val saved = m
+        val b = batch2(3)
+        t2.overwrite(b.toDF("k", "v").coalesce(1)); m = b
+        hist += (t2.currentVersion -> m)
+        t2.restore(v0); m = saved
+        hist += (t2.currentVersion -> m)
+      }
       def check(): Unit = {
         val got = t2.read().as[(Long, Long)].collect().toSeq.sorted
         assert(got == m.sorted, s"[seed $seed] tip mismatch after v${t2.currentVersion}")

@@ -252,6 +252,27 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_checkpoint" -> ((s, d) => {
+      // commit-log CHECKPOINTING (interval 3): a 7-commit multi-DML
+      // history — appends, an overwrite, a PRE-checkpoint restore whose
+      // re-adds a naive fold would drop, a post-restore append — with
+      // state checkpoints published at v3 and v6. The tip read resolves
+      // from checkpoint + tail (TxnSpec counts the parsed entries), and
+      // the oracle hash pins that the checkpointed fold equals the
+      // plain-log content: restore(1) makes the live set lines 1+2, the
+      // final append adds line 6.
+      val t = TxnTable.fresh(s, scratch("txn_ckpt"), checkpointInterval = 3)
+      t.append(slice(s, d, 1))        // v0
+      t.append(slice(s, d, 2))        // v1
+      t.overwrite(slice(s, d, 3, 4))  // v2
+      t.append(slice(s, d, 5))        // v3 → checkpoint
+      t.append(slice(s, d, 7))        // v4
+      t.restore(1)                    // v5: rollback PAST the checkpoint
+      t.append(slice(s, d, 6))        // v6 → checkpoint
+      // a FRESH handle (cold cache) must resolve through the v6 checkpoint
+      agg(TxnTable.at(s, scratch("txn_ckpt"), checkpointInterval = 3).read())
+    }),
+
     "t_txn_cdc" -> ((s, d) => {
       // row-level CHANGE DATA FEED across the DML set: merge with
       // commit-time CDC sidecar (update pre/post images + inserts),
@@ -499,6 +520,7 @@ object TTxn {
     "t_txn_vacuum" -> oracleAgg("l_linenumber = 6"),
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->
       oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),

@@ -72,7 +72,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inline/manifest snapshot equivalence version by version.
   */
 final class TxnTable(val spark: SparkSession, val root: String,
-    val manifestThreshold: Int = TxnTable.DefaultManifestThreshold) {
+    val manifestThreshold: Int = TxnTable.DefaultManifestThreshold,
+    val checkpointInterval: Int = TxnTable.DefaultCheckpointInterval) {
   private val rootP: Path = Paths.get(root)
   private val logP: Path = rootP.resolve("_txn_log")
 
@@ -107,7 +108,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   private def entryFile(v: Long): Path = logP.resolve(f"v$v%05d.txn")
 
+  /** Log entries parsed by this instance — the observable TxnSpec uses to
+    * prove checkpointed resolution reads only the tail, never the full
+    * history. Monotone; test-only. */
+  private[graft] val parsedEntries = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def parse(v: Long): Entry = {
+    parsedEntries.incrementAndGet()
     val lines = Files.readAllLines(entryFile(v), UTF_8).asScala
     // stat lines repeat (one per file) — collect before the last-wins map
     val stats = lines.filter(_.startsWith("stat=")).map { l =>
@@ -198,6 +205,149 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def statsOf(e: Entry): FileStats =
     e.manifest.fold(e.stats)(readManifest(_)._3)
 
+  // ------------------------------------------------------------- checkpoints
+
+  /** Aggregated log state at one version — what a checkpoint persists, so
+    * snapshot resolution parses checkpoint + tail instead of the whole
+    * history (the last O(history) read-path surface). */
+  private case class Checkpoint(version: Long, live: Vector[String],
+      stats: FileStats, dvs: Vector[String], schemaJson: Option[String],
+      txns: Map[String, Long])
+
+  private def checkpointFile(v: Long): Path =
+    logP.resolve(f"c$v%05d.ckpt.parquet")
+
+  private val CheckpointSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message checkpoint { required binary kind (UTF8); " +
+      "required binary path (UTF8); optional binary extra (UTF8); }")
+
+  /** Checkpoints are immutable once published — cache per version. */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Checkpoint]()
+
+  /** Highest published checkpoint version ≤ `v`, from one directory
+    * listing (the `_last_checkpoint` pointer is advisory — listing is the
+    * authority, exactly like `currentVersion`'s). */
+  private def latestCheckpointAt(v: Long): Option[Checkpoint] =
+    if (!Files.isDirectory(logP)) None
+    else ls(logP)
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("c") && s.endsWith(".ckpt.parquet") =>
+        s.substring(1, s.length - ".ckpt.parquet".length).toLong }
+      .filter(_ <= v)
+      .maxOption
+      .map(cv => ckptCache.computeIfAbsent(cv, readCheckpoint(_)))
+
+  private def readCheckpoint(v: Long): Checkpoint = {
+    val conf = spark.sessionState.newHadoopConf()
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(checkpointFile(v).toString))
+      .withConf(conf).build()
+    val live = Vector.newBuilder[String]; val dvs = Vector.newBuilder[String]
+    val stats = Map.newBuilder[String, String]
+    val txns = Map.newBuilder[String, Long]
+    var schemaJson: Option[String] = None
+    try {
+      var g = r.read()
+      while (g != null) {
+        val path = g.getString("path", 0)
+        def extra: Option[String] =
+          if (g.getType.containsField("extra") &&
+              g.getFieldRepetitionCount("extra") > 0)
+            Some(g.getString("extra", 0))
+          else None
+        g.getString("kind", 0) match {
+          case "file" => live += path; extra.foreach(stats += path -> _)
+          case "dv" => dvs += path
+          case "schema" => schemaJson = Some(path)
+          case "txn" => txns += path -> extra.get.toLong
+        }
+        g = r.read()
+      }
+    } finally r.close()
+    Checkpoint(v, live.result(), stats.result(), dvs.result(),
+      schemaJson, txns.result())
+  }
+
+  /** Publish a checkpoint for version `v`: the resolved live set (with
+    * stats), active DV sidecars, schema, and the per-app txn ledger, as
+    * one small parquet file plus the `_last_checkpoint` pointer. Written
+    * by whichever committer lands version v ≡ 0 (mod interval); the
+    * atomic link publish makes a concurrent twin harmless, and because a
+    * checkpoint is DERIVED metadata any failure here costs resolution
+    * speed, never correctness. */
+  private def writeCheckpoint(v: Long): Unit = {
+    val (ck, tail) = tailEntries(v)
+    val live = liveFiles(v)
+    val liveSet = live.toSet
+    val stats = tail.map(statsOf)
+      .foldLeft(ck.fold(Map.empty: FileStats)(_.stats))(_ ++ _)
+    val dvs = ck.fold(Vector.empty[String])(_.dvs) ++ tail.flatMap(_.dv)
+    val schemaJson =
+      tail.flatMap(_.schema).lastOption.orElse(ck.flatMap(_.schemaJson))
+    val txns = tail.foldLeft(ck.fold(Map.empty[String, Long])(_.txns)) {
+      (m, e) => e.txn.fold(m) { case (app, b) =>
+        m + (app -> math.max(b, m.getOrElse(app, -1L))) }
+    }
+    val tmpRel = s"_txn_log/.ckpt-tmp-${UUID.randomUUID()}"
+    val conf = spark.sessionState.newHadoopConf()
+    val out = org.apache.parquet.hadoop.util.HadoopOutputFile
+      .fromPath(new org.apache.hadoop.fs.Path(abs(tmpRel)), conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(out).withConf(conf).withType(CheckpointSchema).build()
+    try {
+      def emit(kind: String, path: String, extra: Option[String]): Unit = {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(CheckpointSchema)
+        g.add("kind", kind); g.add("path", path)
+        extra.foreach(g.add("extra", _))
+        w.write(g)
+      }
+      live.foreach(p => emit("file", p, stats.get(p).filter(_ => liveSet(p))))
+      dvs.foreach(emit("dv", _, None))
+      schemaJson.foreach(emit("schema", _, None))
+      txns.foreach { case (app, b) => emit("txn", app, Some(b.toString)) }
+    } finally w.close()
+    val tmp = rootP.resolve(tmpRel)
+    try Files.createLink(checkpointFile(v), tmp)
+    catch { case _: FileAlreadyExistsException => () } // twin won: identical content
+    finally Files.delete(tmp)
+    val ptr = logP.resolve("_last_checkpoint")
+    val ptrTmp = logP.resolve(s".ptr-tmp-${UUID.randomUUID()}")
+    Files.write(ptrTmp, s"""{"version":$v}""".getBytes(UTF_8))
+    Files.move(ptrTmp, ptr, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Post-commit hook: checkpoint every `checkpointInterval`-th version. */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0 &&
+        !Files.exists(checkpointFile(v)))
+      try writeCheckpoint(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The resolution unit every read-path fold uses: the newest checkpoint
+    * at ≤ `v` (if any) plus the PARSED tail entries (ckpt+1 .. v) — cost
+    * O(interval), never O(history). Full-range walks (`history`,
+    * `vacuum`'s sidecar sweep, the change feeds' explicit version ranges)
+    * keep parsing what they genuinely need. */
+  private def tailEntries(v: Long): (Option[Checkpoint], Seq[Entry]) = {
+    val ck = latestCheckpointAt(v)
+    (ck, (ck.fold(0L)(_.version + 1L) to v).map(parse))
+  }
+
+  /** Column stats of every file seen at ≤ `v` (live ones authoritative). */
+  private def statsAt(v: Long): FileStats = {
+    val (ck, tail) = tailEntries(v)
+    tail.map(statsOf).foldLeft(ck.fold(Map.empty: FileStats)(_.stats))(_ ++ _)
+  }
+
+  /** DV sidecars active at `v` (every DV commit ≤ v). */
+  private def dvsAt(v: Long): Seq[String] = {
+    val (ck, tail) = tailEntries(v)
+    ck.fold(Vector.empty[String])(_.dvs) ++ tail.flatMap(_.dv)
+  }
+
   /** Latest committed version, or -1 for an empty/absent log. Versions are
     * dense (the publish primitive makes v+1 impossible to skip), so the
     * max listed entry IS the tip. */
@@ -219,10 +369,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
   def liveFilesDF(version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, map => fmap, max => fmax, split, struct}
     import spark.implicits._
-    val es = entries(version)
-    val inline = es.flatMap(e =>
-      e.inlineAdd.map((_, "add", e.version)) ++
-        e.inlineRemove.map((_, "remove", e.version)))
+    val (ck, es) = tailEntries(version)
+    // the checkpoint's live set enters the fold as adds AT the checkpoint
+    // version — any later remove outranks them, any re-add after that wins
+    val inline = ck.toSeq.flatMap(c => c.live.map((_, "add", c.version))) ++
+      es.flatMap(e =>
+        e.inlineAdd.map((_, "add", e.version)) ++
+          e.inlineRemove.map((_, "remove", e.version)))
     val inlineDF = inline.toDF("path", "change", "version")
     val manifests = es.flatMap(e => e.manifest.map(_ -> e.version))
     val all =
@@ -258,9 +411,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * `liveFilesDF` and only the live list lands on the driver — the
     * scan-planning collect, ∝ live files, never ∝ history. */
   private def liveFiles(version: Long): Seq[String] = {
-    val es = entries(version)
+    val (ck, es) = tailEntries(version)
     if (es.forall(_.manifest.isEmpty))
-      es.foldLeft(Vector.empty[String]) { (live, e) =>
+      // ordered driver fold, seeded from the checkpoint's live set —
+      // pre-checkpoint manifests never need re-reading
+      es.foldLeft(ck.fold(Vector.empty[String])(_.live)) { (live, e) =>
         live.filterNot(e.inlineRemove.contains) ++ e.inlineAdd
       }
     else liveFilesDF(version).collect().map(_.getString(0)).toSeq.sorted
@@ -288,7 +443,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    try { Files.createLink(entryFile(v), tmp); true }
+    try { Files.createLink(entryFile(v), tmp); maybeCheckpoint(v); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.delete(tmp)
   }
@@ -397,10 +552,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
   /** Table schema as of `version`: the last entry that recorded one.
     * Lives in the LOG (KBs), never inferred from data-file footers — at
     * 100 TB, schema resolution must not touch data files. */
-  def schemaAt(version: Long): Option[org.apache.spark.sql.types.StructType] =
-    entries(version).flatMap(_.schema).lastOption
+  def schemaAt(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val (ck, tail) = tailEntries(version)
+    tail.flatMap(_.schema).lastOption.orElse(ck.flatMap(_.schemaJson))
       .map(org.apache.spark.sql.types.DataType.fromJson(_)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** Additive-only evolution: every existing column keeps its name and
     * type (retypes/drops rejected); new columns append. Old data files
@@ -447,9 +604,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   private def committedUpTo(appId: String, tip: Long): Long =
     if (tip < 0) -1L
-    else entries(tip).flatMap(_.txn)
-      .collect { case (app, b) if app == appId => b }
-      .foldLeft(-1L)(math.max)
+    else {
+      val (ck, tail) = tailEntries(tip)
+      tail.flatMap(_.txn)
+        .collect { case (app, b) if app == appId => b }
+        .foldLeft(ck.fold(-1L)(_.txns.getOrElse(appId, -1L)))(math.max)
+    }
 
   /** Highest batch id committed under `appId`, or -1 if none. A scan of
     * the log's txn tags — KBs of metadata, no data read. */
@@ -563,8 +723,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
         require(Files.exists(rootP.resolve(f)), s"restore impossible: $f " +
           "was vacuumed; recover it from a backup or restore to a newer version")
       }
-      val prior = entries(toVersion).map(statsOf)
-        .foldLeft(Map.empty[String, String])(_ ++ _)
+      val prior = statsAt(toVersion)
       if (tryCommit(tip + 1, "restore", parquetRowCount(add), add, remove,
           None, schemaAt(toVersion),
           stats = add.flatMap(f => prior.get(f).map(f -> _)).toMap))
@@ -608,7 +767,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .withColumn("_f", expr("substring(_metadata.file_path, " +
         s"instr(_metadata.file_path, '$marker') + ${marker.length})"))
       .withColumn("_idx", col("_metadata.row_index"))
-    val dvs = entries(v).flatMap(_.dv)
+    val dvs = dvsAt(v)
     if (dvs.isEmpty) base
     else base.join(
       spark.read.schema("path STRING, row_idx BIGINT").parquet(dvs.map(abs): _*)
@@ -678,8 +837,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * intersect [loB, hiB]; files without stats for the column are kept. */
   private def pruneFiles(v: Long, colName: String,
       loB: BigDecimal, hiB: BigDecimal): Seq[String] = {
-    val statsByFile: FileStats = entries(v).map(statsOf)
-      .foldLeft(Map.empty[String, String])(_ ++ _)
+    val statsByFile: FileStats = statsAt(v)
     def overlaps(enc: String): Boolean =
       enc.split(';').collectFirst {
         case s if s.startsWith(colName + ":") =>
@@ -1008,23 +1166,30 @@ object TxnTable {
     * is cheaper than any job. */
   val DefaultManifestThreshold = 64
 
+  /** Checkpoint the resolved log state every this-many versions, so
+    * snapshot resolution parses checkpoint + tail (≤ interval entries)
+    * instead of the whole history. 0 disables. */
+  val DefaultCheckpointInterval = 10
+
   /** Open (possibly not-yet-existing) table at `root`. */
   def at(spark: SparkSession, root: String,
-      manifestThreshold: Int = DefaultManifestThreshold): TxnTable = {
+      manifestThreshold: Int = DefaultManifestThreshold,
+      checkpointInterval: Int = DefaultCheckpointInterval): TxnTable = {
     Files.createDirectories(Paths.get(root))
-    new TxnTable(spark, root, manifestThreshold)
+    new TxnTable(spark, root, manifestThreshold, checkpointInterval)
   }
 
   /** Wipe and reopen — the deterministic-fixture entry point the query
     * keys use so every invocation replays the same history from v0. */
   def fresh(spark: SparkSession, root: String,
-      manifestThreshold: Int = DefaultManifestThreshold): TxnTable = {
+      manifestThreshold: Int = DefaultManifestThreshold,
+      checkpointInterval: Int = DefaultCheckpointInterval): TxnTable = {
     val p = Paths.get(root)
     if (Files.exists(p)) {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
     }
-    at(spark, root, manifestThreshold)
+    at(spark, root, manifestThreshold, checkpointInterval)
   }
 }

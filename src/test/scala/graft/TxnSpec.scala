@@ -524,6 +524,57 @@ class TxnSpec extends SparkTestBase {
     assert(results.count(_ >= 0L) == 1, s"multiple commits: $results")
     assert(t.currentVersion == 0L && t.read().count() == 1)
   }
+  test("checkpoints: resolution parses only the tail, every snapshot matches the uncheckpointed twin") {
+    val tc = TxnTable.fresh(spark, dir("ckpt"), checkpointInterval = 5)
+    val tn = TxnTable.fresh(spark, dir("ckpt_none"), checkpointInterval = 0)
+    def content(t: TxnTable, v: Long = -1L) =
+      t.read(v).as[(Long, Long)].collect().toSet
+    def step(f: TxnTable => Unit): Unit = { f(tc); f(tn) }
+    // a 13-commit multi-DML history crossing two checkpoint boundaries
+    step(_.append(Seq((1L, 1L), (2L, 2L)).toDF("k", "v").coalesce(1)))  // v0
+    step(_.append(Seq((3L, 3L)).toDF("k", "v")))                        // v1
+    step(_.overwrite(Seq((1L, 10L), (4L, 40L)).toDF("k", "v").coalesce(1))) // v2
+    step(_.appendIdempotent(Seq((5L, 50L)).toDF("k", "v"), "app", 7L))  // v3
+    step(_.merge(Seq((4L, 41L), (6L, 60L)).toDF("k", "v").coalesce(1), Seq("k"))) // v4
+    step(_.deleteWhere(col("k") === 5L))                                // v5 → ckpt
+    step(_.append(Seq((7L, 70L)).toDF("k", "v")))                       // v6
+    step(_.restore(2))                                                  // v7 (re-adds!)
+    step(_.append(Seq((8L, 80L)).toDF("k", "v")))                       // v8
+    step(_.compact(target = 1))                                         // v9
+    step(_.deleteWhere(col("k") === 8L, dv = true))                     // v10 → ckpt
+    step(_.append(Seq((9L, 90L)).toDF("k", "v")))                       // v11
+    step(_.merge(Seq((9L, 91L)).toDF("k", "v"), Seq("k")))              // v12
+    assert(tc.currentVersion == 12L && tn.currentVersion == 12L)
+    val logDir = Paths.get(tc.root).resolve("_txn_log")
+    assert(Files.exists(logDir.resolve("c00005.ckpt.parquet")) &&
+      Files.exists(logDir.resolve("c00010.ckpt.parquet")),
+      "interval-5 history must have published checkpoints at v5 and v10")
+    assert(new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")),
+      "UTF-8") == """{"version":10}""")
+    assert(!Files.exists(Paths.get(tn.root).resolve("_txn_log")
+      .resolve("c00005.ckpt.parquet")), "interval 0 must disable checkpoints")
+    // every snapshot — including PRE-checkpoint time travel — matches the
+    // uncheckpointed twin
+    for (v <- 0L to 12L)
+      assert(content(tc, v) == content(tn, v), s"snapshots diverged at v$v")
+    // a FRESH reader resolves the tip from checkpoint + tail: the 13-entry
+    // history costs at most the v11..v12 tail per resolver pass (live set,
+    // schema, DVs — ≤ 3 passes of 2 entries each within one read)
+    val t2 = TxnTable.at(spark, dir("ckpt"), checkpointInterval = 5)
+    val before = t2.parsedEntries.get()
+    assert(content(t2) == content(tn))
+    val parsed = t2.parsedEntries.get() - before
+    assert(parsed <= 8, s"tip read parsed $parsed entries — checkpoint unused?")
+    // the idempotency ledger survives checkpointing: the (app, 7) tag is
+    // PRE-checkpoint, and a fresh reader must still refuse the replay
+    assert(t2.lastCommitted("app") == 7L)
+    assert(t2.appendIdempotent(Seq((99L, 99L)).toDF("k", "v"), "app", 7L) == -1L)
+    // restore to a PRE-checkpoint version still works (entries remain)
+    val vRestored = t2.restore(1)
+    assert(content(t2) == content(tn, 1L))
+    assert(vRestored == 13L)
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.StreamSourceProvider
@@ -35,16 +36,21 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * exactly-once. `startingVersion` (default: everything) starts the tail
   * mid-log — the "consume from now on" mode.
   *
-  * Scale posture: `getOffset` is one KB-scale log listing per trigger;
-  * a batch's read cost is ∝ the files its version range added (never
-  * table size); nothing here collects data rows on the driver.
-  * Admission control (a max-versions-per-trigger cap) belongs to the
-  * DSv2 `ReadLimit` surface, which `BusSource` demonstrates end to end;
-  * the v1 API caps by returning a clamped `getOffset`, which cannot be
-  * anchored safely before the first batch reveals the checkpointed
-  * position — so this source, like the shape it mirrors, leaves pacing
-  * to `Trigger.AvailableNow` (snapshot-capped drain, proven in
-  * StreamingSpec) plus downstream `foreachBatch` batching.
+  * Scale posture: offset discovery is one KB-scale log listing per
+  * trigger; a batch's read cost is ∝ the files its version range added
+  * (never table size); nothing here collects data rows on the driver.
+  *
+  * Admission control: the source ALSO implements the connector-level
+  * `SupportsTriggerAvailableNow` (⊃ `SupportsAdmissionControl`) — the
+  * public pattern a v1 Kafka-style source uses — so the engine calls
+  * `latestOffset(start, limit)` WITH the current position instead of the
+  * position-blind `getOffset`. `maxVersionsPerTrigger` then caps every
+  * batch at `start + N` versions with no unsafe anchoring window (the
+  * engine supplies the start, including across checkpoint restarts),
+  * and `Trigger.AvailableNow` composes: `prepareForTriggerAvailableNow`
+  * snapshots the tip, the capped batches drain UP TO that snapshot in
+  * bounded steps, and the query stops itself — a backlog catch-up that
+  * never builds one table-sized batch.
   */
 class TxnStreamSource extends StreamSourceProvider {
   import TxnStreamSource._
@@ -65,7 +71,8 @@ class TxnStreamSource extends StreamSourceProvider {
 object TxnStreamSource {
   val shortName = "graft-txn-stream"
 
-  private[sources] case class Opts(root: String, cdc: Boolean, startingVersion: Long)
+  private[sources] case class Opts(root: String, cdc: Boolean,
+      startingVersion: Long, maxVersionsPerTrigger: Option[Long])
 
   private def opt(parameters: Map[String, String], key: String): Option[String] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -75,7 +82,12 @@ object TxnStreamSource {
       throw new IllegalArgumentException(
         "graft-txn-stream needs .option(\"path\", <table root>)")),
     opt(parameters, "readChangeFeed").exists(_.toBoolean),
-    opt(parameters, "startingVersion").map(_.toLong).getOrElse(-1L))
+    opt(parameters, "startingVersion").map(_.toLong).getOrElse(-1L),
+    opt(parameters, "maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    })
 
   /** The stream schema is the LOG's current schema (never a footer pass);
     * the CDC mode appends the two feed metadata columns. The table must
@@ -95,20 +107,53 @@ object TxnStreamSource {
 }
 
 private[sources] class TxnSource(ctx: SQLContext,
-    o: TxnStreamSource.Opts, override val schema: StructType) extends Source {
+    o: TxnStreamSource.Opts, override val schema: StructType)
+    extends Source with SupportsTriggerAvailableNow {
   private val table = TxnTable.at(ctx.sparkSession, o.root)
 
-  private def versionOf(off: V1Offset): Long = off match {
+  private def versionOf(off: AnyRef): Long = off match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset // checkpoint restart
     case other => throw new IllegalStateException(s"unexpected offset $other")
   }
 
   /** Latest available offset = the log tip; one KB-scale directory
-    * listing, no data touched. */
+    * listing, no data touched. (Position-blind legacy path — the engine
+    * prefers the admission-controlled `latestOffset` below.) */
   override def getOffset: Option[V1Offset] = {
     val v = table.currentVersion
     if (v < 0) None else Some(LongOffset(v))
+  }
+
+  /** `Trigger.AvailableNow` drain ceiling: the tip snapshotted at query
+    * start. Capped batches run up to it, then the query stops itself. */
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
+
+  override def getDefaultReadLimit: ReadLimit =
+    o.maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxRows)
+
+  /** Admission-controlled offset discovery: the engine hands in the
+    * CURRENT position (null on a fresh query — then `startingVersion`),
+    * so a version cap needs no anchoring heuristics and survives
+    * checkpoint restarts exactly. The "rows" of the ReadMaxRows limit
+    * are COMMIT VERSIONS — the unit this source's offset advances in. */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val tip = math.min(table.currentVersion, availableNowCap)
+    if (tip < 0) return null
+    val from = Option(start).map(versionOf).getOrElse(o.startingVersion)
+    val end = limit match {
+      case r: ReadMaxRows => math.min(tip, from + r.maxRows)
+      case _ => tip
+    }
+    if (end <= from) null else LongOffset(end)
+  }
+
+  override def reportLatestOffset(): V2Offset = {
+    val v = table.currentVersion
+    if (v < 0) null else LongOffset(v)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

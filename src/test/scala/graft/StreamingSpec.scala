@@ -672,6 +672,62 @@ class StreamingSpec extends SparkTestBase {
     assert(drainOnce("txn_an_2") == 4)
   }
 
+  test("txn stream source: maxVersionsPerTrigger bounds every batch and composes with AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.TxnTable
+    val base = graft.queries.scratch("txn_stream_cap")
+    locally {
+      val d = new java.io.File(base)
+      if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively(): Unit }
+    }
+    val t = TxnTable.fresh(spark, s"$base/tbl")
+    // a 10-version backlog, one row per version, BEFORE any query runs
+    (1L to 10L).foreach(i => t.append(Seq((i, s"r$i")).toDF("k", "v")))
+    def reader = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl").option("maxVersionsPerTrigger", "3").load()
+    // continuous trigger: the backlog must drain in ≥4 batches of ≤3
+    // versions (1 row each) — including the FIRST batch: admission
+    // control receives the start position from the engine, so there is
+    // no uncapped anchor batch
+    locally {
+      val q = reader.writeStream.format("memory").queryName("txn_cap_cont")
+        .outputMode("append").start()
+      q.processAllAvailable();
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      q.stop()
+      assert(spark.table("txn_cap_cont").count() == 10)
+      assert(sizes.forall(_ <= 3), s"a batch exceeded the version cap: $sizes")
+      assert(sizes.length >= 4, s"backlog drained in too few batches: $sizes")
+    }
+    // AvailableNow: same bounded batches, drains to the start-time tip,
+    // stops itself; a commit landing mid-drain waits for the next run
+    def drainAvailableNow(): Seq[Long] = {
+      val q = reader.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt_an").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop itself")
+      q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    }
+    locally {
+      val sizes = drainAvailableNow()
+      assert(spark.read.parquet(s"$base/out").count() == 10)
+      assert(sizes.forall(_ <= 3) && sizes.length >= 4,
+        s"AvailableNow must drain capped: $sizes")
+    }
+    // checkpoint restart under the cap: new commits resume from the
+    // COMMITTED version (the engine supplies the position — no replay,
+    // no skip), still capped
+    t.append(Seq((11L, "r11")).toDF("k", "v"))
+    t.append(Seq((12L, "r12")).toDF("k", "v"))
+    locally {
+      drainAvailableNow()
+      assert(spark.read.parquet(s"$base/out").select("k").as[Long].collect()
+        .sorted.toSeq == (1L to 12L),
+        "restart must deliver exactly the new versions")
+    }
+  }
+
   test("txn stream source: a content-replacing commit fails the append feed loudly") {
     import graft.sources.TxnTable
     val base = graft.queries.scratch("txn_stream_replace")

@@ -273,6 +273,24 @@ object TTxn {
       agg(TxnTable.at(s, scratch("txn_ckpt"), checkpointInterval = 3).read())
     }),
 
+    "t_txn_rename" -> ((s, d) => {
+      // COLUMN MAPPING: rename is a metadata-only commit — the logical
+      // name changes, the physical name stays pinned to what existing
+      // files contain. Line-1 data lands under l_quantity, the column is
+      // renamed to qty, line-2 data appends under the NEW name; the read
+      // merges both eras under the logical schema, so a broken mapping
+      // (old files unresolved, or bytes bound to the wrong column)
+      // hash-mismatches the oracle computed over plain l_quantity.
+      val t = TxnTable.fresh(s, scratch("txn_rename"))
+      t.append(slice(s, d, 1))                  // v0: physical l_quantity
+      t.renameColumn("l_quantity", "qty")       // v1: metadata-only
+      t.append(slice(s, d, 2)
+        .withColumnRenamed("l_quantity", "qty")) // v2: appended as qty
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("qty")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "t_txn_cdc" -> ((s, d) => {
       // row-level CHANGE DATA FEED across the DML set: merge with
       // commit-time CDC sidecar (update pre/post images + inserts),
@@ -521,6 +539,7 @@ object TTxn {
     "t_txn_incremental" -> oracleAgg("l_linenumber IN (2, 5)"),
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
+    "t_txn_rename" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->
       oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),

@@ -559,13 +559,63 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** Additive-only evolution: every existing column keeps its name and
-    * type (retypes/drops rejected); new columns append. Old data files
-    * simply lack the new columns and read back as NULL under the log
-    * schema — no file rewrite. */
+  // --------------------------------------------------------- column mapping
+
+  /** Field-metadata key carrying a column's PHYSICAL name — the column
+    * name actually written in parquet files. The log schema's field names
+    * are LOGICAL; a rename is then a pure metadata commit (logical name
+    * changes, physical stays pinned to what the files contain), and a
+    * column added by evolution gets a UNIQUE generated physical name so a
+    * later drop + re-add under the same logical name can never resurrect
+    * the dropped column's bytes (the Delta column-mapping guarantee).
+    * Columns present when a schema is first SET (v0 append / overwrite
+    * reset) keep identity physicals — an unevolved table has no mapping
+    * at all. */
+  private val PhysKey = "graft.physical"
+
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  private def physicalIn(sc: Option[org.apache.spark.sql.types.StructType],
+      logical: String): String =
+    sc.flatMap(_.fields.find(_.name == logical)).map(physicalName)
+      .getOrElse(logical)
+
+  /** Project a LOGICAL frame to its PHYSICAL column names for staging —
+    * every data file carries physicals, so one physical-schema scan
+    * covers files staged before and after any rename. */
+  private def toPhysical(df: DataFrame,
+      sc: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val phys = sc.fields.map(f => f.name -> physicalName(f)).toMap
+    if (df.columns.forall(c => phys.getOrElse(c, c) == c)) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(s"`$c`").as(phys.getOrElse(c, c))): _*)
+  }
+
+  /** Read `files` under the LOGICAL schema `sc`: scan with the physical
+    * schema, then alias back to logical names (order preserved). */
+  private def readFilesAs(sc: org.apache.spark.sql.types.StructType,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val physSc = StructType(sc.fields.map(f =>
+      StructField(physicalName(f), f.dataType, f.nullable)))
+    val base = spark.read.schema(physSc).parquet(files: _*)
+    if (sc.fields.forall(f => physicalName(f) == f.name)) base
+    else base.select(sc.fields.toSeq.map(f =>
+      col(s"`${physicalName(f)}`").as(f.name)): _*)
+  }
+
+  /** Additive-only evolution: every existing column keeps its LOGICAL
+    * name and type (retypes/drops-via-append rejected); new columns
+    * append with a fresh unique physical name from `physFor`. Old data
+    * files simply lack the new columns' physicals and read back as NULL
+    * under the log schema — no file rewrite. */
   private def unionSchema(
       base: Option[org.apache.spark.sql.types.StructType],
-      s: org.apache.spark.sql.types.StructType)
+      s: org.apache.spark.sql.types.StructType,
+      physFor: String => String)
       : org.apache.spark.sql.types.StructType = base match {
     case None => s
     case Some(b) =>
@@ -577,21 +627,94 @@ final class TxnTable(val spark: SparkSession, val root: String,
               s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
         }
       }
-      org.apache.spark.sql.types.StructType(
-        b.fields ++ s.fields.filterNot(f => b.fieldNames.contains(f.name)))
+      val fresh = s.fields.filterNot(f => b.fieldNames.contains(f.name))
+        .map { f =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, physFor(f.name))
+            .build())
+        }
+      org.apache.spark.sql.types.StructType(b.fields ++ fresh)
+  }
+
+  /** Stable per-call physical-name generator for evolution-added columns
+    * (stable so a commit-retry loop can detect whether its staged files
+    * still match the schema it is about to commit). */
+  private def freshPhysFor(): String => String = {
+    val suffix = UUID.randomUUID().toString.take(8)
+    name => s"${name}__p$suffix"
+  }
+
+  /** RENAME a column — a METADATA-ONLY commit: the logical name changes,
+    * the physical name stays pinned to what every existing file contains,
+    * so no data moves and old files keep resolving. Fails on unknown
+    * source or an already-taken target. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val sc = schemaAt(tip).getOrElse(
+        throw new IllegalStateException(s"no schema recorded at v$tip"))
+      require(sc.fieldNames.contains(oldName), s"no such column: $oldName")
+      require(!sc.fieldNames.contains(newName), s"column exists: $newName")
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map { f =>
+        if (f.name != oldName) f
+        else f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, physicalName(f))
+            .build())
+      })
+      if (tryCommit(tip + 1, "rename", 0L, Nil, Nil, None, Some(sc2)))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** DROP a column — a METADATA-ONLY commit: the field leaves the logical
+    * schema, the physical bytes stay in place (reclaimed by the next
+    * rewrite of each file). A later re-add under the same logical name
+    * gets a fresh physical, so the dropped data can never resurface. */
+  def dropColumn(name: String): Long = {
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val sc = schemaAt(tip).getOrElse(
+        throw new IllegalStateException(s"no schema recorded at v$tip"))
+      require(sc.fieldNames.contains(name), s"no such column: $name")
+      require(sc.fields.length > 1, "cannot drop the last column")
+      val sc2 = org.apache.spark.sql.types.StructType(
+        sc.fields.filterNot(_.name == name))
+      if (tryCommit(tip + 1, "drop", 0L, Nil, Nil, None, Some(sc2)))
+        res = tip + 1
+    }
+    res
   }
 
   /** Shared append path: stage once, then loop { scan log prefix, check
     * the txn tag, merge the schema, claim the next slot } — see
     * `appendIdempotent` for why the scan+claim pair is race-free. */
   private def appendCommit(df: DataFrame, txn: Option[(String, Long)]): Long = {
-    val (files, rows, fstats) = stage(df)
+    val physFor = freshPhysFor()
     var res = -2L
+    // staging happens against the tip's column mapping; if a retry finds
+    // the mapping moved (a concurrent rename landed between staging and
+    // the claim), the files are re-staged under the new physicals — the
+    // orphaned first attempt is unreferenced and falls to vacuum
+    var stagedProj: Seq[String] = null
+    var files: Seq[String] = Nil; var rows = 0L
+    var fstats: FileStats = Map.empty
     while (res == -2L) {
       val tip = currentVersion
       if (txn.exists { case (app, b) => committedUpTo(app, tip) >= b }) res = -1L
       else {
-        val sc = unionSchema(schemaAt(tip), df.schema)
+        val sc = unionSchema(schemaAt(tip), df.schema, physFor)
+        val proj = df.columns.toSeq.map(physicalIn(Some(sc), _))
+        if (stagedProj == null || proj != stagedProj) {
+          val r = stage(toPhysical(df, sc))
+          files = r._1; rows = r._2; fstats = r._3
+          stagedProj = proj
+        }
         if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc),
             stats = fstats))
           res = tip + 1
@@ -672,9 +795,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (clusterBy.isEmpty) base.repartition(target)
       else base.repartitionByRange(target, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, rows, fstats) = stage(compacted)
+    // commit the LOG schema (not the frame's): read() strips column-
+    // mapping metadata, and a compact must preserve the mapping — files
+    // are staged under physicals like every other commit
+    val sc = schemaAt(v).getOrElse(compacted.schema)
+    val (files, rows, fstats) = stage(toPhysical(compacted, sc))
     val done = tryCommit(v + 1, "compact", rows, files, gone, None,
-      Some(compacted.schema), stats = fstats)
+      Some(sc), stats = fstats)
     // a concurrent commit moved the tip: compaction of a stale snapshot
     // must NOT clobber it — give up rather than drop the newer data
     if (!done) throw new IllegalStateException(
@@ -703,7 +830,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       s"restore target v$toVersion outside [0, $cur0]")
     if (toVersion == cur0) return cur0
     if (((toVersion + 1) to cur0).map(parse).exists(_.dv.isDefined)) {
-      val (files, rows, fstats) = stage(read(toVersion))
+      val df0 = read(toVersion)
+      val (files, rows, fstats) =
+        stage(schemaAt(toVersion).fold(df0)(toPhysical(df0, _)))
       var v = -1L; var done = false
       while (!done) {
         v = currentVersion + 1
@@ -751,22 +880,33 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * `readRange` uses). */
   private def scanTagged(v: Long, relFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{StructField, StructType}
     val files = relFiles.map(abs)
-    val base0 = schemaAt(v) match {
-      // the LOG schema drives the scan: files staged before an additive
-      // evolution lack the new columns and read as NULL — no footer
+    val logical = schemaAt(v)
+    val base0 = logical match {
+      // the LOG schema drives the scan — under its PHYSICAL column names
+      // (what the files contain): files staged before an additive
+      // evolution lack the new physicals and read as NULL — no footer
       // merge pass, no file rewrite
-      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case Some(sc) => spark.read.schema(StructType(sc.fields.map(f =>
+        StructField(physicalName(f), f.dataType, f.nullable)))).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
     // table-relative tag: strip everything up to and including the table
     // root by POSITION (instr), not by an assumed scheme prefix — the
     // metadata column spells the URI "file:/abs" with a single slash
     val marker = rootP.toAbsolutePath.toString + "/"
-    val base = base0
+    val base1 = base0
       .withColumn("_f", expr("substring(_metadata.file_path, " +
         s"instr(_metadata.file_path, '$marker') + ${marker.length})"))
       .withColumn("_idx", col("_metadata.row_index"))
+    // physical → logical aliasing (only when a mapping actually exists)
+    val base = logical match {
+      case Some(sc) if sc.fields.exists(f => physicalName(f) != f.name) =>
+        base1.select(sc.fields.toSeq.map(f =>
+          col(s"`${physicalName(f)}`").as(f.name)) :+ col("_f") :+ col("_idx"): _*)
+      case _ => base1
+    }
     val dvs = dvsAt(v)
     if (dvs.isEmpty) base
     else base.join(
@@ -838,9 +978,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def pruneFiles(v: Long, colName: String,
       loB: BigDecimal, hiB: BigDecimal): Seq[String] = {
     val statsByFile: FileStats = statsAt(v)
+    // footer stats are keyed by PHYSICAL column name (what the files
+    // contain) — translate the caller's logical name through the mapping
+    val phys = physicalIn(schemaAt(v), colName)
     def overlaps(enc: String): Boolean =
       enc.split(';').collectFirst {
-        case s if s.startsWith(colName + ":") =>
+        case s if s.startsWith(phys + ":") =>
           val p = s.split(':')
           BigDecimal(p(2)) >= loB && BigDecimal(p(1)) <= hiB
       }.getOrElse(true)
@@ -938,8 +1081,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (clusterBy.isEmpty) merged
       else merged.repartitionByRange(math.max(1, touched.size), clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, rows, fstats) = stage(staged)
-    val sc = unionSchema(schemaAt(v), updates.schema)
+    val sc = unionSchema(schemaAt(v), updates.schema, freshPhysFor())
+    val (files, rows, fstats) = stage(toPhysical(staged, sc))
     if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc),
         cdc = cdcRel, stats = fstats))
       throw new IllegalStateException(
@@ -1002,7 +1145,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     if (touched.isEmpty) return v
     val keep = tagged.filter(col("_f").isin(touched: _*))
       .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
-    val (files, rows, fstats) = stage(keep)
+    val (files, rows, fstats) =
+      stage(schemaAt(v).fold(keep)(toPhysical(keep, _)))
     if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v),
         cdc = writeCdc(), stats = fstats))
       throw new IllegalStateException(
@@ -1025,6 +1169,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val es = ((since + 1) to tip).map(parse)
     // overwrite AND merge replace rows rather than extend them — tailing
     // across either would deliver replaced content as if it were new
+    // rename/drop are metadata-only (no content change) — safe to span
     require(es.forall(e => e.action != "overwrite" && e.action != "merge" &&
         e.action != "delete" && e.action != "restore"),
       s"content-replacing commit inside ($since, $tip]: incremental read " +
@@ -1033,8 +1178,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
     if (files.isEmpty) read(tip).limit(0)
     else schemaAt(tip) match {
       // consumers get ONE stable schema per tail call (the tip's), however
-      // many evolution steps the range spans
-      case Some(sc) => spark.read.schema(sc).parquet(files.map(abs): _*)
+      // many evolution steps the range spans; the scan binds PHYSICAL
+      // column names and aliases back to the tip's logical ones
+      case Some(sc) => readFilesAs(sc, files.map(abs))
       case None => spark.read.parquet(files.map(abs): _*)
     }
   }

@@ -575,6 +575,54 @@ class TxnSpec extends SparkTestBase {
     assert(vRestored == 13L)
   }
 
+  test("column mapping: rename/drop are metadata-only; dropped bytes never resurface") {
+    val t = TxnTable.fresh(spark, dir("colmap"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))   // v0
+    def stagedDirs: Long = {
+      val s = Files.list(Paths.get(dir("colmap")))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("d-")).toLong
+      finally s.close()
+    }
+    val nStaged = stagedDirs
+    t.renameColumn("v", "val2")                                      // v1
+    assert(stagedDirs == nStaged, "rename must stage no data")
+    assert(t.read().columns.toSeq == Seq("k", "val2"))
+    // pre-rename files resolve through the pinned physical name
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    t.append(Seq((3L, 30L)).toDF("k", "val2"))                       // v2
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // retype under the LOGICAL name still rejected
+    intercept[IllegalArgumentException](
+      t.append(Seq((4L, "x")).toDF("k", "val2")))
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("k", "val2"))
+    // a NEW column under the OLD logical name gets a fresh physical: the
+    // renamed column's bytes (physical "v") must NOT leak into it
+    t.append(Seq((5L, 50L, 99L)).toDF("k", "val2", "v"))             // v3
+    val m = t.read().select("k", "v").as[(Long, Option[Long])].collect().toMap
+    assert(m(1L).isEmpty && m(5L).contains(99L),
+      s"pre-evolution rows must be NULL for the re-used name, got $m")
+    // drop + re-add: the dropped column's bytes are gone for good
+    t.dropColumn("v")                                                // v4
+    assert(t.read().columns.toSeq == Seq("k", "val2"))
+    t.append(Seq((6L, 60L, 7L)).toDF("k", "val2", "v"))              // v5
+    val m2 = t.read().select("k", "v").as[(Long, Option[Long])].collect().toMap
+    assert(m2(5L).isEmpty && m2(6L).contains(7L), "dropped bytes resurfaced")
+    // time travel BEFORE the rename still binds the old logical schema
+    assert(t.read(0).columns.toSeq == Seq("k", "v"))
+    // stats pruning translates the logical name to the physical one
+    assert(t.readRange("val2", 30, 60).select("val2").as[Long]
+      .collect().toSet == Set(30L, 50L, 60L))
+    // compact rewrites under physicals and PRESERVES the mapping
+    t.compact(target = 1)
+    assert(t.read().columns.toSeq == Seq("k", "val2", "v"))
+    val m3 = t.read().select("k", "val2").as[(Long, Long)].collect().toMap
+    assert(m3 == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 5L -> 50L, 6L -> 60L))
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

@@ -291,6 +291,30 @@ object TTxn {
         .orderBy("l_returnflag")
     }),
 
+    "t_txn_zorder" -> ((s, d) => {
+      // OPTIMIZE ZORDER through the table format: lineitem's join columns
+      // plus the 20-bit Morton key (p_zorder's interleave of the low 10
+      // bits of l_partkey / l_orderkey), cluster-compacted on it. Each
+      // output file then covers a disjoint Z-range — a rectangle in
+      // (part, order) space — so the commit-time min/max stats prune a
+      // 2-D range read to a file subset at PLANNING time (TxnSpec pins
+      // strictness); the oracle pins the Z-quadrant read's exact content.
+      val morton = (0 until 10).map { b =>
+        (shiftright(col("l_partkey") % 1024, b) % 2) * (1L << (2 * b)) +
+          (shiftright(col("l_orderkey") % 1024, b) % 2) * (1L << (2 * b + 1))
+      }.reduce(_ + _)
+      val t = TxnTable.fresh(s, scratch("txn_zorder"))
+      t.append(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("morton", morton.cast("long")))
+      t.compact(target = 4, clusterBy = Seq("morton"))
+      // the (part < 512, order < 512) quadrant = Z-range [0, 2^18)
+      t.readRange("morton", 0, 262143)
+        .orderBy("morton", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    }),
+
     "t_txn_cdc" -> ((s, d) => {
       // row-level CHANGE DATA FEED across the DML set: merge with
       // commit-time CDC sidecar (update pre/post images + inserts),
@@ -540,6 +564,16 @@ object TTxn {
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     "t_txn_rename" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_zorder" -> {
+      val morton = (0 until 10).map { b =>
+        s"(((l_partkey % 1024) >> $b) % 2) * ${1L << (2 * b)} + " +
+          s"(((l_orderkey % 1024) >> $b) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString("(", " + ", ")")
+      "SELECT * FROM (SELECT l_orderkey, l_linenumber, l_partkey, " +
+        s"l_suppkey, CAST($morton AS BIGINT) AS morton FROM lineitem) " +
+        "WHERE morton BETWEEN 0 AND 262143 " +
+        "ORDER BY morton, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    },
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->
       oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),

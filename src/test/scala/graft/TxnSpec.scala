@@ -623,6 +623,38 @@ class TxnSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.dropColumn("nope"))
   }
 
+  test("z-order cluster-compact: a 2-D point read plans a strict file subset from commit-time stats") {
+    val t = TxnTable.fresh(spark, dir("zorder"))
+    // 32×32 grid, appended in shuffled arrival order — the Z-layout must
+    // come from the cluster-compact, not from luck
+    def mortonL(x: Long, y: Long): Long =
+      (0 until 10).map(b => (((x >> b) % 2) << (2 * b)) +
+        (((y >> b) % 2) << (2 * b + 1))).sum
+    val rng = new scala.util.Random(11)
+    val rows = rng.shuffle(
+      (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toList)
+    rows.grouped(256).foreach(g =>
+      t.append(g.map { case (x, y) => (x, y, mortonL(x, y)) }
+        .toDF("x", "y", "morton").coalesce(1)))
+    t.compact(target = 4, clusterBy = Seq("morton"))
+    assert(t.read().inputFiles.length == 4)
+    // point read in BOTH dimensions = a single Z value: commit-time
+    // min/max on the Morton key must prune 4 files to exactly 1
+    val z = mortonL(3, 5)
+    val point = t.readRange("morton", z.toDouble, z.toDouble)
+    assert(point.inputFiles.length == 1,
+      s"Z point read planned ${point.inputFiles.length} files")
+    assert(point.select("x", "y").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 5L)))
+    // a QUADRANT (x<16, y<16 ⇔ morton < 2^8... for 5-bit values: bits 0..9)
+    // — morton of (x<16, y<16) spans [0, 2^8): still a strict subset
+    val quad = t.readRange("morton", 0, 255)
+    assert(quad.inputFiles.length < 4,
+      "quadrant read must not plan the whole table")
+    assert(quad.select("x", "y").as[(Long, Long)].collect().toSet ==
+      (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toSet)
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

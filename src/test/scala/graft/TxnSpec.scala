@@ -655,6 +655,58 @@ class TxnSpec extends SparkTestBase {
       (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toSet)
   }
 
+  test("multi-writer stress: concurrent append/merge/compact — dense versions, no lost update, serial-replay equivalence") {
+    val t = TxnTable.fresh(spark, dir("stress"))
+    t.append((0L until 8L).map(k => (k, 0L)).toDF("k", "v").coalesce(1)) // v0
+    // committed ops by version, recorded by whichever thread WON the slot;
+    // merge/compact abort on a lost race (by contract) and are retried by
+    // the caller — exactly the documented re-run-against-the-new-tip loop
+    val ledger = new java.util.concurrent.ConcurrentHashMap[Long, (String, Seq[(Long, Long)])]()
+    def retrying(op: String, content: Seq[(Long, Long)])(f: => Long): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 40) {
+        attempts += 1
+        try { val v = f; ledger.put(v, (op, content)); done = true }
+        catch { case _: IllegalStateException => () } // lost the race; re-run
+      }
+      assert(done, s"$op never won a slot in 40 attempts")
+    }
+    (1 to 3).par_unsafe { w =>
+      val rng = new scala.util.Random(w)
+      for (i <- 1 to 5) {
+        rng.nextInt(3) match {
+          case 0 =>
+            val b = Seq((100L * w + i, rng.nextInt(50).toLong))
+            val v = t.append(b.toDF("k", "v").coalesce(1)) // appends self-retry
+            ledger.put(v, ("append", b))
+          case 1 =>
+            val u = Seq((rng.nextInt(8).toLong, 1000L * w + i))
+            retrying("merge", u)(t.merge(u.toDF("k", "v").coalesce(1), Seq("k")))
+          case 2 =>
+            retrying("compact", Nil)(t.compact(target = 1 + rng.nextInt(2)))
+        }
+      }
+      0L
+    }
+    val tip = t.currentVersion
+    // dense versions: every slot 0..tip has exactly one committed entry
+    assert(t.history().count() == tip + 1, "version gap in the log")
+    assert(ledger.size == tip, s"ledger ${ledger.size} vs tip $tip") // v0 not in ledger
+    // serial replay of the WINNING commit order must reproduce the table
+    var model = (0L until 8L).map(k => (k, 0L)).toMap
+    (1L to tip).foreach { v =>
+      val (op, content) = ledger.get(v)
+      op match {
+        case "append" => model = model ++ content
+        case "merge" => model = model ++ content // key-replace on single-key updates
+        case "compact" => ()
+      }
+    }
+    assert(t.read().as[(Long, Long)].collect().toMap == model,
+      "final content diverged from the serial replay of the commit order")
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

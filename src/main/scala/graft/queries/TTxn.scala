@@ -466,32 +466,42 @@ object TTxn {
     "t_txn_pipeline" -> ((s, d) => {
       // the TABLE-TO-TABLE incremental pipeline, composed end to end from
       // this group's parts: source txn table → TxnStreamSource (commit-
-      // version offsets) → a transformation hop → foreachBatch
-      // appendIdempotent into a SINK txn table. Exactly-once on both
-      // ends with no distributed lock: the streaming checkpoint dedups
-      // source versions, the sink's txn=app:batch ledger dedups commits
-      // — and the crash-window replay below (same app, same batch, the
-      // whole sink table as payload) must be a no-op, which the oracle
-      // hash itself proves. A mid-stream source append arrives as its
-      // own batch, so the hop is shown INCREMENTAL, not a one-shot copy.
+      // version offsets) → a transformation hop → the NATIVE graft-txn
+      // sink, whose (app, batch) ledger lives INSIDE the commit protocol
+      // — exactly-once is the sink's property, not a user foreachBatch's.
+      // The streaming checkpoint dedups source versions, the commit-log
+      // tag dedups sink commits — and the crash-window replay below
+      // (same app, same batch, the whole sink table as payload) must be
+      // a no-op, which the oracle hash itself proves. A mid-stream
+      // source append arrives as its own batch, so the hop is shown
+      // INCREMENTAL, not a one-shot copy.
       val src = TxnTable.fresh(s, scratch("txn_pipe_src"))
       val dst = TxnTable.fresh(s, scratch("txn_pipe_dst"))
+      // stale checkpoints pin offsets a rebuilt fixture can't serve —
+      // wipe alongside the fresh tables
+      val ckpt = java.nio.file.Paths.get(scratch("txn_pipe_ckpt"))
+      if (java.nio.file.Files.exists(ckpt)) {
+        val w = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        } finally w.close()
+      }
       src.append(slice(s, d, 1))                                // v0
       src.append(slice(s, d, 2))                                // v1
       val appId = "txn_pipeline"
       val q = s.readStream.format("graft.sources.TxnStreamSource")
         .option("path", src.root).load()
         .filter(col("l_quantity") > 10)
-        .writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          dst.appendIdempotent(df, appId, id)
-          ()
-        }.start()
+        .writeStream.format("graft-txn")
+        .option("path", dst.root).option("txnAppId", appId)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
       q.processAllAvailable()                                   // batch 0
       src.append(slice(s, d, 5))                                // v2
       q.processAllAvailable()                                   // batch 1
       q.stop()
-      // post-crash foreachBatch replay of the last batch: no-op
+      // post-crash sink replay of the last batch: the ledger no-ops it
       dst.appendIdempotent(dst.read(), appId, dst.lastCommitted(appId))
       agg(dst.read())
     }),

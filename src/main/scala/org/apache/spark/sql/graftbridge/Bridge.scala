@@ -48,4 +48,15 @@ object Bridge {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)
   }
+
+  /** The inverse: re-wrap the incrementally-planned RDD of the frame a
+    * streaming `Sink.addBatch` receives as a plain BATCH DataFrame, so a
+    * sink can run ordinary batch writes on it (a direct `.write` on the
+    * streaming-tagged frame is rejected by the analyzer — the same
+    * re-wrap Spark's own file sink performs internally). */
+  def asBatch(df: org.apache.spark.sql.DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
 }

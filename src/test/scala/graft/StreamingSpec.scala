@@ -728,6 +728,65 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("graft-txn native sink: ledger-backed exactly-once, engine-level crash replay is a no-op") {
+    import graft.sources.TxnTable
+    val base = graft.queries.scratch("txn_sink")
+    locally {
+      val d = new java.io.File(base)
+      if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively(): Unit }
+    }
+    val src = TxnTable.fresh(spark, s"$base/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    def run(): Unit = {
+      // short name resolves through the DataSourceRegister service file
+      val q = spark.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", s"$base/src").load()
+        .writeStream.format("graft-txn")
+        .option("path", s"$base/dst").option("txnAppId", "sink_app")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()                                          // batch 0: the base drain
+    val dst = TxnTable.at(spark, s"$base/dst")
+    assert(dst.read().count() == 2)
+    src.append(Seq((3L, "c")).toDF("k", "v"))
+    run()                                          // batch 1: incremental hop
+    assert(dst.read().count() == 3)
+    val versionsBefore = dst.currentVersion
+    // CRASH WINDOW, driven through the engine itself: the sink committed
+    // batch 1 but the streaming commit log lost its entry (sink-committed
+    // / checkpoint-not-advanced). The restarted query REPLAYS batch 1
+    // into addBatch — and the (app, batch) ledger must no-op it.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val lastCommit = Files.list(Paths.get(s"$base/ckpt/commits"))
+    val names = try lastCommit.iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).toList
+      finally lastCommit.close()
+    val lastBatch = names.map(_.toLong).max
+    Files.delete(Paths.get(s"$base/ckpt/commits/$lastBatch"))
+    // the local-FS checksum shadow must go too, or the replay's rename dies
+    Files.deleteIfExists(Paths.get(s"$base/ckpt/commits/.$lastBatch.crc"))
+    run()                                          // replay of batch 1
+    assert(dst.read().count() == 3, "crash replay duplicated a batch")
+    assert(dst.currentVersion == versionsBefore,
+      "the replayed batch must not create a new commit")
+    // and the pipeline keeps flowing after the replay
+    src.append(Seq((4L, "d")).toDF("k", "v"))
+    run()                                          // batch 2
+    assert(dst.read().select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 4L))
+    // wrong mode fails loudly at sink construction
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", s"$base/src").load()
+        .writeStream.format("graft-txn")
+        .option("path", s"$base/dst").option("txnAppId", "sink_app")
+        .outputMode("update").start()
+    }
+  }
+
   test("txn stream source: a content-replacing commit fails the append feed loudly") {
     import graft.sources.TxnTable
     val base = graft.queries.scratch("txn_stream_replace")

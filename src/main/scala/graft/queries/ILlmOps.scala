@@ -40,6 +40,37 @@ object ILlmOps {
 
   private val dot = "graft_dot(va, vb)"
 
+  /** Calibration cap for the DECLARED-quadratic baselines (brute-force
+    * cosine/L2 top-k, threshold near-dup): the sf0.1 corpus size. At or
+    * below it every vector passes and results are bit-identical to the
+    * uncapped form; above it a deterministic md5-rank sample bounds the
+    * all-pairs work at cap² regardless of corpus size, so the §20 scale
+    * sweep stays ≤ linear — these keys state the SEMANTICS of exact
+    * pairwise search, while the ANN family (lsh/ivf/pq) is the scale
+    * path. Mirrored verbatim in the oracle SQL. */
+  private[graft] val PairwiseCap = 2000
+
+  /** `vecs`, hash-sample-capped at [[PairwiseCap]]: rank by
+    * md5('cap' || vec_id) with vec_id tiebreak — an order-free uniform
+    * sample both engines compute identically. (The single-partition rank
+    * window is bounded by the corpus scan; at the 100 TB tier the same
+    * cap would ride an approximate hash threshold instead.) */
+  private def cappedVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val w = Window.orderBy(md5(concat(lit("cap"),
+      col("vec_id").cast("string"))), col("vec_id"))
+    vecs(s, d).withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= PairwiseCap).drop("_rk")
+  }
+
+  /** The oracle-side mirror of `cappedVecs`' sample, as a CTE named
+    * `capped` over `embeddings`. */
+  private val cappedSql =
+    "capped AS (SELECT vec_id, embedding FROM (" +
+      "SELECT vec_id, embedding, row_number() OVER (ORDER BY " +
+      "md5('cap' || CAST(vec_id AS VARCHAR)), vec_id) rk FROM embeddings) " +
+      s"WHERE rk <= $PairwiseCap)"
+
   private val ivfOracleSql =
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
       "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
@@ -413,8 +444,10 @@ object ILlmOps {
       // top-k via the bounded graft_topk aggregate (graft.functions.
       // TopKPairs): the shuffle carries k rows per vector instead of
       // sorting all n² candidate pairs — row-identical to the row_number
-      // window formulation since b_id is unique per group
-      val e = vecs(s, d)
+      // window formulation since b_id is unique per group. Input capped
+      // at PairwiseCap (no-op at calibration sizes) so the declared
+      // quadratic can never run quadratic past them.
+      val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") =!= col("b_id"))
@@ -430,8 +463,9 @@ object ILlmOps {
     "i_knn_l2" -> ((s, d) => {
       // rank on SQUARED distance (sqrt is monotonic → identical ranking,
       // and equal d² ⟺ equal dist so tie-breaks are unchanged); sqrt runs
-      // on the k survivors after the explode, not on all n² pairs
-      val e = vecs(s, d)
+      // on the k survivors after the explode, not on all n² pairs.
+      // PairwiseCap-bounded like i_cosine_topk.
+      val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") =!= col("b_id"))
@@ -573,8 +607,9 @@ object ILlmOps {
       // selective enough to prune the n² pairs has near-zero recall. This
       // exact form IS the semantics; at 100 TB near-dup detection must use
       // a corpus with real duplicate structure (cos ≳ 0.8), where the
-      // i_ann_lsh bucket join is the scale path.
-      val e = vecs(s, d)
+      // i_ann_lsh bucket join is the scale path — and past PairwiseCap
+      // the deterministic sample bounds this exact form too.
+      val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a_id") < col("b_id"))
@@ -811,20 +846,22 @@ object ILlmOps {
         "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
         "(SELECT count(*) FROM truth) * 10000 + 0.5) AS BIGINT) END AS recall_bp"),
     "i_cosine_topk" ->
-      ("SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+      ("WITH " + cappedSql + " " +
+        "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
         "SELECT a.vec_id a_id, b.vec_id b_id, " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos, " +
         "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, " +
-        "b.vec_id) rn FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) " +
+        "b.vec_id) rn FROM capped a JOIN capped b ON a.vec_id <> b.vec_id) " +
         "WHERE rn <= 5 ORDER BY a_id, rn"),
     "i_knn_l2" ->
-      ("SELECT a_id, b_id, round(dist, 4) AS dist, rn FROM (" +
+      ("WITH " + cappedSql + " " +
+        "SELECT a_id, b_id, round(dist, 4) AS dist, rn FROM (" +
         "SELECT a.vec_id a_id, b.vec_id b_id, " +
         "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) dist, " +
         "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
         "list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) rn " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) " +
+        "FROM capped a JOIN capped b ON a.vec_id <> b.vec_id) " +
         "WHERE rn <= 5 ORDER BY a_id, rn"),
     "i_ann_lsh" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
@@ -897,9 +934,10 @@ object ILlmOps {
         "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
         "(SELECT count(*) FROM exact) * 10000 + 0.5) AS BIGINT) AS recall_bp"),
     "i_embed_neardup" ->
-      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+      ("WITH " + cappedSql + " " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0) AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "FROM capped a JOIN capped b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35 " +
         "ORDER BY a_id, b_id"),
     "i_ngram_jaccard" ->

@@ -50,26 +50,37 @@ object ILlmOps {
     * path. Mirrored verbatim in the oracle SQL. */
   private[graft] val PairwiseCap = 2000
 
-  /** `vecs`, hash-sample-capped at [[PairwiseCap]]: rank by
-    * md5('cap' || vec_id) with vec_id tiebreak — an order-free uniform
-    * sample both engines compute identically. (The single-partition rank
-    * window is bounded by the corpus scan; at the 100 TB tier the same
-    * cap would ride an approximate hash threshold instead.) */
+  /** `vecs`, hash-sample-capped at ≈[[PairwiseCap]]: u = the first 8 md5
+    * hex digits of 'cap' || vec_id as an exact 32-bit integer, kept iff
+    * u < ⌊cap·2³² / n⌋ with n the corpus count as a broadcast one-row
+    * crossJoin (the in-plan count the IVF stride already uses). n ≤ cap
+    * makes the threshold ≥ 2³², so every row passes EXACTLY — results at
+    * calibration sizes are bit-identical to the uncapped form; past it
+    * the filter keeps a deterministic ≈cap uniform sample. Pure integer
+    * arithmetic both engines floor identically; a plain filter — no
+    * window, no extra shuffle, no single-partition stage. */
   private def cappedVecs(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val w = Window.orderBy(md5(concat(lit("cap"),
-      col("vec_id").cast("string"))), col("vec_id"))
-    vecs(s, d).withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= PairwiseCap).drop("_rk")
+    val e = vecs(s, d)
+    val nv = e.agg(count(lit(1)).as("n_vec"))
+    e.crossJoin(broadcast(nv))
+      .filter(expr("cast(conv(substring(md5(concat('cap', " +
+        "cast(vec_id as string))), 1, 8), 16, 10) as bigint)") <
+        expr(s"($PairwiseCap * 4294967296L) div n_vec"))
+      .drop("n_vec")
   }
 
   /** The oracle-side mirror of `cappedVecs`' sample, as a CTE named
-    * `capped` over `embeddings`. */
-  private val cappedSql =
-    "capped AS (SELECT vec_id, embedding FROM (" +
-      "SELECT vec_id, embedding, row_number() OVER (ORDER BY " +
-      "md5('cap' || CAST(vec_id AS VARCHAR)), vec_id) rk FROM embeddings) " +
-      s"WHERE rk <= $PairwiseCap)"
+    * `capped` over `embeddings` (digit-sum hex decode — exact integers,
+    * identical to Spark's `conv`). */
+  private val cappedSql = {
+    val u = (0 until 8).map { i =>
+      "(strpos('0123456789abcdef', substr(md5('cap' || " +
+        s"CAST(vec_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+    s"capped AS (SELECT vec_id, embedding FROM embeddings WHERE ($u) < " +
+      s"($PairwiseCap * 4294967296) // (SELECT count(*) FROM embeddings))"
+  }
 
   private val ivfOracleSql =
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +

@@ -433,6 +433,34 @@ object TTxn {
       s.table(name).orderBy("l_returnflag")
     }),
 
+    "t_txn_stream_paced" -> ((s, d) => {
+      // ADMISSION-CONTROLLED tail: the same feed shape as
+      // t_txn_stream_read, drained under maxVersionsPerTrigger=1 +
+      // Trigger.AvailableNow — the 3-version backlog arrives as
+      // one-version batches (the engine supplies the position to
+      // latestOffset, so the cap needs no anchor heuristics), and pacing
+      // must not change WHAT arrives: the hash equals the unpaced
+      // aggregate. Batch-boundary structure is StreamingSpec's pin; the
+      // oracle pins content invariance under pacing.
+      val root = scratch("txn_stream_paced")
+      val t = TxnTable.fresh(s, root)
+      t.append(slice(s, d, 1))                                  // v0
+      t.append(slice(s, d, 2))                                  // v1
+      t.append(slice(s, d, 5))                                  // v2
+      val name = "txn_stream_paced_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", root).option("maxVersionsPerTrigger", "1").load()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table(name).orderBy("l_returnflag")
+    }),
+
     "t_txn_stream_cdc" -> ((s, d) => {
       // STREAMING the row-level change feed (readChangeFeed=true): a
       // consumer that subscribed at version 1 receives the merge's
@@ -585,6 +613,7 @@ object TTxn {
         "ORDER BY morton, l_orderkey, l_linenumber, l_partkey, l_suppkey"
     },
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
+    "t_txn_stream_paced" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->
       oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),
     // the view brought current by deltas must equal the direct aggregate

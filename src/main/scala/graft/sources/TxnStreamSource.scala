@@ -167,11 +167,18 @@ private[sources] class TxnSource(ctx: SQLContext,
     // batch at that batch's log tip, so a mid-stream additive evolution
     // would hand the engine a frame WIDER than the declared source schema
     // (misbound columns downstream). Columns the old schema lacks are
-    // dropped; ones a pre-evolution batch lacks read as NULL — the
-    // restarted stream then picks up the evolved schema, Delta-style.
+    // dropped — the restarted stream then picks up the evolved schema,
+    // Delta-style. A declared column MISSING from the batch means a
+    // rename/drop landed mid-stream (append evolution only ever widens
+    // the tip schema): NULL-filling would silently corrupt the feed, so
+    // fail with the restart message instead.
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"graft-txn-stream: column(s) ${missing.mkString(", ")} were renamed " +
+        "or dropped after this stream started; restart the stream to bind " +
+        "the table's current schema")
     val pinned = df.select(schema.fields.toSeq.map(f =>
-      (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)): _*)
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     // the engine requires a streaming-tagged frame from a v1 source
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(pinned)
   }

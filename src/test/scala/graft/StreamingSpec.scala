@@ -787,6 +787,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("txn stream source: a mid-stream rename fails loudly; a restarted stream binds the new schema") {
+    import graft.sources.TxnTable
+    val base = graft.queries.scratch("txn_stream_ren")
+    locally {
+      val d = new java.io.File(base)
+      if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively(): Unit }
+    }
+    val t = TxnTable.fresh(spark, s"$base/tbl")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl").load()
+      .writeStream.format("memory").queryName("txn_ren_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("txn_ren_sink").count() == 1)
+    // rename + append under the new name: the running stream, pinned to
+    // the creation-time schema, must FAIL (NULL-filling the renamed
+    // column would silently corrupt the feed), not limp on
+    t.renameColumn("v", "val2")
+    t.append(Seq((2L, "b")).toDF("k", "val2"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("renamed") || Option(ex.getCause)
+      .exists(_.getMessage.contains("renamed")), s"wrong failure: $ex")
+    // a fresh stream binds the CURRENT schema and reads both eras merged
+    val q2 = spark.readStream.format("graft.sources.TxnStreamSource")
+      .option("path", s"$base/tbl").load()
+      .writeStream.format("memory").queryName("txn_ren_sink2")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("txn_ren_sink2")
+    assert(got.columns.toSeq == Seq("k", "val2"))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("txn stream source: a content-replacing commit fails the append feed loudly") {
     import graft.sources.TxnTable
     val base = graft.queries.scratch("txn_stream_replace")

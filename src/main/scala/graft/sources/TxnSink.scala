@@ -38,6 +38,10 @@ class TxnSink extends StreamSinkProvider with DataSourceRegister {
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"graft-txn sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-txn sink does not support partitionBy: the table format's " +
+        "layout comes from compact(clusterBy = ...) on the table itself — " +
+        "silently ignoring the requested partitioning would mislead")
     def opt(key: String): Option[String] =
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
     val path = opt("path").getOrElse(throw new IllegalArgumentException(

@@ -715,18 +715,22 @@ class TxnSpec extends SparkTestBase {
     // must equal the model, and a random RETAINED version must equal its
     // recorded snapshot. Seed 3 forces manifest mode (threshold 0), so
     // the distributed log fold is fuzzed under the same sequences.
-    for (seed <- Seq(1, 2, 3)) {
+    // seed 3: every commit manifested; seed 5: every commit manifested AND
+    // checkpointed (interval 1) — the torture combo where the ckpt fold,
+    // the manifest fold, restore re-adds and vacuum all interact per-commit
+    for (seed <- Seq(1, 2, 3, 5)) {
       var horizon = 0L // oldest version vacuum still retains
       val rng2 = new scala.util.Random(seed + 100)
       val t2 = TxnTable.fresh(spark, dir(s"fuzz_$seed"),
-        manifestThreshold = if (seed == 3) 0 else TxnTable.DefaultManifestThreshold)
+        manifestThreshold = if (seed >= 3) 0 else TxnTable.DefaultManifestThreshold,
+        checkpointInterval = if (seed == 5) 1 else TxnTable.DefaultCheckpointInterval)
       def batch2(n: Int): Seq[(Long, Long)] =
         Seq.fill(n)((rng2.nextInt(20).toLong, rng2.nextInt(1000).toLong))
       var m: Seq[(Long, Long)] = batch2(5)
       t2.append(m.toDF("k", "v").coalesce(1))
       var hist = Map(t2.currentVersion -> m)
-      if (seed == 3) {
-        // scripted prelude so the manifest-mode seed is GUARANTEED to hit
+      if (seed >= 3) {
+        // scripted prelude so the manifest-mode seeds are GUARANTEED to hit
         // a re-adding restore (the order-aware-fold regression the random
         // walk can miss): overwrite, then restore to the pre-overwrite tip
         val v0 = t2.currentVersion

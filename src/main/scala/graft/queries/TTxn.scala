@@ -291,6 +291,21 @@ object TTxn {
         .orderBy("l_returnflag")
     }),
 
+    "t_txn_optimize" -> ((s, d) => {
+      // incremental OPTIMIZE: slice 1 lands as ONE at-target file, slice
+      // 2 as 8 small ones; optimize(targetRows = |slice 1|) discovers the
+      // small set from the "#rows" commit stats (no footer pass) and
+      // bin-packs ONLY those — TxnSpec pins that the large file never
+      // moves. Content must be invariant (dataChange = false), which is
+      // exactly what the plain lines-1+2 oracle hash proves.
+      val t = TxnTable.fresh(s, scratch("txn_optimize"))
+      val s1 = slice(s, d, 1)
+      t.append(s1.coalesce(1))                 // v0: one large file
+      t.append(slice(s, d, 2).repartition(8))  // v1: 8 small files
+      t.optimize(targetRows = s1.count())      // v2: packs only the 8
+      agg(t.read())
+    }),
+
     "t_txn_zorder" -> ((s, d) => {
       // OPTIMIZE ZORDER through the table format: lineitem's join columns
       // plus the 20-bit Morton key (p_zorder's interleave of the low 10
@@ -602,6 +617,7 @@ object TTxn {
     "t_txn_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     "t_txn_rename" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_optimize" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_zorder" -> {
       val morton = (0 until 10).map { b =>
         s"(((l_partkey % 1024) >> $b) % 2) * ${1L << (2 * b)} + " +

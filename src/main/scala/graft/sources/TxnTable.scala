@@ -479,13 +479,25 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .fromPath(new org.apache.hadoop.fs.Path(abs(f)), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
-        rows += r.getRecordCount
+        val rc = r.getRecordCount
+        rows += rc
+        // the pseudo-column "#rows" records the FILE's row count in the
+        // same stats encoding ('#' can't be a real column name): small-
+        // file discovery (optimize) then reads commit metadata, never a
+        // footer pass over the live set
         val enc = footerStats(r.getFooter)
-        if (enc.nonEmpty) stats += f -> enc
+        stats += f -> (s"#rows:$rc:$rc" + (if (enc.nonEmpty) ";" + enc else ""))
       } finally r.close()
     }
     (files, rows, stats.result())
   }
+
+  /** A file's row count from commit-time stats (the "#rows" pseudo-
+    * column), footer fallback for files recorded before it existed. */
+  private def rowCountOf(f: String, stats: FileStats): Long =
+    stats.get(f).flatMap(_.split(';').collectFirst {
+      case s if s.startsWith("#rows:") => s.split(':')(1).toLong
+    }).getOrElse(parquetRowCount(Seq(f)))
 
   /** Exact row count from parquet FOOTER metadata (block counts) —
     * driver-side KBs, no Spark job. */
@@ -806,6 +818,42 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // must NOT clobber it — give up rather than drop the newer data
     if (!done) throw new IllegalStateException(
       s"compact lost the race at v${v + 1}; re-run against the new tip")
+    v + 1
+  }
+
+  /** Incremental OPTIMIZE: bin-pack only the live files SMALLER than
+    * `targetRows` rows into ≈targetRows-row files, as ONE "compact"
+    * commit (dataChange = false — change feeds stay silent). Files at or
+    * above the target are NEVER rewritten: at 100 TB the nightly
+    * small-file job touches the streaming tail's output, not the table —
+    * cost ∝ small-file bytes, and discovery reads the "#rows" commit
+    * stats, not a footer pass over the live set. With `clusterBy` the
+    * packed rows are range-sorted like clustered `compact`. DVs over
+    * rewritten files are materialized (read-through, like compact);
+    * untouched files keep theirs. No-op (current version returned) when
+    * fewer than two small files exist. Aborts on a concurrent commit
+    * rather than clobbering it — re-run against the new tip. */
+  def optimize(targetRows: Long, clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val v = currentVersion
+    require(v >= 0, s"no committed version in $root")
+    val stats = statsAt(v)
+    val small = liveFiles(v).filter(rowCountOf(_, stats) < targetRows).sorted
+    if (small.size < 2) return v
+    val base = scanTagged(v, small).drop("_f", "_idx")
+    val sc = schemaAt(v).getOrElse(base.schema)
+    val total = small.map(rowCountOf(_, stats)).sum
+    val bins = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+    val packed =
+      if (clusterBy.isEmpty) base.repartition(bins)
+      else base.repartitionByRange(bins, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (files, rows, fstats) = stage(toPhysical(packed, sc))
+    if (!tryCommit(v + 1, "compact", rows, files, small, None, Some(sc),
+        stats = fstats))
+      throw new IllegalStateException(
+        s"optimize lost the race at v${v + 1}; re-run against the new tip")
     v + 1
   }
 

@@ -707,6 +707,34 @@ class TxnSpec extends SparkTestBase {
       "final content diverged from the serial replay of the commit order")
   }
 
+  test("optimize bin-packs only small files; large files never move, content invariant") {
+    val t = TxnTable.fresh(spark, dir("optimize"))
+    t.append((0L until 100L).map(k => (k, k)).toDF("k", "v").coalesce(1)) // v0: one 100-row file
+    (0 until 4).foreach(i =>
+      t.append(Seq((200L + i, 0L)).toDF("k", "v").coalesce(1)))          // v1..v4: 1-row files
+    def dataFiles = t.read().inputFiles.filter(_.contains("/d-")).toSet
+    val before = dataFiles
+    assert(before.size == 5)
+    val big = before.filter(f => spark.read.parquet(f).count() == 100)
+    assert(big.size == 1)
+    t.deleteWhere(col("k") === 5L, dv = true)                            // v5: DV on the big file
+    assert(t.optimize(targetRows = 50) == 6L)                            // v6
+    val after = dataFiles
+    assert(after.contains(big.head), "optimize must never rewrite a large file")
+    assert(after.size == 2, s"4 small files must pack into 1, got $after")
+    assert(before.intersect(after) == big, "every small file must be replaced")
+    // content invariant: 100 − 1 DV-deleted + 4 appended
+    assert(t.read().count() == 103)
+    assert(t.read().filter(col("k") === 5L).count() == 0,
+      "the untouched file's DV must still apply after optimize")
+    // converged: one packed small file left → nothing to do, no commit
+    assert(t.optimize(targetRows = 50) == 6L)
+    // the packed rows are exactly the small files' rows
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      ((0L until 100L).filter(_ != 5L).map(k => (k, k)) ++
+        (0 until 4).map(i => (200L + i, 0L))).toSet)
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

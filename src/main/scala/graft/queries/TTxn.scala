@@ -137,6 +137,19 @@ object TTxn {
       agg(TxnTable.at(s, fullHistory(s, d)).read(version = 1))
     }),
 
+    "t_txn_time_travel_ts" -> ((s, d) => {
+      // timestamp time travel ("AS OF TIMESTAMP"): resolve the table at
+      // v1's commit time, with T read back from history() — the wall-
+      // clock value never surfaces in the output, so the key stays
+      // deterministic while exercising the running-max effective-clock
+      // resolution (versionAtTime) end to end. Content must equal the
+      // v1 snapshot: the two base appends, no overwrite leak.
+      val t = TxnTable.at(s, fullHistory(s, d))
+      val ts1 = t.history().filter(col("version") === 1)
+        .select("ts_millis").head().getLong(0)
+      agg(t.readAtMillis(ts1))
+    }),
+
     "t_txn_log_audit" -> ((s, d) => {
       // the commit log surfaced as a table: version/action/rows must match
       // the slice row counts the oracle computes from the source — a
@@ -601,6 +614,7 @@ object TTxn {
     "t_txn_snapshot" -> oracleAgg("l_linenumber IN (3, 4, 5)"),
     "t_txn_manifest" -> oracleAgg("l_linenumber IN (3, 4, 5)"),
     "t_txn_time_travel" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_time_travel_ts" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_log_audit" ->
       ("SELECT CAST(0 AS BIGINT) AS version, 'append' AS action, " +
         "(SELECT count(*) FROM lineitem WHERE l_linenumber = 1) AS n_rows " +

@@ -86,7 +86,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       manifest: Option[String], nAdd: Long, nRemove: Long,
       dv: Option[String], cdc: Option[String],
       txn: Option[(String, Long)], schema: Option[String],
-      stats: Map[String, String])
+      stats: Map[String, String], ts: Long)
 
   /** Per-file column stats: file → "col:min:max;col:min:max" over the
     * numeric primitive columns (INT32/INT64/FLOAT/DOUBLE), harvested from
@@ -138,7 +138,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
       kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
       kv.get("dv"), kv.get("cdc"),
-      txn, kv.get("schema"), stats)
+      txn, kv.get("schema"), stats,
+      // commit time: the entry's own record, file mtime for entries
+      // written before the ts line existed
+      kv.get("ts").map(_.toLong).getOrElse(
+        Files.getLastModifiedTime(entryFile(v)).toMillis))
   }
 
   // ------------------------------------------------------------- manifest io
@@ -435,7 +439,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
           s"nadd=${add.size}\nnremove=${remove.size}\n"
       else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
         stats.map { case (f, enc) => s"stat=$f\t$enc\n" }.mkString
-    val body = s"action=$action\nrows=$rows\n" + fileLines +
+    val body = s"action=$action\nrows=$rows\n" +
+      s"ts=${System.currentTimeMillis()}\n" + fileLines +
       dv.fold("")(p => s"dv=$p\n") +
       cdc.fold("")(p => s"cdc=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
@@ -1298,13 +1303,48 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .withColumn("_change_type", lit("")), tip).limit(0))
   }
 
-  /** The commit log as a DataFrame (version, action, rows, file counts). */
+  /** The commit log as a DataFrame (version, action, rows, file counts,
+    * commit time in epoch millis). */
   def history(): DataFrame = {
     import spark.implicits._
     entries(currentVersion)
-      .map(e => (e.version, e.action, e.rows, e.nAdd, e.nRemove))
-      .toDF("version", "action", "rows", "n_added_files", "n_removed_files")
+      .map(e => (e.version, e.action, e.rows, e.nAdd, e.nRemove, e.ts))
+      .toDF("version", "action", "rows", "n_added_files", "n_removed_files",
+        "ts_millis")
   }
+
+  /** The version the table had at wall-clock time `tsMillis` — the
+    * latest commit whose EFFECTIVE time is ≤ it, where effective time is
+    * the running max of the recorded commit times (writer clock skew can
+    * make raw times non-monotone; the running max keeps "as of T"
+    * well-defined and order-consistent, the same adjustment Delta applies
+    * to its log timestamps). Throws if T predates the first commit. A
+    * full metadata scan of KB entries — the interactive-query path, not
+    * a per-read one. */
+  def versionAtTime(tsMillis: Long): Long = {
+    val tip = currentVersion
+    require(tip >= 0, s"no committed version in $root")
+    var eff = Long.MinValue
+    var res = -1L
+    entries(tip).foreach { e =>
+      eff = math.max(eff, e.ts)
+      if (eff <= tsMillis) res = e.version
+    }
+    require(res >= 0, s"table did not exist at $tsMillis " +
+      s"(first commit at effective time ${parse(0L).ts})")
+    res
+  }
+
+  /** Snapshot read "AS OF TIMESTAMP": `ts` is `yyyy-MM-dd HH:mm:ss[.SSS]`
+    * in the SESSION time zone (the `readRangeTime` convention). */
+  def readAtTime(ts: String): DataFrame = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    read(versionAtTime(java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .atZone(zone).toInstant.toEpochMilli))
+  }
+
+  /** `readAtTime` on raw epoch millis. */
+  def readAtMillis(tsMillis: Long): DataFrame = read(versionAtTime(tsMillis))
 
   /** Delete data files no RETAINED snapshot references. Retention is
     * version-based: the last `retainVersions` snapshots (default 1 — the

@@ -735,6 +735,26 @@ class TxnSpec extends SparkTestBase {
         (0 until 4).map(i => (200L + i, 0L))).toSet)
   }
 
+  test("timestamp time travel: versionAtTime resolves against the running-max effective clock") {
+    val t = TxnTable.fresh(spark, dir("ts_travel"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))       // v0
+    Thread.sleep(15)
+    t.append(Seq((2L, "b")).toDF("k", "v"))       // v1
+    Thread.sleep(15)
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))    // v2
+    val h = t.history().orderBy("version").select("ts_millis").as[Long].collect()
+    assert(h.length == 3 && h(0) < h(1) && h(1) < h(2),
+      s"commit times must increase, got ${h.toSeq}")
+    assert(t.versionAtTime(h(0)) == 0 && t.versionAtTime(h(1)) == 1)
+    assert(t.versionAtTime(h(1) - 1) == 0, "strictly-before T resolves the prior version")
+    assert(t.versionAtTime(System.currentTimeMillis() + 1000) == 2)
+    intercept[IllegalArgumentException](t.versionAtTime(h(0) - 1))
+    assert(t.readAtMillis(h(1)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(t.readAtMillis(h(2)).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

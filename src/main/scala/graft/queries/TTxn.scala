@@ -304,6 +304,22 @@ object TTxn {
         .orderBy("l_returnflag")
     }),
 
+    "t_txn_format_rw" -> ((s, d) => {
+      // the table reached through the DataSource FORMAT surface: writes
+      // via df.write.format("graft-txn") (append, append, overwrite),
+      // read back via spark.read.format("graft-txn") with versionAsOf
+      // time travel. Mounting the table at format level must be
+      // byte-equivalent to the native API — same oracle as the native
+      // time-travel key. The V1 bridge pushes prune/filter into the
+      // inner snapshot plan (TxnSpec pins modes + option handling).
+      val root = scratch("txn_format_rw")
+      TxnTable.fresh(s, root)
+      slice(s, d, 1).write.format("graft-txn").mode("append").save(root)
+      slice(s, d, 2).write.format("graft-txn").mode("append").save(root)
+      slice(s, d, 3, 4).write.format("graft-txn").mode("overwrite").save(root)
+      agg(s.read.format("graft-txn").option("versionAsOf", "1").load(root))
+    }),
+
     "t_txn_optimize" -> ((s, d) => {
       // incremental OPTIMIZE: slice 1 lands as ONE at-target file, slice
       // 2 as 8 small ones; optimize(targetRows = |slice 1|) discovers the
@@ -632,6 +648,7 @@ object TTxn {
     "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     "t_txn_rename" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_optimize" -> oracleAgg("l_linenumber IN (1, 2)"),
+    "t_txn_format_rw" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_zorder" -> {
       val morton = (0 until 10).map { b =>
         s"(((l_partkey % 1024) >> $b) % 2) * ${1L << (2 * b)} + " +

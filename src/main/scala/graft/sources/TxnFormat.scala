@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** ONE format name — `"graft-txn"` — for every access mode of the
+  * transactional table, the way a user of a log-structured format
+  * expects to reach it:
+  *
+  *  - batch read: `spark.read.format("graft-txn").load(root)`, with
+  *    `versionAsOf` / `timestampAsOf` time-travel options (the latter
+  *    takes epoch millis or a session-TZ `yyyy-MM-dd HH:mm:ss[.SSS]`);
+  *  - batch write: `df.write.format("graft-txn").mode(...)` — Append and
+  *    Overwrite map onto the table's commits, ErrorIfExists refuses an
+  *    existing table, Ignore no-ops on one;
+  *  - stream read / stream write: delegated to `TxnStreamSource` and
+  *    `TxnSink` (the commit-version tail and the ledger-idempotent sink).
+  *
+  * The batch read is the V1 relation BRIDGE, not a re-implemented
+  * reader: `buildScan` builds the ordinary snapshot plan (`table.read`),
+  * pushes the translatable filters and the column prune INTO that inner
+  * plan — so the parquet scan underneath prunes columns and row groups
+  * exactly as the native API does — and hands Spark the resulting RDD.
+  * All filters are also re-evaluated by Spark above the bridge (the V1
+  * contract when `unhandledFilters` is left conservative), so a filter
+  * the translation skips costs pruning, never rows. The native
+  * `TxnTable` API remains the no-conversion fast path; the format exists
+  * so `format(...)`-level tooling can mount the table unchanged.
+  */
+class TxnFormat extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txn"
+
+  private def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def rootOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(throw new IllegalArgumentException(
+      "graft-txn needs a table root: .load(root) / .save(root) / .option(\"path\", root)"))
+
+  // ------------------------------------------------------------ batch read
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = TxnTable.at(ctx.sparkSession, rootOf(parameters))
+    val version = (opt(parameters, "versionAsOf"),
+        opt(parameters, "timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set versionAsOf or timestampAsOf, not both")
+      case (Some(v), None) => v.toLong
+      case (None, Some(ts)) =>
+        table.versionAtTime(
+          if (ts.forall(_.isDigit)) ts.toLong
+          else {
+            val zone = java.time.ZoneId
+              .of(ctx.sparkSession.sessionState.conf.sessionLocalTimeZone)
+            java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+              .atZone(zone).toInstant.toEpochMilli
+          })
+      case (None, None) => -1L
+    }
+    new TxnRelation(ctx, table, version)
+  }
+
+  // ----------------------------------------------------------- batch write
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val table = TxnTable.at(ctx.sparkSession, root)
+    val exists = table.currentVersion >= 0
+    mode match {
+      case SaveMode.Append => table.append(data)
+      case SaveMode.Overwrite => table.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-txn table already exists at $root (mode ErrorIfExists)")
+        table.append(data)
+      case SaveMode.Ignore => if (!exists) table.append(data)
+    }
+    new TxnRelation(ctx, table, -1L)
+  }
+
+  // -------------------------------------------------------- streaming modes
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    new TxnStreamSource().sourceSchema(ctx, schema, providerName, parameters)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxnStreamSource()
+      .createSource(ctx, metadataPath, schema, providerName, parameters)
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new TxnSink().createSink(ctx, parameters, partitionColumns, outputMode)
+}
+
+/** The V1 bridge relation: schema and scans delegate to the snapshot
+  * plan, so pruning/pushdown happen in the inner (parquet) scan. */
+private[sources] class TxnRelation(ctx: SQLContext, table: TxnTable,
+    version: Long) extends BaseRelation with PrunedFilteredScan {
+  import org.apache.spark.sql.functions.col
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = table.read(version).schema
+
+  /** source.Filter → Column for the common comparisons; None = left for
+    * Spark's re-evaluation above the bridge (costs pruning, never rows). */
+  private def toCondition(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) => Some(col(s"`$a`") === v)
+      case GreaterThan(a, v) => Some(col(s"`$a`") > v)
+      case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
+      case LessThan(a, v) => Some(col(s"`$a`") < v)
+      case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
+      case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(s"`$a`").isNull)
+      case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
+      case And(l, r) =>
+        for (lc <- toCondition(l); rc <- toCondition(r)) yield lc && rc
+      case _ => None
+    }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    var df = table.read(version)
+    filters.flatMap(toCondition).foreach(c => df = df.filter(c))
+    df.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
+  }
+}

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.StreamSinkProvider
 import org.apache.spark.sql.streaming.OutputMode
 
 /** The transactional table as a NATIVE STREAMING SINK:
@@ -31,9 +31,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * replacing content per batch, which is `overwrite`/`merge` territory,
   * not a streaming ledger's.
   */
-class TxnSink extends StreamSinkProvider with DataSourceRegister {
-  override def shortName(): String = "graft-txn"
-
+class TxnSink extends StreamSinkProvider {
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),

@@ -755,6 +755,40 @@ class TxnSpec extends SparkTestBase {
       Set((9L, "z")))
   }
 
+  test("graft-txn batch format: DataSource read/write with save modes and time-travel options") {
+    val root = dir("format")
+    TxnTable.fresh(spark, root) // wipe
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-txn").mode("append").save(root)
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-txn").mode("append").save(root)
+    assert(spark.read.format("graft-txn").load(root).count() == 2)
+    assert(spark.read.format("graft-txn").option("versionAsOf", "0")
+      .load(root).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // overwrite replaces; ErrorIfExists refuses; Ignore no-ops
+    Seq((9L, "z")).toDF("k", "v").write.format("graft-txn").mode("overwrite").save(root)
+    assert(spark.read.format("graft-txn").load(root)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    intercept[IllegalStateException](Seq((0L, "x")).toDF("k", "v")
+      .write.format("graft-txn").mode("error").save(root))
+    Seq((0L, "x")).toDF("k", "v").write.format("graft-txn").mode("ignore").save(root)
+    assert(spark.read.format("graft-txn").load(root).count() == 1)
+    // timestampAsOf: v1's recorded commit time resolves the v1 snapshot
+    val ts1 = TxnTable.at(spark, root).history()
+      .filter(col("version") === 1).select("ts_millis").as[Long].head()
+    assert(spark.read.format("graft-txn").option("timestampAsOf", ts1.toString)
+      .load(root).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException](spark.read.format("graft-txn")
+      .option("versionAsOf", "0").option("timestampAsOf", ts1.toString)
+      .load(root).count())
+    // the bridge pushes prune+filter into the INNER plan: a one-column
+    // projection with an equality filter still answers correctly
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-txn").mode("append").save(root)
+    val narrow = spark.read.format("graft-txn").load(root)
+      .filter(col("k") < 5L).select("v")
+    assert(narrow.as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

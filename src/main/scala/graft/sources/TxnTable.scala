@@ -1390,7 +1390,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
       es.flatMap(_.dv).map(rootP.resolve(_).getFileName.toString).toSet)
     val nCdc = sweepSidecars("_cdc",
       es.flatMap(_.cdc).map(rootP.resolve(_).getFileName.toString).toSet)
-    gone.size + orphans.size + nDv + nCdc
+    // crash-orphaned publish temporaries (.tmp-*, .ckpt-tmp-*, .ptr-tmp-*):
+    // a live one may belong to an IN-FLIGHT commit on another writer, so
+    // only sweep past an age horizon no commit publish can plausibly span
+    val horizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    val tmps = ls(logP).filter { p =>
+      val n = p.getFileName.toString
+      (n.startsWith(".tmp-") || n.startsWith(".ckpt-tmp-") ||
+        n.startsWith(".ptr-tmp-")) &&
+        Files.getLastModifiedTime(p).toMillis < horizonMs
+    }
+    tmps.foreach(Files.deleteIfExists(_))
+    gone.size + orphans.size + nDv + nCdc + tmps.size
   }
 }
 

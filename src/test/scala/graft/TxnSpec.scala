@@ -789,6 +789,23 @@ class TxnSpec extends SparkTestBase {
     assert(narrow.as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("vacuum sweeps aged crash-orphaned publish temporaries, never fresh ones") {
+    val t = TxnTable.fresh(spark, dir("tmpsweep"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val logDir = Paths.get(t.root).resolve("_txn_log")
+    val aged = logDir.resolve(".tmp-crashed-long-ago")
+    val freshTmp = logDir.resolve(".ckpt-tmp-inflight")
+    Files.write(aged, "partial".getBytes("UTF-8"))
+    Files.write(freshTmp, "partial".getBytes("UTF-8"))
+    Files.setLastModifiedTime(aged, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    t.vacuum()
+    assert(!Files.exists(aged), "aged orphan tmp must be swept")
+    assert(Files.exists(freshTmp),
+      "a fresh tmp may belong to an in-flight commit and must survive")
+    assert(t.read().count() == 1)
+  }
+
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {
     // model-based protocol check: a seeded random sequence of
     // append / overwrite / merge / delete (COW and DV, with and without

@@ -575,11 +575,17 @@ class TxnSpec extends SparkTestBase {
     assert(vRestored == 13L)
   }
 
-  test("column mapping: rename/drop are metadata-only; dropped bytes never resurface") {
-    val t = TxnTable.fresh(spark, dir("colmap"))
+  // matrix: the plain table AND the torture config (every commit
+  // manifested + checkpointed) — the mapping must survive both folds
+  for ((label, mk) <- Seq(
+    "inline" -> (() => TxnTable.fresh(spark, dir("colmap"))),
+    "manifest+ckpt" -> (() => TxnTable.fresh(spark, dir("colmap_mc"),
+      manifestThreshold = 0, checkpointInterval = 1))))
+  test(s"column mapping [$label]: rename/drop are metadata-only; dropped bytes never resurface") {
+    val t = mk()
     t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))   // v0
     def stagedDirs: Long = {
-      val s = Files.list(Paths.get(dir("colmap")))
+      val s = Files.list(Paths.get(t.root))
       try s.iterator().asScala.count(_.getFileName.toString.startsWith("d-")).toLong
       finally s.close()
     }

@@ -331,7 +331,7 @@ object TTxn {
       val s1 = slice(s, d, 1)
       t.append(s1.coalesce(1))                 // v0: one large file
       t.append(slice(s, d, 2).repartition(8))  // v1: 8 small files
-      t.optimize(targetRows = s1.count())      // v2: packs only the 8
+      t.optimize(targetRows = math.max(1L, s1.count())) // v2: packs only the 8
       agg(t.read())
     }),
 

@@ -48,6 +48,17 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val table = TxnTable.at(ctx.sparkSession, rootOf(parameters))
+    // batch CHANGE-FEED read (readChangeFeed=true): the row-level CDC
+    // range [startingVersion, endingVersion] (inclusive, Delta's
+    // convention; endingVersion defaults to the tip) through the same
+    // bridge — the incremental consumer's batch entry point
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      val from = opt(parameters, "startingVersion").map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion (inclusive)"))
+      val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(-1L)
+      return new TxnRelation(ctx, () => table.readChanges(from - 1, to))
+    }
     val version = (opt(parameters, "versionAsOf"),
         opt(parameters, "timestampAsOf")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -64,7 +75,7 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
           })
       case (None, None) => -1L
     }
-    new TxnRelation(ctx, table, version)
+    new TxnRelation(ctx, () => table.read(version))
   }
 
   // ----------------------------------------------------------- batch write
@@ -83,7 +94,7 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
         table.append(data)
       case SaveMode.Ignore => if (!exists) table.append(data)
     }
-    new TxnRelation(ctx, table, -1L)
+    new TxnRelation(ctx, () => table.read())
   }
 
   // -------------------------------------------------------- streaming modes
@@ -104,14 +115,15 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
     new TxnSink().createSink(ctx, parameters, partitionColumns, outputMode)
 }
 
-/** The V1 bridge relation: schema and scans delegate to the snapshot
-  * plan, so pruning/pushdown happen in the inner (parquet) scan. */
-private[sources] class TxnRelation(ctx: SQLContext, table: TxnTable,
-    version: Long) extends BaseRelation with PrunedFilteredScan {
+/** The V1 bridge relation: schema and scans delegate to the inner plan
+  * (a snapshot read or a change-feed read), so pruning/pushdown happen
+  * in the inner (parquet) scan. */
+private[sources] class TxnRelation(ctx: SQLContext,
+    inner: () => DataFrame) extends BaseRelation with PrunedFilteredScan {
   import org.apache.spark.sql.functions.col
 
   override def sqlContext: SQLContext = ctx
-  override val schema: StructType = table.read(version).schema
+  override val schema: StructType = inner().schema
 
   /** source.Filter → Column for the common comparisons; None = left for
     * Spark's re-evaluation above the bridge (costs pruning, never rows). */
@@ -132,7 +144,7 @@ private[sources] class TxnRelation(ctx: SQLContext, table: TxnTable,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    var df = table.read(version)
+    var df = inner()
     filters.flatMap(toCondition).foreach(c => df = df.filter(c))
     df.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
   }

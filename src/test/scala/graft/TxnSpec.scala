@@ -739,6 +739,17 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().as[(Long, Long)].collect().toSet ==
       ((0L until 100L).filter(_ != 5L).map(k => (k, k)) ++
         (0 until 4).map(i => (200L + i, 0L))).toSet)
+    // clusterBy variant: the packed files carry disjoint key ranges, so a
+    // point read plans 1 of the 2 bins from commit-time stats
+    val t2 = TxnTable.fresh(spark, dir("optimize_cl"))
+    new scala.util.Random(3).shuffle((0L until 32L).toList).grouped(8)
+      .foreach(g => t2.append(g.map(k => (k, k)).toDF("k", "v").coalesce(1)))
+    t2.optimize(targetRows = 16, clusterBy = Seq("k"))
+    assert(t2.read().inputFiles.count(_.contains("/d-")) == 2)
+    val pt = t2.readRange("k", 3, 3)
+    assert(pt.inputFiles.count(_.contains("/d-")) == 1,
+      "clustered optimize must make point reads plan one bin")
+    assert(pt.select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("timestamp time travel: versionAtTime resolves against the running-max effective clock") {
@@ -793,6 +804,27 @@ class TxnSpec extends SparkTestBase {
     val narrow = spark.read.format("graft-txn").load(root)
       .filter(col("k") < 5L).select("v")
     assert(narrow.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // timestampAsOf also takes the session-TZ datetime form
+    val tsStr = java.time.Instant.ofEpochMilli(ts1)
+      .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+      .toString.replace('T', ' ')
+    assert(spark.read.format("graft-txn").option("timestampAsOf", tsStr)
+      .load(root).count() == 2)
+    // batch CHANGE-FEED through the format ≡ the native readChanges
+    val cdfRoot = dir("format_cdf")
+    val tc = TxnTable.fresh(spark, cdfRoot)
+    tc.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))     // v0
+    tc.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v").coalesce(1),
+      Seq("k"), cdc = true)                                             // v1
+    val viaFormat = spark.read.format("graft-txn")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(cdfRoot)
+    val native = tc.readChanges(0)
+    assert(viaFormat.schema == native.schema)
+    assert(viaFormat.collect().toSet == native.collect().toSet,
+      "format-level batch CDF must equal the native feed")
+    intercept[IllegalArgumentException](spark.read.format("graft-txn")
+      .option("readChangeFeed", "true").load(cdfRoot).count())
   }
 
   test("vacuum sweeps aged crash-orphaned publish temporaries, never fresh ones") {

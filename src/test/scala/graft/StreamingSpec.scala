@@ -738,8 +738,9 @@ class StreamingSpec extends SparkTestBase {
     val src = TxnTable.fresh(spark, s"$base/src")
     src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     def run(): Unit = {
-      // short name resolves through the DataSourceRegister service file
-      val q = spark.readStream.format("graft.sources.TxnStreamSource")
+      // BOTH directions through the registered short name: the format's
+      // createSource (stream read) and createSink (stream write) paths
+      val q = spark.readStream.format("graft-txn")
         .option("path", s"$base/src").load()
         .writeStream.format("graft-txn")
         .option("path", s"$base/dst").option("txnAppId", "sink_app")

@@ -56,7 +56,11 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
       val from = opt(parameters, "startingVersion").map(_.toLong)
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed needs startingVersion (inclusive)"))
-      val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(-1L)
+      // pin the defaulted end to the tip NOW: the relation resolves its
+      // plan once per scan, and a concurrent commit mid-query must not
+      // let schema and scan bind different ranges (snapshot isolation)
+      val to = opt(parameters, "endingVersion").map(_.toLong)
+        .getOrElse(table.currentVersion)
       return new TxnRelation(ctx, () => table.readChanges(from - 1, to))
     }
     val version = (opt(parameters, "versionAsOf"),
@@ -75,7 +79,13 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
           })
       case (None, None) => -1L
     }
-    new TxnRelation(ctx, () => table.read(version))
+    // resolve the tip ONCE at relation creation: `inner()` runs again on
+    // every buildScan, so an unpinned -1 would let a concurrent commit
+    // land between the schema read and the scan (or between two scans of
+    // a self-join) and bind two different versions — the snapshot a
+    // loaded DataFrame documents is the one at load time
+    val pinned = if (version < 0) table.currentVersion else version
+    new TxnRelation(ctx, () => table.read(pinned))
   }
 
   // ----------------------------------------------------------- batch write
@@ -94,7 +104,10 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
         table.append(data)
       case SaveMode.Ignore => if (!exists) table.append(data)
     }
-    new TxnRelation(ctx, () => table.read())
+    // same pinning as the read path: the returned relation is the
+    // post-write snapshot, not a floating tip
+    val tip = table.currentVersion
+    new TxnRelation(ctx, () => table.read(tip))
   }
 
   // -------------------------------------------------------- streaming modes

@@ -177,8 +177,10 @@ private[sources] class TxnSource(ctx: SQLContext,
       s"graft-txn-stream: column(s) ${missing.mkString(", ")} were renamed " +
         "or dropped after this stream started; restart the stream to bind " +
         "the table's current schema")
+    // backquoted references: a plain col("a.b") would parse as a nested-
+    // field path, not the literal column name
     val pinned = df.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
     // the engine requires a streaming-tagged frame from a v1 source
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(pinned)
   }

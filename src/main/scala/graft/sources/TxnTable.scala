@@ -315,7 +315,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tmp = rootP.resolve(tmpRel)
     try Files.createLink(checkpointFile(v), tmp)
     catch { case _: FileAlreadyExistsException => () } // twin won: identical content
-    finally Files.delete(tmp)
+    finally {
+      Files.delete(tmp)
+      // Hadoop's local ChecksumFileSystem leaves a '.<name>.crc' shadow
+      // for the tmp parquet — delete it with its file or it orphans
+      Files.deleteIfExists(
+        tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
+      ()
+    }
     val ptr = logP.resolve("_last_checkpoint")
     val ptrTmp = logP.resolve(s".ptr-tmp-${UUID.randomUUID()}")
     Files.write(ptrTmp, s"""{"version":$v}""".getBytes(UTF_8))
@@ -323,12 +330,26 @@ final class TxnTable(val spark: SparkSession, val root: String,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Post-commit hook: checkpoint every `checkpointInterval`-th version. */
+  /** Checkpoint write failures since this handle opened — surfaced so a
+    * persistently failing (best-effort) checkpoint can be alerted on
+    * instead of silently degrading reads to O(history) resolution. */
+  private[graft] val checkpointFailures =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Post-commit hook: checkpoint every `checkpointInterval`-th version.
+    * Best-effort by design (a checkpoint is DERIVED metadata — failure
+    * costs resolution speed, never correctness), but never silent: the
+    * failure is counted and logged. */
   private def maybeCheckpoint(v: Long): Unit =
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0 &&
         !Files.exists(checkpointFile(v)))
       try writeCheckpoint(v)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          checkpointFailures.incrementAndGet()
+          System.err.println(s"graft-txn: checkpoint v$v at $root failed " +
+            s"(reads degrade to O(history) until one succeeds): $e")
+      }
 
   /** The resolution unit every read-path fold uses: the newest checkpoint
     * at ≤ `v` (if any) plus the PARSED tail entries (ckpt+1 .. v) — cost
@@ -439,8 +460,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
           s"nadd=${add.size}\nnremove=${remove.size}\n"
       else s"add=${add.mkString("\t")}\nremove=${remove.mkString("\t")}\n" +
         stats.map { case (f, enc) => s"stat=$f\t$enc\n" }.mkString
+    // commit time is STRICTLY increasing across versions (max of the wall
+    // clock and predecessor ts + 1): two commits in the same millisecond
+    // would otherwise make versionAtTime(ts of v) resolve the later one —
+    // the write-side twin of the read-side running-max adjustment
+    val ts =
+      if (v > 0) math.max(System.currentTimeMillis(), parse(v - 1).ts + 1)
+      else System.currentTimeMillis()
     val body = s"action=$action\nrows=$rows\n" +
-      s"ts=${System.currentTimeMillis()}\n" + fileLines +
+      s"ts=$ts\n" + fileLines +
       dv.fold("")(p => s"dv=$p\n") +
       cdc.fold("")(p => s"cdc=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
@@ -1069,6 +1097,22 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val keyExpr = keyCols.map(col)
+    // Materialize the update source ONCE (spill-safe cache, batch-sized —
+    // a merge's source is an update batch, never the table): it feeds the
+    // key extraction, the touched-file join, both CDC images, and the
+    // rewrite union, and re-running an arbitrary user plan per consumer
+    // multiplies its cost — and for a non-deterministic source could make
+    // the CDC images disagree with the rewrite they describe. Production
+    // MERGE implementations materialize their source for the same reasons.
+    val src = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(src, keyCols, keyExpr, clusterBy, cdc, v)
+    finally { src.unpersist(); () }
+  }
+
+  private def mergeImpl(updates: DataFrame, keyCols: Seq[String],
+      keyExpr: Seq[org.apache.spark.sql.Column],
+      clusterBy: Seq[String], cdc: Boolean, v: Long): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
     // Touched-file DISCOVERY is itself stats-pruned: a file whose
     // recorded [min, max] for the first merge key cannot contain ANY
     // update key is provably unmatched and is never scanned — on a
@@ -1105,7 +1149,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val touched = tagged
       .join(updKeys, keyCols)
       .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    // the touched files' rows feed up to THREE consumers (the unmatched-
+    // row rewrite, the CDC pre-image, the existing-key set) — materialize
+    // them once; bounded by touched-file bytes, which the merge rewrites
+    // anyway (spill-safe level, unpersisted before return)
     val inTouched = tagged.filter(col("_f").isin(touched: _*)).drop("_f")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // rewritten content: touched files' unmatched rows + ALL update rows
     // (matched replacements and brand-new keys land together)
     val touchedRows = if (touched.isEmpty) updates.limit(0)
@@ -1141,6 +1191,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"merge lost the race at v${v + 1}; re-run against the new tip")
     v + 1
+    } finally { inTouched.unpersist(); () }
   }
 
   /** DELETE WHERE. Rows where `cond` is NULL are KEPT (SQL DELETE
@@ -1168,7 +1219,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val tagged = readTagged(v)
+    // the matched rows feed up to three consumers (the touched-file
+    // collect or DV sidecar, plus the CDC capture) — materialize once;
+    // bounded by match bytes, unpersisted before return
     val matched = tagged.filter(coalesce(cond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // deleted-row content as a CDC sidecar: same commit-time discipline
     // as merge (after the commit the rows are gone — or, in DV mode,
     // invisible — so the feed must capture them now)
@@ -1205,6 +1261,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"delete lost the race at v${v + 1}; re-run against the new tip")
     v + 1
+    } finally { matched.unpersist(); () }
   }
 
   /** Incremental append-feed read: rows added by `append` commits with
@@ -1271,7 +1328,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no schema recorded at v$tip"))
     def normalize(df: DataFrame, v: Long): DataFrame =
       df.select(tipSchema.fields.map(f =>
-        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        // backquoted: a dotted column name must not parse as a field path
+        (if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)).toSeq :+
         col("_change_type") :+ lit(v).as("_commit_version"): _*)
     def scanAt(v: Long, files: Seq[String]): Option[DataFrame] =
@@ -1396,8 +1454,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val horizonMs = System.currentTimeMillis() - 60L * 60 * 1000
     val tmps = ls(logP).filter { p =>
       val n = p.getFileName.toString
+      // '.<name>.crc' are Hadoop local-FS checksum shadows: orphaned once
+      // their base file is gone (tmp deleted, manifest vacuumed)
+      val orphanCrc = n.startsWith(".") && n.endsWith(".crc") &&
+        !Files.exists(p.resolveSibling(n.substring(1, n.length - 4)))
       (n.startsWith(".tmp-") || n.startsWith(".ckpt-tmp-") ||
-        n.startsWith(".ptr-tmp-")) &&
+        n.startsWith(".ptr-tmp-") || orphanCrc) &&
         Files.getLastModifiedTime(p).toMillis < horizonMs
     }
     tmps.foreach(Files.deleteIfExists(_))

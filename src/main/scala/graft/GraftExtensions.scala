@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // the native interval-sweep join (IntervalJoinPlan → IntervalJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // the graft catalog's SQL surface: reads of GraftTableV2 lower onto
+    // the native snapshot plan; INSERT/DELETE/UPDATE/MERGE INTO lower
+    // onto the transactional DML (post-hoc: the plan is fully resolved)
+    ext.injectPostHocResolutionRule(session => graft.plans.GraftSqlRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

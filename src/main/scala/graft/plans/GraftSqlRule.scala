@@ -1,0 +1,226 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BooleanType
+import graft.sources.{GraftTableV2, TxnTable}
+
+/** The analysis rule that gives the `graft` catalog its FULL SQL surface
+  * — the Delta-style architecture (DSv2 catalog resolves names, an
+  * extension rule lowers the resolved operators onto the V1 execution
+  * core):
+  *
+  *  - a read of a `GraftTableV2` becomes the native snapshot plan
+  *    (`TxnTable.read` — the parquet scan with pruning/pushdown), with
+  *    the relation's attribute ids preserved so every reference above
+  *    keeps resolving;
+  *  - `INSERT INTO` / `INSERT OVERWRITE` (`AppendData` /
+  *    `OverwriteByExpression`) become commands over `append`/`overwrite`;
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` lower onto the table's
+  *    transactional DML (`deleteWhere` / `update` / `merge`) — arbitrary
+  *    conditions and assignment expressions, translated by column NAME
+  *    (the snapshot re-resolves them against its own plan).
+  *
+  * Installed via `GraftExtensions` (`spark.sql.extensions=graft.GraftExtensions`)
+  * or per-session through `graft.sources.GraftSql.session`. Registered
+  * post-hoc: the plan is fully resolved, and lowering here (during
+  * analysis) means the V2 capability checks and row-level-operation
+  * rewrites never see these operators at all. */
+case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** A resolved graft-table relation, through any alias wrappers. */
+  private object GraftRel {
+    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTableV2)] =
+      plan match {
+        case r @ DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => Some((r, t))
+        case SubqueryAlias(_, child) => unapply(child)
+        case _ => None
+      }
+  }
+
+  /** Resolved expression → Column that re-resolves by NAME against the
+    * table's own snapshot frame (attribute ids from the SQL plan cannot
+    * bind there; names can — the table is a flat relation). */
+  private def byName(e: Expression): Column =
+    Bridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def requireWritable(t: GraftTableV2): GraftTableV2 = {
+    require(t.pinnedVersion < 0,
+      s"cannot modify a time-travel snapshot of ${t.name()}")
+    t
+  }
+
+  /** Replace every graft relation in `plan` (subqueries included) with
+    * the native snapshot plan, preserving output attribute ids. */
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case r @ DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => readPlan(r, t)
+    }
+
+  private def readPlan(r: DataSourceV2Relation, t: GraftTableV2): LogicalPlan = {
+    val inner = t.readDf(session)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed
+    val byN = inner.output.map(a => a.name -> a).toMap
+    Project(r.output.map { out =>
+      val in = byN.getOrElse(out.name, throw new IllegalStateException(
+        s"graft-txn: column ${out.name} missing from the snapshot of ${t.name()}"))
+      Alias(in, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+    }, inner)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val lowered = plan match {
+      case a @ AppendData(GraftRel(_, t), query, _, _, _, _) if query.resolved =>
+        GraftInsertCommand(requireWritable(t).root, rewriteReads(query),
+          overwrite = false)
+      case OverwriteByExpression(GraftRel(_, t), Literal(true, BooleanType),
+          query, _, _, _, _) if query.resolved =>
+        GraftInsertCommand(requireWritable(t).root, rewriteReads(query),
+          overwrite = true)
+      case DeleteFromTable(GraftRel(_, t), cond) if cond.resolved =>
+        GraftDeleteCommand(requireWritable(t).root, byName(cond))
+      case u @ UpdateTable(GraftRel(_, t), assignments, cond) if u.resolved =>
+        val set = assignments.map { a =>
+          a.key match {
+            case ar: AttributeReference => ar.name -> byName(a.value)
+            case other => throw new UnsupportedOperationException(
+              s"graft-txn UPDATE supports top-level columns only, got $other")
+          }
+        }.toMap
+        GraftUpdateCommand(requireWritable(t).root, set,
+          cond.map(byName).getOrElse(lit(true)))
+      case m: MergeIntoTable if m.resolved => lowerMerge(m).getOrElse(plan)
+      case _ => plan
+    }
+    if (lowered ne plan) lowered else rewriteReads(plan)
+  }
+
+  /** MERGE INTO → `TxnTable.merge`: supported shape is the canonical
+    * upsert — an equi-key ON condition, one unconditional
+    * `WHEN MATCHED THEN UPDATE` and one unconditional
+    * `WHEN NOT MATCHED THEN INSERT` whose assignments agree, cover every
+    * target column, and draw only on the source (SET * / INSERT * after
+    * star expansion). Anything else is rejected loudly — `merge`'s
+    * full-row file-granular rewrite is exactly this shape. */
+  private def lowerMerge(m: MergeIntoTable): Option[LogicalPlan] = m.targetTable match {
+    case GraftRel(r, t) =>
+      def unsupported(why: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"graft-txn MERGE INTO supports the equi-key upsert shape " +
+            s"(ON t.k = s.k ... WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+            s"MATCHED THEN INSERT *): $why")
+      requireWritable(t)
+      if (m.notMatchedBySourceActions.nonEmpty)
+        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+      val upd = m.matchedActions match {
+        case Seq(UpdateAction(None, as, _)) => as
+        case other => unsupported(s"matched actions $other")
+      }
+      val ins = m.notMatchedActions match {
+        case Seq(InsertAction(None, as)) => as
+        case other => unsupported(s"not-matched actions $other")
+      }
+      val sourceOut = m.sourceTable.outputSet
+      val targetOut = r.outputSet
+      def checkAssignments(as: Seq[Assignment]): Map[String, Expression] =
+        as.map { a =>
+          a.key match {
+            case ar: AttributeReference =>
+              if (!a.value.references.subsetOf(sourceOut))
+                unsupported(s"assignment ${ar.name} references the target row")
+              ar.name -> a.value
+            case other => unsupported(s"nested assignment target $other")
+          }
+        }.toMap
+      val updM = checkAssignments(upd)
+      val insM = checkAssignments(ins)
+      val targetCols = r.output.map(_.name)
+      targetCols.foreach { c =>
+        if (!insM.contains(c)) unsupported(s"column $c is not assigned")
+        if (!updM.get(c).exists(_.semanticEquals(insM(c))))
+          unsupported(s"UPDATE and INSERT assign column $c differently")
+      }
+      // equi-key extraction: every ON conjunct must be target-attr =
+      // source-expr (either orientation), and the source side must be
+      // what the assignments write into that key column — otherwise the
+      // join keys and the upserted values would disagree
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+          conjuncts(l) ++ conjuncts(rr)
+        case other => Seq(other)
+      }
+      val keyCols = conjuncts(m.mergeCondition).map {
+        case EqualTo(l: AttributeReference, rhs)
+            if targetOut.contains(l) && rhs.references.subsetOf(sourceOut) =>
+          if (!insM(l.name).semanticEquals(rhs))
+            unsupported(s"ON key ${l.name} does not match its assignment")
+          l.name
+        case EqualTo(lhs, rr: AttributeReference)
+            if targetOut.contains(rr) && lhs.references.subsetOf(sourceOut) =>
+          if (!insM(rr.name).semanticEquals(lhs))
+            unsupported(s"ON key ${rr.name} does not match its assignment")
+          rr.name
+        case other => unsupported(s"non-equi ON conjunct $other")
+      }
+      if (keyCols.isEmpty) unsupported("no equi-key in the ON condition")
+      // the update frame: the source projected to the target's columns
+      val projected = Project(targetCols.map(c =>
+        Alias(insM(c), c)()), rewriteReads(m.sourceTable))
+      Some(GraftMergeCommand(t.root, projected, keyCols))
+    case _ => None
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE lowered onto the commit protocol. */
+case class GraftInsertCommand(root: String, query: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = Bridge.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], query)
+    val t = TxnTable.at(session, root)
+    if (overwrite) t.overwrite(df) else t.append(df)
+    Nil
+  }
+}
+
+/** DELETE FROM lowered onto `deleteWhere` (copy-on-write). */
+case class GraftDeleteCommand(root: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnTable.at(session, root).deleteWhere(cond)
+    Nil
+  }
+}
+
+/** UPDATE ... SET lowered onto the native `update` DML. */
+case class GraftUpdateCommand(root: String, set: Map[String, Column],
+    cond: Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnTable.at(session, root).update(set, cond)
+    Nil
+  }
+}
+
+/** MERGE INTO lowered onto the file-granular `merge`. */
+case class GraftMergeCommand(root: String, updates: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(updates)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = Bridge.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], updates)
+    TxnTable.at(session, root).merge(df, keyCols)
+    Nil
+  }
+}

@@ -97,6 +97,48 @@ object TTxn {
     TxnTable.at(s, dstP.toString)
   }
 
+  /** Shared SQL-surface fixture: the `graft` catalog mounted on a
+    * derived session (GraftSql.session — analyzer extensions + catalog
+    * conf), with a six-commit history built ENTIRELY through SQL:
+    * CREATE TABLE (v0), two INSERT INTOs (v1, v2), MERGE INTO (v3),
+    * UPDATE (v4), DELETE (v5). Built once per JVM and sf dir; the keys
+    * read the result back through SQL too, so the whole path under test
+    * is the one a SQL user holds. */
+  private def sqlHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.SparkSession = {
+    val root = scratch("txn_sqlcat_" + math.abs(d.hashCode))
+    warmed.computeIfAbsent("sql:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      // scratch dirs persist across JVM runs; CREATE TABLE requires absence
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      ss.sql("CREATE TABLE graft.main.demo " +
+        s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")    // v0
+      slice(ss, d, 1).createOrReplaceTempView("sql_line1")
+      slice(ss, d, 2).createOrReplaceTempView("sql_line2")
+      slice(ss, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(ss, d, 6)).createOrReplaceTempView("sql_upd")
+      ss.sql("INSERT INTO graft.main.demo SELECT * FROM sql_line1") // v1
+      ss.sql("INSERT INTO graft.main.demo SELECT * FROM sql_line2") // v2
+      ss.sql("MERGE INTO graft.main.demo t USING sql_upd s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")                           // v3
+      ss.sql("UPDATE graft.main.demo SET l_quantity = l_quantity + 100 " +
+        "WHERE l_returnflag = 'R'")                                 // v4
+      ss.sql("DELETE FROM graft.main.demo WHERE l_quantity > 120")  // v5
+      root
+    })
+    graft.sources.GraftSql.session(s, root)
+  }
+
   private def agg(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -578,6 +620,28 @@ object TTxn {
       agg(dst.read())
     }),
 
+    "t_txn_sql" -> ((s, d) => {
+      // the SQL/catalog surface end to end: a DSv2 TableCatalog
+      // (GraftCatalog) resolves graft.main.demo, the extension rule
+      // (GraftSqlRule) lowers reads onto the native snapshot plan and
+      // INSERT/MERGE INTO/UPDATE/DELETE onto the transactional DML — the
+      // whole six-commit history is driven by SQL text alone, and the
+      // final aggregate (read back through the catalog) must equal the
+      // oracle's recomputation: a mis-lowered DML, a lost commit, or a
+      // wrong snapshot bind all break the hash.
+      agg(sqlHistory(s, d).table("graft.main.demo"))
+    }),
+
+    "t_txn_sql_time_travel" -> ((s, d) => {
+      // `SELECT ... VERSION AS OF` through the catalog: the analyzer
+      // resolves the pinned version via TableCatalog.loadTable(ident,
+      // version) and the read rule binds THAT snapshot — v2 is the
+      // pre-merge world (the two INSERTs), which the later MERGE,
+      // UPDATE and DELETE must not leak into.
+      agg(sqlHistory(s, d)
+        .sql("SELECT * FROM graft.main.demo VERSION AS OF 2"))
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -736,6 +800,20 @@ object TTxn {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // everything published must land exactly once: the replayed batch
     // appending anything at all would break n AND sum_bp
+    // the SQL-driven history: line 1 as-is, line 2 doubled by the MERGE,
+    // line 6 inserted; +100 where flag R (UPDATE); rows over 120 deleted
+    "t_txn_sql" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 6), " +
+        "updated AS (SELECT l_returnflag, CASE WHEN l_returnflag = 'R' " +
+        "THEN l_quantity + 100 ELSE l_quantity END AS l_quantity FROM merged) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM updated WHERE NOT l_quantity > 120 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // VERSION AS OF 2 = after the two INSERTs, before merge/update/delete
+    "t_txn_sql_time_travel" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_stream_ingest" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +

@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The transactional table's SQL/catalog surface — a DSv2 `TableCatalog`
+  * (+ `SupportsNamespaces`) mounted as
+  * {{{ spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *     spark.sql.catalog.graft.root = /warehouse/path }}}
+  * so the table a user previously reached only through the
+  * `TxnTable` API / `format("graft-txn")` becomes something SQL can hold:
+  * `CREATE TABLE graft.ns.t (...) USING graft-txn`, `INSERT INTO`,
+  * `SELECT ... VERSION AS OF n` / `TIMESTAMP AS OF t`,
+  * `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN`,
+  * `DROP TABLE`, `SHOW TABLES`, plus `DELETE FROM` via the connector's
+  * own `SupportsDelete` pushdown. `UPDATE` / `MERGE INTO` and the read
+  * path route through `graft.plans.GraftSqlRule` (session extension),
+  * which rewrites them onto the native `TxnTable` DML — the same
+  * architecture Delta uses (catalog + extension rules over a V1
+  * execution core).
+  *
+  * Layout: a table named `graft.a.b.t` lives at `<root>/a/b/t` — the
+  * namespace IS the directory tree, `listTables`/`listNamespaces` are
+  * directory listings, and everything about the table itself (schema,
+  * versions, stats) stays in its own commit log. The catalog holds NO
+  * state of its own: concurrent engines sharing the root see the same
+  * tables with no metastore to reconcile — at 100 TB the catalog layer
+  * must never become a second source of truth.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.root=<dir>")
+    root = Paths.get(r)
+    Files.createDirectories(root)
+    ()
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def dirOf(ident: Identifier): java.nio.file.Path =
+    ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
+
+  private def dirOf(ns: Array[String]): java.nio.file.Path =
+    ns.foldLeft(root)(_.resolve(_))
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p.resolve("_txn_log"))
+
+  private def spark: SparkSession = SparkSession.active
+
+  // -------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    new GraftTableV2(fullName(ident), d.toString, -1L)
+  }
+
+  /** `VERSION AS OF` time travel: the version string is the commit
+    * version number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    new GraftTableV2(fullName(ident), d.toString, version.toLong)
+  }
+
+  /** `TIMESTAMP AS OF` time travel: Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val v = TxnTable.at(spark, d.toString).versionAtTime(timestamp / 1000L)
+    new GraftTableV2(fullName(ident), d.toString, v)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-txn lays data out by clustered compaction (OPTIMIZE), not " +
+        "hive-style partitions; create the table unpartitioned")
+    val d = dirOf(ident)
+    if (isTableDir(d)) throw new TableAlreadyExistsException(ident.toString)
+    Files.createDirectories(d)
+    TxnTable.at(spark, d.toString).create(schema)
+    new GraftTableV2(fullName(ident), d.toString, -1L)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val t = TxnTable.at(spark, d.toString)
+    changes.foreach {
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames().length == 1,
+          s"nested add-column unsupported: ${c.fieldNames().mkString(".")}")
+        t.addColumns(StructType(Seq(org.apache.spark.sql.types.StructField(
+          c.fieldNames()(0), c.dataType(), c.isNullable))))
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames().length == 1,
+          s"nested rename unsupported: ${c.fieldNames().mkString(".")}")
+        t.renameColumn(c.fieldNames()(0), c.newName())
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames().length == 1,
+          s"nested drop unsupported: ${c.fieldNames().mkString(".")}")
+        t.dropColumn(c.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft-txn: unsupported ALTER TABLE change $other")
+    }
+    new GraftTableV2(fullName(ident), d.toString, -1L)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) return false
+    val w = Files.walk(d)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally w.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent.toString)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+    ()
+  }
+
+  // ---------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d) || isTableDir(d))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally s.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d) || isTableDir(d))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(dirOf(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) return false
+    if (!cascade) {
+      val s = Files.list(d)
+      val empty = try !s.iterator().hasNext finally s.close()
+      require(empty, s"namespace ${namespace.mkString(".")} is not empty")
+    }
+    val w = Files.walk(d)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally w.close()
+    true
+  }
+}
+
+/** The DSv2 `Table` a `GraftCatalog` serves. Reads are rewritten by
+  * `graft.plans.GraftSqlRule` onto the native snapshot plan (the V1
+  * parquet scan with pruning/pushdown — never a re-implemented reader);
+  * writes go through the V1 write fallback (`V1_BATCH_WRITE` →
+  * `InsertableRelation`), which maps INSERT INTO onto `append` and
+  * INSERT OVERWRITE / truncate onto `overwrite`; DELETE WHERE with
+  * connector-translatable filters runs through `SupportsDelete` without
+  * any extension installed. `pinnedVersion` ≥ 0 is a time-travel load —
+  * a read-only snapshot (writes refuse). */
+private[graft] class GraftTableV2(tableName: String, val root: String,
+    val pinnedVersion: Long) extends Table with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[graft] def txn: TxnTable = TxnTable.at(spark, root)
+
+  /** The snapshot DataFrame this table denotes (tip, or the pinned
+    * time-travel version). */
+  private[graft] def readDf(session: SparkSession): org.apache.spark.sql.DataFrame =
+    TxnTable.at(session, root).read(pinnedVersion)
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = {
+    val t = txn
+    val v = if (pinnedVersion < 0) t.currentVersion else pinnedVersion
+    // mapping metadata (physical names) is table-internal — SQL sees
+    // clean logical fields
+    t.schemaAt(v).map(sc => StructType(sc.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+      .getOrElse(new StructType())
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft-txn", "location" -> root).asJava
+
+  // ------------------------------------------------------------- writes
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion < 0,
+      s"cannot write to the time-travel snapshot $tableName@v$pinnedVersion")
+    new GraftWriteBuilder(root, overwrite = false)
+  }
+
+  private class GraftWriteBuilder(root: String, overwrite: Boolean)
+      extends WriteBuilder with SupportsTruncate {
+    override def truncate(): WriteBuilder = new GraftWriteBuilder(root, true)
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          val t = TxnTable.at(data.sparkSession, root)
+          if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
+          ()
+        }
+    }
+  }
+
+  // ----------------------------------------------- connector-level DELETE
+
+  /** Reuses the V1 filter translation: a filter set the bridge can
+    * express as a Column is deletable exactly (Spark requires exact
+    * semantics here — unlike scan pushdown there is no re-evaluation
+    * above, so an untranslatable filter must REFUSE, not approximate). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    TxnFilters.toCondition(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion < 0,
+      s"cannot delete from the time-travel snapshot $tableName@v$pinnedVersion")
+    val cond = TxnFilters.toCondition(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable delete filters: ${filters.mkString(", ")}"))
+    txn.deleteWhere(cond)
+    ()
+  }
+}

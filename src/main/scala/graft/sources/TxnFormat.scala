@@ -128,6 +128,43 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
     new TxnSink().createSink(ctx, parameters, partitionColumns, outputMode)
 }
 
+/** source.Filter → Column translation shared by the V1 scan bridge
+  * (best-effort: untranslatable filters are left for Spark's
+  * re-evaluation above) and the connector-level DELETE (exact: any
+  * untranslatable filter refuses the whole set — there is nothing above
+  * a delete to re-check). */
+private[graft] object TxnFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def one(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(s"`$a`") === v)
+    case EqualNullSafe(a, v) => Some(col(s"`$a`") <=> v)
+    case GreaterThan(a, v) => Some(col(s"`$a`") > v)
+    case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
+    case LessThan(a, v) => Some(col(s"`$a`") < v)
+    case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
+    case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(s"`$a`").isNull)
+    case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
+    case StringStartsWith(a, v) => Some(col(s"`$a`").startsWith(v))
+    case StringEndsWith(a, v) => Some(col(s"`$a`").endsWith(v))
+    case StringContains(a, v) => Some(col(s"`$a`").contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case And(l, r) => for (lc <- one(l); rc <- one(r)) yield lc && rc
+    case Or(l, r) => for (lc <- one(l); rc <- one(r)) yield lc || rc
+    case Not(c) => one(c).map(not)
+    case _ => None
+  }
+
+  /** Exact conjunction of the whole set, or None if ANY member fails. */
+  def toCondition(filters: Array[Filter]): Option[Column] =
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      for (a <- acc; c <- one(f)) yield a && c
+    }
+}
+
 /** The V1 bridge relation: schema and scans delegate to the inner plan
   * (a snapshot read or a change-feed read), so pruning/pushdown happen
   * in the inner (parquet) scan. */
@@ -138,27 +175,12 @@ private[sources] class TxnRelation(ctx: SQLContext,
   override def sqlContext: SQLContext = ctx
   override val schema: StructType = inner().schema
 
-  /** source.Filter → Column for the common comparisons; None = left for
-    * Spark's re-evaluation above the bridge (costs pruning, never rows). */
-  private def toCondition(f: Filter): Option[org.apache.spark.sql.Column] =
-    f match {
-      case EqualTo(a, v) => Some(col(s"`$a`") === v)
-      case GreaterThan(a, v) => Some(col(s"`$a`") > v)
-      case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
-      case LessThan(a, v) => Some(col(s"`$a`") < v)
-      case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
-      case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
-      case IsNull(a) => Some(col(s"`$a`").isNull)
-      case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
-      case And(l, r) =>
-        for (lc <- toCondition(l); rc <- toCondition(r)) yield lc && rc
-      case _ => None
-    }
-
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     var df = inner()
-    filters.flatMap(toCondition).foreach(c => df = df.filter(c))
+    // best-effort: each translatable filter pushes into the inner plan;
+    // the rest cost pruning, never rows (Spark re-evaluates above)
+    filters.flatMap(TxnFilters.one).foreach(c => df = df.filter(c))
     df.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
   }
 }

@@ -736,6 +736,46 @@ final class TxnTable(val spark: SparkSession, val root: String,
     res
   }
 
+  /** CREATE the table: a schema-only v0 commit (no data files) — the
+    * `CREATE TABLE ... USING graft-txn` primitive. Reads at v0 are empty
+    * under the declared schema; the first append evolves from it (same
+    * types required, additive columns allowed). Fails if any version
+    * exists — DDL create is not idempotent by design (CREATE OR REPLACE
+    * is `overwrite`, IF NOT EXISTS is the caller's check). */
+  def create(schema: org.apache.spark.sql.types.StructType): Long = {
+    require(currentVersion < 0, s"table already exists at $root")
+    if (!tryCommit(0L, "create", 0L, Nil, Nil, None, Some(schema)))
+      throw new IllegalStateException(
+        s"create lost the race at $root: another writer committed v0")
+    0L
+  }
+
+  /** ALTER TABLE ADD COLUMNS — a METADATA-ONLY commit: the new fields
+    * append to the logical schema with fresh unique physical names (the
+    * column-mapping discipline evolution-added columns always get), so
+    * existing files read the new columns as NULL and a later drop +
+    * re-add can never resurrect old bytes. */
+  def addColumns(cols: org.apache.spark.sql.types.StructType): Long = {
+    val physFor = freshPhysFor()
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val sc = schemaAt(tip).getOrElse(
+        throw new IllegalStateException(s"no schema recorded at v$tip"))
+      cols.fields.foreach(f =>
+        require(!sc.fieldNames.contains(f.name), s"column exists: ${f.name}"))
+      val fresh = cols.fields.map { f =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysKey, physFor(f.name)).build())
+      }
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields ++ fresh)
+      if (tryCommit(tip + 1, "addcol", 0L, Nil, Nil, None, Some(sc2)))
+        res = tip + 1
+    }
+    res
+  }
+
   /** Shared append path: stage once, then loop { scan log prefix, check
     * the txn tag, merge the schema, claim the next slot } — see
     * `appendIdempotent` for why the scan+claim pair is race-free. */
@@ -1264,6 +1304,56 @@ final class TxnTable(val spark: SparkSession, val root: String,
     } finally { matched.unpersist(); () }
   }
 
+  /** UPDATE ... SET ... WHERE — copy-on-write at FILE granularity, the
+    * `merge` shape without a source table: only files CONTAINING a
+    * matching row are rewritten (matching rows with the assignments
+    * applied, the rest verbatim); fully-unmatched files stay live in
+    * place, so cost is ∝ touched files, never table size. Rows where
+    * `cond` is NULL are kept unchanged (SQL UPDATE semantics). Assignment
+    * values are Columns over the table's own row (e.g. `col("q") * 2`).
+    * A no-match update commits nothing. `cdc = true` writes the
+    * pre/post images as a commit-time sidecar like `merge`. */
+  def update(set: Map[String, org.apache.spark.sql.Column],
+      cond: org.apache.spark.sql.Column, cdc: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val v = currentVersion
+    require(v >= 0, s"no committed version in $root")
+    val tagged = readTagged(v)
+    val dataCols = tagged.columns.filterNot(c => c == "_f" || c == "_idx").toSeq
+    set.keys.foreach(k => require(dataCols.contains(k), s"no such column: $k"))
+    val matchedPred = coalesce(cond, lit(false))
+    // assignments applied to a matched row (column order preserved)
+    def applySet(df: DataFrame): DataFrame =
+      df.select(dataCols.map(c =>
+        set.get(c).fold(col(s"`$c`"))(_.as(c))): _*)
+    val matched = tagged.filter(matchedPred)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = matched
+        .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return v // nothing matched: no commit
+      val keep = tagged.filter(col("_f").isin(touched: _*))
+        .filter(matchedPred === lit(false)).drop("_f", "_idx")
+      val updated = applySet(matched.drop("_f", "_idx"))
+      val cdcRel: Option[String] = if (!cdc) None else {
+        val rel = s"_cdc/c-${UUID.randomUUID()}"
+        matched.drop("_f", "_idx")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
+          .write.parquet(abs(rel))
+        Some(rel)
+      }
+      val rewritten = keep.unionByName(updated)
+      val sc = schemaAt(v)
+      val (files, rows, fstats) = stage(sc.fold(rewritten)(toPhysical(rewritten, _)))
+      if (!tryCommit(v + 1, "update", rows, files, touched, None, sc,
+          cdc = cdcRel, stats = fstats))
+        throw new IllegalStateException(
+          s"update lost the race at v${v + 1}; re-run against the new tip")
+      v + 1
+    } finally { matched.unpersist(); () }
+  }
+
   /** Incremental append-feed read: rows added by `append` commits with
     * version in (since, upTo] — the change-data-feed primitive an
     * incremental consumer (nightly dedup, downstream aggregate) tails
@@ -1281,7 +1371,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // across either would deliver replaced content as if it were new
     // rename/drop are metadata-only (no content change) — safe to span
     require(es.forall(e => e.action != "overwrite" && e.action != "merge" &&
-        e.action != "delete" && e.action != "restore"),
+        e.action != "delete" && e.action != "restore" && e.action != "update"),
       s"content-replacing commit inside ($since, $tip]: incremental read " +
         "invalid, re-sync from a snapshot (or tail readChanges instead)")
     val files = es.filter(_.action == "append").flatMap(addsOf)
@@ -1348,12 +1438,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
           val ins = scanAt(v, addsOf(e))
             .map(df => normalize(df.withColumn("_change_type", lit("insert")), v))
           del.toSeq ++ ins.toSeq
-        case "merge" | "delete" =>
+        case "merge" | "delete" | "update" =>
           val rel = e.cdc.getOrElse(throw new IllegalStateException(
             s"commit v$v (${e.action}) was written without cdc=true: its " +
               "pre-images are unrecoverable — re-sync from a snapshot"))
           Seq(normalize(spark.read.parquet(abs(rel)), v))
-        case _ => Nil // compact: dataChange = false
+        case _ => Nil // compact / create / metadata-only: dataChange = false
       }
     }
     pieces.reduceOption(_.unionByName(_)).getOrElse(

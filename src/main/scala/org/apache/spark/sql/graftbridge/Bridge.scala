@@ -38,6 +38,25 @@ object Bridge {
     Dataset.ofRows(s, classic.queryExecution.logical)
   }
 
+  /** A derived SparkSession whose analyzer carries the given extension
+    * rules — the seam a library needs when it cannot control session
+    * startup (the standard `spark.sql.extensions` conf only applies at
+    * builder time). Works by injecting into the parent's (mutable)
+    * extensions object and cloning: the PARENT's already-built analyzer
+    * is untouched (its session state is forced first), while the clone's
+    * state is rebuilt from the now-extended rule set. The clone shares
+    * SparkContext and SharedState, copies the runtime conf, and gets a
+    * fresh catalog manager — `spark.sql.catalog.*` set on it resolves
+    * independently of the parent. */
+  def sessionWithExtensions(spark0: org.apache.spark.sql.SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.SparkSession = {
+    val spark = spark0.asInstanceOf[SparkSession]
+    spark.sessionState // force: pins the parent's analyzer pre-mutation
+    f(spark.extensions)
+    spark.cloneSession()
+  }
+
   /** Re-tag a batch DataFrame as STREAMING (`isStreaming = true`) — what a
     * v1 streaming `Source.getBatch` must return. The micro-batch engine
     * rejects plain batch frames, and `internalCreateDataFrame` (the hook

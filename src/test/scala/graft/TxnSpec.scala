@@ -1125,6 +1125,178 @@ class TxnSpec extends SparkTestBase {
     t2.merge(Seq((1L, 11L)).toDF("k", "n"), Seq("k"))
     intercept[IllegalStateException](t2.readChanges(0).count())
   }
+
+  // ------------------------------------------------------ SQL surface (r13)
+
+  /** One extension-carrying session per suite run, catalog rooted in a
+    * wiped scratch dir. */
+  private lazy val sqlS: org.apache.spark.sql.SparkSession = {
+    val root = dir("sqlcat")
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    graft.sources.GraftSql.session(spark, root)
+  }
+
+  test("SQL DDL round-trip: create, describe, list, rename, drop") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    sqlS.sql("CREATE TABLE graft.ddl.t (k BIGINT, v STRING) USING `graft-txn`")
+    assert(sqlS.table("graft.ddl.t").schema.map(f => (f.name, f.dataType.simpleString))
+      == Seq(("k", "bigint"), ("v", "string")))
+    assert(sqlS.sql("SHOW TABLES IN graft.ddl").select("tableName")
+      .as[String].collect().toSet == Set("t"))
+    intercept[Exception](
+      sqlS.sql("CREATE TABLE graft.ddl.t (k BIGINT) USING `graft-txn`"))
+    sqlS.sql("ALTER TABLE graft.ddl.t ADD COLUMNS (extra DOUBLE)")
+    sqlS.sql("ALTER TABLE graft.ddl.t RENAME COLUMN extra TO score")
+    assert(sqlS.table("graft.ddl.t").columns.toSeq == Seq("k", "v", "score"))
+    sqlS.sql("ALTER TABLE graft.ddl.t DROP COLUMN score")
+    assert(sqlS.table("graft.ddl.t").columns.toSeq == Seq("k", "v"))
+    // the rename target is CATALOG-RELATIVE (Spark resolves it inside the
+    // source table's catalog) — spelling the catalog again would nest it
+    sqlS.sql("ALTER TABLE graft.ddl.t RENAME TO ddl.t9")
+    assert(sqlS.sql("SHOW TABLES IN graft.ddl").select("tableName")
+      .as[String].collect().toSet == Set("t9"))
+    sqlS.sql("DROP TABLE graft.ddl.t9")
+    assert(sqlS.sql("SHOW TABLES IN graft.ddl").isEmpty)
+  }
+
+  test("SQL DML lowers onto the transactional core: one commit per statement") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    sqlS.sql("CREATE TABLE graft.dml.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.dml.t VALUES (1, 10.0), (2, 20.0)")
+    sqlS.sql("SELECT * FROM VALUES (2, CAST(99.0 AS DOUBLE)), (3, CAST(30.0 AS DOUBLE)) " +
+      "AS s(k, q)").createOrReplaceTempView("dml_src")
+    sqlS.sql("MERGE INTO graft.dml.t t USING dml_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    sqlS.sql("UPDATE graft.dml.t SET q = q * 2 WHERE k = 1")
+    sqlS.sql("DELETE FROM graft.dml.t WHERE q > 50")
+    // read back through the NATIVE api: the SQL and native surfaces must
+    // be two views of one log
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "dml", "t").toString)
+    assert(nt.history().select("action").as[String].collect().toSeq
+      == Seq("create", "append", "merge", "update", "delete"))
+    assert(nt.read().as[(Long, Double)].collect().toSet
+      == Set((1L, 20.0), (3L, 30.0)))
+    // INSERT OVERWRITE resets content as ONE overwrite commit
+    sqlS.sql("INSERT OVERWRITE graft.dml.t VALUES (9, 90.0)")
+    assert(nt.read().as[(Long, Double)].collect().toSet == Set((9L, 90.0)))
+    assert(nt.history().count() == 6)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF bind exact snapshots") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    sqlS.sql("CREATE TABLE graft.tt.t (k BIGINT) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.tt.t VALUES (1)")
+    sqlS.sql("INSERT INTO graft.tt.t VALUES (2)")
+    assert(sqlS.sql("SELECT * FROM graft.tt.t VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L))
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "tt", "t").toString)
+    val ts1 = nt.history().filter(col("version") === 1)
+      .select("ts_millis").as[Long].head()
+    val str = java.time.Instant.ofEpochMilli(ts1).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(sqlS.sql(s"SELECT * FROM graft.tt.t TIMESTAMP AS OF '$str'")
+      .as[Long].collect().toSet == Set(1L))
+    // a time-travel snapshot refuses writes
+    intercept[Exception](
+      sqlS.sql("INSERT INTO graft.tt.t VERSION AS OF 1 VALUES (9)"))
+  }
+
+  test("CTAS and saveAsTable ride the V1 write fallback") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    sqlS.sql("CREATE TABLE graft.ctas.src (k BIGINT) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.ctas.src VALUES (1), (2), (3)")
+    sqlS.sql("CREATE TABLE graft.ctas.copy USING `graft-txn` " +
+      "AS SELECT k * 10 AS k FROM graft.ctas.src")
+    assert(sqlS.table("graft.ctas.copy").as[Long].collect().toSet
+      == Set(10L, 20L, 30L))
+    sqlS.range(2).selectExpr("id AS k").write.format("graft-txn")
+      .saveAsTable("graft.ctas.saved")
+    assert(sqlS.table("graft.ctas.saved").as[Long].collect().toSet
+      == Set(0L, 1L))
+    // append mode saveAsTable accumulates through the ledger-free path
+    sqlS.range(2).selectExpr("id + 5 AS k").write.format("graft-txn")
+      .mode("append").saveAsTable("graft.ctas.saved")
+    assert(sqlS.table("graft.ctas.saved").as[Long].collect().toSet
+      == Set(0L, 1L, 5L, 6L))
+  }
+
+  test("MERGE INTO rejects shapes merge() cannot express, loudly") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrej")
+    sqlS.sql("CREATE TABLE graft.mrej.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.mrej.t VALUES (1, 10.0)")
+    sqlS.sql("SELECT * FROM VALUES (1, CAST(11.0 AS DOUBLE)) AS s(k, q)")
+      .createOrReplaceTempView("mrej_src")
+    // non-equi ON
+    val e1 = intercept[Exception](sqlS.sql(
+      "MERGE INTO graft.mrej.t t USING mrej_src s ON t.k < s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e1.getMessage.contains("equi-key") || e1.getCause != null)
+    // matched-delete action (not the upsert shape)
+    intercept[Exception](sqlS.sql(
+      "MERGE INTO graft.mrej.t t USING mrej_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE"))
+    // the table is untouched by the rejected statements
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "mrej", "t").toString)
+    assert(nt.currentVersion == 1L)
+  }
+
+  test("bare-catalog DELETE pushes through connector SupportsDelete") {
+    // no extension rule involved: translate V1 filters directly on the
+    // table object, the path a foreign engine without GraftExtensions uses
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    sqlS.sql("CREATE TABLE graft.del.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.del.t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    val cat = sqlS.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("del"), "t")
+    val tbl = cat.loadTable(ident)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+    import org.apache.spark.sql.sources.{Filter, GreaterThan}
+    assert(tbl.canDeleteWhere(Array[Filter](GreaterThan("q", 15.0))))
+    // an untranslatable filter must REFUSE the whole set (exact semantics:
+    // nothing above a delete re-evaluates what the translation dropped) —
+    // collation-carrying filters are outside the translation on purpose
+    val opaque: Filter = org.apache.spark.sql.sources.CollatedEqualTo(
+      "q", 1.0, org.apache.spark.sql.types.StringType)
+    assert(!tbl.canDeleteWhere(Array[Filter](GreaterThan("q", 15.0), opaque)))
+    tbl.deleteWhere(Array[Filter](GreaterThan("q", 15.0)))
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "del", "t").toString)
+    assert(nt.read().select("k").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("native update(): file granularity, null-cond keep, CDC images") {
+    val t = TxnTable.fresh(spark, dir("native_update"))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0
+    t.append(Seq((3L, 30.0), (4L, Double.NaN)).toDF("k", "q")
+      .withColumn("q", when(col("k") === 4L, lit(null)).otherwise(col("q")))
+      .repartition(1))                                                    // v1
+    val before = t.read().inputFiles.filter(_.contains("/d-")).toSet
+    // cond is NULL for k=4 (null q): that row must be KEPT unchanged;
+    // only the file containing k=3 is touched
+    t.update(Map("q" -> (col("q") * 10)), col("q") > 25, cdc = true)      // v2
+    assert(t.read().select("k", "q").collect().map(r =>
+      (r.getLong(0), Option(r.get(1)))).toSet ==
+      Set((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(300.0)), (4L, None)))
+    val after = t.read().inputFiles.filter(_.contains("/d-")).toSet
+    assert((before intersect after).nonEmpty,
+      "update must leave fully-unmatched files in place")
+    val feed = t.readChanges(1)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .select("k").as[Long].collect().toSet == Set(3L))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("q").as[Double].collect().toSet == Set(300.0))
+    // no-match update commits nothing
+    assert(t.update(Map("q" -> lit(0.0)), col("q") > 1e9) == 2L)
+    assert(t.currentVersion == 2L)
+    // changesSince refuses to span an update (content-replacing)
+    intercept[IllegalArgumentException](t.changesSince(0).count())
+  }
 }
 
 /** Tiny parallel helper: run f on its own thread per element, propagate the

@@ -620,6 +620,59 @@ object TTxn {
       agg(dst.read())
     }),
 
+    "t_txn_constraints" -> ((s, d) => {
+      // write-time invariants: CHECK + NOT NULL constraints recorded in
+      // the log after the first append (validating existing data), then
+      // a second append and a merge commit THROUGH the enforcement wrap
+      // — a conforming pipeline must be byte-identical to one without
+      // constraints (the oracle is the plain lines-1,2,6-with-doubling
+      // recomputation), proving enforcement is a pure gate, not a
+      // transform. Rejection of violating batches is TxnSpec's pin (an
+      // oracle can't hash a refused commit).
+      val t = cloneOf(s, base12(s, d), "txn_constraints")
+      t.addConstraint("qty_range", "l_quantity >= 0 AND l_quantity <= 1000")
+      t.setNotNull("l_returnflag")
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"))
+      agg(t.read())
+    }),
+
+    "t_txn_null_prune" -> ((s, d) => {
+      // IS NOT NULL data skipping from commit-time NULL COUNTS: an
+      // optional enrichment column (non-null only on line-2 rows) lands
+      // in two commits — line 1's file records all-null, line 2's
+      // records zero-null — and readWhereNull plans ONLY the populated
+      // file (TxnSpec pins the planned count; the oracle recomputes the
+      // filter from source, so a wrongly-skipped file loses rows and a
+      // leaked one adds them).
+      val t = TxnTable.fresh(s, scratch("txn_null_prune"))
+      val enrich = (ln: Int) => slice(s, d, ln).withColumn("disc_bp",
+        when(col("l_linenumber") === 2,
+          floor(col("l_quantity") * 100).cast("long")))
+      t.append(enrich(1))  // v0: disc_bp all NULL
+      t.append(enrich(2))  // v1: disc_bp fully populated
+      t.readWhereNull("disc_bp", isNull = false)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("disc_bp").as("sum_bp"))
+        .orderBy("l_returnflag")
+    }),
+
+    "t_txn_vacuum_age" -> ((s, d) => {
+      // AGE-BASED retention: vacuum with a generous retainHours keeps
+      // every version inside the window even though retainVersions=1
+      // would have reclaimed them — so the v1 time travel read after the
+      // overwrite + vacuum still resolves (the version-only twin
+      // t_txn_vacuum proves those same files DO die without the age
+      // window). Age-reclaim of genuinely old versions needs a fake
+      // clock and is TxnSpec's pin.
+      val t = cloneOf(s, base12(s, d), "txn_vacuum_age")
+      t.overwrite(slice(s, d, 6))
+      t.vacuum(retainVersions = 1, retainHours = 24.0)
+      agg(t.read(version = 1))
+    }),
+
     "t_txn_sql" -> ((s, d) => {
       // the SQL/catalog surface end to end: a DSv2 TableCatalog
       // (GraftCatalog) resolves graft.main.demo, the extension rule
@@ -800,6 +853,21 @@ object TTxn {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // everything published must land exactly once: the replayed batch
     // appending anything at all would break n AND sum_bp
+    // conforming pipeline unchanged under constraints: same content as
+    // the unconstrained merge history
+    "t_txn_constraints" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_linenumber = 2 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2, 6) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // only line-2 rows carry a non-null disc_bp
+    "t_txn_null_prune" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_bp " +
+        "FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the v1 snapshot (lines 1, 2) survives an overwrite + age-windowed vacuum
+    "t_txn_vacuum_age" -> oracleAgg("l_linenumber IN (1, 2)"),
     // the SQL-driven history: line 1 as-is, line 2 doubled by the MERGE,
     // line 6 inserted; +100 where flag R (UPDATE); rows over 120 deleted
     "t_txn_sql" ->

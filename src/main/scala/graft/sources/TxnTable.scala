@@ -86,7 +86,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       manifest: Option[String], nAdd: Long, nRemove: Long,
       dv: Option[String], cdc: Option[String],
       txn: Option[(String, Long)], schema: Option[String],
-      stats: Map[String, String], ts: Long)
+      stats: Map[String, String], ts: Long,
+      protocol: Option[(Int, Int)], constraints: Option[Seq[(String, String)]])
 
   /** Per-file column stats: file → "col:min:max;col:min:max" over the
     * numeric primitive columns (INT32/INT64/FLOAT/DOUBLE), harvested from
@@ -133,7 +134,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
     val (add, remove) = (files("add"), files("remove"))
-    Entry(v, kv("action"), kv("rows").toLong, add, remove,
+    val action = kv("action")
+    // forward-compat gate: an action this build does not know CANNOT be
+    // folded safely (treating a future content-changing action as inert
+    // would silently misread the table) — fail with the protocol error,
+    // not a parse surprise
+    if (!TxnTable.KnownActions(action))
+      throw new TxnTable.ProtocolException(
+        s"unknown log action '$action' at v$v of $root — written by a " +
+          s"newer engine (this build reads protocol ≤ ${TxnTable.SupportedReader}); " +
+          "upgrade the reader")
+    Entry(v, action, kv("rows").toLong, add, remove,
       kv.get("manifest"),
       kv.get("nadd").map(_.toLong).getOrElse(add.size.toLong),
       kv.get("nremove").map(_.toLong).getOrElse(remove.size.toLong),
@@ -142,7 +153,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
       // commit time: the entry's own record, file mtime for entries
       // written before the ts line existed
       kv.get("ts").map(_.toLong).getOrElse(
-        Files.getLastModifiedTime(entryFile(v)).toMillis))
+        Files.getLastModifiedTime(entryFile(v)).toMillis),
+      kv.get("protocol").map { p =>
+        val i = p.indexOf(':')
+        (p.substring(0, i).toInt, p.substring(i + 1).toInt)
+      },
+      kv.get("constraints").map(TxnTable.decodeConstraints))
   }
 
   // ------------------------------------------------------------- manifest io
@@ -216,7 +232,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * history (the last O(history) read-path surface). */
   private case class Checkpoint(version: Long, live: Vector[String],
       stats: FileStats, dvs: Vector[String], schemaJson: Option[String],
-      txns: Map[String, Long])
+      txns: Map[String, Long], protocol: Option[(Int, Int)] = None,
+      constraints: Option[Seq[(String, String)]] = None)
 
   private def checkpointFile(v: Long): Path =
     logP.resolve(f"c$v%05d.ckpt.parquet")
@@ -252,6 +269,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val stats = Map.newBuilder[String, String]
     val txns = Map.newBuilder[String, Long]
     var schemaJson: Option[String] = None
+    var protocol: Option[(Int, Int)] = None
+    var constraints: Option[Seq[(String, String)]] = None
     try {
       var g = r.read()
       while (g != null) {
@@ -266,12 +285,21 @@ final class TxnTable(val spark: SparkSession, val root: String,
           case "dv" => dvs += path
           case "schema" => schemaJson = Some(path)
           case "txn" => txns += path -> extra.get.toLong
+          case "protocol" =>
+            val i = path.indexOf(':')
+            protocol = Some((path.substring(0, i).toInt,
+              path.substring(i + 1).toInt))
+          case "constraints" =>
+            constraints = Some(TxnTable.decodeConstraints(path))
+          case other => throw new TxnTable.ProtocolException(
+            s"unknown checkpoint row kind '$other' in ${checkpointFile(v)} " +
+              "— written by a newer engine; upgrade the reader")
         }
         g = r.read()
       }
     } finally r.close()
     Checkpoint(v, live.result(), stats.result(), dvs.result(),
-      schemaJson, txns.result())
+      schemaJson, txns.result(), protocol, constraints)
   }
 
   /** Publish a checkpoint for version `v`: the resolved live set (with
@@ -294,6 +322,10 @@ final class TxnTable(val spark: SparkSession, val root: String,
       (m, e) => e.txn.fold(m) { case (app, b) =>
         m + (app -> math.max(b, m.getOrElse(app, -1L))) }
     }
+    val proto = tail.flatMap(_.protocol).lastOption
+      .orElse(ck.flatMap(_.protocol))
+    val cons = tail.flatMap(_.constraints).lastOption
+      .orElse(ck.flatMap(_.constraints))
     val tmpRel = s"_txn_log/.ckpt-tmp-${UUID.randomUUID()}"
     val conf = spark.sessionState.newHadoopConf()
     val out = org.apache.parquet.hadoop.util.HadoopOutputFile
@@ -311,6 +343,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       dvs.foreach(emit("dv", _, None))
       schemaJson.foreach(emit("schema", _, None))
       txns.foreach { case (app, b) => emit("txn", app, Some(b.toString)) }
+      proto.foreach { case (r, w) => emit("protocol", s"$r:$w", None) }
+      cons.foreach(cs =>
+        emit("constraints", TxnTable.encodeConstraints(cs), None))
     } finally w.close()
     val tmp = rootP.resolve(tmpRel)
     try Files.createLink(checkpointFile(v), tmp)
@@ -358,7 +393,60 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * keep parsing what they genuinely need. */
   private def tailEntries(v: Long): (Option[Checkpoint], Seq[Entry]) = {
     val ck = latestCheckpointAt(v)
-    (ck, (ck.fold(0L)(_.version + 1L) to v).map(parse))
+    val tail = (ck.fold(0L)(_.version + 1L) to v).map(parse)
+    // reader gate at the resolution chokepoint: every read-path fold
+    // passes through here, so a table requiring a newer reader fails
+    // before any state is mis-folded
+    val minR = tail.flatMap(_.protocol).lastOption
+      .orElse(ck.flatMap(_.protocol)).map(_._1).getOrElse(1)
+    if (minR > TxnTable.SupportedReader)
+      throw new TxnTable.ProtocolException(
+        s"$root requires reader protocol ≥ $minR; this build reads " +
+          s"≤ ${TxnTable.SupportedReader}")
+    (ck, tail)
+  }
+
+  /** Active (minReader, minWriter) at `v` — the last recorded protocol
+    * entry, default (1, 1) for tables that never declared one. */
+  private def protocolAt(v: Long): (Int, Int) = {
+    if (v < 0) return (1, 1)
+    val (ck, tail) = tailEntries(v)
+    tail.flatMap(_.protocol).lastOption
+      .orElse(ck.flatMap(_.protocol)).getOrElse((1, 1))
+  }
+
+  /** The active protocol as a public probe (tests, diagnostics). */
+  def protocol: (Int, Int) = protocolAt(currentVersion)
+
+  /** Raise the table's required reader/writer protocol — a metadata
+    * commit, monotone only (a downgrade could strand newer features).
+    * This build cannot demand more than it itself supports. */
+  def upgradeProtocol(minReader: Int, minWriter: Int): Long = {
+    require(minReader <= TxnTable.SupportedReader &&
+      minWriter <= TxnTable.SupportedWriter,
+      s"cannot require ($minReader, $minWriter): this build supports " +
+        s"(${TxnTable.SupportedReader}, ${TxnTable.SupportedWriter})")
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val (r0, w0) = protocolAt(tip)
+      require(minReader >= r0 && minWriter >= w0,
+        s"protocol downgrade refused: active ($r0, $w0)")
+      if (tryCommit(tip + 1, "protocol", 0L, Nil, Nil, None, None,
+          protocol = Some((minReader, minWriter))))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** Active CHECK/NOT NULL constraints at `v` (name → SQL expression) —
+    * the last recorded full set, like the schema. */
+  def constraintsAt(v: Long): Seq[(String, String)] = {
+    if (v < 0) return Nil
+    val (ck, tail) = tailEntries(v)
+    tail.flatMap(_.constraints).lastOption
+      .orElse(ck.flatMap(_.constraints)).getOrElse(Nil)
   }
 
   /** Column stats of every file seen at ≤ `v` (live ones authoritative). */
@@ -452,7 +540,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       dv: Option[String] = None, cdc: Option[String] = None,
-      stats: FileStats = Map.empty): Boolean = {
+      stats: FileStats = Map.empty,
+      protocol: Option[(Int, Int)] = None,
+      constraints: Option[Seq[(String, String)]] = None): Boolean = {
+    // writer gate: a log that requires a newer writer refuses the commit
+    // with the named error (the read side's gate sits in tailEntries)
+    if (v > 0) {
+      val (_, minW) = protocolAt(v - 1)
+      if (minW > TxnTable.SupportedWriter)
+        throw new TxnTable.ProtocolException(
+          s"$root requires writer protocol ≥ $minW; this build writes " +
+            s"≤ ${TxnTable.SupportedWriter}")
+    }
     Files.createDirectories(logP)
     val fileLines =
       if (add.size + remove.size > manifestThreshold)
@@ -472,7 +571,10 @@ final class TxnTable(val spark: SparkSession, val root: String,
       dv.fold("")(p => s"dv=$p\n") +
       cdc.fold("")(p => s"cdc=$p\n") +
       txn.fold("") { case (app, batch) => s"txn=$app:$batch\n" } +
-      schema.fold("")(sc => s"schema=${sc.json}\n")
+      schema.fold("")(sc => s"schema=${sc.json}\n") +
+      protocol.fold("") { case (r, w) => s"protocol=$r:$w\n" } +
+      constraints.fold("")(cs =>
+        s"constraints=${TxnTable.encodeConstraints(cs)}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -561,8 +663,20 @@ final class TxnTable(val spark: SparkSession, val root: String,
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
     val bad = scala.collection.mutable.Set.empty[String]
+    // null counts, for EVERY top-level column with complete footer null
+    // statistics (type-agnostic): recorded as the pseudo-column
+    // "#nulls.<physical>" so IS NULL / IS NOT NULL reads can skip files
+    // at planning time; a block without null stats drops the column —
+    // incomplete stats cost pruning, never rows
+    val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val badN = scala.collection.mutable.Set.empty[String]
     for (b <- footer.getBlocks.asScala; c <- b.getColumns.asScala) {
       val name = c.getPath.toDotString
+      if (!name.contains('.') && !badN(name)) {
+        val s = c.getStatistics
+        if (s == null || !s.isNumNullsSet) { badN += name; nulls -= name }
+        else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+      }
       if (!name.contains('.') && !bad(name)) {
         val pt = c.getPrimitiveType.getPrimitiveTypeName
         val ann = c.getPrimitiveType.getLogicalTypeAnnotation
@@ -589,7 +703,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
         }
       }
     }
-    acc.map { case (n, (a, z)) => s"$n:$a:$z" }.mkString(";")
+    (acc.map { case (n, (a, z)) => s"$n:$a:$z" } ++
+      nulls.map { case (n, c) => s"#nulls.$n:$c:$c" }).mkString(";")
   }
 
   private def abs(rel: String): String = rootP.resolve(rel).toString
@@ -702,6 +817,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
         throw new IllegalStateException(s"no schema recorded at v$tip"))
       require(sc.fieldNames.contains(oldName), s"no such column: $oldName")
       require(!sc.fieldNames.contains(newName), s"column exists: $newName")
+      require(!constrainedColumns(constraintsAt(tip)).contains(oldName),
+        s"column $oldName is referenced by an active constraint; drop the " +
+          "constraint first")
       val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map { f =>
         if (f.name != oldName) f
         else f.copy(name = newName,
@@ -728,6 +846,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
         throw new IllegalStateException(s"no schema recorded at v$tip"))
       require(sc.fieldNames.contains(name), s"no such column: $name")
       require(sc.fields.length > 1, "cannot drop the last column")
+      require(!constrainedColumns(constraintsAt(tip)).contains(name),
+        s"column $name is referenced by an active constraint; drop the " +
+          "constraint first")
       val sc2 = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == name))
       if (tryCommit(tip + 1, "drop", 0L, Nil, Nil, None, Some(sc2)))
@@ -776,6 +897,87 @@ final class TxnTable(val spark: SparkSession, val root: String,
     res
   }
 
+  // ------------------------------------------------------------ constraints
+
+  /** ALTER TABLE ADD CONSTRAINT — a CHECK constraint recorded in the log
+    * and enforced on every subsequent data-adding commit. EXISTING data
+    * is validated first (one scan of the current snapshot, the Delta
+    * semantics): a table can never hold a row violating an active
+    * constraint. Expressions are single-line SQL over the LOGICAL
+    * columns; a column referenced by an active constraint can be neither
+    * renamed nor dropped (explicit refusal beats silent breakage). */
+  def addConstraint(name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
+    require(!exprSql.contains('\n'), "constraint expression must be one line")
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val existing = constraintsAt(tip)
+      require(!existing.exists(_._1 == name), s"constraint exists: $name")
+      // existing data must already satisfy the constraint
+      val bad = read(tip).filter(not(coalesce(expr(exprSql), lit(false))))
+        .limit(1).count()
+      if (bad > 0) throw new TxnTable.ConstraintViolation(
+        s"cannot add CHECK constraint '$name' ($exprSql): existing rows " +
+          "violate it")
+      if (tryCommit(tip + 1, "constraint", 0L, Nil, Nil, None, None,
+          constraints = Some(existing :+ (name -> exprSql))))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** NOT NULL as a recorded constraint (the enforcement machinery is
+    * identical — a named CHECK over `col IS NOT NULL`). */
+  def setNotNull(colName: String): Long =
+    addConstraint(s"nn_$colName", s"`$colName` IS NOT NULL")
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  def dropConstraint(name: String): Long = {
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val existing = constraintsAt(tip)
+      require(existing.exists(_._1 == name), s"no such constraint: $name")
+      if (tryCommit(tip + 1, "constraint", 0L, Nil, Nil, None, None,
+          constraints = Some(existing.filterNot(_._1 == name))))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** Logical column names an active-constraint expression references —
+    * used to refuse rename/drop of constrained columns. */
+  private def constrainedColumns(cs: Seq[(String, String)]): Set[String] =
+    cs.flatMap { case (_, e) =>
+      // parse directly: functions.expr defers parsing behind a lazy
+      // ColumnNode, which a tree collect cannot see through
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }
+    }.toSet
+
+  /** Wrap `df` so any row violating an active constraint FAILS the write
+    * job in-task — a one-pass validation fused into the staging scan (no
+    * extra Spark job; the commit never publishes, the partial staged dir
+    * is unreferenced and falls to vacuum). The violating row rides the
+    * error message as JSON — the clear reject. */
+  private def enforced(df: DataFrame,
+      cs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, struct, to_json, when}
+    if (cs.isEmpty) df
+    else cs.foldLeft(df) { case (acc, (n, e)) =>
+      acc.filter(when(coalesce(expr(e), lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"graft-txn CHECK constraint '$n' ($e) violated by row: "),
+          to_json(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*))))))
+    }
+  }
+
   /** Shared append path: stage once, then loop { scan log prefix, check
     * the txn tag, merge the schema, claim the next slot } — see
     * `appendIdempotent` for why the scan+claim pair is race-free. */
@@ -794,9 +996,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (txn.exists { case (app, b) => committedUpTo(app, tip) >= b }) res = -1L
       else {
         val sc = unionSchema(schemaAt(tip), df.schema, physFor)
-        val proj = df.columns.toSeq.map(physicalIn(Some(sc), _))
+        val cs = constraintsAt(tip)
+        // the staging fingerprint includes the ACTIVE constraint set: a
+        // concurrent ADD CONSTRAINT landing mid-retry forces a re-stage
+        // under the new validation, so no unvalidated row can commit
+        val proj = df.columns.toSeq.map(physicalIn(Some(sc), _)) ++
+          cs.map { case (n, e) => s"c:$n:$e" }
         if (stagedProj == null || proj != stagedProj) {
-          val r = stage(toPhysical(df, sc))
+          val r = stage(toPhysical(enforced(df, cs), sc))
           files = r._1; rows = r._2; fstats = r._3
           stagedProj = proj
         }
@@ -850,7 +1057,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * retry so a concurrent append's files are removed too, not orphaned
     * as silent extra rows (lost-update prevention). */
   def overwrite(df: DataFrame): Long = {
-    val (files, rows, fstats) = stage(df)
+    val (files, rows, fstats) = stage(enforced(df, constraintsAt(currentVersion)))
     var done = false; var v = -1L
     while (!done) {
       v = currentVersion + 1
@@ -1111,6 +1318,42 @@ final class TxnTable(val spark: SparkSession, val root: String,
     liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
   }
 
+  /** NULL-predicate read with FILE-LEVEL data skipping from the
+    * commit-time null counts: `IS NULL` drops files recorded with ZERO
+    * nulls in `colName`; `IS NOT NULL` drops files recorded all-null.
+    * Files without null stats are kept, and the exact row filter applies
+    * on whatever survives — equal to `read(v).filter(...)` by
+    * construction (the oracle pins it; TxnSpec pins the planned-file
+    * count). The 100-TB case this serves: optional enrichment columns
+    * (a geocode result, a model score) cluster into populated and
+    * unpopulated files, and the `IS NOT NULL` consumer opens only the
+    * populated ones. DV deletion only removes rows, so a zero-null file
+    * can never grow a null (and vice versa) — the prune stays sound
+    * under merge-on-read deletes. */
+  def readWhereNull(colName: String, isNull: Boolean,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val statsByFile = statsAt(v)
+    val phys = physicalIn(schemaAt(v), colName)
+    def keepFile(enc: String): Boolean = {
+      def field(prefix: String): Option[Long] =
+        enc.split(';').collectFirst {
+          case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
+        }
+      (field(s"#nulls.$phys"), field("#rows")) match {
+        case (Some(nn), _) if isNull => nn > 0
+        case (Some(nn), Some(nr)) if !isNull => nn < nr
+        case _ => true
+      }
+    }
+    val files = liveFiles(v).filter(f => statsByFile.get(f).forall(keepFile))
+    scanTagged(v, files).drop("_f", "_idx")
+      .filter(if (isNull) col(s"`$colName`").isNull
+              else col(s"`$colName`").isNotNull)
+  }
+
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of
     * `updates` replace same-key rows, new keys append. Only files that
     * actually CONTAIN a matched key are rewritten; every untouched file
@@ -1225,7 +1468,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       else merged.repartitionByRange(math.max(1, touched.size), clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val sc = unionSchema(schemaAt(v), updates.schema, freshPhysFor())
-    val (files, rows, fstats) = stage(toPhysical(staged, sc))
+    val (files, rows, fstats) =
+      stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
     if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc),
         cdc = cdcRel, stats = fstats))
       throw new IllegalStateException(
@@ -1343,7 +1587,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
           .write.parquet(abs(rel))
         Some(rel)
       }
-      val rewritten = keep.unionByName(updated)
+      val rewritten = keep.unionByName(enforced(updated, constraintsAt(v)))
       val sc = schemaAt(v)
       val (files, rows, fstats) = stage(sc.fold(rewritten)(toPhysical(rewritten, _)))
       if (!tryCommit(v + 1, "update", rows, files, touched, None, sc,
@@ -1494,17 +1738,32 @@ final class TxnTable(val spark: SparkSession, val root: String,
   /** `readAtTime` on raw epoch millis. */
   def readAtMillis(tsMillis: Long): DataFrame = read(versionAtTime(tsMillis))
 
-  /** Delete data files no RETAINED snapshot references. Retention is
-    * version-based: the last `retainVersions` snapshots (default 1 — the
-    * tip alone) stay fully readable; time travel, change feeds, and
-    * `restore` past the horizon stop working — the retention trade every
-    * log-structured table format prices (Delta's retention hours, by
-    * version count). Returns #deleted. */
-  def vacuum(retainVersions: Int = 1): Int = {
+  /** Delete data files no RETAINED snapshot references. Retention is the
+    * UNION of two keep-sets — version-based (`retainVersions`, default 1:
+    * the tip alone) and age-based (`retainHours` ≥ 0: every version whose
+    * EFFECTIVE commit time — the same running-max clock `versionAtTime`
+    * resolves against — is within the window; negative disables) — so
+    * "keep a week AND at least the tip" composes the way operators set
+    * it. Time travel, change feeds, and `restore` past the horizon stop
+    * working — the retention trade every log-structured table format
+    * prices (Delta's `RETAIN n HOURS`, here with a version floor too).
+    * Returns #deleted. */
+  def vacuum(retainVersions: Int = 1, retainHours: Double = -1.0): Int = {
     require(retainVersions >= 1, "must retain at least the tip snapshot")
     val tip = currentVersion
-    val keep = (math.max(0L, tip - retainVersions + 1) to tip)
-      .flatMap(liveFiles).toSet
+    val byCount = math.max(0L, tip - retainVersions + 1) to tip
+    val keepVs: Seq[Long] =
+      if (retainHours < 0) byCount
+      else {
+        val cutoff =
+          System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+        var eff = Long.MinValue
+        val byAge = entries(tip).filter { e =>
+          eff = math.max(eff, e.ts); eff >= cutoff
+        }.map(_.version)
+        (byCount ++ byAge).distinct.sorted
+      }
+    val keep = keepVs.flatMap(liveFiles).toSet
     val all = ls(rootP)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
       .flatMap(d => ls(d))
@@ -1562,6 +1821,40 @@ object TxnTable {
     * inlining; below it, the entry is self-contained and the driver fold
     * is cheaper than any job. */
   val DefaultManifestThreshold = 64
+
+  /** Protocol versions this build can read / write. A table whose log
+    * records a higher `minReader`/`minWriter` refuses with a
+    * `ProtocolException` instead of misreading — the reader/writer
+    * feature gate every evolving log format needs. */
+  val SupportedReader = 2
+  val SupportedWriter = 2
+
+  /** The log actions this build understands. `parse` refuses anything
+    * else loudly (see the forward-compat gate there). */
+  private[sources] val KnownActions = Set("create", "append", "overwrite",
+    "compact", "merge", "delete", "restore", "rename", "drop", "addcol",
+    "update", "constraint", "protocol")
+
+  /** A reader or writer opened a table its protocol version cannot
+    * handle — the NAMED failure mode (never a parse surprise). */
+  final class ProtocolException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** A write violated a table CHECK / NOT NULL constraint. The message
+    * names the constraint and carries the offending row. */
+  final class ConstraintViolation(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Constraint set <-> one log-line encoding (names are [A-Za-z0-9_],
+    * expressions are single-line SQL -- both enforced at add time; the
+    * separators are control characters neither can contain). */
+  private[sources] def encodeConstraints(cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) => n + "\u0001" + e }.mkString("\u0002")
+  private[sources] def decodeConstraints(s: String): Seq[(String, String)] =
+    if (s.isEmpty) Nil
+    else s.split('\u0002').toSeq.map { p =>
+      val i = p.indexOf('\u0001'); (p.substring(0, i), p.substring(i + 1))
+    }
 
   /** Checkpoint the resolved log state every this-many versions, so
     * snapshot resolution parses checkpoint + tail (≤ interval entries)

@@ -86,8 +86,17 @@ class GeoSpec extends SparkTestBase {
   }
 
   test("geo bucket join is a broadcast equi-join on the cell id") {
-    val p = SparkEntry.queries("c_join_geo_bucket")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val exec = SparkEntry.queries("c_join_geo_bucket")(spark, sfDir)
+      .queryExecution.executedPlan
+    // the candidate machinery may be served from the shared phase-1
+    // cache (bucket = rank-1 of the knn candidates since r13) — assert
+    // the shape on the plan that actually COMPUTES candidates, looking
+    // through any in-memory scan to its cached plan
+    val cached = exec.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan.toString
+    }
+    val p = exec.toString + cached.mkString("\n")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),

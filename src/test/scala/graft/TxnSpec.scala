@@ -1270,6 +1270,143 @@ class TxnSpec extends SparkTestBase {
     assert(nt.read().select("k").as[Long].collect().toSet == Set(1L))
   }
 
+  test("constraints: violating batches reject with the named error, nothing commits") {
+    val t = TxnTable.fresh(spark, dir("cons_reject"))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q"))          // v0
+    t.addConstraint("q_pos", "q >= 0")                            // v1
+    t.setNotNull("k")                                             // v2
+    assert(t.constraintsAt(t.currentVersion).map(_._1) == Seq("q_pos", "nn_k"))
+    // conforming append commits
+    t.append(Seq((3L, 30.0)).toDF("k", "q"))                      // v3
+    // violating append: in-task reject, no new version, message names it
+    val e = intercept[Exception](t.append(Seq((4L, -1.0)).toDF("k", "q")))
+    def msg(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(msg(e).contains("q_pos"), s"unnamed reject: ${msg(e)}")
+    assert(t.currentVersion == 3L)
+    // NOT NULL enforced the same way
+    val e2 = intercept[Exception](t.append(
+      Seq((Option.empty[java.lang.Long], 5.0)).toDF("k", "q")))
+    assert(msg(e2).contains("nn_k"))
+    // merge and update are gated too
+    intercept[Exception](t.merge(Seq((1L, -9.0)).toDF("k", "q"), Seq("k")))
+    intercept[Exception](t.update(Map("q" -> lit(-5.0)), col("k") === 1L))
+    assert(t.read().count() == 3)
+    // adding a constraint EXISTING data violates is refused
+    intercept[TxnTable.ConstraintViolation](t.addConstraint("q_small", "q < 25"))
+    // drop lifts the gate
+    t.dropConstraint("q_pos")
+    t.append(Seq((5L, -2.0)).toDF("k", "q"))
+    assert(t.read().count() == 4)
+  }
+
+  test("constraints survive schema evolution and checkpointing; rename/drop refuse") {
+    val t = TxnTable.fresh(spark, dir("cons_evo"), checkpointInterval = 3)
+    t.append(Seq((1L, 10.0)).toDF("k", "q"))
+    t.addConstraint("q_pos", "q >= 0")
+    // additive evolution does not shed the constraint
+    t.append(Seq((2L, 20.0, "x")).toDF("k", "q", "tag"))
+    (0 until 4).foreach(i => t.append(Seq((10L + i, 1.0, "y")).toDF("k", "q", "tag")))
+    // a FRESH handle resolves the constraint through the checkpoint
+    val t2 = TxnTable.at(spark, dir("cons_evo"), checkpointInterval = 3)
+    assert(t2.constraintsAt(t2.currentVersion).map(_._1) == Seq("q_pos"))
+    intercept[Exception](t2.append(Seq((9L, -1.0, "z")).toDF("k", "q", "tag")))
+    // a constrained column can be neither renamed nor dropped
+    intercept[IllegalArgumentException](t2.renameColumn("q", "qty"))
+    intercept[IllegalArgumentException](t2.dropColumn("q"))
+    // unconstrained columns still evolve freely
+    t2.renameColumn("tag", "label")
+    assert(t2.read().columns.toSeq == Seq("k", "q", "label"))
+  }
+
+  test("protocol gates: higher minReader/minWriter and unknown actions fail loudly") {
+    val t = TxnTable.fresh(spark, dir("proto"))
+    t.append(Seq((1L, 10.0)).toDF("k", "q"))
+    assert(t.protocol == ((1, 1)))
+    t.upgradeProtocol(2, 2)
+    assert(t.protocol == ((2, 2)))
+    // downgrade and beyond-supported refuse
+    intercept[IllegalArgumentException](t.upgradeProtocol(1, 1))
+    intercept[IllegalArgumentException](
+      t.upgradeProtocol(TxnTable.SupportedReader + 1, 2))
+    // forge a future entry requiring a newer reader: a fresh handle must
+    // refuse with the NAMED protocol error, not a parse surprise
+    val v = t.currentVersion + 1
+    Files.write(Paths.get(dir("proto"), "_txn_log", f"v$v%05d.txn"),
+      "action=append\nrows=0\nts=9999999999999\nadd=\nremove=\nprotocol=99:99\n"
+        .getBytes("UTF-8"))
+    val cold = TxnTable.at(spark, dir("proto"))
+    intercept[TxnTable.ProtocolException](cold.read().count())
+    intercept[TxnTable.ProtocolException](cold.append(Seq((2L, 1.0)).toDF("k", "q")))
+    // unknown ACTION from a future feature: same named refusal
+    val t3 = TxnTable.fresh(spark, dir("proto_action"))
+    t3.append(Seq((1L, 10.0)).toDF("k", "q"))
+    Files.write(Paths.get(dir("proto_action"), "_txn_log", "v00001.txn"),
+      "action=teleport\nrows=0\nts=9999999999999\nadd=\nremove=\n".getBytes("UTF-8"))
+    val cold3 = TxnTable.at(spark, dir("proto_action"))
+    intercept[TxnTable.ProtocolException](cold3.read().count())
+  }
+
+  test("age-based vacuum: old versions reclaimed, in-window kept, union with retainVersions") {
+    val t = TxnTable.fresh(spark, dir("vac_age"))
+    t.append(Seq((1L, 10.0)).toDF("k", "q").repartition(1))   // v0
+    t.append(Seq((2L, 20.0)).toDF("k", "q").repartition(1))   // v1
+    t.overwrite(Seq((3L, 30.0)).toDF("k", "q"))               // v2
+    // shift v0/v1 commit times 10 days into the past (the recorded ts
+    // line is the age authority), leaving v2 recent
+    for (v <- 0L to 1L) {
+      val p = Paths.get(dir("vac_age"), "_txn_log", f"v$v%05d.txn")
+      val old = (System.currentTimeMillis() - 10L * 24 * 3600 * 1000) + v
+      val body = new String(Files.readAllBytes(p), "UTF-8")
+        .replaceAll("(?m)^ts=\\d+$", s"ts=$old")
+      Files.write(p, body.getBytes("UTF-8"))
+    }
+    // a 24h age window + version floor 1: v0/v1 fall outside both keeps
+    val n = t.vacuum(retainVersions = 1, retainHours = 24.0)
+    assert(n > 0, "aged versions must reclaim")
+    assert(t.read().as[(Long, Double)].collect().toSet == Set((3L, 30.0)))
+    intercept[Exception](t.read(0).count()) // v0's files are gone
+    // union law: a large version floor keeps everything regardless of age
+    val t2 = TxnTable.fresh(spark, dir("vac_age2"))
+    t2.append(Seq((1L, 10.0)).toDF("k", "q").repartition(1))
+    t2.overwrite(Seq((2L, 20.0)).toDF("k", "q"))
+    for (v <- 0L to 0L) {
+      val p = Paths.get(dir("vac_age2"), "_txn_log", "v00000.txn")
+      val body = new String(Files.readAllBytes(p), "UTF-8")
+        .replaceAll("(?m)^ts=\\d+$", s"ts=${System.currentTimeMillis() - 10L * 24 * 3600 * 1000}")
+      Files.write(p, body.getBytes("UTF-8"))
+    }
+    // first sweep may reclaim non-data droppings (_SUCCESS, crc shadows);
+    // the DATA of every version survives the large version floor
+    t2.vacuum(retainVersions = 10, retainHours = 0.001)
+    assert(t2.read(0).as[(Long, Double)].collect().toSet == Set((1L, 10.0)))
+    assert(t2.read().as[(Long, Double)].collect().toSet == Set((2L, 20.0)))
+    // and the sweep converges: nothing left to delete
+    assert(t2.vacuum(retainVersions = 10, retainHours = 0.001) == 0)
+  }
+
+  test("readWhereNull plans only the files its null counts admit") {
+    val t = TxnTable.fresh(spark, dir("null_prune"))
+    t.append(Seq((1L, Option.empty[java.lang.Double]),
+      (2L, Option.empty[java.lang.Double])).toDF("k", "opt").repartition(1)) // all-null
+    t.append(Seq((3L, Option(java.lang.Double.valueOf(3.5))),
+      (4L, Option(java.lang.Double.valueOf(4.5)))).toDF("k", "opt").repartition(1)) // no-null
+    t.append(Seq((5L, Option(java.lang.Double.valueOf(5.5))),
+      (6L, Option.empty[java.lang.Double])).toDF("k", "opt").repartition(1)) // mixed
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("/d-"))
+    val notNull = t.readWhereNull("opt", isNull = false)
+    assert(planned(notNull) == 2, "IS NOT NULL must skip the all-null file")
+    assert(notNull.select("k").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    val isNull = t.readWhereNull("opt", isNull = true)
+    assert(planned(isNull) == 2, "IS NULL must skip the zero-null file")
+    assert(isNull.select("k").as[Long].collect().toSet == Set(1L, 2L, 6L))
+    // equivalence with the unpruned filter, both directions
+    assert(notNull.exceptAll(t.read().filter(col("opt").isNotNull)).isEmpty)
+    assert(isNull.exceptAll(t.read().filter(col("opt").isNull)).isEmpty)
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

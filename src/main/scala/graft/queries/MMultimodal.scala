@@ -75,6 +75,47 @@ object MMultimodal {
           explode(expr("sequence(0L, CAST(n_frames AS LONG) - 1, 8L)")).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")),
 
+    "m_binary_txn" -> ((s, d) => {
+      // the binary MEDIA path end to end through the LAKEHOUSE spine
+      // (r12 verdict missing #6): media blobs land in the transactional
+      // table as a parquet BINARY column (batch commit v0), a streaming
+      // query tails the commit log (TxnStreamSource), the decode seam
+      // runs INSIDE the micro-batch via the same once-per-partition
+      // mapPartitions shape as m_decode_features, and a mid-stream
+      // second append arrives as its own batch — so binary columns are
+      // proven through format write, log-schema bind, stream read, and
+      // the codec seam in one pipeline. The oracle reconstructs the stub
+      // decode relationally over ALL docs: a dropped batch, corrupted
+      // bytes, or a misbound binary column all break the hash.
+      import s.implicits._
+      val root = scratch("m_binary_txn")
+      val t = graft.sources.TxnTable.fresh(s, root)
+      val blobs = media(s, d).select(col("doc_id"), col("media"))
+      t.append(blobs.filter(col("doc_id") % 2 === 0))           // v0
+      val name = "m_binary_txn_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", root).load()
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val decoder = StubDecoder.init() // once per partition, as ever
+          it.map { case (id, bytes) => (id, decoder.decodeBatch(bytes)) }
+        }
+        .toDF("doc_id", "features")
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("dim"),
+          expr("array_join(transform(features, x -> " +
+            "cast(cast(round(cast(x AS double) * 10000) AS int) AS string)), ',')")
+            .as("features_bp"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()                                   // batch 1
+      t.append(blobs.filter(col("doc_id") % 2 === 1))           // v1
+      q.processAllAvailable()                                   // batch 2
+      q.stop()
+      s.table(name).orderBy("doc_id")
+    }),
+
     // STUB decode — scalatest-only key. The feature extraction is a
     // deterministic fake (byte value / 255); a real image/audio codec slots
     // into `decodeBatch` below with no change to the Spark plumbing.
@@ -128,6 +169,17 @@ object MMultimodal {
       ("SELECT doc_id, unnest(generate_series(0, (24 + (doc_id % 10) * 8) - 1, 8)) " +
         "AS frame_idx FROM documents WHERE doc_id % 3 = 2 " +
         "ORDER BY doc_id, frame_idx"),
+    // every doc arrives exactly once across the two batches, decoded by
+    // the same stub-reconstruction as m_decode_features
+    "m_binary_txn" ->
+      ("WITH b AS (SELECT doc_id, list_transform(range(0, 8), i -> " +
+        "(strpos('0123456789abcdef', substring(md5(text), 2*i + 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substring(md5(text), 2*i + 2, 1)) - 1)) AS bytes " +
+        "FROM documents) " +
+        "SELECT doc_id, len(bytes) AS dim, " +
+        "array_to_string(list_transform(bytes, x -> " +
+        "CAST(round(x / 255.0 * 10000) AS INT)), ',') AS features_bp " +
+        "FROM b ORDER BY doc_id"),
     // reconstructs the stub decode relationally: byte i of unhex(md5(text))
     // = hex pair i of md5(text) parsed via strpos; feature = byte/255
     "m_decode_features" ->

@@ -101,10 +101,32 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftUpdateCommand(requireWritable(t).root, set,
           cond.map(byName).getOrElse(lit(true)))
       case m: MergeIntoTable if m.resolved => lowerMerge(m).getOrElse(plan)
+      // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): Spark parses it
+      // into a dedicated plan whose exec path requires a DSv2 scan for
+      // validation — lower it onto addConstraint, whose add-time
+      // validation runs through the native snapshot read instead
+      case a: AddCheckConstraint =>
+        graftTarget(a.child) match {
+          case Some(t) =>
+            GraftAddConstraintCommand(requireWritable(t).root,
+              a.checkConstraint.name, a.checkConstraint.condition)
+          case None => plan
+        }
       case _ => plan
     }
     if (lowered ne plan) lowered else rewriteReads(plan)
   }
+
+  /** The graft table a DDL target resolves to — the relation may sit
+    * under wrappers (AddCheckConstraint's child is the whole violation-
+    * scan query: Filter over alias over relation). */
+  private def graftTarget(p: LogicalPlan): Option[GraftTableV2] =
+    p.collectFirst {
+      case DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => t
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable
+          if r.table.isInstanceOf[GraftTableV2] =>
+        r.table.asInstanceOf[GraftTableV2]
+    }
 
   /** MERGE INTO → `TxnTable.merge`: supported shape is the canonical
     * upsert — an equi-key ON condition, one unconditional
@@ -209,6 +231,16 @@ case class GraftUpdateCommand(root: String, set: Map[String, Column],
     cond: Column) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     TxnTable.at(session, root).update(set, cond)
+    Nil
+  }
+}
+
+/** ALTER TABLE ADD CONSTRAINT ... CHECK lowered onto `addConstraint`
+  * (which validates existing data through the native snapshot read). */
+case class GraftAddConstraintCommand(root: String, name: String,
+    conditionSql: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnTable.at(session, root).addConstraint(name, conditionSql)
     Nil
   }
 }

@@ -54,6 +54,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def defaultNamespace(): Array[String] = Array("default")
 
+  /** Declares ALTER TABLE ADD/DROP CONSTRAINT support — Spark routes the
+    * parsed constraint DDL through `alterTable` only when this is set. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def dirOf(ident: Identifier): java.nio.file.Path =
     ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
 
@@ -112,7 +117,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = dirOf(ident)
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(d)
-    TxnTable.at(spark, d.toString).create(schema)
+    val t = TxnTable.at(spark, d.toString)
+    t.create(schema)
+    // column-level NOT NULL in the DDL becomes an enforced constraint —
+    // schema nullability alone would be a promise the write path never
+    // checks
+    schema.fields.filterNot(_.nullable).foreach(f => t.setNotNull(f.name))
     new GraftTableV2(fullName(ident), d.toString, -1L)
   }
 
@@ -134,6 +144,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(c.fieldNames().length == 1,
           s"nested drop unsupported: ${c.fieldNames().mkString(".")}")
         t.dropColumn(c.fieldNames()(0))
+      case c: TableChange.AddConstraint => c.constraint() match {
+        case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          t.addConstraint(ch.name(), ch.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          "graft-txn enforces CHECK constraints only (PRIMARY KEY / UNIQUE " +
+            s"/ FOREIGN KEY are informational elsewhere, refused here): $other")
+      }
+      case c: TableChange.DropConstraint =>
+        if (t.constraintsAt(t.currentVersion).exists(_._1 == c.name()))
+          t.dropConstraint(c.name())
+        else if (!c.ifExists())
+          throw new IllegalArgumentException(s"no such constraint: ${c.name()}")
+      case c: TableChange.UpdateColumnNullability =>
+        require(c.fieldNames().length == 1,
+          s"nested nullability unsupported: ${c.fieldNames().mkString(".")}")
+        val colName = c.fieldNames()(0)
+        if (!c.nullable()) t.setNotNull(colName)
+        else if (t.constraintsAt(t.currentVersion).exists(_._1 == s"nn_$colName"))
+          t.dropConstraint(s"nn_$colName")
       case other => throw new UnsupportedOperationException(
         s"graft-txn: unsupported ALTER TABLE change $other")
     }
@@ -255,6 +284,23 @@ private[graft] class GraftTableV2(tableName: String, val root: String,
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft-txn", "location" -> root).asJava
+
+  /** Active CHECK constraints, surfaced as enforced+validated (add-time
+    * validation scanned existing data; write-time enforcement is fused
+    * into staging) — DESCRIBE and the analyzer read these. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    val t = txn
+    val v = if (pinnedVersion < 0) t.currentVersion else pinnedVersion
+    t.constraintsAt(v).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(e)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+  }
 
   // ------------------------------------------------------------- writes
 

@@ -1407,6 +1407,27 @@ class TxnSpec extends SparkTestBase {
     assert(isNull.exceptAll(t.read().filter(col("opt").isNull)).isEmpty)
   }
 
+  test("constraint DDL through SQL: ADD/DROP CONSTRAINT, NOT NULL columns") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.cons")
+    sqlS.sql("CREATE TABLE graft.cons.t (k BIGINT NOT NULL, q DOUBLE) " +
+      "USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.cons.t VALUES (1, 10.0)")
+    sqlS.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT q_pos CHECK (q >= 0)")
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "cons", "t").toString)
+    assert(nt.constraintsAt(nt.currentVersion).map(_._1).toSet
+      == Set("nn_k", "q_pos"))
+    // both the SQL-added CHECK and the DDL NOT NULL enforce on writes
+    intercept[Exception](
+      sqlS.sql("INSERT INTO graft.cons.t VALUES (2, -1.0)"))
+    assert(nt.read().count() == 1)
+    sqlS.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT q_pos")
+    sqlS.sql("INSERT INTO graft.cons.t VALUES (2, -1.0)")
+    assert(nt.read().count() == 2)
+    intercept[Exception](
+      sqlS.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT nope"))
+    sqlS.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT IF EXISTS nope")
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native snapshot plan; INSERT/DELETE/UPDATE/MERGE INTO lower
     // onto the transactional DML (post-hoc: the plan is fully resolved)
     ext.injectPostHocResolutionRule(session => graft.plans.GraftSqlRule(session))
+    // operational table functions over the txn table's commit metadata
+    ext.injectTableFunction(graft.plans.GraftTableFunctions.history)
+    ext.injectTableFunction(graft.plans.GraftTableFunctions.files)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -30,6 +30,15 @@ object GraftSql {
       s.conf.set("spark.sql.catalog.graft",
         classOf[GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft.root", catalogRoot)
+      // a CLONED session inherits the parent's function registries (only
+      // the analyzer rules rebuild from extensions), so extension-
+      // injected functions must register on the derived session directly
+      graft.functions.VectorExprs.register(s)
+      for ((ident, info, builder) <- Seq(
+          graft.plans.GraftTableFunctions.history,
+          graft.plans.GraftTableFunctions.files))
+        s.sessionState.tableFunctionRegistry
+          .registerFunction(ident, info, builder)
       s
     })
 }

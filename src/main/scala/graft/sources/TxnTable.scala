@@ -1705,6 +1705,25 @@ final class TxnTable(val spark: SparkSession, val root: String,
         "ts_millis")
   }
 
+  /** The LIVE file inventory at `version` (default tip) with per-file
+    * row counts and encoded column stats from commit metadata — the
+    * `DESCRIBE DETAIL`-class introspection surface (`graft_files` in
+    * SQL). Pure metadata: KB-scale log resolution, no footer or data
+    * read; -1 rows = file recorded before the `#rows` stat existed. */
+  def filesDF(version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val stats = statsAt(v)
+    liveFiles(v).map { f =>
+      val enc = stats.get(f)
+      val rows = enc.flatMap(_.split(';').collectFirst {
+        case s if s.startsWith("#rows:") => s.split(':')(1).toLong
+      })
+      (f, rows.getOrElse(-1L), enc.getOrElse(""))
+    }.toDF("path", "n_rows", "stats")
+  }
+
   /** The version the table had at wall-clock time `tsMillis` — the
     * latest commit whose EFFECTIVE time is ≤ it, where effective time is
     * the running max of the recorded commit times (writer clock skew can

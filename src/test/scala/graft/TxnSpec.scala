@@ -916,9 +916,22 @@ class TxnSpec extends SparkTestBase {
               t2.restore(v); m = hist(v)
             }
           case 7 =>
-            val retain = 1 + rng2.nextInt(3)
-            t2.vacuum(retainVersions = retain)
-            horizon = math.max(horizon, t2.currentVersion - retain + 1)
+            // half the vacuums use a generous age window: every version
+            // is recent, so retention must KEEP them all (the union law)
+            // and the horizon does not advance
+            if (rng2.nextBoolean()) {
+              val retain = 1 + rng2.nextInt(3)
+              t2.vacuum(retainVersions = retain)
+              horizon = math.max(horizon, t2.currentVersion - retain + 1)
+            } else t2.vacuum(retainVersions = 1, retainHours = 24.0)
+        }
+        // r13: the UPDATE DML joins the walk via a 9th branch — rolled
+        // separately so the earlier seeds' op sequences stay identical
+        if (rng2.nextInt(4) == 0) {
+          val cut = rng2.nextInt(1000).toLong
+          t2.update(Map("v" -> (col("v") + 7L)), col("v") <= cut,
+            cdc = rng2.nextBoolean())
+          m = m.map { case (k, v) => if (v <= cut) (k, v + 7L) else (k, v) }
         }
         hist += (t2.currentVersion -> m)
         check()
@@ -1426,6 +1439,24 @@ class TxnSpec extends SparkTestBase {
     intercept[Exception](
       sqlS.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT nope"))
     sqlS.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT IF EXISTS nope")
+  }
+
+  test("operational table functions: graft_history and graft_files in SQL") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.ops")
+    sqlS.sql("CREATE TABLE graft.ops.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.ops.t VALUES (1, 10.0), (2, 20.0)")
+    sqlS.sql("DELETE FROM graft.ops.t WHERE k = 2")
+    // catalog-qualified target
+    assert(sqlS.sql("SELECT action FROM graft_history('graft.ops.t') ORDER BY version")
+      .as[String].collect().toSeq == Seq("create", "append", "delete"))
+    // filesystem-path target, versioned file inventory from metadata
+    val root = Paths.get(dir("sqlcat"), "ops", "t").toString
+    val nowFiles = sqlS.sql(s"SELECT path, n_rows FROM graft_files('$root')")
+      .as[(String, Long)].collect()
+    assert(nowFiles.map(_._2).sum == 1L, s"tip rows: ${nowFiles.toSeq}")
+    val v1Files = sqlS.sql(s"SELECT n_rows FROM graft_files('$root', 1)")
+      .as[Long].collect()
+    assert(v1Files.sum == 2L, s"v1 rows: ${v1Files.toSeq}")
   }
 
   test("native update(): file granularity, null-cond keep, CDC images") {

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operational table functions over the txn table's commit metadata
     ext.injectTableFunction(graft.plans.GraftTableFunctions.history)
     ext.injectTableFunction(graft.plans.GraftTableFunctions.files)
+    // maintenance statements (DESCRIBE HISTORY / VACUUM / OPTIMIZE) —
+    // non-matching SQL delegates verbatim to Spark's parser
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

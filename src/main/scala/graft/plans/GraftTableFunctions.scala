@@ -33,7 +33,7 @@ object GraftTableFunctions {
       s"$what must be a string literal, got $other")
   }
 
-  private def rootOf(target: String): String =
+  private[plans] def rootOf(target: String): String =
     if (target.contains('/')) target
     else {
       val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser

@@ -1459,6 +1459,35 @@ class TxnSpec extends SparkTestBase {
     assert(v1Files.sum == 2L, s"v1 rows: ${v1Files.toSeq}")
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY, VACUUM, OPTIMIZE; plain SQL delegates") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.mnt")
+    sqlS.sql("CREATE TABLE graft.mnt.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.mnt.t VALUES (1, 10.0)")
+    sqlS.sql("INSERT INTO graft.mnt.t VALUES (2, 20.0)")
+    sqlS.sql("INSERT OVERWRITE graft.mnt.t VALUES (3, 30.0)")
+    assert(sqlS.sql("DESCRIBE HISTORY graft.mnt.t")
+      .select("action").as[String].collect().toSeq
+      == Seq("create", "append", "append", "overwrite"))
+    // age-window vacuum keeps everything young; version-floor vacuum
+    // reclaims the overwritten files
+    sqlS.sql("VACUUM graft.mnt.t RETAIN 24.0 HOURS")
+    assert(sqlS.sql("SELECT * FROM graft.mnt.t VERSION AS OF 2")
+      .count() == 2) // pre-overwrite snapshot survived the age window
+    val n = sqlS.sql("VACUUM graft.mnt.t KEEP 1 VERSIONS")
+      .as[Int].head()
+    assert(n > 0, "version-floor vacuum must reclaim the overwritten files")
+    // OPTIMIZE bin-packs the small files into one
+    sqlS.sql("INSERT INTO graft.mnt.t VALUES (4, 40.0)")
+    sqlS.sql("INSERT INTO graft.mnt.t VALUES (5, 50.0)")
+    sqlS.sql("OPTIMIZE graft.mnt.t TARGET 1000 ROWS")
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "mnt", "t").toString)
+    assert(nt.read().inputFiles.count(_.contains("/d-")) == 1)
+    assert(nt.read().count() == 3)
+    // the parser extension must not touch standard SQL
+    assert(sqlS.sql("DESCRIBE TABLE graft.mnt.t").count() > 0)
+    assert(sqlS.sql("SELECT 1 + 1").as[Int].head() == 2)
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

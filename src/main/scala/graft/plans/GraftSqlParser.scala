@@ -37,7 +37,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+TARGET\s+(\d+)\s+ROWS""" +
-      """(?:\s+CLUSTER\s+BY\s+\(([^)]*)\))?\s*;?\s*""").r
+      """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(([^)]*)\))?\s*;?\s*""").r
+  private val Zorder =
+    ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+ZORDER\s+BY\s+\(([^)]*)\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -51,10 +54,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(target(t),
         Option(keep).map(_.toInt).getOrElse(1),
         Option(hours).map(_.toDouble).getOrElse(-1.0))
-    case Optimize(t, rows, cluster) =>
+    case Optimize(t, rows, kind, cols) =>
+      val cs = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty).map(_.replace("`", ""))
+      val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
       GraftOptimizeCommand(target(t), rows.toLong,
-        Option(cluster).toSeq.flatMap(_.split(',')).map(_.trim)
-          .filter(_.nonEmpty).map(_.replace("`", "")))
+        if (zorder) Nil else cs, if (zorder) cs else Nil)
+    case Zorder(t, cols, files) =>
+      GraftZorderCommand(target(t),
+        cols.split(',').map(_.trim).filter(_.nonEmpty)
+          .map(_.replace("`", "")).toSeq,
+        Option(files).map(_.toInt).getOrElse(4))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -102,10 +112,21 @@ case class GraftVacuumCommand(target: String, retainVersions: Int,
 
 /** OPTIMIZE: incremental bin-pack of sub-target files. */
 case class GraftOptimizeCommand(target: String, targetRows: Long,
-    clusterBy: Seq[String]) extends LeafRunnableCommand {
+    clusterBy: Seq[String], zorderBy: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target))
-      .optimize(targetRows, clusterBy)))
+      .optimize(targetRows, clusterBy, zorderBy)))
+}
+
+/** OPTIMIZE ... ZORDER BY: full Z-order relayout (a clustered compact). */
+case class GraftZorderCommand(target: String, zorderBy: Seq[String],
+    files: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target))
+      .compact(target = files, zorderBy = zorderBy)))
 }

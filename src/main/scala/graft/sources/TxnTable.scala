@@ -1078,13 +1078,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * min/max file stats prune point and range reads to one file instead
     * of all of them — layout work a reader never has to repeat. */
   def compact(target: Int = 1, atTip: Long = -1L,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "choose clusterBy OR zorderBy, not both")
     val v = if (atTip >= 0) atTip else currentVersion
     val gone = liveFiles(v)
     val base = read(v)
     val compacted =
-      if (clusterBy.isEmpty) base.repartition(target)
+      if (zorderBy.nonEmpty) zorderLayout(base, target, zorderBy)
+      else if (clusterBy.isEmpty) base.repartition(target)
       else base.repartitionByRange(target, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     // commit the LOG schema (not the frame's): read() strips column-
@@ -1113,9 +1116,36 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * untouched files keep theirs. No-op (current version returned) when
     * fewer than two small files exist. Aborts on a concurrent commit
     * rather than clobbering it — re-run against the new tip. */
-  def optimize(targetRows: Long, clusterBy: Seq[String] = Nil): Long = {
+  /** Z-ORDER layout: interleave the low `bits` bits of each named column
+    * into one Morton key, range-partition and sort on it, then DROP the
+    * derived key before staging — every output file covers a HYPER-
+    * RECTANGLE in the named columns' space, so the per-column min/max
+    * commit stats prune range reads in EVERY dimension (the multi-
+    * dimensional layout one-column clustering can't give). Columns must
+    * be integral; the user never stores the Z key. */
+  private def zorderLayout(base: DataFrame, bins: Int,
+      cols: Seq[String], bits: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{col, shiftright}
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    val k = cols.size
+    val morton = (0 until bits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, j) =>
+        (shiftright(col(s"`$c`") % (1 << bits), b) % 2).cast("long") *
+          (1L << (b * k + j))
+      }
+    }.reduce(_ + _)
+    base.withColumn("__graft_z", morton)
+      .repartitionByRange(bins, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+
+  def optimize(targetRows: Long, clusterBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "choose clusterBy OR zorderBy, not both")
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val stats = statsAt(v)
@@ -1126,7 +1156,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val total = small.map(rowCountOf(_, stats)).sum
     val bins = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     val packed =
-      if (clusterBy.isEmpty) base.repartition(bins)
+      if (zorderBy.nonEmpty) zorderLayout(base, bins, zorderBy)
+      else if (clusterBy.isEmpty) base.repartition(bins)
       else base.repartitionByRange(bins, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, rows, fstats) = stage(toPhysical(packed, sc))

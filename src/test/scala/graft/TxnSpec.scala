@@ -1488,6 +1488,36 @@ class TxnSpec extends SparkTestBase {
     assert(sqlS.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("OPTIMIZE ZORDER BY: derived-key relayout prunes BOTH dimensions, key never stored") {
+    val t = TxnTable.fresh(spark, dir("zorder_native"))
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(2000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    t.append(rows.toDF("a", "b").repartition(4))
+    t.compact(target = 4, zorderBy = Seq("a", "b"))
+    // content invariant, schema unchanged (the Morton key is dropped)
+    assert(t.read().columns.toSeq == Seq("a", "b"))
+    assert(t.read().as[(Long, Long)].collect().toSeq.sorted == rows.sorted)
+    // a low-quadrant read prunes files in EACH dimension independently —
+    // the Z property one-column clustering cannot give
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("/d-"))
+    assert(planned(t.readRange("a", 0, 255)) < 4, "a-range must prune")
+    assert(planned(t.readRange("b", 0, 255)) < 4, "b-range must prune")
+    assert(t.readRange("a", 0, 255).count() == rows.count(_._1 <= 255))
+    assert(t.readRange("b", 0, 255).count() == rows.count(_._2 <= 255))
+    // the SQL form drives the same relayout
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.zo")
+    sqlS.sql("CREATE TABLE graft.zo.t (a BIGINT, b BIGINT) USING `graft-txn`")
+    rows.toDF("a", "b").repartition(4).write.format("graft-txn")
+      .mode("append").save(Paths.get(dir("sqlcat"), "zo", "t").toString)
+    val v = sqlS.sql("OPTIMIZE graft.zo.t ZORDER BY (a, b) INTO 4 FILES")
+      .as[Long].head()
+    assert(v == 2L) // v0 create, v1 append, v2 the relayout
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "zo", "t").toString)
+    assert(planned(nt.readRange("a", 0, 255)) < 4)
+    assert(nt.read().count() == 2000)
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

@@ -401,6 +401,23 @@ object TTxn {
           "l_suppkey")
     }),
 
+    "t_txn_zorder_native" -> ((s, d) => {
+      // the NATIVE Z-order relayout (compact(zorderBy)): unlike
+      // t_txn_zorder, the user names plain columns and never computes or
+      // stores a Morton key — the layout derives it, range-sorts, and
+      // drops it before staging. The oracle recomputes a one-dimension
+      // range read's exact content from source, so a row lost or
+      // duplicated by the relayout (or a mis-pruned file — readRange
+      // plans from the per-column stats the Z layout bounds) breaks the
+      // hash; TxnSpec pins that BOTH dimensions prune strictly.
+      val t = TxnTable.fresh(s, scratch("txn_zorder_native"))
+      t.append(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      t.compact(target = 4, zorderBy = Seq("l_partkey", "l_orderkey"))
+      t.readRange("l_partkey", 0, 511)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     "t_txn_cdc" -> ((s, d) => {
       // row-level CHANGE DATA FEED across the DML set: merge with
       // commit-time CDC sidecar (update pre/post images + inserts),
@@ -776,6 +793,10 @@ object TTxn {
         "WHERE morton BETWEEN 0 AND 262143 " +
         "ORDER BY morton, l_orderkey, l_linenumber, l_partkey, l_suppkey"
     },
+    "t_txn_zorder_native" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem " +
+        "WHERE l_partkey BETWEEN 0 AND 511 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_stream_paced" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->

@@ -1518,6 +1518,42 @@ class TxnSpec extends SparkTestBase {
     assert(nt.read().count() == 2000)
   }
 
+  test("constraints gate the streaming sink: a violating micro-batch fails, table stays clean") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = TxnTable.fresh(spark, dir("cons_stream"))
+    t.append(Seq((1L, 10.0)).toDF("k", "q"))
+    t.addConstraint("q_pos", "q >= 0")
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = dir("cons_stream_ckpt")
+    val p = Paths.get(ckpt)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    val q = in.toDF().toDF("k", "q")
+      .writeStream.format("graft-txn")
+      .option("path", t.root).option("txnAppId", "cons_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    in.addData((2L, 20.0))
+    q.processAllAvailable()
+    assert(t.read().count() == 2)
+    // the violating batch fails the QUERY (the sink's append enforces in
+    // task), and no partial content commits
+    in.addData((3L, -5.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(10000)
+    }
+    def msg(x: Throwable): String =
+      Iterator.iterate(x: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg(e).contains("q_pos"), s"unnamed reject: ${msg(e)}")
+    assert(t.read().as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 20.0)))
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

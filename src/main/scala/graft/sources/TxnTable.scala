@@ -1235,6 +1235,28 @@ final class TxnTable(val spark: SparkSession, val root: String,
     scanTagged(v, liveFiles(v))
   }
 
+  /** The PLAIN schema-bound scan over a file subset: physical column
+    * names on disk, aliased back to logicals — no provenance columns, so
+    * the plan is exactly the parquet scan (the shape `read` uses when no
+    * deletion vector is active). */
+  private def scanPlain(v: Long, relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val files = relFiles.map(abs)
+    val logical = schemaAt(v)
+    val base = logical match {
+      case Some(sc) => spark.read.schema(StructType(sc.fields.map(f =>
+        StructField(physicalName(f), f.dataType, f.nullable)))).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+    logical match {
+      case Some(sc) if sc.fields.exists(f => physicalName(f) != f.name) =>
+        base.select(sc.fields.toSeq.map(f =>
+          col(s"`${physicalName(f)}`").as(f.name)): _*)
+      case _ => base
+    }
+  }
+
   /** The tagged scan over an explicit file subset (the prune hook
     * `readRange` uses). */
   private def scanTagged(v: Long, relFiles: Seq[String]): DataFrame = {
@@ -1275,9 +1297,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
   }
 
   /** Snapshot read at `version` (default: latest). The returned plan scans
-    * exactly the files live at that version, minus any DV-deleted rows. */
-  def read(version: Long = -1L): DataFrame =
-    readTagged(version).drop("_f", "_idx")
+    * exactly the files live at that version, minus any DV-deleted rows.
+    * With no active deletion vector (the overwhelmingly common case) the
+    * plan is the BARE schema-bound parquet scan — no provenance columns,
+    * no metadata struct, so pushdown/prune reach the scan with nothing in
+    * the way. */
+  def read(version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    if (dvsAt(v).isEmpty) scanPlain(v, liveFiles(v))
+    else readTagged(v).drop("_f", "_idx")
+  }
 
   /** Range read with FILE-LEVEL data skipping: live files whose commit-
     * time [min, max] stats for `colName` cannot intersect [lo, hi] are
@@ -1329,7 +1359,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       version: Long): DataFrame = {
     val v = if (version < 0) currentVersion else version
     require(v >= 0, s"no committed version in $root")
-    scanTagged(v, pruneFiles(v, colName, loB, hiB)).drop("_f", "_idx")
+    val files = pruneFiles(v, colName, loB, hiB)
+    if (dvsAt(v).isEmpty) scanPlain(v, files)
+    else scanTagged(v, files).drop("_f", "_idx")
   }
 
   /** Live files at `v` whose recorded [min, max] for `colName` can
@@ -1380,8 +1412,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       }
     }
     val files = liveFiles(v).filter(f => statsByFile.get(f).forall(keepFile))
-    scanTagged(v, files).drop("_f", "_idx")
-      .filter(if (isNull) col(s"`$colName`").isNull
+    val base = if (dvsAt(v).isEmpty) scanPlain(v, files)
+      else scanTagged(v, files).drop("_f", "_idx")
+    base.filter(if (isNull) col(s"`$colName`").isNull
               else col(s"`$colName`").isNotNull)
   }
 

@@ -1554,6 +1554,22 @@ class TxnSpec extends SparkTestBase {
       == Set((1L, 10.0), (2L, 20.0)))
   }
 
+  test("catalog SQL reads push filters and prune columns into the parquet scan") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.push")
+    sqlS.sql("CREATE TABLE graft.push.t (k BIGINT, a STRING, b DOUBLE) " +
+      "USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.push.t VALUES (1, 'x', 1.0), (2, 'y', 2.0)")
+    val plan = sqlS.sql("SELECT k FROM graft.push.t WHERE k = 2")
+      .queryExecution.executedPlan.toString
+    // the lowered read IS the native parquet scan: the filter reaches it
+    // as a pushed filter and the scan reads only the referenced column —
+    // the property that makes the SQL surface scale like the native API
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,2)"),
+      s"filter not pushed into the lowered scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"column prune did not reach the scan:\n$plan")
+  }
+
   test("native update(): file granularity, null-cond keep, CDC images") {
     val t = TxnTable.fresh(spark, dir("native_update"))
     t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q").repartition(1))   // v0

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operational table functions over the txn table's commit metadata
     ext.injectTableFunction(graft.plans.GraftTableFunctions.history)
     ext.injectTableFunction(graft.plans.GraftTableFunctions.files)
+    ext.injectTableFunction(graft.plans.GraftTableFunctions.changes)
     // maintenance statements (DESCRIBE HISTORY / VACUUM / OPTIMIZE) —
     // non-matching SQL delegates verbatim to Spark's parser
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

@@ -19,14 +19,21 @@ import graft.sources.TxnTable
   *    reclaimed-file count;
   *  - `OPTIMIZE <target> TARGET <n> ROWS [CLUSTER BY (c1, c2, ...)]` —
   *    the incremental small-file bin-pack, optionally range-clustered,
-  *    returns the committed version (or the unchanged tip on no-op).
+  *    returns the committed version (or the unchanged tip on no-op);
+  *  - `RESTORE TABLE <target> TO VERSION AS OF <n>` /
+  *    `TO TIMESTAMP AS OF '<ts>'` — rollback as a new commit
+  *    (history stays auditable; the incident-response statement).
   *
   * `<target>` is a quoted filesystem path (`'/path/to/table'`) or a
-  * catalog-qualified name (`graft.ns.t`). Anything the three patterns do
-  * not match delegates verbatim to Spark's parser, so the extension can
-  * never change the meaning of standard SQL. Unlike the read-only table
-  * functions, these ARE side-effecting — which is exactly why they are
-  * commands (executed when the statement runs, inert under EXPLAIN). */
+  * catalog-qualified name (`graft.ns.t`). A statement whose target is
+  * NOT graft-resolvable (single-part name, non-graft catalog, no such
+  * table) delegates verbatim to Spark's parser instead of failing at
+  * execution — the extension can never capture another catalog's
+  * statement. The commands resolve their target through the session
+  * `run(session)` hands them, not whichever session is "active".
+  * Unlike the read-only table functions, these ARE side-effecting —
+  * which is exactly why they are commands (executed when the statement
+  * runs, inert under EXPLAIN). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Describe =
@@ -41,6 +48,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Zorder =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+ZORDER\s+BY\s+\(([^)]*)\)""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
+  private val RestoreV =
+    ("""(?is)\s*RESTORE\s+TABLE\s+('[^']+'|[\w.`]+)\s+TO\s+VERSION\s+AS\s+""" +
+      """OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTs =
+    ("""(?is)\s*RESTORE\s+TABLE\s+('[^']+'|[\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+""" +
+      """OF\s+'([^']+)'\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -48,23 +61,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     else t.replace("`", "")
   }
 
+  /** Parse-time gate: a quoted-path target is always ours; a
+    * catalog-qualified name is ours only if it resolves to a graft table
+    * RIGHT NOW (in the parsing session) — otherwise the statement
+    * belongs to someone else's catalog and delegates. The command still
+    * re-resolves at run time through its own session. */
+  private def graftTarget(raw: String): Option[String] = {
+    val t = target(raw)
+    if (raw.trim.startsWith("'") || t.contains('/')) Some(t)
+    else scala.util.Try(GraftTableFunctions.rootOf(t)).toOption.map(_ => t)
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Describe(t) => GraftHistorySqlCommand(target(t))
-    case Vacuum(t, hours, keep) =>
-      GraftVacuumCommand(target(t),
+    case Describe(t) => graftTarget(t)
+      .map(GraftHistorySqlCommand(_))
+      .getOrElse(delegate.parsePlan(sqlText))
+    case Vacuum(t, hours, keep) => graftTarget(t)
+      .map(GraftVacuumCommand(_,
         Option(keep).map(_.toInt).getOrElse(1),
-        Option(hours).map(_.toDouble).getOrElse(-1.0))
-    case Optimize(t, rows, kind, cols) =>
+        Option(hours).map(_.toDouble).getOrElse(-1.0)))
+      .getOrElse(delegate.parsePlan(sqlText))
+    case Optimize(t, rows, kind, cols) => graftTarget(t).map { tt =>
       val cs = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.replace("`", ""))
       val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
-      GraftOptimizeCommand(target(t), rows.toLong,
-        if (zorder) Nil else cs, if (zorder) cs else Nil)
-    case Zorder(t, cols, files) =>
-      GraftZorderCommand(target(t),
+      GraftOptimizeCommand(tt, rows.toLong,
+        if (zorder) Nil else cs, if (zorder) cs else Nil): LogicalPlan
+    }.getOrElse(delegate.parsePlan(sqlText))
+    case Zorder(t, cols, files) => graftTarget(t)
+      .map(GraftZorderCommand(_,
         cols.split(',').map(_.trim).filter(_.nonEmpty)
           .map(_.replace("`", "")).toSeq,
-        Option(files).map(_.toInt).getOrElse(4))
+        Option(files).map(_.toInt).getOrElse(4)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case RestoreV(t, v) => graftTarget(t)
+      .map(GraftRestoreCommand(_, Some(v.toLong), None): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case RestoreTs(t, ts) => graftTarget(t)
+      .map(GraftRestoreCommand(_, None, Some(ts)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -96,7 +131,7 @@ case class GraftHistorySqlCommand(target: String) extends LeafRunnableCommand {
     AttributeReference("n_removed_files", LongType)(),
     AttributeReference("ts_millis", LongType)())
   override def run(session: SparkSession): Seq[Row] =
-    TxnTable.at(session, GraftTableFunctions.rootOf(target))
+    TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .history().collect().toSeq
 }
 
@@ -106,7 +141,7 @@ case class GraftVacuumCommand(target: String, retainVersions: Int,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_deleted", IntegerType)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target))
+    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .vacuum(retainVersions, retainHours)))
 }
 
@@ -117,7 +152,7 @@ case class GraftOptimizeCommand(target: String, targetRows: Long,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target))
+    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .optimize(targetRows, clusterBy, zorderBy)))
 }
 
@@ -127,6 +162,26 @@ case class GraftZorderCommand(target: String, zorderBy: Seq[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target))
+    Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .compact(target = files, zorderBy = zorderBy)))
+}
+
+/** RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — rollback as a NEW
+  * commit onto `TxnTable.restore` (metadata-only when no DV intervenes;
+  * refuses if a needed file was vacuumed). Returns the new tip version. */
+case class GraftRestoreCommand(target: String, toVersion: Option[Long],
+    toTimestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val v = toVersion.getOrElse {
+      val ts = toTimestamp.get
+      val zone = java.time.ZoneId.of(
+        session.sessionState.conf.sessionLocalTimeZone)
+      t.versionAtTime(java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli)
+    }
+    Seq(Row(t.restore(v)))
+  }
 }

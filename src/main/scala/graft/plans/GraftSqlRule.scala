@@ -61,8 +61,16 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Replace every graft relation in `plan` (subqueries included) with
-    * the native snapshot plan, preserving output attribute ids. */
-  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    * the native snapshot plan, preserving output attribute ids. A V2
+    * write node that reaches here un-lowered keeps its TARGET relation
+    * intact (replacing a write's NamedRelation target with a read plan
+    * corrupts the write); only its query side is rewritten. */
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: V2WriteCommand => w.withNewQuery(rewriteReadsInner(w.query))
+    case other => rewriteReadsInner(other)
+  }
+
+  private def rewriteReadsInner(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
       case r @ DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => readPlan(r, t)
     }
@@ -88,6 +96,18 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           query, _, _, _, _) if query.resolved =>
         GraftInsertCommand(requireWritable(t).root, rewriteReads(query),
           overwrite = true)
+      // refuse the V2 write shapes this rule does not lower, LOUDLY — the
+      // fall-through read rewrite would otherwise replace the write's
+      // target relation and leave a corrupt plan for the planner to trip on
+      case OverwriteByExpression(GraftRel(_, t), _, _, _, _, _, _) =>
+        throw new UnsupportedOperationException(
+          s"graft-txn: INSERT INTO ... REPLACE WHERE is not supported for " +
+            s"${t.name()}; use DELETE FROM + INSERT INTO, or INSERT " +
+            "OVERWRITE for full replacement")
+      case o: OverwritePartitionsDynamic if graftTarget(o.table).isDefined =>
+        throw new UnsupportedOperationException(
+          "graft-txn: dynamic partition overwrite is not supported — " +
+            "tables are unpartitioned (layout comes from clustered OPTIMIZE)")
       case DeleteFromTable(GraftRel(_, t), cond) if cond.resolved =>
         GraftDeleteCommand(requireWritable(t).root, byName(cond))
       case u @ UpdateTable(GraftRel(_, t), assignments, cond) if u.resolved =>

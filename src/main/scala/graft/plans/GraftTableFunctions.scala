@@ -16,16 +16,28 @@ import graft.sources.{GraftCatalog, GraftTableV2, TxnTable}
   *    the commit log (version, action, rows, file counts, commit time);
   *  - `SELECT * FROM graft_files('<target>' [, version])` — the LIVE
   *    file list at a version with per-file row counts from commit-time
-  *    stats: what a point read would plan against, no footer touched.
+  *    stats: what a point read would plan against, no footer touched;
+  *  - `SELECT * FROM graft_changes('<target>', since [, upTo])` — the
+  *    row-level change feed in (since, upTo] (`readChanges`), the
+  *    incremental-view consumer's SQL entry point. Rows tagged
+  *    `_change_type` / `_commit_version`; a commit written without its
+  *    CDC sidecar throws at resolution (pre-images unrecoverable).
   *
-  * Both are METADATA reads (KB-scale log resolution, never a data scan)
-  * and side-effect-free — maintenance actions (vacuum/optimize/compact)
-  * deliberately stay native API calls: a table function materializes at
-  * analysis time, where a side effect would fire on EXPLAIN.
+  * All are SIDE-EFFECT-FREE reads (history/files are KB-scale metadata;
+  * changes touches only changed files + sidecars) — maintenance actions
+  * (vacuum/optimize/compact/restore) deliberately stay statements: a
+  * table function materializes at analysis time, where a side effect
+  * would fire on EXPLAIN.
   *
   * Targets: a filesystem path (contains '/') or a catalog-qualified name
-  * (`graft.ns.t`), resolved through the session's own catalog manager. */
+  * (`graft.ns.t`). Each builder is constructed with the session that
+  * REGISTERS it (`sessionOf`), so in a multi-session JVM a statement
+  * parsed in session A resolves through A's catalog manager even while
+  * another session is "active" — the extension-injection path, which has
+  * no session at construction time, falls back to `SparkSession.active`. */
 object GraftTableFunctions {
+
+  type Tvf = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
 
   private def stringArg(e: Expression, what: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString
@@ -33,13 +45,19 @@ object GraftTableFunctions {
       s"$what must be a string literal, got $other")
   }
 
-  private[plans] def rootOf(target: String): String =
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v, _) if v != null => v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  private[plans] def rootOf(target: String,
+      session: SparkSession = SparkSession.active): String =
     if (target.contains('/')) target
     else {
       val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseMultipartIdentifier(target)
       require(parts.length >= 2, s"qualify the table: catalog.ns.name ($target)")
-      val session = SparkSession.active
       session.sessionState.catalogManager.catalog(parts.head) match {
         case c: GraftCatalog =>
           c.loadTable(org.apache.spark.sql.connector.catalog.Identifier
@@ -57,31 +75,54 @@ object GraftTableFunctions {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
-  val history: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => LogicalPlan) = (
+  def historyFn(sessionOf: () => SparkSession): Tvf = (
     FunctionIdentifier("graft_history"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_history"),
     (args: Seq[Expression]) => {
       require(args.length == 1, "graft_history(target)")
-      val t = TxnTable.at(SparkSession.active,
-        rootOf(stringArg(args.head, "target")))
+      val session = sessionOf()
+      val t = TxnTable.at(session,
+        rootOf(stringArg(args.head, "target"), session))
       analyzed(t.history())
     })
 
-  val files: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => LogicalPlan) = (
+  def filesFn(sessionOf: () => SparkSession): Tvf = (
     FunctionIdentifier("graft_files"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_files"),
     (args: Seq[Expression]) => {
       require(args.nonEmpty && args.length <= 2,
         "graft_files(target [, version])")
-      val session = SparkSession.active
-      val t = TxnTable.at(session, rootOf(stringArg(args.head, "target")))
-      val version = args.drop(1).headOption.map {
-        case Literal(v, _) => v.toString.toLong
-        case other => throw new IllegalArgumentException(
-          s"version must be a literal, got $other")
-      }.getOrElse(-1L)
+      val session = sessionOf()
+      val t = TxnTable.at(session,
+        rootOf(stringArg(args.head, "target"), session))
+      val version = args.drop(1).headOption
+        .map(longArg(_, "version")).getOrElse(-1L)
       analyzed(t.filesDF(version))
     })
+
+  def changesFn(sessionOf: () => SparkSession): Tvf = (
+    FunctionIdentifier("graft_changes"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_changes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        "graft_changes(target, since [, upTo])")
+      val session = sessionOf()
+      val t = TxnTable.at(session,
+        rootOf(stringArg(args.head, "target"), session))
+      val since = longArg(args(1), "since")
+      val upTo = args.drop(2).headOption
+        .map(longArg(_, "upTo")).getOrElse(-1L)
+      analyzed(t.readChanges(since, upTo))
+    })
+
+  /** All three TVFs for a given session capture — `GraftSql.session`
+    * registers these on each derived session it builds. */
+  def all(sessionOf: () => SparkSession): Seq[Tvf] =
+    Seq(historyFn(sessionOf), filesFn(sessionOf), changesFn(sessionOf))
+
+  // extension-injection forms (no session at construction time): the
+  // standard DSv2-plugin fallback to the active session
+  val history: Tvf = historyFn(() => SparkSession.active)
+  val files: Tvf = filesFn(() => SparkSession.active)
+  val changes: Tvf = changesFn(() => SparkSession.active)
 }

@@ -712,6 +712,44 @@ object TTxn {
         .sql("SELECT * FROM graft.main.demo VERSION AS OF 2"))
     }),
 
+    "t_txn_sql_restore" -> ((s, d) => {
+      // RESTORE as the SQL statement an operator actually types in an
+      // incident: the bad overwrite at v2 is rolled back by `RESTORE
+      // TABLE ... TO VERSION AS OF 1` through the delegating parser — a
+      // side-effecting COMMAND (runs at execution, inert under EXPLAIN),
+      // lowered onto the native metadata-only restore. The hash pins the
+      // post-rollback tip content — identical to the native-API twin
+      // t_txn_restore, so a mis-lowered statement cannot hide.
+      val t = cloneOf(s, base12(s, d), "txn_sql_restore")
+      t.overwrite(slice(s, d, 6)) // v2: the bad deploy
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"RESTORE TABLE '${t.root}' TO VERSION AS OF 1") // v3
+      agg(t.read())
+    }),
+
+    "t_txn_sql_cdf" -> ((s, d) => {
+      // the row-level change feed from SQL: `graft_changes('t', since)`
+      // beside graft_history/graft_files — the incremental-view
+      // consumer's SQL entry point, wrapping readChanges (the merge's
+      // pre/post images + inserts at v2, the delete's victims at v3,
+      // each row tagged with its commit version). Side-effect-free, so a
+      // table function is the right surface; a cdc-less commit inside
+      // the range throws at resolution (TxnSpec's pin).
+      val t = cloneOf(s, base12(s, d), "txn_sql_cdf")
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      t.deleteWhere(col("l_quantity") > 25, cdc = true)               // v3
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(
+        "SELECT _change_type, _commit_version, l_returnflag, " +
+          "count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+          s"FROM graft_changes('${t.root}', 1) " +
+          "GROUP BY _change_type, _commit_version, l_returnflag " +
+          "ORDER BY _change_type, _commit_version, l_returnflag")
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -903,6 +941,26 @@ object TTxn {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // VERSION AS OF 2 = after the two INSERTs, before merge/update/delete
     "t_txn_sql_time_travel" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // SQL RESTORE must land exactly where the native restore lands
+    "t_txn_sql_restore" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // same change classes as the streaming CDF twin: merge images at v2,
+    // delete victims at v3 (over the post-merge content)
+    "t_txn_sql_cdf" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT * FROM (" +
+        "SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version, " +
+        "l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'update_postimage', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity * 2), 4) FROM lineitem WHERE l_linenumber = 2 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'insert', 2, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM lineitem WHERE l_linenumber = 6 GROUP BY l_returnflag " +
+        "UNION ALL SELECT 'delete', 3, l_returnflag, count(*), " +
+        "round(sum(l_quantity), 4) FROM merged WHERE l_quantity > 25 GROUP BY l_returnflag" +
+        ") ORDER BY _change_type, _commit_version, l_returnflag"),
     "t_txn_stream_ingest" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +

@@ -33,10 +33,10 @@ object GraftSql {
       // a CLONED session inherits the parent's function registries (only
       // the analyzer rules rebuild from extensions), so extension-
       // injected functions must register on the derived session directly
+      // — capturing THIS session, so multi-session JVMs resolve each
+      // statement through the session that parsed it
       graft.functions.VectorExprs.register(s)
-      for ((ident, info, builder) <- Seq(
-          graft.plans.GraftTableFunctions.history,
-          graft.plans.GraftTableFunctions.files))
+      for ((ident, info, builder) <- graft.plans.GraftTableFunctions.all(() => s))
         s.sessionState.tableFunctionRegistry
           .registerFunction(ident, info, builder)
       s

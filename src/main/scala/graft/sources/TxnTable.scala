@@ -922,8 +922,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (bad > 0) throw new TxnTable.ConstraintViolation(
         s"cannot add CHECK constraint '$name' ($exprSql): existing rows " +
           "violate it")
+      // constraints are a WRITER feature: a pre-constraint writer build
+      // would keep appending without enforcing them, so the same commit
+      // raises minWriter to 2 (the gate every later writer must clear) —
+      // the auto-bump Delta performs when a CHECK constraint is added
+      val (r0, w0) = protocolAt(tip)
+      val bump = if (w0 < 2) Some((math.max(r0, 1), 2)) else None
       if (tryCommit(tip + 1, "constraint", 0L, Nil, Nil, None, None,
-          constraints = Some(existing :+ (name -> exprSql))))
+          constraints = Some(existing :+ (name -> exprSql)),
+          protocol = bump))
         res = tip + 1
     }
     res
@@ -1055,12 +1062,25 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   /** Replace the table content. The remove-set is recomputed on every
     * retry so a concurrent append's files are removed too, not orphaned
-    * as silent extra rows (lost-update prevention). */
+    * as silent extra rows (lost-update prevention). Like the append path,
+    * the ACTIVE constraint set is part of the staging fingerprint: a
+    * concurrent ADD CONSTRAINT landing between staging and the winning
+    * commit forces a re-stage through the new validation, so an
+    * overwrite can never publish rows no active constraint checked. */
   def overwrite(df: DataFrame): Long = {
-    val (files, rows, fstats) = stage(enforced(df, constraintsAt(currentVersion)))
+    var stagedUnder: Seq[(String, String)] = null
+    var files: Seq[String] = Nil; var rows = 0L
+    var fstats: FileStats = Map.empty
     var done = false; var v = -1L
     while (!done) {
-      v = currentVersion + 1
+      val tip = currentVersion
+      v = tip + 1
+      val cs = constraintsAt(tip)
+      if (stagedUnder == null || cs != stagedUnder) {
+        val r = stage(enforced(df, cs))
+        files = r._1; rows = r._2; fstats = r._3
+        stagedUnder = cs
+      }
       val gone = if (v == 0) Nil else liveFiles(v - 1)
       // an overwrite REPLACES content, so it resets the schema to its own
       // (dropping columns via overwrite is legitimate; via append it isn't)
@@ -1116,22 +1136,40 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * untouched files keep theirs. No-op (current version returned) when
     * fewer than two small files exist. Aborts on a concurrent commit
     * rather than clobbering it — re-run against the new tip. */
-  /** Z-ORDER layout: interleave the low `bits` bits of each named column
-    * into one Morton key, range-partition and sort on it, then DROP the
-    * derived key before staging — every output file covers a HYPER-
-    * RECTANGLE in the named columns' space, so the per-column min/max
-    * commit stats prune range reads in EVERY dimension (the multi-
-    * dimensional layout one-column clustering can't give). Columns must
-    * be integral; the user never stores the Z key. */
+  /** Z-ORDER layout: map each named column to a BOUNDED RANGE-BUCKET id
+    * (floor((v − min) · 2^bits / span) over the column's actual value
+    * range — the rank/range-id construction reference Z-order
+    * implementations use), interleave the bucket bits into one Morton
+    * key, range-partition and sort on it, then DROP the derived key
+    * before staging — every output file covers a HYPER-RECTANGLE in the
+    * named columns' space, so the per-column min/max commit stats prune
+    * range reads in EVERY dimension (the multi-dimensional layout
+    * one-column clustering can't give). Interleaving raw low bits
+    * instead would collide cyclically past 2^bits and break on negative
+    * values; the bucket id orders like the column at ANY value range.
+    * The min/max probe is one aggregate over rows the relayout rewrites
+    * anyway. Columns must be numeric; the user never stores the Z key. */
   private def zorderLayout(base: DataFrame, bins: Int,
       cols: Seq[String], bits: Int = 10): DataFrame = {
-    import org.apache.spark.sql.functions.{col, shiftright}
+    import org.apache.spark.sql.functions.{coalesce, col, floor => ffloor, greatest, least, lit, max => fmax, min => fmin, shiftright}
     require(cols.nonEmpty, "zorderBy needs at least one column")
     val k = cols.size
-    val morton = (0 until bits).flatMap { b =>
-      cols.zipWithIndex.map { case (c, j) =>
-        (shiftright(col(s"`$c`") % (1 << bits), b) % 2).cast("long") *
-          (1L << (b * k + j))
+    val aggs = cols.flatMap(c => Seq(
+      fmin(col(s"`$c`")).cast("double"), fmax(col(s"`$c`")).cast("double")))
+    val b = base.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      val lo = if (b.isNullAt(2 * j)) 0.0 else b.getDouble(2 * j)
+      val hi = if (b.isNullAt(2 * j + 1)) lo else b.getDouble(2 * j + 1)
+      val span = math.max(hi - lo, 0.0) + 1.0
+      val scaled = ffloor((col(s"`$c`").cast("double") - lit(lo)) *
+        (1L << bits) / lit(span)).cast("long")
+      // clamp + NULLs-first: out-of-probe values (impossible here, the
+      // probe covers the same rows) and nulls land in the edge buckets
+      least(lit((1L << bits) - 1), greatest(lit(0L), coalesce(scaled, lit(0L))))
+    }
+    val morton = (0 until bits).flatMap { bit =>
+      buckets.zipWithIndex.map { case (bk, j) =>
+        (shiftright(bk, bit) % 2) * (1L << (bit * k + j))
       }
     }.reduce(_ + _)
     base.withColumn("__graft_z", morton)

@@ -1597,6 +1597,152 @@ class TxnSpec extends SparkTestBase {
     // changesSince refuses to span an update (content-replacing)
     intercept[IllegalArgumentException](t.changesSince(0).count())
   }
+
+  test("addConstraint auto-bumps the writer protocol: pre-constraint writers are refused") {
+    val t = TxnTable.fresh(spark, dir("cons_protocol"))
+    t.append(Seq((1L, 10.0)).toDF("k", "q"))
+    assert(t.protocol == (1, 1))
+    // the constraint commit itself carries the protocol bump — one commit,
+    // so no window where a protocol-1 writer could append unvalidated rows
+    val v = t.addConstraint("q_pos", "q >= 0")
+    assert(t.protocol == (1, 2), "constraint must raise minWriter to 2")
+    assert(t.currentVersion == v, "bump rides the constraint commit itself")
+    // already at (1,2): a second constraint does not re-bump or churn
+    t.setNotNull("k")
+    assert(t.protocol == (1, 2))
+  }
+
+  test("z-order buckets are range-ids: wide-range and negative columns still prune") {
+    // the r13 interleave used raw low bits (col % 1024): values past 1024
+    // collided cyclically and negatives produced meaningless keys. The
+    // range-bucket construction must bound hyper-rectangles at ANY range.
+    val t = TxnTable.fresh(spark, dir("zorder_wide"))
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(2000)(
+      (rng.nextInt(100000).toLong - 50000L, rng.nextInt(8000000).toLong))
+    t.append(rows.toDF("a", "b").repartition(4))
+    t.compact(target = 4, zorderBy = Seq("a", "b"))
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("/d-"))
+    // content invariant, key dropped
+    assert(t.read().columns.toSeq == Seq("a", "b"))
+    assert(t.read().as[(Long, Long)].collect().toSeq.sorted == rows.sorted)
+    // each dimension prunes on a quarter-range read — impossible under the
+    // old low-bits key, where 5 and 1029 shared bucket bits
+    assert(planned(t.readRange("a", -50000, -25000)) < 4, "a-range must prune")
+    assert(planned(t.readRange("b", 0, 2000000)) < 4, "b-range must prune")
+    assert(t.readRange("a", -50000, -25000).count() ==
+      rows.count(r => r._1 >= -50000 && r._1 <= -25000))
+    assert(t.readRange("b", 0, 2000000).count() ==
+      rows.count(r => r._2 >= 0 && r._2 <= 2000000))
+  }
+
+  test("SQL RESTORE: parser-lowered rollback, EXPLAIN-inert, vacuumed target refuses, non-graft delegates") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.rst")
+    sqlS.sql("CREATE TABLE graft.rst.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.rst.t VALUES (1, 10.0), (2, 20.0)") // v1
+    sqlS.sql("INSERT OVERWRITE graft.rst.t VALUES (9, 90.0)")       // v2
+    val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "rst", "t").toString)
+    // a command fires at RUN time only: parsing the statement (what
+    // EXPLAIN and analysis do) must not execute the rollback. Parse under
+    // the session, as session.sql's withActive does.
+    org.apache.spark.sql.SparkSession.setActiveSession(sqlS)
+    try sqlS.sessionState.sqlParser
+      .parsePlan("RESTORE TABLE graft.rst.t TO VERSION AS OF 1")
+    finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    assert(nt.currentVersion == 2L, "parsing RESTORE must be inert")
+    val v = sqlS.sql("RESTORE TABLE graft.rst.t TO VERSION AS OF 1")
+      .as[Long].head()
+    assert(v == 3L)
+    assert(sqlS.table("graft.rst.t").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // TIMESTAMP AS OF: resolve v2's commit time and restore to it
+    val ts2 = nt.history().filter(col("version") === 2)
+      .select("ts_millis").as[Long].head()
+    val zone = java.time.ZoneId.of(
+      sqlS.sessionState.conf.sessionLocalTimeZone)
+    val tsStr = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts2), zone)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    sqlS.sql(s"RESTORE TABLE graft.rst.t TO TIMESTAMP AS OF '$tsStr'")
+    assert(sqlS.table("graft.rst.t").as[(Long, Double)].collect().toSet ==
+      Set((9L, 90.0)))
+    // a restore whose files were vacuumed refuses with the named message
+    sqlS.sql("VACUUM graft.rst.t KEEP 1 VERSIONS")
+    val e = intercept[Exception](
+      sqlS.sql("RESTORE TABLE graft.rst.t TO VERSION AS OF 3"))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // a non-graft target falls through to Spark's parser (which has no
+    // RESTORE grammar) — the extension never captures another catalog
+    val pe = intercept[Exception](
+      sqlS.sql("RESTORE TABLE some_other.tbl TO VERSION AS OF 1"))
+    assert(!pe.getMessage.toLowerCase.contains("graft"), pe.getMessage)
+  }
+
+  test("graft_changes TVF: the feed in SQL; cdc-less commits in range refuse") {
+    val t = TxnTable.fresh(spark, dir("sql_cdf"))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q"))     // v0
+    t.merge(Seq((2L, 40.0), (3L, 30.0)).toDF("k", "q"),
+      Seq("k"), cdc = true)                                   // v1
+    t.deleteWhere(col("q") > 35, cdc = true)                  // v2
+    val feed = sqlS.sql(
+      s"SELECT _change_type, _commit_version, k FROM graft_changes('${t.root}', 0) " +
+        "ORDER BY _commit_version, _change_type, k")
+    assert(feed.as[(String, Long, Long)].collect().toSeq == Seq(
+      ("insert", 1L, 3L), ("update_postimage", 1L, 2L),
+      ("update_preimage", 1L, 2L), ("delete", 2L, 2L)))
+    // the 2-arg and 3-arg forms agree on a closed range
+    assert(sqlS.sql(s"SELECT count(*) FROM graft_changes('${t.root}', 0, 1)")
+      .as[Long].head() == 3L)
+    // a cdc=false merge inside the range is unrecoverable — loud refusal
+    t.merge(Seq((1L, 99.0)).toDF("k", "q"), Seq("k"))         // v3, no sidecar
+    val e = intercept[Exception](
+      sqlS.sql(s"SELECT * FROM graft_changes('${t.root}', 2)").collect())
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+  }
+
+  test("unsupported V2 write shapes refuse loudly instead of corrupting the plan") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    sqlS.sql("CREATE TABLE graft.rw.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.rw.t VALUES (1, 10.0), (2, 20.0)")
+    val e = intercept[UnsupportedOperationException](
+      sqlS.sql("INSERT INTO graft.rw.t REPLACE WHERE k = 1 VALUES (1, 11.0)"))
+    assert(e.getMessage.contains("REPLACE WHERE"), e.getMessage)
+    // the refusal must not have half-applied anything
+    assert(sqlS.table("graft.rw.t").count() == 2)
+  }
+
+  test("table functions bind the session that registered them, not the active one") {
+    val rootA = dir("tvf_a"); val rootB = dir("tvf_b")
+    for (r <- Seq(rootA, rootB)) {
+      val p = Paths.get(r)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+    }
+    val ssA = graft.sources.GraftSql.session(spark, rootA)
+    val ssB = graft.sources.GraftSql.session(spark, rootB)
+    ssA.sql("CREATE NAMESPACE IF NOT EXISTS graft.tvf")
+    ssA.sql("CREATE TABLE graft.tvf.t (k BIGINT) USING `graft-txn`")
+    ssA.sql("INSERT INTO graft.tvf.t VALUES (1), (2)")
+    // only catalog A holds the table; a builder captured by session A must
+    // resolve through A even while B is the thread's active session
+    val builder = graft.plans.GraftTableFunctions.historyFn(() => ssA)._3
+    org.apache.spark.sql.SparkSession.setActiveSession(ssB)
+    try {
+      val plan = builder(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal("graft.tvf.t")))
+      assert(plan != null) // resolution through A's catalog succeeded
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // and through SQL, each session sees its own catalog root
+    assert(ssA.sql("SELECT count(*) FROM graft_history('graft.tvf.t')")
+      .as[Long].head() == 2L) // create + append
+    intercept[Exception](
+      ssB.sql("SELECT * FROM graft_history('graft.tvf.t')").collect())
+  }
 }
 
 /** Tiny parallel helper: run f on its own thread per element, propagate the

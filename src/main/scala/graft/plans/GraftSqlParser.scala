@@ -54,6 +54,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RestoreTs =
     ("""(?is)\s*RESTORE\s+TABLE\s+('[^']+'|[\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+""" +
       """OF\s+'([^']+)'\s*;?\s*""").r
+  private val Analyze =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+""" +
+      """STATISTICS(\s+NOSCAN)?\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -99,6 +102,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .getOrElse(delegate.parsePlan(sqlText))
     case RestoreTs(t, ts) => graftTarget(t)
       .map(GraftRestoreCommand(_, None, Some(ts)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case Analyze(t, _) => graftTarget(t)
+      .map(GraftAnalyzeCommand(_): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -164,6 +170,26 @@ case class GraftZorderCommand(target: String, zorderBy: Seq[String],
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .compact(target = files, zorderBy = zorderBy)))
+}
+
+/** ANALYZE TABLE ... COMPUTE STATISTICS — METADATA-ONLY on a graft
+  * table, whether or not NOSCAN is written: the commit log already holds
+  * exact row counts, file bytes, and per-column min/max + null counts
+  * for every live file (`TxnTable.tableStats`), maintained by every DML
+  * commit — so there is nothing to scan, and the snapshot read path
+  * feeds the same numbers to the optimizer on every query anyway. The
+  * command surfaces them to the operator (the DESCRIBE-style check that
+  * stats-driven planning sees post-DML truth). */
+case class GraftAnalyzeCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("row_count", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("n_files", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val st = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+      .tableStats()
+    Seq(Row(st.rowCount, st.sizeInBytes, st.nFiles))
+  }
 }
 
 /** RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — rollback as a NEW

@@ -116,6 +116,31 @@ object MMultimodal {
       s.table(name).orderBy("doc_id")
     }),
 
+    "m_decode_png" -> ((s, d) => {
+      // a REAL image codec through the decode seam (closing the "decoder
+      // is still a stub" honesty gap): per doc, a gray8 image with pixel
+      // (doc_id * 31 + idx) % 256 is ENCODED to actual PNG bytes and
+      // DECODED back via javax.imageio, both inside the same
+      // once-per-partition mapPartitions seam as the stub — the full
+      // binary-media round trip with a production-shaped codec (stateful,
+      // natively-backed, init-once). PNG is lossless, so the decoded
+      // width/height/pixel-sum equal the generator's closed form, which
+      // the oracle computes in SQL: a codec losing, reordering, or
+      // re-quantizing pixels breaks the hash. Partition-count invariance
+      // and the init-once discipline are InferSpec's pins.
+      import s.implicits._
+      val rows = Tables.documents(s, d).select("doc_id").as[Long]
+      rows.mapPartitions { it =>
+        val codec = PngCodec.init() // once per partition, like a real codec
+        it.map { id =>
+          val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+          val png = codec.encodeGray(w, h, idx => ((id * 31 + idx) % 256).toInt)
+          val (dw, dh, sum) = codec.decodeSum(png)
+          (id, dw, dh, sum)
+        }
+      }.toDF("doc_id", "width", "height", "pixel_sum").orderBy("doc_id")
+    }),
+
     // STUB decode — scalatest-only key. The feature extraction is a
     // deterministic fake (byte value / 255); a real image/audio codec slots
     // into `decodeBatch` below with no change to the Spark plumbing.
@@ -180,6 +205,19 @@ object MMultimodal {
         "array_to_string(list_transform(bytes, x -> " +
         "CAST(round(x / 255.0 * 10000) AS INT)), ',') AS features_bp " +
         "FROM b ORDER BY doc_id"),
+    // the decoded pixel sum in CLOSED FORM: pixels are (s + i) % 256 for
+    // i in [0, n) with s = (doc_id*31) % 256 and n = w*h ≤ 108 < 256, so
+    // the mod wraps at most once — sum = arithmetic series, split at the
+    // wrap. PNG is lossless, so the real decode must reproduce it exactly.
+    "m_decode_png" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h, " +
+        "(doc_id * 31) % 256 AS s, (8 + doc_id % 5) * (6 + doc_id % 4) AS n " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(CASE WHEN s + n <= 256 THEN n * s + (n * (n - 1)) // 2 " +
+        "ELSE (256 - s) * s + ((256 - s) * (256 - s - 1)) // 2 " +
+        "  + ((n - (256 - s)) * (n - (256 - s) - 1)) // 2 END AS BIGINT) " +
+        "AS pixel_sum FROM p ORDER BY doc_id"),
     // reconstructs the stub decode relationally: byte i of unhex(md5(text))
     // = hex pair i of md5(text) parsed via strpos; feature = byte/255
     "m_decode_features" ->
@@ -205,6 +243,60 @@ class StubDecoder private () extends Serializable {
 }
 object StubDecoder {
   def init(): StubDecoder = new StubDecoder()
+}
+
+/** A REAL image codec behind the decode seam: the JDK's PNG support
+  * (`javax.imageio` + `BufferedImage`) — the closest thing to a
+  * production media codec available offline. Encode writes genuine PNG
+  * bytes (IHDR/IDAT/zlib, via the native-backed ImageIO writer); decode
+  * reads them back. PNG is LOSSLESS, so decoded pixels equal the
+  * generator's closed form exactly — what makes a cross-engine oracle
+  * possible for a real codec (`m_decode_png`). Construction cost and
+  * statefulness mirror a real decoder: init once per partition (the
+  * counter is InferSpec's probe), headless + uncached ImageIO configured
+  * at init, instances never serialized. */
+class PngCodec private () {
+  PngCodec.inits.incrementAndGet()
+  /** Gray8 w×h image from a row-major pixel generator → real PNG bytes. */
+  def encodeGray(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var idx = 0
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { raster.setSample(c, r, 0, pix(idx)); idx += 1; c += 1 }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  /** Decode PNG bytes → (width, height, sum of gray samples). */
+  def decodeSum(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { sum += raster.getSample(c, r, 0); c += 1 }
+      r += 1
+    }
+    (w, h, sum)
+  }
+}
+object PngCodec {
+  /** Per-JVM init counter — InferSpec's once-per-partition probe. */
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  def init(): PngCodec = {
+    // executor-safe ImageIO posture: no AWT display, no temp-file cache
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    new PngCodec()
+  }
 }
 
 /** A REAL library behind the same seam shape (r11): the JDK's zlib

@@ -750,6 +750,66 @@ object TTxn {
           "ORDER BY _change_type, _commit_version, l_returnflag")
     }),
 
+    "t_txn_cluster_write" -> ((s, d) => {
+      // WRITE-TIME clustering: the declared `graft.clusterBy` property
+      // range-sorts EVERY staged append (and defaults merge/optimize),
+      // so the streaming tail stays point-read-prunable between
+      // OPTIMIZE runs instead of eroding commit by commit. Layout must
+      // be content-neutral: the oracle recomputes the range filter from
+      // source, so a row lost or duplicated by the re-sort breaks the
+      // hash (the planned-file subset itself is TxnSpec's pin).
+      val t = TxnTable.fresh(s, scratch("txn_cluster_write"))
+      t.append(slice(s, d, 1))                                  // v0
+      t.setProperties(Map("graft.clusterBy" -> "l_orderkey"))   // v1
+      t.append(slice(s, d, 2).repartition(4))                   // v2
+      t.append(slice(s, d, 6).repartition(2))                   // v3
+      agg(t.readRange("l_orderkey", 0, 3000))
+    }),
+
+    "t_txn_merge_evolve" -> ((s, d) => {
+      // MERGE schema auto-evolution (the autoMerge semantics): an update
+      // batch carrying an ADDITIVE column evolves the log schema in the
+      // SAME merge commit — untouched pre-evolution files read the new
+      // column as NULL through the column mapping (no rewrite), matched
+      // rows replace, new keys insert. The aggregate carries the evolved
+      // column's non-null count and sum, so a lost evolution (merge
+      // refusing / dropping the column) or a wrong NULL backfill breaks
+      // the hash; retype rejection is TxnSpec's pin.
+      val t = cloneOf(s, base12(s, d), "txn_merge_evolve")
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+        .withColumn("disc_bp", floor(col("l_quantity") * 100).cast("long"))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"))
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"),
+          count(col("disc_bp")).as("n_disc"), sum("disc_bp").as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    "t_txn_analyze" -> ((s, d) => {
+      // METADATA-ONLY statistics after a DML history: ANALYZE TABLE
+      // surfaces the commit log's exact row count + the stats fold's
+      // per-column bounds with NO scan (the log is the statistics
+      // store), and the key pins them against the data itself — the
+      // stats row count rides next to a real count(*), and the
+      // l_orderkey bounds next to the oracle's min/max recomputation,
+      // so stale or DV-blind statistics break the hash. This is what
+      // feeds the CBO on every snapshot read (TxnSpec pins the
+      // optimizer-visible rowCount); here the oracle pins the numbers.
+      val t = cloneOf(s, base12(s, d), "txn_analyze")
+      t.deleteWhere(col("l_quantity") > 25) // v2: copy-on-write rewrite
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      val analyzed = ss.sql(s"ANALYZE TABLE '${t.root}' COMPUTE STATISTICS")
+        .head()
+      val st = t.tableStats()
+      val mm = st.colMinMax("l_orderkey")
+      import s.implicits._
+      Seq((analyzed.getLong(0), t.read().count(),
+        mm._1.toLong, mm._2.toLong))
+        .toDF("row_count", "n_rows", "min_okey", "max_okey")
+    }),
+
     "t_txn_stream_ingest" -> ((s, d) => {
       // the 100 TB streaming-ingest operating mode, composed end to end:
       // bus topic → DSv2 micro-batch reader → foreachBatch
@@ -961,6 +1021,32 @@ object TTxn {
         "UNION ALL SELECT 'delete', 3, l_returnflag, count(*), " +
         "round(sum(l_quantity), 4) FROM merged WHERE l_quantity > 25 GROUP BY l_returnflag" +
         ") ORDER BY _change_type, _commit_version, l_returnflag"),
+    // write-time clustering is layout-only: content equals the plain
+    // range filter over the three appended slices
+    "t_txn_cluster_write" -> oracleAgg(
+      "l_linenumber IN (1, 2, 6) AND l_orderkey BETWEEN 0 AND 3000"),
+    // line 1 pre-evolution (NULL disc_bp), line 2 replaced with doubled
+    // quantity + evolved column, line 6 inserted with it
+    "t_txn_merge_evolve" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS disc_bp " +
+        "FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2, " +
+        "CAST(floor(l_quantity * 2 * 100) AS BIGINT) " +
+        "FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity, " +
+        "CAST(floor(l_quantity * 100) AS BIGINT) " +
+        "FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
+        "count(disc_bp) AS n_disc, CAST(sum(disc_bp) AS BIGINT) AS sum_disc " +
+        "FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the log's statistics must equal the data's truth: same count twice
+    // (once through ANALYZE, once through a real count), bounds from the
+    // surviving rows
+    "t_txn_analyze" ->
+      ("SELECT count(*) AS row_count, count(*) AS n_rows, " +
+        "min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2) AND l_quantity <= 25"),
     "t_txn_stream_ingest" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +

@@ -111,9 +111,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-txn lays data out by clustered compaction (OPTIMIZE), not " +
-        "hive-style partitions; create the table unpartitioned")
+    // `CREATE TABLE ... CLUSTER BY (c1, c2)` arrives as a ClusterByTransform
+    // — the declarative layout this format DOES support: it lowers onto the
+    // `graft.clusterBy` property (every write range-sorts, OPTIMIZE
+    // defaults to it). Hive-style PARTITIONED BY stays rejected.
+    val clusterTransforms = partitions.collect {
+      case org.apache.spark.sql.connector.expressions
+        .ClusterByTransform(cols) => cols.map(_.fieldNames().mkString("."))
+    }
+    require(partitions.length == clusterTransforms.length,
+      "graft-txn lays data out by write-time clustering (CLUSTER BY) and " +
+        "clustered compaction (OPTIMIZE), not hive-style partitions; " +
+        "create the table unpartitioned or with CLUSTER BY")
+    val clusterCols = clusterTransforms.flatten
     val d = dirOf(ident)
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(d)
@@ -123,6 +133,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // schema nullability alone would be a promise the write path never
     // checks
     schema.fields.filterNot(_.nullable).foreach(f => t.setNotNull(f.name))
+    // user TBLPROPERTIES ride the log (Spark-injected bookkeeping keys
+    // stay out — the catalog holds no state, so only log-recorded
+    // properties exist). `graft.clusterBy` is the layout-bearing one:
+    // every subsequent write range-sorts on it.
+    val user = properties.asScala.filterNot { case (k, _) =>
+      k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_LOCATION ||
+        k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_COMMENT ||
+        k == TableCatalog.PROP_EXTERNAL || k.startsWith("option.")
+    }.toMap ++ (if (clusterCols.nonEmpty)
+      Map("graft.clusterBy" -> clusterCols.mkString(",")) else Map.empty)
+    if (user.nonEmpty) t.setProperties(user)
     new GraftTableV2(fullName(ident), d.toString, -1L)
   }
 
@@ -130,7 +151,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val t = TxnTable.at(spark, d.toString)
+    // property changes batch into ONE commit (ALTER ... SET TBLPROPERTIES
+    // with several pairs is one statement, so one log entry)
+    val setP = changes.collect {
+      case c: TableChange.SetProperty => c.property() -> c.value() }.toMap
+    val unsetP = changes.collect {
+      case c: TableChange.RemoveProperty => c.property() }
+    if (setP.nonEmpty || unsetP.nonEmpty) t.setProperties(setP, unsetP)
     changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case c: TableChange.AddColumn =>
         require(c.fieldNames().length == 1,
           s"nested add-column unsupported: ${c.fieldNames().mkString(".")}")
@@ -163,6 +192,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (!c.nullable()) t.setNotNull(colName)
         else if (t.constraintsAt(t.currentVersion).exists(_._1 == s"nn_$colName"))
           t.dropConstraint(s"nn_$colName")
+      case c: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE — the same
+        // property the CREATE-time clause lowers onto
+        val cols = c.clusteringColumns().map(_.fieldNames().mkString("."))
+        if (cols.isEmpty) t.setProperties(Map.empty, Seq("graft.clusterBy"))
+        else t.setProperties(Map("graft.clusterBy" -> cols.mkString(",")))
       case other => throw new UnsupportedOperationException(
         s"graft-txn: unsupported ALTER TABLE change $other")
     }
@@ -282,8 +317,12 @@ private[graft] class GraftTableV2(tableName: String, val root: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft-txn", "location" -> root).asJava
+  override def properties(): util.Map[String, String] = {
+    val t = txn
+    val v = if (pinnedVersion < 0) t.currentVersion else pinnedVersion
+    (t.propertiesAt(v) ++
+      Map("provider" -> "graft-txn", "location" -> root)).asJava
+  }
 
   /** Active CHECK constraints, surfaced as enforced+validated (add-time
     * validation scanned existing data; write-time enforcement is fused

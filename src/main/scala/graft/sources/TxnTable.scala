@@ -87,7 +87,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       dv: Option[String], cdc: Option[String],
       txn: Option[(String, Long)], schema: Option[String],
       stats: Map[String, String], ts: Long,
-      protocol: Option[(Int, Int)], constraints: Option[Seq[(String, String)]])
+      protocol: Option[(Int, Int)], constraints: Option[Seq[(String, String)]],
+      props: Option[Map[String, String]])
 
   /** Per-file column stats: file → "col:min:max;col:min:max" over the
     * numeric primitive columns (INT32/INT64/FLOAT/DOUBLE), harvested from
@@ -109,12 +110,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
 
   private def entryFile(v: Long): Path = logP.resolve(f"v$v%05d.txn")
 
-  /** Log entries parsed by this instance — the observable TxnSpec uses to
-    * prove checkpointed resolution reads only the tail, never the full
-    * history. Monotone; test-only. */
+  /** Log entries parsed FROM DISK by this instance — the observable
+    * TxnSpec uses to prove checkpointed resolution reads only the tail,
+    * never the full history. Monotone; test-only. */
   private[graft] val parsedEntries = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Published entries are IMMUTABLE (the create-if-absent link publish),
+    * so a handle may cache them forever: the several per-read folds
+    * (live set, schema, DVs, constraints, stats) then share ONE disk
+    * parse of the tail instead of re-reading it per fold. Size-capped so
+    * a full-history walk (history(), vacuum) on a long log cannot grow
+    * the driver unboundedly — past the cap, reads fall back to disk. */
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Entry]()
+
   private def parse(v: Long): Entry = {
+    val cached = entryCache.get(v)
+    if (cached != null) return cached
+    val e = parseFromDisk(v)
+    if (entryCache.size < 4096) entryCache.put(v, e)
+    e
+  }
+
+  private def parseFromDisk(v: Long): Entry = {
     parsedEntries.incrementAndGet()
     val lines = Files.readAllLines(entryFile(v), UTF_8).asScala
     // stat lines repeat (one per file) — collect before the last-wins map
@@ -158,7 +176,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
         val i = p.indexOf(':')
         (p.substring(0, i).toInt, p.substring(i + 1).toInt)
       },
-      kv.get("constraints").map(TxnTable.decodeConstraints))
+      kv.get("constraints").map(TxnTable.decodeConstraints),
+      kv.get("props").map(TxnTable.decodeProps))
   }
 
   // ------------------------------------------------------------- manifest io
@@ -233,7 +252,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private case class Checkpoint(version: Long, live: Vector[String],
       stats: FileStats, dvs: Vector[String], schemaJson: Option[String],
       txns: Map[String, Long], protocol: Option[(Int, Int)] = None,
-      constraints: Option[Seq[(String, String)]] = None)
+      constraints: Option[Seq[(String, String)]] = None,
+      props: Option[Map[String, String]] = None)
 
   private def checkpointFile(v: Long): Path =
     logP.resolve(f"c$v%05d.ckpt.parquet")
@@ -271,6 +291,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     var schemaJson: Option[String] = None
     var protocol: Option[(Int, Int)] = None
     var constraints: Option[Seq[(String, String)]] = None
+    var props: Option[Map[String, String]] = None
     try {
       var g = r.read()
       while (g != null) {
@@ -291,6 +312,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
               path.substring(i + 1).toInt))
           case "constraints" =>
             constraints = Some(TxnTable.decodeConstraints(path))
+          case "props" =>
+            props = Some(TxnTable.decodeProps(path))
           case other => throw new TxnTable.ProtocolException(
             s"unknown checkpoint row kind '$other' in ${checkpointFile(v)} " +
               "— written by a newer engine; upgrade the reader")
@@ -299,7 +322,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       }
     } finally r.close()
     Checkpoint(v, live.result(), stats.result(), dvs.result(),
-      schemaJson, txns.result(), protocol, constraints)
+      schemaJson, txns.result(), protocol, constraints, props)
   }
 
   /** Publish a checkpoint for version `v`: the resolved live set (with
@@ -326,6 +349,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .orElse(ck.flatMap(_.protocol))
     val cons = tail.flatMap(_.constraints).lastOption
       .orElse(ck.flatMap(_.constraints))
+    val prps = tail.flatMap(_.props).lastOption
+      .orElse(ck.flatMap(_.props))
     val tmpRel = s"_txn_log/.ckpt-tmp-${UUID.randomUUID()}"
     val conf = spark.sessionState.newHadoopConf()
     val out = org.apache.parquet.hadoop.util.HadoopOutputFile
@@ -346,6 +371,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       proto.foreach { case (r, w) => emit("protocol", s"$r:$w", None) }
       cons.foreach(cs =>
         emit("constraints", TxnTable.encodeConstraints(cs), None))
+      prps.foreach(ps => emit("props", TxnTable.encodeProps(ps), None))
     } finally w.close()
     val tmp = rootP.resolve(tmpRel)
     try Files.createLink(checkpointFile(v), tmp)
@@ -449,6 +475,71 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .orElse(ck.flatMap(_.constraints)).getOrElse(Nil)
   }
 
+  /** Active table properties at `v` (the last recorded full set, like
+    * constraints/schema). Properties are LAYOUT/BEHAVIOR hints riding the
+    * log (`graft.clusterBy` is the load-bearing one); they are never
+    * needed to read the data correctly, so no protocol bump accompanies
+    * them — an old reader refuses only at the next checkpoint, with the
+    * named unknown-kind error. */
+  def propertiesAt(v: Long): Map[String, String] = {
+    if (v < 0) return Map.empty
+    val (ck, tail) = tailEntries(v)
+    tail.flatMap(_.props).lastOption
+      .orElse(ck.flatMap(_.props)).getOrElse(Map.empty)
+  }
+
+  /** Current table properties. */
+  def properties: Map[String, String] = propertiesAt(currentVersion)
+
+  /** SET/UNSET table properties as one commit (last-set-wins full-map
+    * recording, like constraints). The layout-bearing property is
+    * `graft.clusterBy` = comma-separated column list: every subsequent
+    * staged WRITE (append / overwrite / merge) range-sorts its batch on
+    * those columns, and OPTIMIZE/compact default to them — so the
+    * streaming tail stays point-read-prunable BETWEEN optimize runs
+    * instead of eroding until the next one (write-time clustering, the
+    * automatic alternative to hive-style partitioning this format
+    * deliberately rejects). */
+  def setProperties(set: Map[String, String],
+      unset: Seq[String] = Nil): Long = {
+    (set.keys ++ set.values ++ unset).foreach(s =>
+      require(!s.exists(c => c == '\u0001' || c == '\u0002' || c == '\n'),
+        s"property keys/values must not contain control separators: $s"))
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val next = propertiesAt(tip) ++ set -- unset
+      if (tryCommit(tip + 1, "props", 0L, Nil, Nil, None, None,
+          props = Some(next)))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** The declared write-time clustering columns at `v` (empty = none). */
+  private def declaredClusterBy(v: Long): Seq[String] =
+    propertiesAt(v).get("graft.clusterBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Range-sort a staged batch on the declared clustering columns so the
+    * files it produces cover disjoint key ranges (min/max stats then
+    * prune point/range reads to one file). Costs one range shuffle per
+    * staged batch — exactly the trade `CLUSTER BY` declares: sort on
+    * write to prune on read. Columns absent from the batch (pre-evolution
+    * writers) are skipped; partition count preserves the incoming
+    * parallelism so clustering never explodes or collapses file counts. */
+  private def clusterFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val parts = math.max(1, df.rdd.getNumPartitions)
+      df.repartitionByRange(parts, present.map(c => col(s"`$c`")): _*)
+        .sortWithinPartitions(present.map(c => col(s"`$c`")): _*)
+    }
+  }
+
   /** Column stats of every file seen at ≤ `v` (live ones authoritative). */
   private def statsAt(v: Long): FileStats = {
     val (ck, tail) = tailEntries(v)
@@ -542,7 +633,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       dv: Option[String] = None, cdc: Option[String] = None,
       stats: FileStats = Map.empty,
       protocol: Option[(Int, Int)] = None,
-      constraints: Option[Seq[(String, String)]] = None): Boolean = {
+      constraints: Option[Seq[(String, String)]] = None,
+      props: Option[Map[String, String]] = None): Boolean = {
     // writer gate: a log that requires a newer writer refuses the commit
     // with the named error (the read side's gate sits in tailEntries)
     if (v > 0) {
@@ -574,7 +666,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
       schema.fold("")(sc => s"schema=${sc.json}\n") +
       protocol.fold("") { case (r, w) => s"protocol=$r:$w\n" } +
       constraints.fold("")(cs =>
-        s"constraints=${TxnTable.encodeConstraints(cs)}\n")
+        s"constraints=${TxnTable.encodeConstraints(cs)}\n") +
+      props.fold("")(ps => s"props=${TxnTable.encodeProps(ps)}\n")
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -616,12 +709,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
       try {
         val rc = r.getRecordCount
         rows += rc
-        // the pseudo-column "#rows" records the FILE's row count in the
-        // same stats encoding ('#' can't be a real column name): small-
-        // file discovery (optimize) then reads commit metadata, never a
-        // footer pass over the live set
+        // the pseudo-columns "#rows" / "#bytes" record the FILE's row
+        // count and on-disk size in the same stats encoding ('#' can't
+        // be a real column name): small-file discovery (optimize) and
+        // table-level statistics (tableStats — what feeds the CBO) then
+        // read commit metadata, never a footer or filesystem pass over
+        // the live set
         val enc = footerStats(r.getFooter)
-        stats += f -> (s"#rows:$rc:$rc" + (if (enc.nonEmpty) ";" + enc else ""))
+        stats += f -> (s"#rows:$rc:$rc;#bytes:${in.getLength}:${in.getLength}" +
+          (if (enc.nonEmpty) ";" + enc else ""))
       } finally r.close()
     }
     (files, rows, stats.result())
@@ -644,6 +740,162 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
+  }
+
+  /** A file's on-disk size from commit-time stats (the "#bytes" pseudo-
+    * column), filesystem fallback for files recorded before it existed. */
+  private def bytesOf(f: String, stats: FileStats): Long =
+    stats.get(f).flatMap(_.split(';').collectFirst {
+      case s if s.startsWith("#bytes:") => s.split(':')(1).toLong
+    }).getOrElse(Files.size(rootP.resolve(f)))
+
+  /** Rows deleted by deletion vectors still APPLICABLE at `v` — sidecar
+    * entries whose target file is live (entries for since-rewritten files
+    * are inert: the anti-join has nothing to match). Driver-side read of
+    * the KB-scale sidecars (∝ deletes since the last rewrite of the
+    * affected files), the same class of metadata read as manifests. A row
+    * can be DV-deleted at most once (a deleted row is invisible to later
+    * deletes), so the count is exact, never double-counted. */
+  private def dvDeletedRows(v: Long, liveSet: Set[String]): Long = {
+    val dvs = dvsAt(v)
+    if (dvs.isEmpty) return 0L
+    val conf = spark.sessionState.newHadoopConf()
+    dvs.flatMap(d => ls(rootP.resolve(d))
+      .filter(_.getFileName.toString.endsWith(".parquet"))).map { p =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p.toString))
+        .withConf(conf).build()
+      var n = 0L
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (liveSet(g.getString("path", 0))) n += 1
+          g = r.read()
+        }
+      } finally r.close()
+      n
+    }.sum
+  }
+
+  /** Fold the per-file stats encodings of `relFiles` into per-column
+    * aggregates, keyed by PHYSICAL column name: (min, max) for columns
+    * with complete range stats in EVERY file (partial bounds are not
+    * bounds), and summed null counts where complete. */
+  private def foldColStats(relFiles: Seq[String], stats: FileStats)
+      : (Map[String, (BigDecimal, BigDecimal)], Map[String, Long]) = {
+    if (relFiles.isEmpty) return (Map.empty, Map.empty)
+    val perFile = relFiles.map { f =>
+      val mm = Map.newBuilder[String, (BigDecimal, BigDecimal)]
+      val nn = Map.newBuilder[String, Long]
+      stats.getOrElse(f, "").split(';').filter(_.nonEmpty).foreach { s =>
+        val p = s.split(':')
+        if (p.length == 3) {
+          if (p(0).startsWith("#nulls."))
+            nn += p(0).substring("#nulls.".length) -> p(1).toLong
+          else if (!p(0).startsWith("#"))
+            mm += p(0) -> ((BigDecimal(p(1)), BigDecimal(p(2))))
+        }
+      }
+      (mm.result(), nn.result())
+    }
+    val mmKeys = perFile.map(_._1.keySet).reduce(_ & _)
+    val nnKeys = perFile.map(_._2.keySet).reduce(_ & _)
+    val mm = mmKeys.map { c =>
+      val rs = perFile.map(_._1(c))
+      c -> ((rs.map(_._1).min, rs.map(_._2).max))
+    }.toMap
+    val nn = nnKeys.map(c => c -> perFile.map(_._2(c)).sum).toMap
+    (mm, nn)
+  }
+
+  /** Table-level statistics at `version`, METADATA-ONLY: exact row count
+    * (live files' "#rows" minus DV-deleted rows), exact on-disk bytes
+    * ("#bytes"), and per-LOGICAL-column [min, max] / null-count bounds —
+    * all resolved from the commit log + KB-scale sidecars, no data file
+    * opened. This is why `ANALYZE TABLE` on a graft table never scans:
+    * the log IS the statistics store, current after every DML commit
+    * (min/max survive as bounds under DV deletes — deletion can narrow a
+    * range, never widen it). At 100 TB this hands the cost-based planner
+    * post-DML truth for broadcast-vs-shuffle decisions at metadata cost. */
+  def tableStats(version: Long = -1L): TxnTable.TableStats = {
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val live = liveFiles(v)
+    val stats = statsAt(v)
+    val raw = live.map(rowCountOf(_, stats)).sum
+    val bytes = live.map(bytesOf(_, stats)).sum
+    val (mm, nn) = foldColStats(live, stats)
+    // physical → logical translation for the caller-facing map
+    val toLogical = schemaAt(v).map(_.fields.map(f =>
+      physicalName(f) -> f.name).toMap).getOrElse(Map.empty)
+    TxnTable.TableStats(
+      rowCount = raw - dvDeletedRows(v, live.toSet),
+      sizeInBytes = bytes,
+      nFiles = live.size,
+      colMinMax = mm.flatMap { case (p, r) => toLogical.get(p).map(_ -> r) },
+      colNullCount = nn.flatMap { case (p, c) => toLogical.get(p).map(_ -> c) })
+  }
+
+  /** CatalogStatistics for the LEAF scan over `relFiles` (pre-DV rows —
+    * the file-relation's own cardinality; any DV anti-join above scales
+    * its estimate off this). Column stats are keyed by PHYSICAL name,
+    * which is what the leaf relation's attributes carry. */
+  private def leafCatalogStats(v: Long, relFiles: Seq[String])
+      : org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val stats = statsAt(v)
+    val rows = relFiles.map(rowCountOf(_, stats)).sum
+    val bytes = relFiles.map(bytesOf(_, stats)).sum
+    val (mm, nn) = foldColStats(relFiles, stats)
+    // min/max only for types whose external-string form round-trips the
+    // footer's plain-decimal rendering (integral + floating); null counts
+    // are type-agnostic
+    val extOk: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+    val typeOf = schemaAt(v).map(_.fields.map(f =>
+      physicalName(f) -> f.dataType).toMap).getOrElse(Map.empty)
+    val cols = (mm.keySet ++ nn.keySet).flatMap { c =>
+      val range = mm.get(c).filter(_ => typeOf.get(c).exists(extOk))
+      val cs = CatalogColumnStat(
+        distinctCount = None,
+        min = range.map(_._1.toString), max = range.map(_._2.toString),
+        nullCount = nn.get(c).map(BigInt(_)),
+        avgLen = None, maxLen = None, histogram = None)
+      if (range.isEmpty && nn.get(c).isEmpty) None else Some(c -> cs)
+    }.toMap
+    CatalogStatistics(BigInt(bytes), Some(BigInt(rows)), cols)
+  }
+
+  /** Attach the commit-log statistics to the freshly-built scan's leaf
+    * relation (as the `CatalogTable` stats a `LogicalRelation` consults
+    * in `computeStats`), so the optimizer's broadcast-vs-shuffle and CBO
+    * cardinality decisions run off post-DML log truth instead of raw
+    * file sizes — the metadata-only ANALYZE every log-structured format
+    * can afford, performed implicitly on every read. */
+  private def withLeafStats(df: DataFrame, v: Long,
+      relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val cs = leafCatalogStats(v, relFiles)
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val ct = CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        rootP.getFileName.toString),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(rootP.toUri)),
+      schema = df.schema,
+      provider = Some("graft-txn"),
+      stats = Some(cs))
+    val plan = classic.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(ct))
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }
 
   /** "col:min:max;col:min:max" over the file's ORDER-PRESERVING primitive
@@ -1007,10 +1259,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
         // the staging fingerprint includes the ACTIVE constraint set: a
         // concurrent ADD CONSTRAINT landing mid-retry forces a re-stage
         // under the new validation, so no unvalidated row can commit
+        // the fingerprint also carries the declared clustering: a layout
+        // change mid-retry re-stages under the new sort (a hint, but a
+        // cheap one to honor exactly)
+        val cb = declaredClusterBy(tip)
         val proj = df.columns.toSeq.map(physicalIn(Some(sc), _)) ++
-          cs.map { case (n, e) => s"c:$n:$e" }
+          cs.map { case (n, e) => s"c:$n:$e" } ++ cb.map("cb:" + _)
         if (stagedProj == null || proj != stagedProj) {
-          val r = stage(toPhysical(enforced(df, cs), sc))
+          val r = stage(toPhysical(enforced(clusterFor(df, cb), cs), sc))
           files = r._1; rows = r._2; fstats = r._3
           stagedProj = proj
         }
@@ -1068,7 +1324,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * commit forces a re-stage through the new validation, so an
     * overwrite can never publish rows no active constraint checked. */
   def overwrite(df: DataFrame): Long = {
-    var stagedUnder: Seq[(String, String)] = null
+    var stagedUnder: (Seq[(String, String)], Seq[String]) = null
     var files: Seq[String] = Nil; var rows = 0L
     var fstats: FileStats = Map.empty
     var done = false; var v = -1L
@@ -1076,10 +1332,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val tip = currentVersion
       v = tip + 1
       val cs = constraintsAt(tip)
-      if (stagedUnder == null || cs != stagedUnder) {
-        val r = stage(enforced(df, cs))
+      val cb = declaredClusterBy(tip)
+      if (stagedUnder == null || (cs, cb) != stagedUnder) {
+        val r = stage(enforced(clusterFor(df, cb), cs))
         files = r._1; rows = r._2; fstats = r._3
-        stagedUnder = cs
+        stagedUnder = (cs, cb)
       }
       val gone = if (v == 0) Nil else liveFiles(v - 1)
       // an overwrite REPLACES content, so it resets the schema to its own
@@ -1103,13 +1360,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "choose clusterBy OR zorderBy, not both")
     val v = if (atTip >= 0) atTip else currentVersion
+    // no explicit layout → the table's declared clustering applies
+    val cb = if (clusterBy.nonEmpty || zorderBy.nonEmpty) clusterBy
+      else declaredClusterBy(v)
     val gone = liveFiles(v)
     val base = read(v)
     val compacted =
       if (zorderBy.nonEmpty) zorderLayout(base, target, zorderBy)
-      else if (clusterBy.isEmpty) base.repartition(target)
-      else base.repartitionByRange(target, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (cb.isEmpty) base.repartition(target)
+      else base.repartitionByRange(target, cb.map(col): _*)
+        .sortWithinPartitions(cb.map(col): _*)
     // commit the LOG schema (not the frame's): read() strips column-
     // mapping metadata, and a compact must preserve the mapping — files
     // are staged under physicals like every other commit
@@ -1193,11 +1453,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val sc = schemaAt(v).getOrElse(base.schema)
     val total = small.map(rowCountOf(_, stats)).sum
     val bins = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+    val cb = if (clusterBy.nonEmpty || zorderBy.nonEmpty) clusterBy
+      else declaredClusterBy(v)
     val packed =
       if (zorderBy.nonEmpty) zorderLayout(base, bins, zorderBy)
-      else if (clusterBy.isEmpty) base.repartition(bins)
-      else base.repartitionByRange(bins, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (cb.isEmpty) base.repartition(bins)
+      else base.repartitionByRange(bins, cb.map(col): _*)
+        .sortWithinPartitions(cb.map(col): _*)
     val (files, rows, fstats) = stage(toPhysical(packed, sc))
     if (!tryCommit(v + 1, "compact", rows, files, small, None, Some(sc),
         stats = fstats))
@@ -1287,11 +1549,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
         StructField(physicalName(f), f.dataType, f.nullable)))).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+    val st = withLeafStats(base, v, relFiles)
     logical match {
       case Some(sc) if sc.fields.exists(f => physicalName(f) != f.name) =>
-        base.select(sc.fields.toSeq.map(f =>
+        st.select(sc.fields.toSeq.map(f =>
           col(s"`${physicalName(f)}`").as(f.name)): _*)
-      case _ => base
+      case _ => st
     }
   }
 
@@ -1311,11 +1574,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
         StructField(physicalName(f), f.dataType, f.nullable)))).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+    val base0s = withLeafStats(base0, v, relFiles)
     // table-relative tag: strip everything up to and including the table
     // root by POSITION (instr), not by an assumed scheme prefix — the
     // metadata column spells the URI "file:/abs" with a single slash
     val marker = rootP.toAbsolutePath.toString + "/"
-    val base1 = base0
+    val base1 = base0s
       .withColumn("_f", expr("substring(_metadata.file_path, " +
         s"instr(_metadata.file_path, '$marker') + ${marker.length})"))
       .withColumn("_idx", col("_metadata.row_index"))
@@ -1565,10 +1829,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       Some(rel)
     }
     val merged = touchedRows.unionByName(updates, allowMissingColumns = true)
+    val cb = if (clusterBy.nonEmpty) clusterBy else declaredClusterBy(v)
     val staged =
-      if (clusterBy.isEmpty) merged
-      else merged.repartitionByRange(math.max(1, touched.size), clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      if (cb.isEmpty) merged
+      else merged.repartitionByRange(math.max(1, touched.size), cb.map(col): _*)
+        .sortWithinPartitions(cb.map(col): _*)
     val sc = unionSchema(schemaAt(v), updates.schema, freshPhysFor())
     val (files, rows, fstats) =
       stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
@@ -1954,12 +2219,19 @@ object TxnTable {
     * else loudly (see the forward-compat gate there). */
   private[sources] val KnownActions = Set("create", "append", "overwrite",
     "compact", "merge", "delete", "restore", "rename", "drop", "addcol",
-    "update", "constraint", "protocol")
+    "update", "constraint", "protocol", "props")
 
   /** A reader or writer opened a table its protocol version cannot
     * handle — the NAMED failure mode (never a parse surprise). */
   final class ProtocolException(msg: String)
       extends IllegalStateException(msg)
+
+  /** Metadata-only table statistics (see `tableStats`): exact live row
+    * count and on-disk bytes, plus per-logical-column [min, max] bounds
+    * and null counts where every live file recorded them. */
+  final case class TableStats(rowCount: Long, sizeInBytes: Long,
+      nFiles: Int, colMinMax: Map[String, (BigDecimal, BigDecimal)],
+      colNullCount: Map[String, Long])
 
   /** A write violated a table CHECK / NOT NULL constraint. The message
     * names the constraint and carries the offending row. */
@@ -1976,6 +2248,14 @@ object TxnTable {
     else s.split('\u0002').toSeq.map { p =>
       val i = p.indexOf('\u0001'); (p.substring(0, i), p.substring(i + 1))
     }
+
+  /** Table-property map <-> one log-line encoding — the constraint
+    * encoding over a SORTED entry list (deterministic bytes for identical
+    * maps; separators are control characters `setProperties` rejects). */
+  private[sources] def encodeProps(ps: Map[String, String]): String =
+    encodeConstraints(ps.toSeq.sortBy(_._1))
+  private[sources] def decodeProps(s: String): Map[String, String] =
+    decodeConstraints(s).toMap
 
   /** Checkpoint the resolved log state every this-many versions, so
     * snapshot resolution parses checkpoint + tail (≤ interval entries)

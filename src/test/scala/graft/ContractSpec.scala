@@ -46,6 +46,21 @@ class ContractSpec extends SparkTestBase {
     assert(m.group(3).toInt == SparkEntry.queries.size - SparkEntry.oracleSql.size)
   }
 
+  test("README.md's counts line matches the real totals (no stale prose)") {
+    // r13 verdict: README said 287/292 after the tables had moved on —
+    // pin it the same way COVERAGE.md's totals line is pinned
+    val f = new java.io.File("README.md")
+    assume(f.isFile, "README.md not present in working dir")
+    val counts = """(\d+) of (\d+) keys are""".r
+    val m = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .flatMap(counts.findFirstMatchIn(_)).toSeq.headOption
+      .getOrElse(fail("README.md counts line missing or reformatted"))
+    assert(m.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(1)} oracle-checked, oracleSql has ${SparkEntry.oracleSql.size}")
+    assert(m.group(2).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(2)} keys, queries has ${SparkEntry.queries.size}")
+  }
+
   test("COVERAGE.md's check column agrees with the oracle map (no drift)") {
     // a row claiming "oracle" without an oracleSql entry would overstate
     // the correctness gate; an oracle-checked key still documented as

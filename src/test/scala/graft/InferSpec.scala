@@ -59,6 +59,38 @@ class InferSpec extends SparkTestBase {
     assert(run(2) == a)
   }
 
+  test("a REAL image codec (javax.imageio PNG) holds the decode seam end to end") {
+    // the m_decode_png path in miniature: genuine PNG encode + decode per
+    // row through the once-per-partition seam, decoded pixels equal to
+    // the generator closed-form (PNG is lossless), output invariant to
+    // partitioning, init exactly once per partition
+    def run(parts: Int): Seq[(Long, Int, Int, Long)] =
+      spark.range(1, 41).select(col("id")).repartition(parts).as[Long]
+        .mapPartitions { it =>
+          val codec = graft.queries.PngCodec.init()
+          it.map { id =>
+            val w = (4 + id % 3).toInt; val h = (3 + id % 2).toInt
+            val png = codec.encodeGray(w, h, i => ((id * 13 + i) % 256).toInt)
+            val (dw, dh, sum) = codec.decodeSum(png)
+            (id, dw, dh, sum)
+          }
+        }.collect().sortBy(_._1).toSeq
+    graft.queries.PngCodec.inits.set(0)
+    val a = run(2)
+    assert(graft.queries.PngCodec.inits.get() == 2,
+      "codec must initialize exactly once per partition")
+    val b = run(8)
+    assert(graft.queries.PngCodec.inits.get() == 10,
+      "8-partition run must add exactly 8 inits")
+    assert(a == b && a.size == 40, "decode must be partition-invariant")
+    // pixel truth: lossless round trip reproduces the generator exactly
+    a.foreach { case (id, w, h, sum) =>
+      assert(w == (4 + id % 3).toInt && h == (3 + id % 2).toInt)
+      val expect = (0 until w * h).map(i => (id * 13 + i) % 256).sum
+      assert(sum == expect, s"doc $id: decoded sum $sum != generated $expect")
+    }
+  }
+
   test("the inference seam is model-agnostic: a zlib-CRC 'model' swaps in, plumbing unchanged") {
     // same mapPartitions shape as i_embed_infer_batch with a DIFFERENT
     // model behind it: numbers change, plumbing doesn't — the exact swap

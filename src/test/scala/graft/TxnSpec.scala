@@ -1375,11 +1375,15 @@ class TxnSpec extends SparkTestBase {
         .replaceAll("(?m)^ts=\\d+$", s"ts=$old")
       Files.write(p, body.getBytes("UTF-8"))
     }
+    // published entries are immutable in production, so handles cache
+    // parsed entries — the fake-clock rewrite above violates that, and a
+    // FRESH handle is the honest reader of the mutated log
+    val tf = TxnTable.at(spark, dir("vac_age"))
     // a 24h age window + version floor 1: v0/v1 fall outside both keeps
-    val n = t.vacuum(retainVersions = 1, retainHours = 24.0)
+    val n = tf.vacuum(retainVersions = 1, retainHours = 24.0)
     assert(n > 0, "aged versions must reclaim")
-    assert(t.read().as[(Long, Double)].collect().toSet == Set((3L, 30.0)))
-    intercept[Exception](t.read(0).count()) // v0's files are gone
+    assert(tf.read().as[(Long, Double)].collect().toSet == Set((3L, 30.0)))
+    intercept[Exception](tf.read(0).count()) // v0's files are gone
     // union law: a large version floor keeps everything regardless of age
     val t2 = TxnTable.fresh(spark, dir("vac_age2"))
     t2.append(Seq((1L, 10.0)).toDF("k", "q").repartition(1))
@@ -1390,13 +1394,14 @@ class TxnSpec extends SparkTestBase {
         .replaceAll("(?m)^ts=\\d+$", s"ts=${System.currentTimeMillis() - 10L * 24 * 3600 * 1000}")
       Files.write(p, body.getBytes("UTF-8"))
     }
+    val t2f = TxnTable.at(spark, dir("vac_age2")) // fresh post-mutation handle
     // first sweep may reclaim non-data droppings (_SUCCESS, crc shadows);
     // the DATA of every version survives the large version floor
-    t2.vacuum(retainVersions = 10, retainHours = 0.001)
-    assert(t2.read(0).as[(Long, Double)].collect().toSet == Set((1L, 10.0)))
-    assert(t2.read().as[(Long, Double)].collect().toSet == Set((2L, 20.0)))
+    t2f.vacuum(retainVersions = 10, retainHours = 0.001)
+    assert(t2f.read(0).as[(Long, Double)].collect().toSet == Set((1L, 10.0)))
+    assert(t2f.read().as[(Long, Double)].collect().toSet == Set((2L, 20.0)))
     // and the sweep converges: nothing left to delete
-    assert(t2.vacuum(retainVersions = 10, retainHours = 0.001) == 0)
+    assert(t2f.vacuum(retainVersions = 10, retainHours = 0.001) == 0)
   }
 
   test("readWhereNull plans only the files its null counts admit") {
@@ -1742,6 +1747,151 @@ class TxnSpec extends SparkTestBase {
       .as[Long].head() == 2L) // create + append
     intercept[Exception](
       ssB.sql("SELECT * FROM graft_history('graft.tvf.t')").collect())
+  }
+
+  test("declared CLUSTER BY range-sorts every staged write (point reads prune)") {
+    val t = TxnTable.fresh(spark, dir("clusterw"))
+    t.append(Seq((0L, 0.0)).toDF("k", "q"))                  // v0: seed
+    t.setProperties(Map("graft.clusterBy" -> "k"))           // v1
+    t.append((1L to 400L).map(k => (k, k * 1.0)).toDF("k", "q")
+      .repartition(4))                                       // v2: 4 files, range-sorted
+    val total = t.read().inputFiles.length
+    assert(total >= 5, s"fixture needs multiple files, got $total")
+    // a fresh-append point read must plan a strict subset (the seed file
+    // and three of the four clustered files prune on min/max)
+    val planned = t.readRange("k", 390.0, 400.0).inputFiles.length
+    assert(planned <= 2,
+      s"point read planned $planned of $total files — write clustering not applied")
+    assert(t.read().count() == 401) // layout only, content intact
+    // merge defaults to the declared clustering too: post-merge point
+    // reads still prune
+    t.merge((50L to 60L).map(k => (k, -1.0)).toDF("k", "q"), Seq("k"))
+    assert(t.readRange("k", 390.0, 400.0).inputFiles.length <= 2)
+  }
+
+  test("table properties survive checkpoints; SET/UNSET through SQL TBLPROPERTIES") {
+    val root = dir("props_ckpt")
+    val t = TxnTable.fresh(spark, root, checkpointInterval = 2)
+    t.append(Seq((1L, 1.0)).toDF("k", "q"))                  // v0
+    t.setProperties(Map("graft.clusterBy" -> "k"))           // v1
+    t.append(Seq((2L, 2.0)).toDF("k", "q"))                  // v2 → checkpoint
+    t.append(Seq((3L, 3.0)).toDF("k", "q"))                  // v3
+    // a FRESH handle resolves props THROUGH the checkpoint (the props
+    // commit at v1 sits before it — a fold that skips checkpoint props
+    // would lose the declaration)
+    val t2 = TxnTable.at(spark, root, checkpointInterval = 2)
+    assert(t2.properties == Map("graft.clusterBy" -> "k"))
+    t2.setProperties(Map.empty, unset = Seq("graft.clusterBy"))
+    assert(t2.properties.isEmpty)
+    // the SQL surface: CREATE ... TBLPROPERTIES declares it, ALTER
+    // SET/UNSET moves it, SHOW TBLPROPERTIES reads it back
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    sqlS.sql("CREATE TABLE graft.cl.t (k BIGINT, q DOUBLE) USING `graft-txn` " +
+      "TBLPROPERTIES ('graft.clusterBy'='k')")
+    def prop(): Map[String, String] =
+      sqlS.sql("SHOW TBLPROPERTIES graft.cl.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prop().get("graft.clusterBy").contains("k"))
+    sqlS.sql("ALTER TABLE graft.cl.t SET TBLPROPERTIES ('graft.clusterBy'='q')")
+    assert(prop().get("graft.clusterBy").contains("q"))
+    sqlS.sql("ALTER TABLE graft.cl.t UNSET TBLPROPERTIES ('graft.clusterBy')")
+    assert(!prop().contains("graft.clusterBy"))
+    // the first-class DDL clause lowers onto the same property
+    sqlS.sql("CREATE TABLE graft.cl.t2 (k BIGINT, q DOUBLE) USING `graft-txn` " +
+      "CLUSTER BY (k, q)")
+    def prop2(): Map[String, String] =
+      sqlS.sql("SHOW TBLPROPERTIES graft.cl.t2").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prop2().get("graft.clusterBy").contains("k,q"), prop2().toString)
+    sqlS.sql("ALTER TABLE graft.cl.t2 CLUSTER BY (q)")
+    assert(prop2().get("graft.clusterBy").contains("q"))
+    sqlS.sql("ALTER TABLE graft.cl.t2 CLUSTER BY NONE")
+    assert(!prop2().contains("graft.clusterBy"))
+    // hive-style partitioning stays rejected
+    val e = intercept[Exception](sqlS.sql(
+      "CREATE TABLE graft.cl.t3 (k BIGINT) USING `graft-txn` PARTITIONED BY (k)"))
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+
+  test("merge auto-evolves an additive source column; retype still rejected") {
+    val t = TxnTable.fresh(spark, dir("mergevo"))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q"))
+    // additive column in the update batch: schema evolves in the SAME
+    // merge commit; the untouched pre-evolution file reads tag as NULL
+    t.merge(Seq((2L, 25.0, "x"), (3L, 30.0, "y")).toDF("k", "q", "tag"),
+      Seq("k"))
+    val rows = t.read().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // k=1 shares its staged file with matched k=2, so the merge rewrites
+    // it — its tag must be NULL through the rewrite (unionByName
+    // backfill), pinned above alongside the genuinely-new column values
+    assert(rows.toSeq == Seq((1L, 10.0, null), (2L, 25.0, "x"),
+      (3L, 30.0, "y")), rows.toSeq.toString)
+    val e = intercept[Exception](
+      t.merge(Seq((4L, "not-a-double")).toDF("k", "q"), Seq("k")))
+    assert(e.getMessage.contains("retype"), e.getMessage)
+  }
+
+  test("tableStats is metadata-exact across append/merge/DV-delete history") {
+    val t = TxnTable.fresh(spark, dir("tstats"))
+    t.append((1L to 400L).map(k => (k, k * 2.0)).toDF("k", "q")
+      .repartition(3))                                        // v0
+    t.append((401L to 500L).map(k => (k, k * 2.0)).toDF("k", "q")) // v1
+    t.merge((450L to 520L).map(k => (k, -1.0)).toDF("k", "q"), Seq("k")) // v2
+    t.deleteWhere(col("k") <= 10, dv = true)                  // v3: MOR
+    val st = t.tableStats()
+    assert(st.rowCount == t.read().count(),
+      s"stats rowCount ${st.rowCount} != actual ${t.read().count()}")
+    assert(st.sizeInBytes > 0 && st.nFiles > 0)
+    // min/max are BOUNDS (exact modulo DV deletes, which can only narrow)
+    val (lo, hi) = st.colMinMax("k")
+    assert(lo <= BigDecimal(1) && hi >= BigDecimal(520),
+      s"k bounds [$lo, $hi] do not cover the data")
+    // no DVs: stats are exact again after the next rewrite materializes them
+    t.compact(target = 2)
+    val st2 = t.tableStats()
+    assert(st2.rowCount == t.read().count())
+    assert(st2.colMinMax("k") == ((BigDecimal(11), BigDecimal(520))),
+      s"post-compact bounds ${st2.colMinMax("k")}")
+  }
+
+  test("snapshot reads carry log statistics to the optimizer (CBO rowCount)") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val t = TxnTable.fresh(spark, dir("cbostats"))
+    t.append((1L to 300L).map(k => (k, s"v$k")).toDF("k", "v"))
+    t.deleteWhere(col("k") > 250) // copy-on-write: post-DML truth is 250
+    val df = t.read()
+    val leafStats = df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr.catalogTable.flatMap(_.stats)
+    }.flatten.getOrElse(fail("no CatalogTable stats on the scan leaf"))
+    assert(leafStats.rowCount.contains(BigInt(250)), s"leaf $leafStats")
+    assert(leafStats.colStats.nonEmpty, "no column stats on the leaf")
+    // with plan-stats enabled, the OPTIMIZER's estimate is the log truth
+    val ps = "spark.sql.cbo.planStats.enabled"
+    val prev = spark.conf.getOption(ps)
+    spark.conf.set(ps, "true")
+    try {
+      val est = t.read().queryExecution.optimizedPlan.stats
+      assert(est.rowCount.contains(BigInt(250)),
+        s"optimizer estimate $est does not carry the log rowCount")
+    } finally prev.fold(spark.conf.unset(ps))(spark.conf.set(ps, _))
+  }
+
+  test("ANALYZE TABLE on a graft table is metadata-only and EXPLAIN-inert") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.an")
+    sqlS.sql("CREATE TABLE graft.an.t (k BIGINT, q DOUBLE) USING `graft-txn`")
+    sqlS.sql("INSERT INTO graft.an.t SELECT id, id * 1.5 FROM range(100)")
+    sqlS.sql("DELETE FROM graft.an.t WHERE k >= 80")
+    val r = sqlS.sql("ANALYZE TABLE graft.an.t COMPUTE STATISTICS").head()
+    assert(r.getLong(0) == 80L, s"row_count ${r.getLong(0)}")
+    assert(r.getLong(1) > 0L && r.getInt(2) > 0)
+    // EXPLAIN must not run the command (commands are execution-time)
+    sqlS.sql("EXPLAIN ANALYZE TABLE graft.an.t COMPUTE STATISTICS").collect()
+    // a non-graft ANALYZE still delegates to Spark's parser
+    spark.sql("CREATE TABLE IF NOT EXISTS an_plain USING parquet AS SELECT 1 AS x")
+    try spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS").collect()
+    finally spark.sql("DROP TABLE IF EXISTS an_plain")
   }
 }
 

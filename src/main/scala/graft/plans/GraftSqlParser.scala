@@ -14,15 +14,23 @@ import graft.sources.TxnTable
   * Delta uses for its VACUUM/OPTIMIZE/DESCRIBE HISTORY):
   *
   *  - `DESCRIBE HISTORY <target>` — the commit log;
+  *  - `DESCRIBE DETAIL <target>` — the one-row operational summary
+  *    (stats, layout, constraints, protocol) off commit metadata;
   *  - `VACUUM <target> [RETAIN <h> HOURS] [KEEP <n> VERSIONS]` —
   *    age + version-floor retention (union of keep-sets), returns the
   *    reclaimed-file count;
-  *  - `OPTIMIZE <target> TARGET <n> ROWS [CLUSTER BY (c1, c2, ...)]` —
-  *    the incremental small-file bin-pack, optionally range-clustered,
-  *    returns the committed version (or the unchanged tip on no-op);
+  *  - `OPTIMIZE <target> [TARGET <n> ROWS] [CLUSTER BY (c1, ...)]` —
+  *    the incremental small-file bin-pack (default ~1M-row packing),
+  *    optionally range-clustered, returns the committed version (or the
+  *    unchanged tip on no-op); `OPTIMIZE <target> ZORDER BY (c1, ...)
+  *    [INTO <n> FILES]` — the full Z-order relayout;
   *  - `RESTORE TABLE <target> TO VERSION AS OF <n>` /
   *    `TO TIMESTAMP AS OF '<ts>'` — rollback as a new commit
-  *    (history stays auditable; the incident-response statement).
+  *    (history stays auditable; the incident-response statement);
+  *  - `ANALYZE TABLE <target> COMPUTE STATISTICS [NOSCAN]` —
+  *    metadata-only (the log IS the statistics store);
+  *  - `CREATE TABLE <dest> CLONE <src> [VERSION AS OF <n>]` — the
+  *    zero-copy hard-link clone.
   *
   * `<target>` is a quoted filesystem path (`'/path/to/table'`) or a
   * catalog-qualified name (`graft.ns.t`). A statement whose target is
@@ -38,12 +46,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Describe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|[\w.`]+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+('[^']+'|[\w.`]+)\s*;?\s*""".r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?""" +
       """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val Optimize =
-    ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+TARGET\s+(\d+)\s+ROWS""" +
+    ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(([^)]*)\))?\s*;?\s*""").r
   private val Zorder =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+ZORDER\s+BY\s+\(([^)]*)\)""" +
@@ -57,6 +67,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Analyze =
     ("""(?is)\s*ANALYZE\s+TABLE\s+('[^']+'|[\w.`]+)\s+COMPUTE\s+""" +
       """STATISTICS(\s+NOSCAN)?\s*;?\s*""").r
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+('[^']+'|[\w.`]+)\s+CLONE\s+""" +
+      """('[^']+'|[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -84,19 +97,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(keep).map(_.toInt).getOrElse(1),
         Option(hours).map(_.toDouble).getOrElse(-1.0)))
       .getOrElse(delegate.parsePlan(sqlText))
-    case Optimize(t, rows, kind, cols) => graftTarget(t).map { tt =>
-      val cs = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
-        .filter(_.nonEmpty).map(_.replace("`", ""))
-      val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
-      GraftOptimizeCommand(tt, rows.toLong,
-        if (zorder) Nil else cs, if (zorder) cs else Nil): LogicalPlan
-    }.getOrElse(delegate.parsePlan(sqlText))
+    // full Z-order relayout matches FIRST: with TARGET now optional, the
+    // bare `OPTIMIZE t ZORDER BY (a, b)` must keep its full-relayout
+    // semantics rather than become an incremental bin-pack
     case Zorder(t, cols, files) => graftTarget(t)
       .map(GraftZorderCommand(_,
         cols.split(',').map(_.trim).filter(_.nonEmpty)
           .map(_.replace("`", "")).toSeq,
         Option(files).map(_.toInt).getOrElse(4)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
+    case Optimize(t, rows, kind, cols) => graftTarget(t).map { tt =>
+      val cs = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty).map(_.replace("`", ""))
+      val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
+      // Delta-style default when TARGET is omitted: pack small files
+      // toward ~1M-row outputs
+      GraftOptimizeCommand(tt,
+        Option(rows).map(_.toLong).getOrElse(1L << 20),
+        if (zorder) Nil else cs, if (zorder) cs else Nil): LogicalPlan
+    }.getOrElse(delegate.parsePlan(sqlText))
     case RestoreV(t, v) => graftTarget(t)
       .map(GraftRestoreCommand(_, Some(v.toLong), None): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
@@ -105,6 +124,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .getOrElse(delegate.parsePlan(sqlText))
     case Analyze(t, _) => graftTarget(t)
       .map(GraftAnalyzeCommand(_): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case Detail(t) => graftTarget(t)
+      .map(GraftDetailCommand(_): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case Clone(dst, src, ver) => graftTarget(src)
+      .map(s => GraftCloneCommand(target(dst), s,
+        Option(ver).map(_.toLong).getOrElse(-1L)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -189,6 +215,55 @@ case class GraftAnalyzeCommand(target: String) extends LeafRunnableCommand {
     val st = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
       .tableStats()
     Seq(Row(st.rowCount, st.sizeInBytes, st.nFiles))
+  }
+}
+
+/** DESCRIBE DETAIL — the one-row operational summary (Delta's form):
+  * format, location, tip version, exact row count / bytes / file count
+  * from the commit-log statistics (metadata-only, like ANALYZE), the
+  * declared clustering/bloom layout, active constraint count, and the
+  * protocol floor. What an operator checks before touching a table. */
+case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("location", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("row_count", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("n_files", IntegerType)(),
+    AttributeReference("cluster_by", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("bloom_by", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("n_constraints", IntegerType)(),
+    AttributeReference("min_reader", IntegerType)(),
+    AttributeReference("min_writer", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val v = t.currentVersion
+    val st = t.tableStats(v)
+    val props = t.propertiesAt(v)
+    val (minR, minW) = t.protocol
+    Seq(Row("graft-txn", t.root, v, st.rowCount, st.sizeInBytes, st.nFiles,
+      props.getOrElse("graft.clusterBy", null),
+      props.getOrElse("graft.bloomBy", null),
+      t.constraintsAt(v).size, minR, minW))
+  }
+}
+
+/** CREATE TABLE dst CLONE src [VERSION AS OF n] — the zero-copy clone
+  * (`TxnTable.cloneTo`): live files hard-link into the destination, the
+  * new log re-adds them with recovered stats/schema/constraints/props.
+  * The destination may be a path or a graft-catalog name that does not
+  * exist yet; returns the cloned file count. */
+case class GraftCloneCommand(dest: String, source: String,
+    version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_files", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = TxnTable.at(session,
+      GraftTableFunctions.rootOf(source, session))
+    val cloned = src.cloneTo(
+      GraftTableFunctions.rootOfNew(dest, session), version)
+    Seq(Row(cloned.tableStats().nFiles))
   }
 }
 

@@ -71,6 +71,25 @@ object GraftTableFunctions {
       }
     }
 
+  /** Resolve a catalog-qualified name to the directory it WOULD occupy —
+    * for statements that create a table there (CLONE). A path target
+    * passes through; the name must resolve through a graft catalog but
+    * the table must NOT exist yet. */
+  private[plans] def rootOfNew(target: String,
+      session: SparkSession = SparkSession.active): String =
+    if (target.contains('/')) target
+    else {
+      val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseMultipartIdentifier(target)
+      require(parts.length >= 2, s"qualify the table: catalog.ns.name ($target)")
+      session.sessionState.catalogManager.catalog(parts.head) match {
+        case c: GraftCatalog =>
+          c.dirOfName(parts.tail.init.toArray, parts.last)
+        case other => throw new IllegalArgumentException(
+          s"${parts.head} is not a graft catalog: $other")
+      }
+    }
+
   private def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed

@@ -766,6 +766,52 @@ object TTxn {
       agg(t.readRange("l_orderkey", 0, 3000))
     }),
 
+    "t_txn_clone" -> ((s, d) => {
+      // ZERO-COPY CLONE through the SQL statement: live files hard-link
+      // into the destination (no data bytes move), the fresh log re-adds
+      // them with recovered stats/schema — and the CLONE's read must
+      // equal the source snapshot exactly (the oracle recomputes it from
+      // source slices). Link independence, constraint/property carriage
+      // and divergence are TxnSpec's pins.
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val src = cloneOf(s, base12(s, d), "txn_clone_src")
+      val dstRoot = scratch("txn_clone_dst")
+      val p = Paths.get(dstRoot)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"CREATE TABLE '$dstRoot' CLONE '${src.root}'")
+      agg(TxnTable.at(s, dstRoot).read())
+    }),
+
+    "t_txn_bloom_prune" -> ((s, d) => {
+      // BLOOM-FILTER file skipping for point lookups on an UNCLUSTERED
+      // high-cardinality string key (`tag` = 't' + orderkey): the
+      // declared `graft.bloomBy` column gets a parquet bloom per staged
+      // file, and readWhereEq drops files the bloom proves key-free at
+      // PLANNING time — the skipping min/max cannot give (every file's
+      // [min, max] string range covers everything). The oracle recomputes
+      // the point lookup from source, so a false-NEGATIVE prune (lost
+      // rows — the only unsound failure) breaks the hash; the
+      // planned-file subset itself is TxnSpec's pin.
+      val tagged = (ln: Int) => slice(s, d, ln)
+        .withColumn("tag", concat(lit("t"), col("l_orderkey")))
+      val t = TxnTable.fresh(s, scratch("txn_bloom"))
+      t.append(tagged(1))                                 // v0: pre-bloom
+      t.setProperties(Map("graft.bloomBy" -> "tag"))      // v1
+      t.append(tagged(2).repartition(4))                  // v2: bloomed
+      val k = Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
+        .agg(min("l_orderkey")).head().getLong(0)
+      t.readWhereEq("tag", s"t$k")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "t_txn_merge_evolve" -> ((s, d) => {
       // MERGE schema auto-evolution (the autoMerge semantics): an update
       // batch carrying an ADDITIVE column evolves the log schema in the
@@ -1025,6 +1071,15 @@ object TTxn {
     // range filter over the three appended slices
     "t_txn_cluster_write" -> oracleAgg(
       "l_linenumber IN (1, 2, 6) AND l_orderkey BETWEEN 0 AND 3000"),
+    // the clone reads exactly the source snapshot (lines 1, 2)
+    "t_txn_clone" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // the point lookup over both appended slices: every row whose
+    // 't<orderkey>' tag equals the smallest line-2 orderkey's tag
+    "t_txn_bloom_prune" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2) AND l_orderkey = " +
+        "(SELECT min(l_orderkey) FROM lineitem WHERE l_linenumber = 2) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // line 1 pre-evolution (NULL disc_bp), line 2 replaced with doubled
     // quantity + evolved column, line 6 inserted with it
     "t_txn_merge_evolve" ->

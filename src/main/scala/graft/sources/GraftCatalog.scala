@@ -62,6 +62,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def dirOf(ident: Identifier): java.nio.file.Path =
     ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
 
+  /** The directory a (possibly not-yet-existing) table name maps to —
+    * the CLONE destination resolver's hook. */
+  private[graft] def dirOfName(ns: Array[String], name: String): String =
+    dirOf(Identifier.of(ns, name)).toString
+
   private def dirOf(ns: Array[String]): java.nio.file.Path =
     ns.foldLeft(root)(_.resolve(_))
 

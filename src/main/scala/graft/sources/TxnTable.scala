@@ -693,9 +693,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // shared conf: commits are concurrent by design, and an interleaved
     // restore could leak the override into user writes or let a racing
     // stage write statless INT96.
+    //
+    // Declared `graft.bloomBy` columns get a parquet BLOOM FILTER written
+    // per row group (adaptive sizing — parquet observes the actual NDV
+    // instead of allocating the 1 MB worst case). The bloom is the
+    // point-lookup complement to min/max stats: `readWhereEq` consults it
+    // at PLANNING time to drop files that provably lack the key, the
+    // skipping min/max cannot give on an unclustered high-cardinality
+    // column. A layout hint like clusterBy: staleness under a concurrent
+    // property change costs pruning on the staged files, never rows
+    // (files without a bloom are always kept).
+    val bloomOpts: Map[String, String] = {
+      val tip = currentVersion
+      val declared = propertiesAt(tip).get("graft.bloomBy").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val phys = declared.map(physicalIn(schemaAt(tip), _))
+        .filter(df.columns.contains)
+      if (phys.isEmpty) Map.empty
+      else phys.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap +
+        ("parquet.bloom.filter.adaptive.enabled" -> "true")
+    }
     org.apache.spark.sql.graftbridge.Bridge
       .withConf(df, "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
-      .write.parquet(rootP.resolve(dir).toString)
+      .write.options(bloomOpts).parquet(rootP.resolve(dir).toString)
     val files = ls(rootP.resolve(dir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"$dir/$f").sorted
@@ -1520,6 +1540,86 @@ final class TxnTable(val spark: SparkSession, val root: String,
     res
   }
 
+  /** ZERO-COPY CLONE: materialize this table's snapshot at `version`
+    * (default: tip) as a NEW INDEPENDENT table at `destRoot` without
+    * moving a data byte — every live data file (and active DV sidecar)
+    * is HARD-LINKED into the destination, and the clone's log is a fresh
+    * create + one restore-shaped commit re-adding the linked files with
+    * their recovered column stats, schema (column mapping intact),
+    * constraints, properties and protocol floor; DV sidecars re-commit
+    * one entry each so merge-on-read deletes keep applying. The clone
+    * then diverges freely: links are independent directory entries, so
+    * either side's vacuum or rewrite deletes only its OWN reference —
+    * none of the source-vacuum fragility of path-based shallow clones.
+    * Cost ∝ file COUNT (driver metadata ops), zero data bytes — the
+    * dev/staging/experiment workflow a 100 TB table needs daily. On a
+    * filesystem without hard links (object stores), the link degrades to
+    * a copy per file, same semantics. Refuses if `destRoot` already
+    * holds a table. */
+  def cloneTo(destRoot: String, version: Long = -1L): TxnTable = {
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val destP = Paths.get(destRoot)
+    require(!Files.isDirectory(destP.resolve("_txn_log")),
+      s"clone destination already holds a table: $destRoot")
+    val dest = TxnTable.at(spark, destRoot, manifestThreshold,
+      checkpointInterval)
+    val files = liveFiles(v)
+    val dvs = dvsAt(v)
+    (files ++ dvs).flatMap { rel =>
+      val srcDir = rootP.resolve(rel)
+      // DV/CDC sidecars are spark-written DIRECTORIES; data files are files
+      if (Files.isDirectory(srcDir))
+        ls(srcDir).map(p => rel + "/" + p.getFileName.toString)
+      else Seq(rel)
+    }.foreach { rel =>
+      val src = rootP.resolve(rel); val dst = destP.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst) // no-hardlink fs: degrade to a copy
+          ()
+      }
+    }
+    val sc = schemaAt(v).getOrElse(
+      throw new IllegalStateException(s"no schema recorded at v$v of $root"))
+    dest.create(sc) // v0
+    val srcStats = statsAt(v)
+    val (r0, w0) = protocolAt(v)
+    if (!dest.tryCommit(1L, "restore", files.map(rowCountOf(_, srcStats)).sum,
+        files, Nil, None, Some(sc),
+        stats = files.flatMap(f => srcStats.get(f).map(f -> _)).toMap,
+        protocol = if (r0 > 1 || w0 > 1) Some((r0, w0)) else None,
+        constraints = Some(constraintsAt(v)).filter(_.nonEmpty),
+        props = Some(propertiesAt(v)).filter(_.nonEmpty)))
+      throw new IllegalStateException(
+        s"clone lost a race at $destRoot: concurrent writer on a fresh table")
+    dvs.foreach { dv =>
+      // one commit per sidecar, mirroring how the source recorded it;
+      // rows = the sidecar's own entry count (exact, KB driver read)
+      val n = parquetRowCountAbs(destP, dv)
+      var done = false
+      while (!done)
+        done = dest.tryCommit(dest.currentVersion + 1, "delete", n,
+          Nil, Nil, None, None, dv = Some(dv))
+    }
+    dest
+  }
+
+  /** Row count of a spark-written parquet DIRECTORY under `base`. */
+  private def parquetRowCountAbs(base: Path, rel: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    ls(base.resolve(rel)).filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   // ------------------------------------------------------------------- read
 
   /** Snapshot with per-row provenance columns appended — `_f` (table-
@@ -1718,6 +1818,95 @@ final class TxnTable(val spark: SparkSession, val root: String,
       else scanTagged(v, files).drop("_f", "_idx")
     base.filter(if (isNull) col(s"`$colName`").isNull
               else col(s"`$colName`").isNotNull)
+  }
+
+  /** Point-lookup read with BLOOM-FILTER file skipping: live files whose
+    * parquet bloom filters (written for declared `graft.bloomBy` columns)
+    * prove the key absent are dropped at PLANNING time; numeric keys
+    * also pass through the min/max stats prune first. The exact row
+    * filter applies on whatever survives, so the result equals
+    * `read(v).filter(col === value)` by construction — a bloom can
+    * false-positive (file kept, filtered empty) but never false-negative,
+    * and files without a bloom for the column are always kept.
+    *
+    * This is the skipping min/max CANNOT give: a point lookup on an
+    * UNCLUSTERED high-cardinality column (a user id, a content hash)
+    * overlaps every file's range, but each file's bloom rejects it with
+    * ~1% false positives — so the lookup opens ~1 file instead of all of
+    * them. Cost: one footer + bloom-page read per candidate file,
+    * driver-side KBs (the same planning-read class as Delta's bloom
+    * index sidecars); candidates are whatever the stats prune already
+    * admitted, so on a clustered column the bloom pass is one file. */
+  def readWhereEq(colName: String, value: Any, version: Long = -1L)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val phys = physicalIn(schemaAt(v), colName)
+    // numeric keys ride the range prune first — bloom then probes only
+    // the stats-admitted files
+    val candidates0 = value match {
+      case n @ (_: Long | _: Int | _: Double | _: Float) =>
+        val b = BigDecimal(n.toString)
+        pruneFiles(v, colName, b, b)
+      case _ => liveFiles(v)
+    }
+    val candidates = bloomPrune(candidates0, phys, colName, value, v)
+    val base = if (dvsAt(v).isEmpty) scanPlain(v, candidates)
+      else scanTagged(v, candidates).drop("_f", "_idx")
+    base.filter(col(s"`$colName`") === lit(value))
+  }
+
+  /** Files whose bloom filter for `phys` PROVES `value` absent from every
+    * row group are dropped; anything else (no bloom, unhashable type,
+    * possible hit) is kept. */
+  private def bloomPrune(files: Seq[String], phys: String, colName: String,
+      value: Any, v: Long): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val dt = schemaAt(v).flatMap(_.fields.find(_.name == colName))
+      .map(_.dataType)
+    val conf = spark.sessionState.newHadoopConf()
+    files.filter { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(abs(f)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        r.getRowGroups.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == phys) match {
+            case None => true // column missing (pre-evolution file): keep
+            case Some(chunk) =>
+              val bf = r.getBloomFilterDataReader(block).readBloomFilter(chunk)
+              if (bf == null) true // no bloom written: keep
+              else {
+                val hash = dt match {
+                  case Some(LongType) => value match {
+                    case l: Long => Some(bf.hash(l))
+                    case i: Int => Some(bf.hash(i.toLong))
+                    case _ => None
+                  }
+                  case Some(IntegerType) => value match {
+                    case i: Int => Some(bf.hash(i))
+                    case l: Long if l.isValidInt => Some(bf.hash(l.toInt))
+                    case _ => None
+                  }
+                  case Some(DoubleType) => value match {
+                    case d: Double => Some(bf.hash(d))
+                    case _ => None
+                  }
+                  case Some(FloatType) => value match {
+                    case fl: Float => Some(bf.hash(fl))
+                    case _ => None
+                  }
+                  case Some(StringType) => Some(bf.hash(
+                    org.apache.parquet.io.api.Binary.fromString(value.toString)))
+                  case _ => None // unhashable type: keep
+                }
+                hash.forall(bf.findHash)
+              }
+          }
+        }
+      } finally r.close()
+    }
   }
 
   /** MERGE (upsert) at FILE granularity — the table format's DML: rows of

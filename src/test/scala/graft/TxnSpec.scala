@@ -1485,6 +1485,8 @@ class TxnSpec extends SparkTestBase {
     sqlS.sql("INSERT INTO graft.mnt.t VALUES (4, 40.0)")
     sqlS.sql("INSERT INTO graft.mnt.t VALUES (5, 50.0)")
     sqlS.sql("OPTIMIZE graft.mnt.t TARGET 1000 ROWS")
+    // TARGET is optional (defaults to ~1M-row packing): parses and runs
+    sqlS.sql("OPTIMIZE graft.mnt.t").collect()
     val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "mnt", "t").toString)
     assert(nt.read().inputFiles.count(_.contains("/d-")) == 1)
     assert(nt.read().count() == 3)
@@ -1769,6 +1771,35 @@ class TxnSpec extends SparkTestBase {
     assert(t.readRange("k", 390.0, 400.0).inputFiles.length <= 2)
   }
 
+  test("declared bloomBy prunes point lookups to a file subset at planning time") {
+    val t = TxnTable.fresh(spark, dir("bloom"))
+    t.append((1L to 50L).map(k => (k, s"u$k")).toDF("k", "tag")
+      .repartition(1))                                   // v0: pre-bloom file
+    t.setProperties(Map("graft.bloomBy" -> "tag"))       // v1
+    t.append((51L to 450L).map(k => (k, s"u$k")).toDF("k", "tag")
+      .repartition(4))                                   // v2: 4 bloomed files
+    assert(t.read().inputFiles.length == 5)
+    // a hit plans the pre-bloom file (no bloom = keep) + the one bloomed
+    // file that holds the key (modulo ~1% deterministic false positives)
+    val hit = t.readWhereEq("tag", "u400")
+    assert(hit.inputFiles.length <= 3,
+      s"hit planned ${hit.inputFiles.length} of 5 files")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((400L, "u400")))
+    // an absent key is PROVEN absent from every bloomed file
+    val miss = t.readWhereEq("tag", "nope")
+    assert(miss.inputFiles.length <= 2,
+      s"miss planned ${miss.inputFiles.length} — blooms unused?")
+    assert(miss.count() == 0)
+    // equivalence law: bloom skipping never changes content
+    assert(t.readWhereEq("tag", "u10").collect().toSeq ==
+      t.read().filter(col("tag") === "u10").collect().toSeq)
+    // numeric keys compose the min/max prune with the bloom probe
+    t.setProperties(Map("graft.bloomBy" -> "tag,k"))
+    t.append((451L to 460L).map(k => (k, s"u$k")).toDF("k", "tag"))
+    val num = t.readWhereEq("k", 455L)
+    assert(num.as[(Long, String)].collect().toSeq == Seq((455L, "u455")))
+  }
+
   test("table properties survive checkpoints; SET/UNSET through SQL TBLPROPERTIES") {
     val root = dir("props_ckpt")
     val t = TxnTable.fresh(spark, root, checkpointInterval = 2)
@@ -1833,6 +1864,53 @@ class TxnSpec extends SparkTestBase {
     assert(e.getMessage.contains("retype"), e.getMessage)
   }
 
+  test("zero-copy clone: independent divergence, no data bytes moved, DVs apply") {
+    val src = TxnTable.fresh(spark, dir("clone_src"))
+    src.append((1L to 200L).map(k => (k, k * 2.0)).toDF("k", "q")
+      .repartition(3))                                         // v0
+    src.setProperties(Map("graft.clusterBy" -> "k"))           // v1
+    src.addConstraint("k_pos", "k > 0")                        // v2
+    src.deleteWhere(col("k") > 190, dv = true)                 // v3: MOR debt
+    val preClone = src.read().as[(Long, Double)].collect().toSet
+    // wipe any prior run's clone dir (fresh() semantics, by hand)
+    val dstRoot = dir("clone_dst")
+    val p = Paths.get(dstRoot)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    val dst = src.cloneTo(dstRoot)
+    // content identical, including the DV anti-join
+    assert(dst.read().as[(Long, Double)].collect().toSet == preClone)
+    // zero data bytes moved: every cloned data file is a HARD LINK of the
+    // source's (same inode ⇒ link count 2)
+    val linked = dst.read().inputFiles.map(f =>
+      Files.getAttribute(Paths.get(f.stripPrefix("file:")), "unix:nlink")
+        .asInstanceOf[Number].intValue())
+    assert(linked.nonEmpty && linked.forall(_ >= 2),
+      s"expected hard links, got link counts ${linked.toSeq}")
+    // metadata carried over: properties, constraints (enforced!), stats
+    assert(dst.properties.get("graft.clusterBy").contains("k"))
+    // write-time enforcement travels with the clone (in-task reject)
+    val ce = intercept[Exception](dst.append(Seq((-1L, 0.0)).toDF("k", "q")))
+    assert(Iterator.iterate(ce: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ").contains("k_pos"))
+    assert(dst.tableStats().rowCount == preClone.size)
+    // divergence is independent in BOTH directions
+    dst.append(Seq((1000L, 1.0)).toDF("k", "q"))
+    src.deleteWhere(col("k") <= 100)
+    assert(src.read().count() == 90) // 101..190
+    assert(dst.read().count() == preClone.size + 1)
+    // source vacuum cannot break the clone (links, not path references)
+    src.overwrite(Seq((5L, 0.0)).toDF("k", "q"))
+    src.vacuum(retainVersions = 1)
+    assert(dst.read().as[(Long, Double)].collect().toSet ==
+      preClone + ((1000L, 1.0)))
+    // refuses to clobber an existing table
+    intercept[IllegalArgumentException](src.cloneTo(dstRoot))
+  }
+
   test("tableStats is metadata-exact across append/merge/DV-delete history") {
     val t = TxnTable.fresh(spark, dir("tstats"))
     t.append((1L to 400L).map(k => (k, k * 2.0)).toDF("k", "q")
@@ -1886,6 +1964,13 @@ class TxnSpec extends SparkTestBase {
     val r = sqlS.sql("ANALYZE TABLE graft.an.t COMPUTE STATISTICS").head()
     assert(r.getLong(0) == 80L, s"row_count ${r.getLong(0)}")
     assert(r.getLong(1) > 0L && r.getInt(2) > 0)
+    // DESCRIBE DETAIL: the one-row operational summary off the same stats
+    sqlS.sql("ALTER TABLE graft.an.t SET TBLPROPERTIES ('graft.clusterBy'='k')")
+    val dd = sqlS.sql("DESCRIBE DETAIL graft.an.t").head()
+    assert(dd.getString(0) == "graft-txn")
+    assert(dd.getLong(3) == 80L, s"detail row_count ${dd.getLong(3)}")
+    assert(dd.getString(6) == "k", s"cluster_by ${dd.getString(6)}")
+    assert(dd.getInt(9) >= 1 && dd.getInt(10) >= 1)
     // EXPLAIN must not run the command (commands are execution-time)
     sqlS.sql("EXPLAIN ANALYZE TABLE graft.an.t COMPUTE STATISTICS").collect()
     // a non-graft ANALYZE still delegates to Spark's parser

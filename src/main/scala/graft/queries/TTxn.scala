@@ -804,8 +804,10 @@ object TTxn {
       t.append(tagged(1))                                 // v0: pre-bloom
       t.setProperties(Map("graft.bloomBy" -> "tag"))      // v1
       t.append(tagged(2).repartition(4))                  // v2: bloomed
-      val k = Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
-        .agg(min("l_orderkey")).head().getLong(0)
+      val kRow = Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
+        .agg(min("l_orderkey")).head()
+      // empty input: no line-2 rows — probe any key, result is 0 rows
+      val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
       t.readWhereEq("tag", s"t$k")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -849,10 +851,12 @@ object TTxn {
       val analyzed = ss.sql(s"ANALYZE TABLE '${t.root}' COMPUTE STATISTICS")
         .head()
       val st = t.tableStats()
-      val mm = st.colMinMax("l_orderkey")
+      // an EMPTY table has no column bounds — surface SQL-style NULLs,
+      // exactly what the oracle's min()/max() return on zero rows
+      val mm = st.colMinMax.get("l_orderkey")
       import s.implicits._
       Seq((analyzed.getLong(0), t.read().count(),
-        mm._1.toLong, mm._2.toLong))
+        mm.map(_._1.toLong), mm.map(_._2.toLong)))
         .toDF("row_count", "n_rows", "min_okey", "max_okey")
     }),
 

@@ -895,11 +895,22 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * cardinality decisions run off post-DML log truth instead of raw
     * file sizes — the metadata-only ANALYZE every log-structured format
     * can afford, performed implicitly on every read. */
+  /** Stats at a fixed (version, file set) are immutable — memoized so
+    * repeated reads of the same snapshot (micro-batch tailing, multi-read
+    * keys) pay the fold once per handle. Size-capped like the entry
+    * cache. */
+  private val leafStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
+
   private def withLeafStats(df: DataFrame, v: Long,
       relFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val cs = leafCatalogStats(v, relFiles)
+    val key = (v, relFiles.hashCode)
+    val cs =
+      if (leafStatsCache.size < 1024)
+        leafStatsCache.computeIfAbsent(key, _ => leafCatalogStats(v, relFiles))
+      else leafCatalogStats(v, relFiles)
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val ct = CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(

@@ -766,6 +766,21 @@ object TTxn {
       agg(t.readRange("l_orderkey", 0, 3000))
     }),
 
+    "t_txn_update_dv" -> ((s, d) => {
+      // merge-on-read UPDATE in the shape DVs exist for: a NARROW
+      // assignment (~quarter of rows) whose matches spread across every
+      // file — copy-on-write would rewrite all touched files, the DV
+      // path writes a KB sidecar + just the post-image rows, in ONE
+      // commit (no read sees old and new images together). The read
+      // prices the MOR side: DV anti-join + the appended post-images,
+      // which the oracle hash pins exactly; CoW equivalence, file
+      // immobility and compact materialization are TxnSpec's pins.
+      val t = cloneOf(s, base12(s, d), "txn_update_dv")
+      t.update(Map("l_quantity" -> (col("l_quantity") * 2)),
+        col("l_quantity") > 25, dv = true)
+      agg(t.read())
+    }),
+
     "t_txn_clone" -> ((s, d) => {
       // ZERO-COPY CLONE through the SQL statement: live files hard-link
       // into the destination (no data bytes move), the fresh log re-adds
@@ -1075,6 +1090,12 @@ object TTxn {
     // range filter over the three appended slices
     "t_txn_cluster_write" -> oracleAgg(
       "l_linenumber IN (1, 2, 6) AND l_orderkey BETWEEN 0 AND 3000"),
+    // doubled where qty > 25, untouched otherwise, over lines 1, 2
+    "t_txn_update_dv" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_quantity > 25 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the clone reads exactly the source snapshot (lines 1, 2)
     "t_txn_clone" -> oracleAgg("l_linenumber IN (1, 2)"),
     // the point lookup over both appended slices: every row whose

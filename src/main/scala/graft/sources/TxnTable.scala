@@ -2115,17 +2115,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
     } finally { matched.unpersist(); () }
   }
 
-  /** UPDATE ... SET ... WHERE — copy-on-write at FILE granularity, the
-    * `merge` shape without a source table: only files CONTAINING a
-    * matching row are rewritten (matching rows with the assignments
-    * applied, the rest verbatim); fully-unmatched files stay live in
-    * place, so cost is ∝ touched files, never table size. Rows where
-    * `cond` is NULL are kept unchanged (SQL UPDATE semantics). Assignment
-    * values are Columns over the table's own row (e.g. `col("q") * 2`).
-    * A no-match update commits nothing. `cdc = true` writes the
-    * pre/post images as a commit-time sidecar like `merge`. */
+  /** UPDATE ... SET ... WHERE. Rows where `cond` is NULL are kept
+    * unchanged (SQL UPDATE semantics); assignment values are Columns over
+    * the table's own row (e.g. `col("q") * 2`); a no-match update commits
+    * nothing; `cdc = true` writes the pre/post images as a commit-time
+    * sidecar like `merge`. Two physical modes, one logical result
+    * (TxnSpec pins snapshot equivalence):
+    *
+    *  - `dv = false` (copy-on-write, the default): FILE granularity, the
+    *    `merge` shape without a source table — only files CONTAINING a
+    *    matching row are rewritten (matching rows with assignments
+    *    applied, the rest verbatim); cost ∝ touched-file bytes.
+    *  - `dv = true` (merge-on-read): no live file moves. The matched
+    *    rows' (file, position) pairs land in a DELETION VECTOR sidecar,
+    *    and the post-assignment rows are STAGED AS NEW FILES in the SAME
+    *    commit — old images vanish behind the DV anti-join the instant
+    *    the new ones appear, atomically. A narrow update on a 100 TB
+    *    table then costs ∝ matched rows, not ∝ touched-file bytes (a
+    *    one-row update in a 1 GB file writes KBs); the rewrite is
+    *    deferred to the next compact/merge of those files, which reads
+    *    THROUGH the DVs (standard merge-on-read). */
   def update(set: Map[String, org.apache.spark.sql.Column],
-      cond: org.apache.spark.sql.Column, cdc: Boolean = false): Long = {
+      cond: org.apache.spark.sql.Column, cdc: Boolean = false,
+      dv: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
@@ -2140,13 +2152,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val matched = tagged.filter(matchedPred)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = matched
-        .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
-      if (touched.isEmpty) return v // nothing matched: no commit
-      val keep = tagged.filter(col("_f").isin(touched: _*))
-        .filter(matchedPred === lit(false)).drop("_f", "_idx")
       val updated = applySet(matched.drop("_f", "_idx"))
-      val cdcRel: Option[String] = if (!cdc) None else {
+      def writeCdc(): Option[String] = if (!cdc) None else {
         val rel = s"_cdc/c-${UUID.randomUUID()}"
         matched.drop("_f", "_idx")
           .withColumn("_change_type", lit("update_preimage"))
@@ -2154,11 +2161,36 @@ final class TxnTable(val spark: SparkSession, val root: String,
           .write.parquet(abs(rel))
         Some(rel)
       }
-      val rewritten = keep.unionByName(enforced(updated, constraintsAt(v)))
       val sc = schemaAt(v)
+      if (dv) {
+        // merge-on-read: DV the old images out, stage the new ones in —
+        // both in ONE commit, so no read ever sees the pre/post mix
+        val rel = s"_dv/dv-${UUID.randomUUID()}"
+        matched
+          .select(col("_f").as("path"), col("_idx").as("row_idx"))
+          .write.parquet(abs(rel))
+        val nUpd = parquetRowCount(ls(rootP.resolve(rel))
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+          .map(f => s"$rel/$f"))
+        if (nUpd == 0) return v // nothing matched: no commit
+        val (files, rows, fstats) = stage(
+          toPhysical(enforced(updated, constraintsAt(v)),
+            sc.getOrElse(updated.schema)))
+        if (!tryCommit(v + 1, "update", rows, files, Nil, None, sc,
+            dv = Some(rel), cdc = writeCdc(), stats = fstats))
+          throw new IllegalStateException(
+            s"update lost the race at v${v + 1}; re-run against the new tip")
+        return v + 1
+      }
+      val touched = matched
+        .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) return v // nothing matched: no commit
+      val keep = tagged.filter(col("_f").isin(touched: _*))
+        .filter(matchedPred === lit(false)).drop("_f", "_idx")
+      val rewritten = keep.unionByName(enforced(updated, constraintsAt(v)))
       val (files, rows, fstats) = stage(sc.fold(rewritten)(toPhysical(rewritten, _)))
       if (!tryCommit(v + 1, "update", rows, files, touched, None, sc,
-          cdc = cdcRel, stats = fstats))
+          cdc = writeCdc(), stats = fstats))
         throw new IllegalStateException(
           s"update lost the race at v${v + 1}; re-run against the new tip")
       v + 1

@@ -1864,6 +1864,43 @@ class TxnSpec extends SparkTestBase {
     assert(e.getMessage.contains("retype"), e.getMessage)
   }
 
+  test("merge-on-read UPDATE equals copy-on-write: no file moves, one atomic commit") {
+    import org.apache.spark.sql.functions.lit
+    def build(name: String): TxnTable = {
+      val t = TxnTable.fresh(spark, dir(name))
+      t.append((1L to 300L).map(k => (k, k * 1.0)).toDF("k", "q")
+        .repartition(3))
+      t
+    }
+    val cow = build("upd_cow"); val mor = build("upd_mor")
+    cow.update(Map("q" -> (col("q") * 10)), col("k") % 100 === 7)
+    val before = mor.read().inputFiles.toSet
+    mor.update(Map("q" -> (col("q") * 10)), col("k") % 100 === 7, dv = true)
+    val after = mor.read().inputFiles.toSet
+    // snapshot equivalence between the two physical modes
+    assert(mor.read().as[(Long, Double)].collect().toSet ==
+      cow.read().as[(Long, Double)].collect().toSet)
+    // MOR moved no live file: the original files all survive, plus the
+    // staged post-image files
+    assert(before.subsetOf(after), "merge-on-read update must not rewrite files")
+    assert((after -- before).nonEmpty, "post-image files must be staged")
+    // exactly one commit — no read can see old+new images together — and
+    // the updated rows appear exactly once
+    assert(mor.currentVersion == 1L)
+    assert(mor.read().filter(col("k") === 7L).as[(Long, Double)]
+      .collect().toSeq == Seq((7L, 70.0)))
+    assert(mor.read().count() == 300)
+    // tableStats stays DV-exact through the update
+    assert(mor.tableStats().rowCount == 300)
+    // compact materializes: the DV's files drop out, content unchanged
+    mor.compact(target = 1)
+    assert(mor.read().as[(Long, Double)].collect().toSet ==
+      cow.read().as[(Long, Double)].collect().toSet)
+    // a no-match MOR update commits nothing
+    assert(mor.update(Map("q" -> lit(0.0)), col("k") > 99999L, dv = true) ==
+      mor.currentVersion)
+  }
+
   test("zero-copy clone: independent divergence, no data bytes moved, DVs apply") {
     val src = TxnTable.fresh(spark, dir("clone_src"))
     src.append((1L to 200L).map(k => (k, k * 2.0)).toDF("k", "q")

@@ -70,6 +70,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Clone =
     ("""(?is)\s*CREATE\s+TABLE\s+('[^']+'|[\w.`]+)\s+CLONE\s+""" +
       """('[^']+'|[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val CopyInto =
+    ("""(?is)\s*COPY\s+INTO\s+('[^']+'|[\w.`]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -131,6 +134,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Clone(dst, src, ver) => graftTarget(src)
       .map(s => GraftCloneCommand(target(dst), s,
         Option(ver).map(_.toLong).getOrElse(-1L)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case CopyInto(t, src, fmt) => graftTarget(t)
+      .map(GraftCopyIntoCommand(_, src,
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet")): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -264,6 +271,74 @@ case class GraftCloneCommand(dest: String, source: String,
     val cloned = src.cloneTo(
       GraftTableFunctions.rootOfNew(dest, session), version)
     Seq(Row(cloned.tableStats().nFiles))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]` — the
+  * idempotent batch-ingest statement (Delta's COPY INTO shape), lowered
+  * onto the streaming sink's exactly-once primitive: each source file
+  * appends under the ledger tag `copy:<canonical-path>` with its
+  * mtime-based fingerprint as the batch id, so re-running the SAME
+  * statement (operator retry, scheduler replay, crash-recovery re-run)
+  * skips every already-ingested file as a log-metadata no-op — a
+  * half-applied COPY resumes from where it stopped, and a double-applied
+  * one changes nothing. A file MODIFIED since its ingest (newer mtime)
+  * re-ingests as a new batch. CSV/JSON read under the TABLE's declared
+  * schema (no inference — a schema drift fails loudly instead of
+  * committing differently-typed rows); PARQUET brings its own. Returns
+  * (files loaded, files skipped, rows added). Cost at 100 TB: one
+  * KB-scale commit per NEW file, never a rescan of previously loaded
+  * data — the batch twin of the streaming ingest path. */
+case class GraftCopyIntoCommand(target: String, source: String,
+    format: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_loaded", IntegerType)(),
+    AttributeReference("n_skipped", IntegerType)(),
+    AttributeReference("n_rows", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    require(Set("parquet", "csv", "json").contains(format),
+      s"COPY INTO FILEFORMAT must be PARQUET, CSV or JSON, got $format")
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val sc = Some(t.currentVersion).filter(_ >= 0).flatMap(t.schemaAt)
+    require(format == "parquet" || sc.isDefined,
+      s"COPY INTO with FILEFORMAT=$format needs the table schema declared " +
+        "(CSV/JSON never infer — create the table with its schema first)")
+    val dir = Paths.get(source)
+    require(Files.isDirectory(dir), s"COPY INTO source is not a directory: $source")
+    val wanted: String => Boolean = format match {
+      case "parquet" => _.endsWith(".parquet")
+      case "csv" => _.endsWith(".csv")
+      case "json" => n => n.endsWith(".json") || n.endsWith(".jsonl")
+    }
+    val files = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector
+        .filter(p => wanted(p.getFileName.toString)).sortBy(_.toString)
+      finally s.close()
+    }
+    var loaded = 0; var skipped = 0
+    val loadedVersions = Vector.newBuilder[Long]
+    files.foreach { p =>
+      val abs = p.toAbsolutePath.normalize.toString
+      val reader = sc.fold(session.read)(session.read.schema(_))
+      val df = format match {
+        case "parquet" => reader.parquet(abs)
+        case "csv" => reader.option("header", "true").csv(abs)
+        case "json" => reader.json(abs)
+      }
+      val v = t.appendIdempotent(df, s"copy:$abs",
+        Files.getLastModifiedTime(p).toMillis)
+      if (v >= 0) { loaded += 1; loadedVersions += v } else skipped += 1
+    }
+    // row counts from the commit entries themselves (KB metadata — the
+    // appends already counted exactly from parquet footers; no extra job)
+    val lv = loadedVersions.result().toSet
+    val rows = if (lv.isEmpty) 0L
+      else t.history().collect()
+        .filter(r => lv.contains(r.getLong(0))).map(_.getLong(2)).sum
+    Seq(Row(loaded, skipped, rows))
   }
 }
 

@@ -72,11 +72,139 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteReadsInner(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
+      // a Filter DIRECTLY above a graft relation (the `SELECT ... WHERE`
+      // shape after analysis) routes its prunable conjuncts into the
+      // commit-log FILE skipping (stats/bloom/null prune) — the snapshot
+      // plans only the surviving files, and the untouched Filter above
+      // re-applies the exact predicate, so an unextractable or
+      // unstatted conjunct costs pruning, never rows. This is what makes
+      // a typed point/range query pay the same 1-of-N planning cost as
+      // the native readRange/readWhereEq/readWhereIn APIs.
+      case Filter(cond, GraftRel(r, t)) =>
+        Filter(cond, readPlan(r, t, skipPredsOf(cond, r)))
       case r @ DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => readPlan(r, t)
     }
 
-  private def readPlan(r: DataSourceV2Relation, t: GraftTableV2): LogicalPlan = {
-    val inner = t.readDf(session)
+  /** The planning-time skip predicates extractable from `cond`: literal
+    * comparisons / IN-lists / null tests on a bare column of the
+    * relation. Strict `<` / `>` prune as their inclusive forms (sound at
+    * file granularity); anything unrecognized simply contributes no
+    * predicate. Value mapping mirrors the stats space (`footerStats`):
+    * plain numerics verbatim, DATE as epoch days, TIMESTAMP[_NTZ] as
+    * epoch micros; strings carry through for the bloom probe only. */
+  private def skipPredsOf(cond: Expression,
+      r: DataSourceV2Relation): Seq[TxnTable.SkipPred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val outs = r.outputSet
+    // RuntimeReplaceables (BETWEEN et al.) survive analysis unexpanded —
+    // their replacement is the expanded form (`between` → `>= AND <=`),
+    // so recursing into it extracts the bounds the optimizer would see
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+      case rr: RuntimeReplaceable => conjuncts(rr.replacement)
+      // common-expression factoring (With/ref/def — what BETWEEN's
+      // replacement arrives wrapped in): inline the defs back
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        conjuncts(w.child.transform {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        })
+      case other => Seq(other)
+    }
+    // EXACT order-preserving widenings (what coercion inserts around the
+    // column side, e.g. `cast(k as bigint) IN (...)` on an INT column):
+    // comparing in the wider space decides identically to the stats
+    // space, so the cast can be seen through. Anything lossy (long →
+    // double) stays opaque — no pruning beats wrong pruning.
+    def widens(from: DataType, to: DataType): Boolean = {
+      def rank(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(0); case ShortType => Some(1)
+        case IntegerType => Some(2); case LongType => Some(3)
+        case _ => None
+      }
+      from == to ||
+        rank(from).zip(rank(to)).exists { case (a, b) => a <= b } ||
+        (from == FloatType && to == DoubleType)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference if outs.contains(a) => Some(a.name)
+      case c: Cast => c.child match {
+        case a: AttributeReference
+            if outs.contains(a) && widens(a.dataType, c.dataType) =>
+          Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    // constant side of a comparison: a Literal, or any FOLDABLE
+    // deterministic expression (the analyzed plan still carries the
+    // coercion Casts the optimizer folds later — `k > 110` on a BIGINT
+    // column is `k > cast(110 as bigint)` here), evaluated now
+    def constOf(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, dt) => Option(v).map((_, dt))
+      case _ if e.foldable && e.deterministic =>
+        scala.util.Try(e.eval(null)).toOption
+          .flatMap(Option(_)).map((_, e.dataType))
+      case _ => None
+    }
+    // a literal in the STATS comparison space (prune bound)
+    def bdLit(e: Expression): Option[BigDecimal] = constOf(e).flatMap {
+      case (v, IntegerType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, LongType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, ShortType) => Some(BigDecimal(v.asInstanceOf[Short].toInt))
+      case (v, ByteType) => Some(BigDecimal(v.asInstanceOf[Byte].toInt))
+      case (v, DoubleType) => Some(BigDecimal(v.asInstanceOf[Double]))
+      case (v, FloatType) => Some(BigDecimal(v.asInstanceOf[Float].toDouble))
+      case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case _ => None
+    }
+    // a literal as a POINT value (stats range via statsSpace, bloom via
+    // the schema-typed probe). Date/timestamp literals pass their raw
+    // days/micros — the stats space — and the bloom probe ignores them
+    // (schema type mismatch keeps the file), which is sound.
+    def pointVal(e: Expression): Option[Any] = constOf(e).flatMap {
+      case (v, StringType) => Some(v.toString)
+      case (v, IntegerType | LongType | DoubleType | FloatType |
+               ShortType | ByteType | DateType | TimestampType |
+               TimestampNTZType) => Some(v)
+      case _ => None
+    }
+    // `attr OP lit` keeps the bound as written; `lit OP attr` flips it
+    def range(x: Expression, y: Expression, loSide: Boolean)
+        : Option[TxnTable.SkipPred] =
+      (for (n <- attrName(x); b <- bdLit(y)) yield
+        if (loSide) TxnTable.SkipRange(n, Some(b), None)
+        else TxnTable.SkipRange(n, None, Some(b)))
+      .orElse(for (n <- attrName(y); b <- bdLit(x)) yield
+        if (loSide) TxnTable.SkipRange(n, None, Some(b))
+        else TxnTable.SkipRange(n, Some(b), None))
+    conjuncts(cond).flatMap {
+      case GreaterThanOrEqual(x, y) => range(x, y, loSide = true)
+      case GreaterThan(x, y) => range(x, y, loSide = true)
+      case LessThanOrEqual(x, y) => range(x, y, loSide = false)
+      case LessThan(x, y) => range(x, y, loSide = false)
+      case EqualTo(x, y) =>
+        (for (n <- attrName(x); v <- pointVal(y))
+          yield TxnTable.SkipEq(n, v))
+        .orElse(for (n <- attrName(y); v <- pointVal(x))
+          yield TxnTable.SkipEq(n, v))
+      case In(a, list) if list.nonEmpty =>
+        for (n <- attrName(a);
+             xs <- Some(list.flatMap(pointVal(_))) if xs.size == list.size)
+          yield TxnTable.SkipIn(n, xs)
+      case IsNull(a) => attrName(a).map(TxnTable.SkipNull(_, isNull = true))
+      case IsNotNull(a) => attrName(a).map(TxnTable.SkipNull(_, isNull = false))
+      case _ => None
+    }
+  }
+
+  private def readPlan(r: DataSourceV2Relation, t: GraftTableV2,
+      preds: Seq[TxnTable.SkipPred] = Nil): LogicalPlan = {
+    val inner = (if (preds.isEmpty) t.readDf(session)
+                 else t.readDfPruned(session, preds))
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .queryExecution.analyzed
     val byN = inner.output.map(a => a.name -> a).toMap

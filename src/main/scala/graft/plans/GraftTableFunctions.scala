@@ -51,7 +51,7 @@ object GraftTableFunctions {
       s"$what must be a literal, got $other")
   }
 
-  private[plans] def rootOf(target: String,
+  private[graft] def rootOf(target: String,
       session: SparkSession = SparkSession.active): String =
     if (target.contains('/')) target
     else {

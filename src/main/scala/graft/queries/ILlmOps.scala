@@ -119,6 +119,51 @@ object ILlmOps {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
   }
 
+  /** The IVF assignment RANKED to depth `p`: every vector paired with
+    * its p nearest coarse centroids, `arank` ∈ 1..p (arank = 1 is the
+    * cell the vector is INDEXED in; ranks 2..p are the extra cells a
+    * multi-probe query visits). Same centroids, same tie-break (cosine
+    * desc, cid) as `ivfAssigned`, so rank 1 here ≡ the single-probe
+    * assignment exactly. */
+  private def ivfAssignedP(s: org.apache.spark.sql.SparkSession,
+      d: String, p: Int): DataFrame = {
+    val e = vecs(s, d)
+    val nv = e.agg(count(lit(1)).as("n_vec"))
+    val cents = e.crossJoin(broadcast(nv))
+      .filter(pmod(col("vec_id"), expr(
+        "greatest(1L, cast(floor(sqrt(cast((n_vec * 4) DIV 5 as double))) as bigint))")) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_dot(v, vc)") / (col("nrm") * col("nc")))
+      .withColumn("arank", row_number().over(byVec))
+      .filter(col("arank") <= p)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"),
+        col("arank"))
+  }
+
+  /** Multi-probe IVF query: `query` carries each vector's probed cells
+    * (p rows per vector), `data` the rank-1 index — ONE equi-join on the
+    * cell id, then a GLOBAL top-3 per query vector across everything the
+    * probes surfaced. A (query, candidate) pair can never repeat (the
+    * candidate is indexed in exactly one cell and the probes are
+    * distinct cells), so no dedup precedes the top-k. */
+  private def ivfProbeTopk(data: DataFrame, query: DataFrame): DataFrame = {
+    val a = query.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = data.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell").as("cell_b"))
+    a.join(b, col("cell") === col("cell_b") && col("a_id") =!= col("b_id"))
+      .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+      .groupBy("a_id")
+      .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+      .select(col("a_id"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("t.id").as("b_id"),
+        r4(col("t.score")).as("cos"), col("t.rn").as("rn"))
+      .orderBy("a_id", "rn")
+  }
+
   /** The IVF QUERY side: exact cosine top-3 within each cell, one
     * equi-join on the cell id over an (already-built) assignment. */
   private def ivfTopk(assigned: DataFrame): DataFrame = {
@@ -577,6 +622,58 @@ object ILlmOps {
           floor(col("n_hit") / col("n_exact") * 10000 + 0.5).as("recall_bp"))
     }),
 
+    "i_ann_ivf_probe" -> ((s, d) => {
+      // MULTI-PROBE IVF (nprobe = 2): each query vector visits its TWO
+      // nearest coarse cells instead of one — the standard recall knob
+      // real deployments tune before touching the index itself. The
+      // data side stays the rank-1 index (one cell per vector); only
+      // the query fans out, so the candidate join grows linearly in
+      // nprobe while the index build cost is unchanged. Neighbors that
+      // fall just across a cell boundary — exactly single-probe IVF's
+      // miss class — are recovered when the second-nearest cell is the
+      // one they live in. At 100 TB: the probe list is a 2-row-per-query
+      // equi-join key set, same shuffle shape as nprobe=1.
+      val ranked = ivfAssignedP(s, d, 2)
+      ivfProbeTopk(ranked.filter(col("arank") === 1), ranked)
+    }),
+
+    "i_ann_ivf_probe_recall" -> ((s, d) => {
+      // recall@3 AS A FUNCTION OF nprobe (1, 2, 3) against the exact
+      // cosine top-3 — the tuning table a pipeline derives before fixing
+      // its probe depth: recall must be MONOTONE in nprobe (each probe
+      // set contains the last — scalatest asserts it), and the marginal
+      // gain per probe is the number that decides where to stop. Query
+      // side stride-sampled beyond 5k vectors like every recall key.
+      val e = vecs(s, d)
+      val a = e.filter(pmod(col("vec_id"), lit(recallStride(s, d))) === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val exact = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(dot) / (col("na") * col("nb")))
+        .groupBy("a_id")
+        .agg(expr("graft_topk(cos, b_id, 3, false)").as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"))
+      // one ranked assignment to depth 3 serves all three probe depths,
+      // MATERIALIZED once (the n × nlist pass is the expensive part; a
+      // .persist on the returned lazy frame would evaporate before the
+      // harness evaluates it — parquet round-trips doubles exactly, so
+      // this is also bit-stable across the three reads)
+      val idx = scratch("ann_ivf_probe_idx")
+      ivfAssignedP(s, d, 3).write.mode("overwrite").parquet(idx)
+      val ranked = s.read.parquet(idx)
+      val data = ranked.filter(col("arank") === 1)
+      (1 to 3).map { p =>
+        val approx = ivfProbeTopk(data, ranked.filter(col("arank") <= p))
+          .select("a_id", "b_id")
+        val hit = exact.join(approx, Seq("a_id", "b_id"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(p).as("nprobe"), col("n_exact"), col("n_hit"),
+            floor(col("n_hit") / col("n_exact") * 10000 + 0.5).as("recall_bp"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
+    }),
+
     "i_ann_recall" -> ((s, d) => {
       // measured recall@3 of the sign-LSH bucketed ANN against exact
       // brute-force cosine top-3 — the calibration a pipeline runs before
@@ -919,6 +1016,54 @@ object ILlmOps {
         "(SELECT count(*) FROM hit) AS n_hit, " +
         "CAST(floor((SELECT count(*) FROM hit)::DOUBLE / " +
         "(SELECT count(*) FROM exact) * 10000 + 0.5) AS BIGINT) AS recall_bp"),
+    "i_ann_ivf_probe" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
+        "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
+        "AS BIGINT)) FROM e) = 0), " +
+        "ranked AS (SELECT vec_id, v, cid, rn FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
+        "FROM e CROSS JOIN c) WHERE rn <= 2), " +
+        "asg AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1) " +
+        "SELECT a_id, b_id, (round(cos, 4) + 0.0) AS cos, rn FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, " +
+        "list_cosine_similarity(a.v, b.v) cos, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM ranked a JOIN asg b ON a.cid = b.cell AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3 ORDER BY a_id, rn"),
+    "i_ann_ivf_probe_recall" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
+        "exact AS (SELECT a_id, b_id FROM (" +
+        "SELECT a.vec_id a_id, b.vec_id b_id, row_number() OVER (" +
+        "PARTITION BY a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        s"FROM e a JOIN e b ON a.vec_id % $recallStrideSql = 0 " +
+        "AND a.vec_id <> b.vec_id) WHERE rn <= 3), " +
+        "c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % " +
+        "(SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST((count(*) * 4) // 5 AS DOUBLE))) " +
+        "AS BIGINT)) FROM e) = 0), " +
+        "ranked AS (SELECT vec_id, v, cid, rn FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.v, c.vc) DESC, c.cid) rn " +
+        "FROM e CROSS JOIN c) WHERE rn <= 3), " +
+        "asg AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1), " +
+        "probes AS (SELECT p FROM (VALUES (1), (2), (3)) AS t(p)), " +
+        "approx AS (SELECT nprobe, a_id, b_id FROM (" +
+        "SELECT p.p AS nprobe, a.vec_id a_id, b.vec_id b_id, " +
+        "row_number() OVER (PARTITION BY p.p, a.vec_id ORDER BY " +
+        "list_cosine_similarity(a.v, b.v) DESC, b.vec_id) rn " +
+        "FROM probes p JOIN ranked a ON a.rn <= p.p " +
+        "JOIN asg b ON a.cid = b.cell AND a.vec_id <> b.vec_id) " +
+        "WHERE rn <= 3), " +
+        "hit AS (SELECT nprobe, count(*) AS n_hit FROM approx " +
+        "JOIN exact USING (a_id, b_id) GROUP BY nprobe) " +
+        "SELECT p.p AS nprobe, (SELECT count(*) FROM exact) AS n_exact, " +
+        "coalesce(h.n_hit, 0) AS n_hit, " +
+        "CAST(floor(coalesce(h.n_hit, 0)::DOUBLE / " +
+        "(SELECT count(*) FROM exact) * 10000 + 0.5) AS BIGINT) AS recall_bp " +
+        "FROM probes p LEFT JOIN hit h ON h.nprobe = p.p ORDER BY nprobe"),
     "i_ann_recall" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), " +
         "exact AS (SELECT a_id, b_id FROM (" +

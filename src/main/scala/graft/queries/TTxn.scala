@@ -139,6 +139,38 @@ object TTxn {
     graft.sources.GraftSql.session(s, root)
   }
 
+  /** Shared SQL file-skipping fixture: a catalog-mounted table holding
+    * lines 1, 2, 6 cluster-compacted into 4 range-disjoint files on
+    * l_orderkey — the layout where a WHERE range typed in plain SQL must
+    * plan a strict file subset (t_txn_sql_prune reads it; TxnSpec pins
+    * the planned count against the native readRange). */
+  private def sqlPruneHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.SparkSession = {
+    val root = scratch("txn_sqlprune_" + math.abs(d.hashCode))
+    warmed.computeIfAbsent("sqlprune:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      ss.sql("CREATE TABLE graft.main.pruned " +
+        s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
+      slice(ss, d, 1).unionByName(slice(ss, d, 2)).unionByName(slice(ss, d, 6))
+        .createOrReplaceTempView("sql_prune_src")
+      ss.sql("INSERT INTO graft.main.pruned SELECT * FROM sql_prune_src")
+      TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.pruned", ss))
+        .compact(target = 4, clusterBy = Seq("l_orderkey"))
+      root
+    })
+    graft.sources.GraftSql.session(s, root)
+  }
+
   private def agg(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -921,6 +953,90 @@ object TTxn {
       t.read().groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("bp").as("sum_bp"))
         .orderBy("event_type")
+    }),
+
+    "t_txn_sql_prune" -> ((s, d) => {
+      // the PLAIN SQL read path rides the commit-log FILE skipping: the
+      // analysis rule (GraftSqlRule) extracts the WHERE clause's
+      // prunable conjuncts and plans only the files whose commit-time
+      // [min, max] stats can intersect — on this cluster-compacted
+      // table the BETWEEN plans a strict subset of the 4 range-disjoint
+      // files (TxnSpec pins the planned count equals the native
+      // readRange's), while the untouched Filter above re-applies the
+      // exact predicate. The oracle recomputes from source, so a
+      // wrongly-skipped file loses rows and hash-fails — pruning must
+      // be invisible in content, visible only in planned files.
+      val ss = sqlPruneHistory(s, d)
+      ss.sql("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM graft.main.pruned " +
+        "WHERE l_orderkey BETWEEN 0 AND 3000 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
+    "t_txn_where_in" -> ((s, d) => {
+      // IN-LIST point skipping, stats and blooms COMPOSED PER VALUE: a
+      // file survives if ANY listed key admits it — the GDPR/debug
+      // `WHERE key IN (...)` shape readWhereEq could not serve. The
+      // probe keys are the smallest and largest line-2 orderkey tags on
+      // a bloomed unclustered string column; the oracle recomputes the
+      // two point lookups from source, so a false-negative prune (the
+      // only unsound failure) loses rows and breaks the hash. The
+      // planned-file subset is TxnSpec's pin.
+      val tagged = (ln: Int) => slice(s, d, ln)
+        .withColumn("tag", concat(lit("t"), col("l_orderkey")))
+      val t = TxnTable.fresh(s, scratch("txn_where_in"))
+      t.append(tagged(1))                             // v0: pre-bloom
+      t.setProperties(Map("graft.bloomBy" -> "tag"))  // v1
+      t.append(tagged(2).repartition(4))              // v2: bloomed
+      val ks = Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      // empty input: no line-2 rows — probe any two keys, result empty
+      val (kmin, kmax) =
+        if (ks.isNullAt(0)) (0L, 0L) else (ks.getLong(0), ks.getLong(1))
+      t.readWhereIn("tag", Seq(s"t$kmin", s"t$kmax"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "t_txn_copy_into" -> ((s, d) => {
+      // COPY INTO — idempotent batch ingest as ONE SQL statement: each
+      // source file appends under its own ledger tag (copy:<path> +
+      // mtime fingerprint), so the REPLAYED statement below skips every
+      // file as a log-metadata no-op. The oracle hash itself proves the
+      // idempotency: a double-applied COPY would double every aggregate.
+      val srcDir = scratch("txn_copy_src")
+      slice(s, d, 1).coalesce(1).write.mode("overwrite").parquet(srcDir)
+      slice(s, d, 2).coalesce(1).write.mode("append").parquet(srcDir)
+      val t = TxnTable.fresh(s, scratch("txn_copy_into"))
+      t.create(slice(s, d, 1).schema)
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"COPY INTO '${t.root}' FROM '$srcDir'")
+      ss.sql(s"COPY INTO '${t.root}' FROM '$srcDir' FILEFORMAT = PARQUET")
+      agg(t.read())
+    }),
+
+    "t_txn_generated" -> ((s, d) => {
+      // GENERATED ALWAYS AS column, declared on a table that already
+      // holds rows: pre-declaration rows read NULL through the column
+      // mapping (no rewrite), the append computes the column at stage
+      // time, and the merge computes it on its update/insert side — the
+      // aggregate carries the generated column's non-null count and sum
+      // per group, so a missed computation, a stale stored value, or a
+      // wrong NULL backfill all break the hash. Rejection of a batch
+      // that writes the column EXPLICITLY is TxnSpec's pin (an oracle
+      // cannot hash a refused commit).
+      val t = cloneOf(s, base12(s, d), "txn_generated")
+      t.addGeneratedColumn("qty_bp", org.apache.spark.sql.types.LongType,
+        "CAST(floor(l_quantity * 100) AS BIGINT)")        // v2: metadata
+      t.append(slice(s, d, 6))                            // v3: computed
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+      t.merge(updates, Seq("l_orderkey", "l_linenumber")) // v4: computed
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"),
+          count(col("qty_bp")).as("n_bp"), sum("qty_bp").as("sum_bp"))
+        .orderBy("l_returnflag")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1130,5 +1246,38 @@ object TTxn {
     "t_txn_stream_ingest" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) " +
-        "AS sum_bp FROM events GROUP BY event_type ORDER BY event_type"))
+        "AS sum_bp FROM events GROUP BY event_type ORDER BY event_type"),
+    // plain-SQL WHERE over the clustered catalog table: pruning must be
+    // content-invisible — the range filter recomputed from source
+    "t_txn_sql_prune" -> oracleAgg(
+      "l_linenumber IN (1, 2, 6) AND l_orderkey BETWEEN 0 AND 3000"),
+    // the two point lookups (smallest + largest line-2 orderkey tag)
+    // over both appended slices; coalesce mirrors the probe-anyway-on-
+    // empty default the Spark side uses
+    "t_txn_where_in" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2) AND (" +
+        "l_orderkey = (SELECT coalesce(min(l_orderkey), 0) FROM lineitem " +
+        "WHERE l_linenumber = 2) OR l_orderkey = (SELECT " +
+        "coalesce(max(l_orderkey), 0) FROM lineitem WHERE l_linenumber = 2)) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // a double-applied COPY INTO is a no-op: content equals ONE ingest
+    // of the two source files (lines 1, 2)
+    "t_txn_copy_into" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // line 1 pre-declaration (NULL generated value), line 2 replaced by
+    // the merge with doubled quantity + computed column, line 6 appended
+    // with it computed
+    "t_txn_generated" ->
+      ("WITH merged AS (" +
+        "SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS qty_bp " +
+        "FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_returnflag, l_quantity * 2, " +
+        "CAST(floor(l_quantity * 2 * 100) AS BIGINT) " +
+        "FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, l_quantity, " +
+        "CAST(floor(l_quantity * 100) AS BIGINT) " +
+        "FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
+        "count(qty_bp) AS n_bp, CAST(sum(qty_bp) AS BIGINT) AS sum_bp " +
+        "FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"))
 }

@@ -306,6 +306,13 @@ private[graft] class GraftTableV2(tableName: String, val root: String,
   private[graft] def readDf(session: SparkSession): org.apache.spark.sql.DataFrame =
     TxnTable.at(session, root).read(pinnedVersion)
 
+  /** The snapshot scan over only the files surviving `preds` — the
+    * commit-log file skipping (stats/bloom/null prune) for the SQL
+    * lowering; the caller keeps the exact row filter above. */
+  private[graft] def readDfPruned(session: SparkSession,
+      preds: Seq[TxnTable.SkipPred]): org.apache.spark.sql.DataFrame =
+    TxnTable.at(session, root).readPruned(preds, pinnedVersion)
+
   override def name(): String = tableName
 
   override def schema(): StructType = {

@@ -85,7 +85,8 @@ class TxnFormat extends RelationProvider with CreatableRelationProvider
     // a self-join) and bind two different versions — the snapshot a
     // loaded DataFrame documents is the one at load time
     val pinned = if (version < 0) table.currentVersion else version
-    new TxnRelation(ctx, () => table.read(pinned))
+    new TxnRelation(ctx, () => table.read(pinned),
+      fs => Some(table.readPruned(TxnFilters.toSkipPreds(fs), pinned)))
   }
 
   // ----------------------------------------------------------- batch write
@@ -163,13 +164,62 @@ private[graft] object TxnFilters {
     filters.foldLeft(Option(lit(true))) { (acc, f) =>
       for (a <- acc; c <- one(f)) yield a && c
     }
+
+  /** source.Filter → commit-log SKIP predicates (TxnTable.SkipPred):
+    * each top-level array member is an implicit conjunct; the
+    * translatable point/range/null shapes feed the FILE-level
+    * stats/bloom prune, anything else contributes nothing (Spark
+    * re-evaluates every filter above the bridge, so untranslated forms
+    * cost pruning, never rows). V1 filter values are external JVM types
+    * (String / boxed numerics / java.sql.Date / Timestamp), exactly what
+    * `TxnTable.statsSpace` and the bloom probe accept. */
+  def toSkipPreds(filters: Array[Filter]): Seq[TxnTable.SkipPred] =
+    filters.toSeq.flatMap {
+      case EqualTo(a, v) if v != null => Seq(TxnTable.SkipEq(a, v))
+      case GreaterThan(a, v) =>
+        bd(v).map(b => TxnTable.SkipRange(a, Some(b), None)).toSeq
+      case GreaterThanOrEqual(a, v) =>
+        bd(v).map(b => TxnTable.SkipRange(a, Some(b), None)).toSeq
+      case LessThan(a, v) =>
+        bd(v).map(b => TxnTable.SkipRange(a, None, Some(b))).toSeq
+      case LessThanOrEqual(a, v) =>
+        bd(v).map(b => TxnTable.SkipRange(a, None, Some(b))).toSeq
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Seq(TxnTable.SkipIn(a, vs.toIndexedSeq))
+      case IsNull(a) => Seq(TxnTable.SkipNull(a, isNull = true))
+      case IsNotNull(a) => Seq(TxnTable.SkipNull(a, isNull = false))
+      case _ => Nil
+    }
+
+  /** External value → stats-space bound (mirrors TxnTable.statsSpace —
+    * kept here only for the V1 range filters, whose values arrive as
+    * plain JVM objects). */
+  private def bd(x: Any): Option[BigDecimal] = x match {
+    case l: Long => Some(BigDecimal(l))
+    case i: Int => Some(BigDecimal(i))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case d: Double => Some(BigDecimal(d))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
+  }
 }
 
 /** The V1 bridge relation: schema and scans delegate to the inner plan
   * (a snapshot read or a change-feed read), so pruning/pushdown happen
-  * in the inner (parquet) scan. */
+  * in the inner (parquet) scan. Snapshot reads additionally hand the
+  * scan's filters to `pruned` — the commit-log FILE skipping
+  * (stats/bloom/null prune), so `spark.read.format("graft-txn")...
+  * .filter(...)` plans only the surviving files like the native APIs;
+  * the change-feed path has no per-file stats context and passes None. */
 private[sources] class TxnRelation(ctx: SQLContext,
-    inner: () => DataFrame) extends BaseRelation with PrunedFilteredScan {
+    inner: () => DataFrame,
+    pruned: Array[Filter] => Option[DataFrame] = _ => None)
+    extends BaseRelation with PrunedFilteredScan {
   import org.apache.spark.sql.functions.col
 
   override def sqlContext: SQLContext = ctx
@@ -177,9 +227,13 @@ private[sources] class TxnRelation(ctx: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    var df = inner()
+    var df = if (filters.nonEmpty) pruned(filters).getOrElse(inner())
+             else inner()
     // best-effort: each translatable filter pushes into the inner plan;
-    // the rest cost pruning, never rows (Spark re-evaluates above)
+    // the rest cost pruning, never rows (Spark re-evaluates above — the
+    // V1 contract with conservative unhandledFilters — which is also
+    // what makes the FILE prune above safe: the exact predicate always
+    // re-applies on whatever survives)
     filters.flatMap(TxnFilters.one).foreach(c => df = df.filter(c))
     df.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
   }

@@ -479,8 +479,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * constraints/schema). Properties are LAYOUT/BEHAVIOR hints riding the
     * log (`graft.clusterBy` is the load-bearing one); they are never
     * needed to read the data correctly, so no protocol bump accompanies
-    * them — an old reader refuses only at the next checkpoint, with the
-    * named unknown-kind error. */
+    * them. Compat consequence, stated plainly: a pre-`props` build's
+    * `parse()` gate (KnownActions) rejects the `props` log ACTION the
+    * moment it reads any log tail containing one — so setting ANY table
+    * property makes the log unreadable to builds older than the props
+    * feature (immediately, not at the next checkpoint). That is the
+    * accepted trade for not bumping minReader on a hint. */
   def propertiesAt(v: Long): Map[String, String] = {
     if (v < 0) return Map.empty
     val (ck, tail) = tailEntries(v)
@@ -534,7 +538,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) df
     else {
-      val parts = math.max(1, df.rdd.getNumPartitions)
+      // incoming parallelism from the PHYSICAL plan's partitioning — no
+      // df.rdd here: materializing the RDD lineage forces a full planning
+      // pass per staged batch (and is re-paid on every commit retry); the
+      // sparkPlan attribute gives the same pre-AQE number without
+      // building the RDD. Anything unknown degrades to defaultParallelism.
+      val parts = math.max(1,
+        try df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+            org.apache.spark.sql.Row]]
+          .queryExecution.sparkPlan.outputPartitioning.numPartitions
+        catch { case scala.util.control.NonFatal(_) =>
+          spark.sparkContext.defaultParallelism })
       df.repartitionByRange(parts, present.map(c => col(s"`$c`")): _*)
         .sortWithinPartitions(present.map(c => col(s"`$c`")): _*)
     }
@@ -676,6 +690,94 @@ final class TxnTable(val spark: SparkSession, val root: String,
     finally Files.delete(tmp)
   }
 
+  /** TEST SEAM: invoked immediately before a DML's first publish attempt
+    * (after staging is complete). Lets a spec deterministically land a
+    * concurrent commit in the stage→publish window — the race that is
+    * otherwise a thread-timing lottery. Production value is a no-op. */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Can a fully-staged commit based on snapshot `vBase` re-publish on
+    * top of `tip` WITHOUT re-running — i.e. is every intervening commit
+    * PROVABLY disjoint from it? The Delta-class OCC re-validation that
+    * turns a lost publish race into a metadata retry instead of a full
+    * re-stage (two merges on disjoint key ranges used to serialize with
+    * double work). Conditions, each individually sound:
+    *
+    *  - table-wide metadata unmoved END TO END (schema json, constraint
+    *    set, properties, protocol): our staged files and validation ran
+    *    under vBase's versions of all four;
+    *  - no intervening DELETION-VECTOR commit (a DV can only reference
+    *    files; ours or not, re-ordering against one is not worth the
+    *    analysis — rare enough to serialize);
+    *  - no intervening commit REMOVED any file we remove (our rewrite's
+    *    pre-images must still be live — the classic write-write
+    *    conflict);
+    *  - every intervening ADDED file's recorded [min, max] for our key
+    *    column is provably OUTSIDE our update-key range (`guard`) — so
+    *    the serial replay of our merge at `tip` would have matched
+    *    nothing in those files and produced the identical commit. Files
+    *    without key stats, or no guard (non-rangeable key type), fail
+    *    closed: genuine conflict, caller re-runs.
+    *
+    * NULL-keyed rows in intervening adds escape the range guard but can
+    * never merge-match (SQL equality), so they cannot invalidate the
+    * staged content. */
+  private def reconcilable(vBase: Long, tip: Long, remove: Set[String],
+      guard: Option[(String, BigDecimal, BigDecimal)]): Boolean = {
+    if (schemaAt(tip).map(_.json) != schemaAt(vBase).map(_.json)) return false
+    if (constraintsAt(tip) != constraintsAt(vBase)) return false
+    if (propertiesAt(tip) != propertiesAt(vBase)) return false
+    if (protocolAt(tip) != protocolAt(vBase)) return false
+    (vBase + 1 to tip).forall { iv =>
+      val e = parse(iv)
+      e.dv.isEmpty &&
+      removesOf(e).forall(r => !remove.contains(r)) && {
+        val adds = addsOf(e)
+        adds.isEmpty || guard.exists { case (phys, lo, hi) =>
+          val st = statsOf(e)
+          adds.forall(f => st.get(f).exists { enc =>
+            enc.split(';').collectFirst {
+              case s if s.startsWith(phys + ":") =>
+                val p = s.split(':')
+                BigDecimal(p(2)) < lo || BigDecimal(p(1)) > hi
+            }.getOrElse(false)
+          })
+        }
+      }
+    }
+  }
+
+  /** Publish an already-staged DML commit with RECONCILIATION on a lost
+    * race: when `tryCommit` loses the version slot, re-validate the
+    * staged payload against the intervening commits (`reconcilable`) and
+    * re-claim at the new tip — the staged files, CDC sidecar, stats and
+    * row counts are all still exact, so the only thing that moves is the
+    * version number. Only a GENUINELY conflicting intervening commit
+    * (overlapping files/keys, metadata change, DV) still throws the
+    * re-run error. Exactly one staging per successful DML either way. */
+  private def publishReconciling(vBase: Long, action: String, rows: Long,
+      add: Seq[String], remove: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      cdc: Option[String], stats: FileStats,
+      guard: Option[(String, BigDecimal, BigDecimal)], what: String): Long = {
+    onBeforePublish()
+    var v = vBase
+    var res = -1L
+    while (res < 0) {
+      if (tryCommit(v + 1, action, rows, add, remove, None, schema,
+          cdc = cdc, stats = stats)) res = v + 1
+      else {
+        val tip = currentVersion
+        if (!reconcilable(vBase, tip, remove.toSet, guard))
+          throw new IllegalStateException(
+            s"$what lost the race at v${v + 1} to a conflicting commit; " +
+              "re-run against the new tip")
+        v = tip
+      }
+    }
+    res
+  }
+
   // ------------------------------------------------------------------ write
 
   /** Stage `df` as parquet under an unreferenced directory; returns the
@@ -763,11 +865,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
   }
 
   /** A file's on-disk size from commit-time stats (the "#bytes" pseudo-
-    * column), filesystem fallback for files recorded before it existed. */
+    * column), filesystem fallback for files recorded before it existed —
+    * guarded, because a LEGACY file referenced by a time-travel version
+    * may have been vacuumed since: stats attachment then degrades to 0
+    * bytes for that file instead of throwing NoSuchFileException at
+    * PLANNING time (the read itself still fails at execution, the
+    * established failure point for a vacuumed-horizon read). */
   private def bytesOf(f: String, stats: FileStats): Long =
     stats.get(f).flatMap(_.split(';').collectFirst {
       case s if s.startsWith("#bytes:") => s.split(':')(1).toLong
-    }).getOrElse(Files.size(rootP.resolve(f)))
+    }).getOrElse {
+      val p = rootP.resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }
 
   /** Rows deleted by deletion vectors still APPLICABLE at `v` — sidecar
     * entries whose target file is live (entries for since-rewritten files
@@ -898,15 +1008,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
   /** Stats at a fixed (version, file set) are immutable — memoized so
     * repeated reads of the same snapshot (micro-batch tailing, multi-read
     * keys) pay the fold once per handle. Size-capped like the entry
-    * cache. */
+    * cache. Keyed by the file LIST itself (structural equality), not its
+    * 32-bit hashCode: two different pruned subsets of the same version
+    * must never share an entry (a hash collision would silently attach
+    * the wrong CatalogStatistics to a scan — CBO misestimates only, but
+    * avoidable for the price of holding the key list). */
   private val leafStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Int), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
+    (Long, Seq[String]), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
 
   private def withLeafStats(df: DataFrame, v: Long,
       relFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val key = (v, relFiles.hashCode)
+    val key = (v, relFiles.toList)
     val cs =
       if (leafStatsCache.size < 1024)
         leafStatsCache.computeIfAbsent(key, _ => leafCatalogStats(v, relFiles))
@@ -1180,6 +1294,86 @@ final class TxnTable(val spark: SparkSession, val root: String,
     res
   }
 
+  /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — a
+    * METADATA-ONLY commit recording BOTH the evolved schema (fresh
+    * physical name, like any added column) and the generation rule as
+    * the table property `graft.generated.<name>` = single-line SQL over
+    * the table's logical columns. From this commit on:
+    *
+    *  - every data-adding write COMPUTES the column at stage time
+    *    (append / overwrite / the merge's update side / the update's
+    *    assignment side), cast to the declared type;
+    *  - a batch that carries the column EXPLICITLY is rejected loudly —
+    *    GENERATED ALWAYS means the engine owns the value;
+    *  - rows committed BEFORE the declaration read NULL through the
+    *    column mapping (evolution semantics — no rewrite) until a DML
+    *    rewrites them; rewrites that don't touch a row (compact,
+    *    unmatched merge keeps) carry stored values verbatim, so a row's
+    *    value never changes behind the reader's back.
+    *
+    * Properties ride the log/checkpoint like constraints, so the rule
+    * survives restarts and clones, and `DESCRIBE DETAIL`-class tooling
+    * can surface it. */
+  def addGeneratedColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType, exprSql: String): Long = {
+    require(!exprSql.exists(c => c == '\u0001' || c == '\u0002' || c == '\n'),
+      "generated expression must be one line without control separators")
+    val physFor = freshPhysFor()
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val sc = schemaAt(tip).getOrElse(
+        throw new IllegalStateException(s"no schema recorded at v$tip"))
+      require(!sc.fieldNames.contains(name), s"column exists: $name")
+      val fresh = org.apache.spark.sql.types.StructField(name, dataType,
+        nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(PhysKey, physFor(name)).build())
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields :+ fresh)
+      val props = propertiesAt(tip) + (s"graft.generated.$name" -> exprSql)
+      if (tryCommit(tip + 1, "addcol", 0L, Nil, Nil, None, Some(sc2),
+          props = Some(props)))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** Declared generated columns at `v`: (name, exprSql) in schema order. */
+  private def generatedAt(v: Long): Seq[(String, String)] = {
+    val ps = propertiesAt(v)
+    if (!ps.keys.exists(_.startsWith("graft.generated."))) Nil
+    else schemaAt(v).map(_.fields.toSeq.flatMap(f =>
+      ps.get(s"graft.generated.${f.name}").map(f.name -> _))).getOrElse(Nil)
+  }
+
+  /** Apply the generation rules active at `v` to a batch about to stage:
+    * compute each declared column (cast to its declared type). With
+    * `rejectExplicit`, a batch already carrying the column is refused —
+    * the direct-write gate; without it (the DML rewrite sides, whose
+    * frames legitimately carry the column) the stored value is dropped
+    * and recomputed because the row's inputs just changed. */
+  private def withGenerated(df: DataFrame, v: Long,
+      rejectExplicit: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val gens = generatedAt(v)
+    if (gens.isEmpty) df
+    else {
+      if (rejectExplicit) gens.foreach { case (n, _) =>
+        if (df.columns.contains(n)) throw new IllegalArgumentException(
+          s"column $n is GENERATED ALWAYS AS — it cannot be written " +
+            "directly; omit it and the engine computes it")
+      }
+      val types = schemaAt(v).map(_.fields.map(f =>
+        f.name -> f.dataType).toMap).getOrElse(Map.empty[String,
+          org.apache.spark.sql.types.DataType])
+      gens.foldLeft(df.drop(gens.map(_._1): _*)) { case (acc, (n, e)) =>
+        val c = expr(e)
+        acc.withColumn(n, types.get(n).fold(c)(t => c.cast(t)))
+      }
+    }
+  }
+
   // ------------------------------------------------------------ constraints
 
   /** ALTER TABLE ADD CONSTRAINT — a CHECK constraint recorded in the log
@@ -1285,7 +1479,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val tip = currentVersion
       if (txn.exists { case (app, b) => committedUpTo(app, tip) >= b }) res = -1L
       else {
-        val sc = unionSchema(schemaAt(tip), df.schema, physFor)
+        // generated columns: computed at stage time, rejected if written
+        // directly — and part of the staging fingerprint like constraints
+        val gens = generatedAt(tip)
+        val dfG = withGenerated(df, tip, rejectExplicit = true)
+        val sc = unionSchema(schemaAt(tip), dfG.schema, physFor)
         val cs = constraintsAt(tip)
         // the staging fingerprint includes the ACTIVE constraint set: a
         // concurrent ADD CONSTRAINT landing mid-retry forces a re-stage
@@ -1294,10 +1492,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
         // change mid-retry re-stages under the new sort (a hint, but a
         // cheap one to honor exactly)
         val cb = declaredClusterBy(tip)
-        val proj = df.columns.toSeq.map(physicalIn(Some(sc), _)) ++
-          cs.map { case (n, e) => s"c:$n:$e" } ++ cb.map("cb:" + _)
+        val proj = dfG.columns.toSeq.map(physicalIn(Some(sc), _)) ++
+          cs.map { case (n, e) => s"c:$n:$e" } ++ cb.map("cb:" + _) ++
+          gens.map { case (n, e) => s"g:$n:$e" }
         if (stagedProj == null || proj != stagedProj) {
-          val r = stage(toPhysical(enforced(clusterFor(df, cb), cs), sc))
+          val r = stage(toPhysical(enforced(clusterFor(dfG, cb), cs), sc))
           files = r._1; rows = r._2; fstats = r._3
           stagedProj = proj
         }
@@ -1359,21 +1558,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
     var files: Seq[String] = Nil; var rows = 0L
     var fstats: FileStats = Map.empty
     var done = false; var v = -1L
+    var stagedDf: DataFrame = null
     while (!done) {
       val tip = currentVersion
       v = tip + 1
       val cs = constraintsAt(tip)
       val cb = declaredClusterBy(tip)
-      if (stagedUnder == null || (cs, cb) != stagedUnder) {
-        val r = stage(enforced(clusterFor(df, cb), cs))
+      if (stagedUnder == null ||
+          (cs, cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}"))
+            != stagedUnder) {
+        // generated columns compute here too (and reject explicit values)
+        // — an overwrite replaces content, not the declared rules
+        val dfG = withGenerated(df, tip, rejectExplicit = true)
+        val r = stage(enforced(clusterFor(dfG, cb), cs))
         files = r._1; rows = r._2; fstats = r._3
-        stagedUnder = (cs, cb)
+        stagedUnder = (cs,
+          cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}"))
+        stagedDf = dfG
       }
       val gone = if (v == 0) Nil else liveFiles(v - 1)
       // an overwrite REPLACES content, so it resets the schema to its own
       // (dropping columns via overwrite is legitimate; via append it isn't)
       done = tryCommit(v, "overwrite", rows, files, gone, None,
-        Some(df.schema), stats = fstats)
+        Some(stagedDf.schema), stats = fstats)
     }
     v
   }
@@ -1588,6 +1795,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
       Files.createDirectories(dst.getParent)
       try Files.createLink(dst, src)
       catch {
+        // a pre-existing destination file is a STALE PARTIAL CLONE (a
+        // prior attempt crashed after linking files, before the log
+        // commit — such a tree passes the _txn_log precheck above), NOT
+        // a no-hardlink filesystem: fail with the actionable message
+        // instead of retrying as a copy that rethrows confusingly
+        case _: FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"clone destination $destRoot holds a stale partial clone " +
+              s"(found $dst without a committed log); remove the " +
+              "directory and re-run")
         case _: UnsupportedOperationException |
              _: java.nio.file.FileSystemException =>
           Files.copy(src, dst) // no-hardlink fs: degrade to a copy
@@ -1780,18 +1997,107 @@ final class TxnTable(val spark: SparkSession, val root: String,
   /** Live files at `v` whose recorded [min, max] for `colName` can
     * intersect [loB, hiB]; files without stats for the column are kept. */
   private def pruneFiles(v: Long, colName: String,
-      loB: BigDecimal, hiB: BigDecimal): Seq[String] = {
+      loB: BigDecimal, hiB: BigDecimal): Seq[String] =
+    filesSurviving(v, Seq(TxnTable.SkipRange(colName, Some(loB), Some(hiB))))
+
+  /** A point value in the STATS comparison space (the footer's plain
+    * decimal rendering): plain numerics verbatim, timestamps as epoch
+    * micros, dates as epoch days — exactly what `footerStats` recorded
+    * for those physical types. Strings/decimals/etc. have no recorded
+    * ordering → None (the bloom probe may still apply). */
+  private def statsSpace(x: Any): Option[BigDecimal] = x match {
+    case l: Long => Some(BigDecimal(l))
+    case i: Int => Some(BigDecimal(i))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case d: Double => Some(BigDecimal(d))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
+  }
+
+  /** THE file-skipping core: live files at `v` that MAY contain a row
+    * satisfying every predicate in `preds` — commit-time [min, max] /
+    * null-count stats first (pure driver-side metadata), then the
+    * parquet bloom probe for the point predicates on whatever the stats
+    * admitted (one footer + bloom-page read per candidate, the Delta
+    * bloom-index planning-read class). Files without stats for a
+    * predicate's column are always kept, so incomplete metadata costs
+    * pruning, never rows; the caller re-applies the exact row filter
+    * above. Every explicit read API (`readRange`/`readWhereEq`/`In`/
+    * `Null`) and every routed one (SQL WHERE via `GraftSqlRule`, the
+    * `graft-txn` bridge's `buildScan`) funnels through here, so the
+    * plain `SELECT ... WHERE` a user types pays the same 1-of-N planning
+    * cost as the native calls. */
+  private def filesSurviving(v: Long,
+      preds: Seq[TxnTable.SkipPred]): Seq[String] = {
+    import TxnTable._
+    val live = liveFiles(v)
+    if (preds.isEmpty) return live
     val statsByFile: FileStats = statsAt(v)
+    val sc = schemaAt(v)
     // footer stats are keyed by PHYSICAL column name (what the files
-    // contain) — translate the caller's logical name through the mapping
-    val phys = physicalIn(schemaAt(v), colName)
-    def overlaps(enc: String): Boolean =
+    // contain) — translate each predicate's logical name once
+    val physOf = preds.map {
+      case p: SkipRange => p.col -> physicalIn(sc, p.col)
+      case p: SkipEq => p.col -> physicalIn(sc, p.col)
+      case p: SkipIn => p.col -> physicalIn(sc, p.col)
+      case p: SkipNull => p.col -> physicalIn(sc, p.col)
+    }.toMap
+    def minMax(enc: String, phys: String): Option[(BigDecimal, BigDecimal)] =
       enc.split(';').collectFirst {
         case s if s.startsWith(phys + ":") =>
-          val p = s.split(':')
-          BigDecimal(p(2)) >= loB && BigDecimal(p(1)) <= hiB
-      }.getOrElse(true)
-    liveFiles(v).filter(f => statsByFile.get(f).forall(overlaps))
+          val p = s.split(':'); (BigDecimal(p(1)), BigDecimal(p(2)))
+      }
+    def nullsField(enc: String, prefix: String): Option[Long] =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
+      }
+    def rangeKeep(enc: String, phys: String, lo: Option[BigDecimal],
+        hi: Option[BigDecimal]): Boolean =
+      minMax(enc, phys).forall { case (mn, mx) =>
+        lo.forall(mx >= _) && hi.forall(mn <= _)
+      }
+    def statsKeep(enc: String, p: SkipPred): Boolean = p match {
+      case SkipRange(c, lo, hi) => rangeKeep(enc, physOf(c), lo, hi)
+      case SkipEq(c, value) => statsSpace(value).forall(b =>
+        rangeKeep(enc, physOf(c), Some(b), Some(b)))
+      case SkipIn(c, values) => values.exists(x => statsSpace(x).forall(b =>
+        rangeKeep(enc, physOf(c), Some(b), Some(b))))
+      case SkipNull(c, isNull) =>
+        (nullsField(enc, s"#nulls.${physOf(c)}"), nullsField(enc, "#rows")) match {
+          case (Some(nn), _) if isNull => nn > 0
+          case (Some(nn), Some(nr)) if !isNull => nn < nr
+          case _ => true
+        }
+    }
+    val afterStats = live.filter(f =>
+      statsByFile.get(f).forall(enc => preds.forall(statsKeep(enc, _))))
+    // bloom passes only for the point predicates, only on the
+    // stats-admitted candidates (on a clustered column that is ~1 file)
+    preds.foldLeft(afterStats) {
+      case (fs, SkipEq(c, value)) => bloomPrune(fs, physOf(c), c, Seq(value), v)
+      case (fs, SkipIn(c, values)) if values.nonEmpty =>
+        bloomPrune(fs, physOf(c), c, values, v)
+      case (fs, _) => fs
+    }
+  }
+
+  /** Snapshot read over ONLY the files surviving `preds` — NO row filter
+    * applied, which is why it is `private[graft]`: the SQL lowering
+    * (GraftSqlRule) and the format bridge (TxnFormat) keep the user's
+    * original filter above the plan, so this must never surface to a
+    * caller who would treat it as the filtered result. */
+  private[graft] def readPruned(preds: Seq[TxnTable.SkipPred],
+      version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val files = filesSurviving(v, preds)
+    if (dvsAt(v).isEmpty) scanPlain(v, files)
+    else scanTagged(v, files).drop("_f", "_idx")
   }
 
   /** NULL-predicate read with FILE-LEVEL data skipping from the
@@ -1809,25 +2115,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
   def readWhereNull(colName: String, isNull: Boolean,
       version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val v = if (version < 0) currentVersion else version
-    require(v >= 0, s"no committed version in $root")
-    val statsByFile = statsAt(v)
-    val phys = physicalIn(schemaAt(v), colName)
-    def keepFile(enc: String): Boolean = {
-      def field(prefix: String): Option[Long] =
-        enc.split(';').collectFirst {
-          case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
-        }
-      (field(s"#nulls.$phys"), field("#rows")) match {
-        case (Some(nn), _) if isNull => nn > 0
-        case (Some(nn), Some(nr)) if !isNull => nn < nr
-        case _ => true
-      }
-    }
-    val files = liveFiles(v).filter(f => statsByFile.get(f).forall(keepFile))
-    val base = if (dvsAt(v).isEmpty) scanPlain(v, files)
-      else scanTagged(v, files).drop("_f", "_idx")
-    base.filter(if (isNull) col(s"`$colName`").isNull
+    readPruned(Seq(TxnTable.SkipNull(colName, isNull)), version)
+      .filter(if (isNull) col(s"`$colName`").isNull
               else col(s"`$colName`").isNotNull)
   }
 
@@ -1851,28 +2140,34 @@ final class TxnTable(val spark: SparkSession, val root: String,
   def readWhereEq(colName: String, value: Any, version: Long = -1L)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val v = if (version < 0) currentVersion else version
-    require(v >= 0, s"no committed version in $root")
-    val phys = physicalIn(schemaAt(v), colName)
-    // numeric keys ride the range prune first — bloom then probes only
-    // the stats-admitted files
-    val candidates0 = value match {
-      case n @ (_: Long | _: Int | _: Double | _: Float) =>
-        val b = BigDecimal(n.toString)
-        pruneFiles(v, colName, b, b)
-      case _ => liveFiles(v)
-    }
-    val candidates = bloomPrune(candidates0, phys, colName, value, v)
-    val base = if (dvsAt(v).isEmpty) scanPlain(v, candidates)
-      else scanTagged(v, candidates).drop("_f", "_idx")
-    base.filter(col(s"`$colName`") === lit(value))
+    readPruned(Seq(TxnTable.SkipEq(colName, value)), version)
+      .filter(col(s"`$colName`") === lit(value))
   }
 
-  /** Files whose bloom filter for `phys` PROVES `value` absent from every
-    * row group are dropped; anything else (no bloom, unhashable type,
-    * possible hit) is kept. */
+  /** IN-list read with the COMPOSED file skipping per value — min/max
+    * stats and blooms both apply, and a file survives if ANY listed
+    * value admits it. This is the common GDPR-delete / debug lookup
+    * shape (`WHERE user_id IN (...)`): on a clustered or bloomed column
+    * an m-value IN opens ≤ m files out of N, and the planning cost stays
+    * one footer+bloom read per stats-admitted candidate — never a data
+    * scan. The exact row filter applies above, so the result equals
+    * `read(v).filter(col.isin(values))` by construction (the oracle pins
+    * it; TxnSpec pins the planned-file count). An EMPTY value list plans
+    * zero files (no value can match) and returns the empty frame. */
+  def readWhereIn(colName: String, values: Seq[Any], version: Long = -1L)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readPruned(Seq(TxnTable.SkipIn(colName, values)), version)
+      .filter(col(s"`$colName`").isin(values: _*))
+  }
+
+  /** Files whose bloom filter for `phys` PROVES every value in `values`
+    * absent from every row group are dropped; a file is kept if ANY
+    * value may hit ANY row group (or the bloom/type is unusable). One
+    * file open serves all values — the IN-list probe costs the same
+    * footer read as the single-value one. */
   private def bloomPrune(files: Seq[String], phys: String, colName: String,
-      value: Any, v: Long): Seq[String] = {
+      values: Seq[Any], v: Long): Seq[String] = {
     import org.apache.spark.sql.types._
     val dt = schemaAt(v).flatMap(_.fields.find(_.name == colName))
       .map(_.dataType)
@@ -1888,7 +2183,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
             case Some(chunk) =>
               val bf = r.getBloomFilterDataReader(block).readBloomFilter(chunk)
               if (bf == null) true // no bloom written: keep
-              else {
+              else values.exists { value =>
                 val hash = dt match {
                   case Some(LongType) => value match {
                     case l: Long => Some(bf.hash(l))
@@ -1962,6 +2257,10 @@ final class TxnTable(val spark: SparkSession, val root: String,
       keyExpr: Seq[org.apache.spark.sql.Column],
       clusterBy: Seq[String], cdc: Boolean, v: Long): Long = {
     import org.apache.spark.sql.functions.{col, lit}
+    // generated columns: the update batch may not write them directly;
+    // the engine computes them on the update/insert side (stored values
+    // on untouched kept rows carry verbatim)
+    val ups = withGenerated(updates, v, rejectExplicit = true)
     // Touched-file DISCOVERY is itself stats-pruned: a file whose
     // recorded [min, max] for the first merge key cannot contain ANY
     // update key is provably unmatched and is never scanned — on a
@@ -1970,25 +2269,21 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // pins this by deleting a non-candidate file from disk). Files
     // without stats, and non-rangeable key types, scan as before —
     // incomplete metadata costs pruning, never correctness.
-    val updKeys = updates.select(keyExpr: _*).distinct()
-    val candidates: Seq[String] = {
-      def bd(x: Any): Option[BigDecimal] = x match {
-        case l: Long => Some(BigDecimal(l))
-        case i: Int => Some(BigDecimal(i))
-        case d: Double => Some(BigDecimal(d))
-        case f: Float => Some(BigDecimal(f.toDouble))
-        case t: java.sql.Timestamp =>
-          Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
-        case _ => None
-      }
+    val updKeys = ups.select(keyExpr: _*).distinct()
+    // the update-key [min, max] in stats space — drives BOTH the
+    // touched-file discovery prune here and the disjointness guard a
+    // lost-race reconciliation checks intervening adds against
+    val keyRange: Option[(BigDecimal, BigDecimal)] = {
       import org.apache.spark.sql.functions.{max => fmax, min => fmin}
       val b = updKeys.agg(fmin(col(keyCols.head)), fmax(col(keyCols.head))).head()
-      val pruned = for {
+      for {
         _ <- Some(()) if !b.isNullAt(0)
-        lo <- bd(b.get(0)); hi <- bd(b.get(1))
-      } yield pruneFiles(v, keyCols.head, lo, hi)
-      pruned.getOrElse(liveFiles(v))
+        lo <- statsSpace(b.get(0)); hi <- statsSpace(b.get(1))
+      } yield (lo, hi)
     }
+    val candidates: Seq[String] = keyRange
+      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
+      .getOrElse(liveFiles(v))
     // `_f` is the table-relative provenance tag (matches the log's file
     // names directly); DVs are already applied, so a DV-deleted row can
     // neither mark its file touched nor survive into the rewrite
@@ -2007,7 +2302,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     try {
     // rewritten content: touched files' unmatched rows + ALL update rows
     // (matched replacements and brand-new keys land together)
-    val touchedRows = if (touched.isEmpty) updates.limit(0)
+    val touchedRows = if (touched.isEmpty) ups.limit(0)
       else inTouched.join(updKeys, keyCols, "left_anti")
     // change-data-feed sidecar, written AT COMMIT TIME because the
     // pre-images are unrecoverable afterwards (the rewrite destroys
@@ -2019,29 +2314,32 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val existKeys = inTouched.select(keyExpr: _*).distinct()
       val pre = inTouched.join(updKeys, keyCols, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
-      val post = updates.join(existKeys, keyCols, "left_semi")
+      val post = ups.join(existKeys, keyCols, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
-      val ins = updates.join(existKeys, keyCols, "left_anti")
+      val ins = ups.join(existKeys, keyCols, "left_anti")
         .withColumn("_change_type", lit("insert"))
       pre.unionByName(post, allowMissingColumns = true)
         .unionByName(ins, allowMissingColumns = true)
         .write.parquet(abs(rel))
       Some(rel)
     }
-    val merged = touchedRows.unionByName(updates, allowMissingColumns = true)
+    val merged = touchedRows.unionByName(ups, allowMissingColumns = true)
     val cb = if (clusterBy.nonEmpty) clusterBy else declaredClusterBy(v)
     val staged =
       if (cb.isEmpty) merged
       else merged.repartitionByRange(math.max(1, touched.size), cb.map(col): _*)
         .sortWithinPartitions(cb.map(col): _*)
-    val sc = unionSchema(schemaAt(v), updates.schema, freshPhysFor())
+    val sc = unionSchema(schemaAt(v), ups.schema, freshPhysFor())
     val (files, rows, fstats) =
       stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
-    if (!tryCommit(v + 1, "merge", rows, files, touched, None, Some(sc),
-        cdc = cdcRel, stats = fstats))
-      throw new IllegalStateException(
-        s"merge lost the race at v${v + 1}; re-run against the new tip")
-    v + 1
+    // lost publish races re-validate and re-claim WITHOUT re-staging when
+    // every intervening commit is provably disjoint (file sets + key
+    // ranges) — two merges on disjoint key ranges each stage exactly once
+    val guard = keyRange.map { case (lo, hi) =>
+      (physicalIn(Some(sc), keyCols.head), lo, hi)
+    }
+    publishReconciling(v, "merge", rows, files, touched, Some(sc),
+      cdcRel, fstats, guard, "merge")
     } finally { inTouched.unpersist(); () }
   }
 
@@ -2107,11 +2405,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
     val (files, rows, fstats) =
       stage(schemaAt(v).fold(keep)(toPhysical(keep, _)))
-    if (!tryCommit(v + 1, "delete", rows, files, touched, None, schemaAt(v),
-        cdc = writeCdc(), stats = fstats))
-      throw new IllegalStateException(
-        s"delete lost the race at v${v + 1}; re-run against the new tip")
-    v + 1
+    // lost races reconcile only against provably-disjoint REMOVE-ONLY
+    // intervening commits (guard = None: an arbitrary delete predicate
+    // has no key range to prove adds disjoint against — fail closed)
+    publishReconciling(v, "delete", rows, files, touched, schemaAt(v),
+      writeCdc(), fstats, None, "delete")
     } finally { matched.unpersist(); () }
   }
 
@@ -2144,6 +2442,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tagged = readTagged(v)
     val dataCols = tagged.columns.filterNot(c => c == "_f" || c == "_idx").toSeq
     set.keys.foreach(k => require(dataCols.contains(k), s"no such column: $k"))
+    // GENERATED ALWAYS columns refuse direct assignment; they recompute
+    // below on the post-assignment rows (their inputs may have changed)
+    generatedAt(v).foreach { case (n, _) =>
+      if (set.contains(n)) throw new IllegalArgumentException(
+        s"column $n is GENERATED ALWAYS AS — it cannot be assigned; " +
+          "it recomputes from the updated row")
+    }
     val matchedPred = coalesce(cond, lit(false))
     // assignments applied to a matched row (column order preserved)
     def applySet(df: DataFrame): DataFrame =
@@ -2152,7 +2457,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val matched = tagged.filter(matchedPred)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val updated = applySet(matched.drop("_f", "_idx"))
+      val updated = withGenerated(applySet(matched.drop("_f", "_idx")), v,
+        rejectExplicit = false)
       def writeCdc(): Option[String] = if (!cdc) None else {
         val rel = s"_cdc/c-${UUID.randomUUID()}"
         matched.drop("_f", "_idx")
@@ -2189,11 +2495,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .filter(matchedPred === lit(false)).drop("_f", "_idx")
       val rewritten = keep.unionByName(enforced(updated, constraintsAt(v)))
       val (files, rows, fstats) = stage(sc.fold(rewritten)(toPhysical(rewritten, _)))
-      if (!tryCommit(v + 1, "update", rows, files, touched, None, sc,
-          cdc = writeCdc(), stats = fstats))
-        throw new IllegalStateException(
-          s"update lost the race at v${v + 1}; re-run against the new tip")
-      v + 1
+      // same remove-only reconciliation window as copy-on-write delete
+      publishReconciling(v, "update", rows, files, touched, sc,
+        writeCdc(), fstats, None, "update")
     } finally { matched.unpersist(); () }
   }
 
@@ -2457,6 +2761,33 @@ object TxnTable {
     * handle — the NAMED failure mode (never a parse surprise). */
   final class ProtocolException(msg: String)
       extends IllegalStateException(msg)
+
+  /** PRUNE-ONLY predicate forms the commit-log file skipping understands
+    * — the planning-time subset of a row filter. Each form names the
+    * files that MAY contain a matching row; the caller always re-applies
+    * the exact row predicate above whatever survives, so an
+    * unrecognized/unstatted form costs pruning, never rows. These are
+    * what the SQL/catalog lowering and the `graft-txn` format bridge
+    * extract from a WHERE clause (and what `readRange`/`readWhereEq`/
+    * `readWhereNull`/`readWhereIn` build directly):
+    *
+    *  - `SkipRange`: [min, max] overlap against commit-time numeric
+    *    stats (plain numerics, DATE days, MICROS timestamps — the stats
+    *    space `footerStats` records). Open bounds allowed (one-sided
+    *    comparisons; strict `<`/`>` prune as their inclusive forms,
+    *    which is sound and at file granularity nearly as sharp).
+    *  - `SkipEq`: point lookup — the numeric stats prune AND the parquet
+    *    bloom-filter probe for declared `graft.bloomBy` columns.
+    *  - `SkipIn`: multi-value point lookup — a file survives if ANY
+    *    value admits it (stats ∪ bloom per value); the GDPR/debug
+    *    `WHERE key IN (...)` shape.
+    *  - `SkipNull`: IS [NOT] NULL against commit-time null counts. */
+  sealed trait SkipPred
+  final case class SkipRange(col: String, lo: Option[BigDecimal],
+      hi: Option[BigDecimal]) extends SkipPred
+  final case class SkipEq(col: String, value: Any) extends SkipPred
+  final case class SkipIn(col: String, values: Seq[Any]) extends SkipPred
+  final case class SkipNull(col: String, isNull: Boolean) extends SkipPred
 
   /** Metadata-only table statistics (see `tableStats`): exact live row
     * count and on-disk bytes, plus per-logical-column [min, max] bounds

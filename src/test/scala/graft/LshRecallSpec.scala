@@ -118,4 +118,20 @@ class LshRecallSpec extends SparkTestBase {
       .filter(col("a_id") < 200 && col("b_id") < 200).count()
     assert(plain == 19900L, "uncapped join does quadratic work on the hot bucket")
   }
+
+  test("IVF recall@3 is monotone in nprobe and strictly gains by nprobe=3") {
+    // the multi-probe tuning law: each probe set CONTAINS the previous
+    // one, so measured recall must be non-decreasing in nprobe — and on
+    // this corpus (random unit vectors, neighbors straddling cell
+    // boundaries constantly) extra probes must actually recover some of
+    // the single-probe miss class, not just tie it
+    val rows = SparkEntry.queries("i_ann_ivf_probe_recall")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val recalls = rows.map(_._2).toSeq
+    assert(recalls.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last > recalls.head,
+      s"three probes should beat one on this corpus: $recalls")
+  }
 }

@@ -391,6 +391,80 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("RocksDB state store: custom-state sessionizer and stream-stream join are provider-invariant") {
+    // the other two 100-TB state shapes beside the windowed agg: the
+    // flatMapGroupsWithState sessionizer (arbitrary user state +
+    // EventTimeTimeout eviction) and the dual-buffer stream-stream
+    // interval join — both must produce IDENTICAL output under the
+    // RocksDB provider (bounded heap, local-disk spill), or the provider
+    // is not a deployment knob but a semantics change
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessEvent
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // --- sessionizer under RocksDB (the EventTimeTimeout scenario)
+      val ms = MemoryStream[SessEvent]
+      val q = StreamOps.sessionize(ms.toDS(), gapMinutes = 30,
+          watermarkDelay = "10 seconds")
+        .toDF().writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      ms.addData(SessEvent(1, t("2024-01-01 09:00:00")),
+        SessEvent(1, t("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      ms.addData(SessEvent(2, t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      ms.addData(SessEvent(2, t("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rocks_sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(rows.count(_._1 == 1L) == 1,
+        s"user 1 session emitted once under RocksDB, got: ${rows.toSeq}")
+      assert(rows.find(_._1 == 1L).get ==
+        ((1L, t("2024-01-01 09:00:00"), t("2024-01-01 09:05:00"), 2L)))
+      // --- stream-stream interval join under RocksDB vs the batch truth
+      val clicksRaw = Seq(
+        Ev(t("2024-01-01 09:08:00"), 1, "click", 100.0),
+        Ev(t("2024-01-01 09:50:00"), 1, "click", 101.0),
+        Ev(t("2024-01-01 09:08:00"), 2, "click", 102.0))
+      val viewsRaw = Seq(
+        Ev(t("2024-01-01 09:00:00"), 1, "view", 200.0),
+        Ev(t("2024-01-01 09:05:00"), 1, "view", 201.0),
+        Ev(t("2024-01-01 09:30:00"), 1, "view", 202.0),
+        Ev(t("2024-01-01 09:07:00"), 2, "view", 203.0))
+      def shapeC(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("value").cast("long").as("click_id"),
+          col("ts").as("click_ts"))
+      def shapeV(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id").as("v_user"), col("value").cast("long").as("view_id"),
+          col("ts").as("view_ts"))
+      val msC = MemoryStream[Ev]
+      val msV = MemoryStream[Ev]
+      msC.addData(clicksRaw: _*)
+      msV.addData(viewsRaw: _*)
+      val joined = StreamOps.clickViewIntervalJoin(
+        shapeC(msC.toDF()).withWatermark("click_ts", "1 hour"),
+        shapeV(msV.toDF()).withWatermark("view_ts", "1 hour"))
+      runToMemory(joined, "rocks_ssj", "append")
+      val streamed = spark.table("rocks_ssj")
+        .orderBy("user_id", "click_id", "view_id").collect().map(_.toString).toSeq
+      val batch = StreamOps.clickViewIntervalJoin(
+          shapeC(clicksRaw.toDF()), shapeV(viewsRaw.toDF()))
+        .orderBy("user_id", "click_id", "view_id").collect().map(_.toString).toSeq
+      assert(streamed == batch && streamed.size == 3,
+        s"RocksDB streamed=$streamed batch=$batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source: live trigger-interval run drains the backlog through the sessionizer") {
     // The sandbox's closest analog to a message bus: `rate` generates rows
     // continuously while the query runs, so unlike the MemoryStream tests

@@ -2015,6 +2015,235 @@ class TxnSpec extends SparkTestBase {
     try spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS").collect()
     finally spark.sql("DROP TABLE IF EXISTS an_plain")
   }
+
+  test("plain SQL WHERE plans only the stats-surviving files (file skipping through the rule)") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.sp")
+    sqlS.sql("CREATE TABLE graft.sp.t (k BIGINT, v BIGINT) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.sp.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    val rng = new scala.util.Random(13)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    // content law first: pruning is invisible in rows
+    val q = sqlS.sql("SELECT k, v FROM graft.sp.t WHERE k BETWEEN 110 AND 130")
+    assert(q.as[(Long, Long)].collect().toSet ==
+      t.read().filter(col("k") >= 110 && col("k") <= 130)
+        .as[(Long, Long)].collect().toSet)
+    // the planned-file pins: the typed WHERE plans the SAME 1-of-4 subset
+    // as the native readRange; the unfiltered read still plans all 4
+    assert(q.inputFiles.count(_.contains("/d-")) == 1,
+      s"SQL range planned ${q.inputFiles.count(_.contains("/d-"))} of 4")
+    assert(t.readRange("k", 110, 130).inputFiles.count(_.contains("/d-")) == 1)
+    assert(sqlS.sql("SELECT k FROM graft.sp.t")
+      .inputFiles.count(_.contains("/d-")) == 4)
+    // point EQ and a 2-value IN across two files
+    assert(sqlS.sql("SELECT v FROM graft.sp.t WHERE k = 17")
+      .inputFiles.count(_.contains("/d-")) == 1)
+    assert(sqlS.sql("SELECT v FROM graft.sp.t WHERE k IN (17, 315)")
+      .inputFiles.count(_.contains("/d-")) == 2)
+    // one-sided ranges prune too (open bound keeps the edge files only)
+    assert(sqlS.sql("SELECT v FROM graft.sp.t WHERE k >= 350")
+      .inputFiles.count(_.contains("/d-")) == 1)
+    // a conjunct the extractor can't read (expression over the column)
+    // costs pruning, never rows — and the extractable conjunct still bites
+    val mix = sqlS.sql(
+      "SELECT v FROM graft.sp.t WHERE k BETWEEN 110 AND 130 AND k % 2 = 0")
+    assert(mix.inputFiles.count(_.contains("/d-")) == 1)
+    assert(mix.as[Long].collect().toSet ==
+      (110L to 130L by 2).map(_ * 3).toSet)
+  }
+
+  test("graft-txn format bridge prunes files from pushed filters (proof by deleting a pruned file)") {
+    val t = TxnTable.fresh(spark, dir("bridge_prune"))
+    (0L until 4L).foreach(i =>
+      t.append(((i * 100L) until (i * 100L + 100L)).map(k => (k, k * 3))
+        .toDF("k", "v")))
+    // each append is one key-disjoint file; range filter must plan 1
+    val full = spark.read.format("graft-txn").load(t.root)
+    val want = (110L to 130L).map(k => (k, k * 3)).toSet
+    val ranged = full.filter(col("k") >= 110 && col("k") <= 130)
+    assert(ranged.as[(Long, Long)].collect().toSet == want)
+    // behavioral proof the V1 bridge prunes at FILE level: delete a file
+    // the range excludes from DISK (after both plans are bound) — the
+    // pruned execution still answers, the full scan fails at execution
+    // (it genuinely needs the file)
+    val victim = Paths.get(java.net.URI.create(
+      t.readRange("k", 300, 399).inputFiles.filter(_.contains("/d-")).head))
+    Files.delete(victim)
+    assert(ranged.as[(Long, Long)].collect().toSet == want)
+    intercept[Exception] { full.count() }
+  }
+
+  test("readWhereIn composes stats + bloom skipping per value") {
+    val t = TxnTable.fresh(spark, dir("where_in"))
+    val rng = new scala.util.Random(17)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    // two values in two different clustered files → 2 of 4 planned
+    val in2 = t.readWhereIn("k", Seq(17L, 315L))
+    assert(in2.as[(Long, Long)].collect().toSet == Set((17L, 51L), (315L, 945L)))
+    assert(in2.inputFiles.count(_.contains("/d-")) == 2,
+      s"planned ${in2.inputFiles.count(_.contains("/d-"))} of 4")
+    // both values in ONE file → 1 of 4
+    assert(t.readWhereIn("k", Seq(110L, 130L))
+      .inputFiles.count(_.contains("/d-")) == 1)
+    // empty list: zero files planned, empty result
+    assert(t.readWhereIn("k", Nil).inputFiles.isEmpty)
+    assert(t.readWhereIn("k", Nil).count() == 0)
+    // bloom composition on an unclustered string key
+    val b = TxnTable.fresh(spark, dir("where_in_bloom"))
+    b.append((0L until 200L).map(k => (k, s"u$k")).toDF("k", "tag")
+      .repartition(1))
+    b.setProperties(Map("graft.bloomBy" -> "tag"))
+    b.append((200L until 600L).map(k => (k, s"u$k")).toDF("k", "tag")
+      .repartition(4))
+    val hit = b.readWhereIn("tag", Seq("u250", "u455"))
+    assert(hit.as[(Long, String)].collect().toSet ==
+      Set((250L, "u250"), (455L, "u455")))
+    // pre-bloom file always kept; the 4 bloomed files prune to the ≤2
+    // that may hold the probes (plus rare false positives)
+    assert(hit.inputFiles.length <= 4,
+      s"IN probe planned ${hit.inputFiles.length} of 5 files")
+    val miss = b.readWhereIn("tag", Seq("nope1", "nope2"))
+    assert(miss.count() == 0)
+    assert(miss.inputFiles.length <= 2,
+      s"miss planned ${miss.inputFiles.length} — blooms unused?")
+  }
+
+  test("disjoint concurrent merges reconcile: both commit, exactly one staging each") {
+    val t = TxnTable.fresh(spark, dir("reconcile"))
+    t.append((0L until 100L).map(k => (k, k)).toDF("k", "v"))   // v0
+    t.compact(target = 2, clusterBy = Seq("k"))                 // v1: [0..49], [50..99]
+    def stagedDirs(): Int = {
+      val s = Files.list(Paths.get(t.root))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("d-"))
+      finally s.close()
+    }
+    val before = stagedDirs()
+    val updatesB = Seq((60L, -60L), (80L, -80L)).toDF("k", "v")
+    var fired = false
+    t.onBeforePublish = () => if (!fired) {
+      fired = true
+      t.merge(updatesB, Seq("k"))  // lands FIRST, in A's stage→publish window
+    }
+    try {
+      val vA = t.merge(Seq((5L, -5L), (20L, -20L)).toDF("k", "v"), Seq("k"))
+      // A staged before B committed, lost the v2 slot, re-validated
+      // (disjoint files AND key ranges) and re-published at v3
+      assert(vA == 3L, s"merge A landed at v$vA")
+    } finally t.onBeforePublish = () => ()
+    // exactly ONE staging per merge — a re-run would have left a third dir
+    assert(stagedDirs() - before == 2,
+      s"stagings: ${stagedDirs() - before} (re-stage on reconcile?)")
+    // content ≡ serial replay of both merges
+    val want = (0L until 100L).map(k => (k, k)).toMap ++
+      Map(5L -> -5L, 20L -> -20L, 60L -> -60L, 80L -> -80L)
+    assert(t.read().as[(Long, Long)].collect().toMap == want)
+    // a genuinely OVERLAPPING pair (same touched file) still serializes
+    var fired2 = false
+    t.onBeforePublish = () => if (!fired2) {
+      fired2 = true
+      t.merge(Seq((62L, 1L)).toDF("k", "v"), Seq("k"))
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        t.merge(Seq((63L, 2L)).toDF("k", "v"), Seq("k"))
+      }
+      assert(e.getMessage.contains("re-run"), e.getMessage)
+    } finally t.onBeforePublish = () => ()
+  }
+
+  test("GENERATED ALWAYS AS: computed on write, rejected on direct write, recomputed on DML") {
+    val t = TxnTable.fresh(spark, dir("generated"))
+    t.append(Seq((1L, 10L)).toDF("k", "v"))                        // v0
+    t.addGeneratedColumn("v2", org.apache.spark.sql.types.LongType,
+      "v * 2")                                                     // v1
+    t.append(Seq((2L, 20L)).toDF("k", "v"))                        // v2
+    def rows(): Set[(Long, Long, Option[Long])] =
+      t.read().as[(Long, Long, Option[Long])].collect().toSet
+    // pre-declaration row reads NULL; post-declaration row computed
+    assert(rows() == Set((1L, 10L, None), (2L, 20L, Some(40L))))
+    // the direct-write gate, on every DML surface
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, 30L, 0L)).toDF("k", "v", "v2"))
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((3L, 30L, 0L)).toDF("k", "v", "v2"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      t.update(Map("v2" -> lit(0L)), col("k") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      t.overwrite(Seq((3L, 30L, 0L)).toDF("k", "v", "v2"))
+    }
+    // UPDATE recomputes from the post-assignment row
+    t.update(Map("v" -> (col("v") + 1)), col("k") === 2L)
+    assert(rows() == Set((1L, 10L, None), (2L, 21L, Some(42L))))
+    // MERGE computes on its update/insert side
+    t.merge(Seq((1L, 100L), (9L, 900L)).toDF("k", "v"), Seq("k"))
+    assert(rows() == Set((1L, 100L, Some(200L)), (2L, 21L, Some(42L)),
+      (9L, 900L, Some(1800L))))
+    // the declaration survives a checkpointed reopen and a clone
+    val cloneDst = dir("generated_clone") + "_c"
+    val cdp = Paths.get(cloneDst)
+    if (Files.exists(cdp)) {
+      val w = Files.walk(cdp)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    val c = t.cloneTo(cloneDst)
+    c.append(Seq((4L, 40L)).toDF("k", "v"))
+    assert(c.read().as[(Long, Long, Option[Long])].collect().toSet
+      .contains((4L, 40L, Some(80L))))
+  }
+
+  test("COPY INTO reports loaded/skipped and resumes after partial ingest") {
+    val srcDir = dir("copy_src_spec")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val t = TxnTable.fresh(spark, dir("copy_into_spec"))
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    val r1 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir'").head()
+    assert((r1.getInt(0), r1.getInt(1), r1.getLong(2)) == ((2, 0, 2L)))
+    // the replay: all files skipped as log-metadata no-ops
+    val r2 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir'").head()
+    assert((r2.getInt(0), r2.getInt(1), r2.getLong(2)) == ((0, 2, 0L)))
+    // a NEW file arriving later ingests alone (the resume shape)
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val r3 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir'").head()
+    assert((r3.getInt(0), r3.getInt(1)) == ((1, 2)))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("cloneTo names a stale partial clone instead of a confusing copy failure") {
+    val t = TxnTable.fresh(spark, dir("clone_stale_src"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val destRoot = dir("clone_stale_dst")
+    val destP = Paths.get(destRoot)
+    if (Files.exists(destP)) {
+      val w = Files.walk(destP)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    // simulate a prior clone that crashed after linking a file but
+    // before the log commit: the file exists, _txn_log does not
+    val srcFile = Paths.get(java.net.URI.create(t.read().inputFiles.head))
+    val rel = Paths.get(t.root).toAbsolutePath.relativize(srcFile).toString
+    Files.createDirectories(destP.resolve(rel).getParent)
+    Files.createFile(destP.resolve(rel))
+    val e = intercept[IllegalStateException] { t.cloneTo(destRoot) }
+    assert(e.getMessage.contains("stale partial clone"), e.getMessage)
+  }
 }
 
 /** Tiny parallel helper: run f on its own thread per element, propagate the

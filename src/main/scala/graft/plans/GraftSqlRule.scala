@@ -72,6 +72,26 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteReadsInner(plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
+      // METADATA-ONLY AGGREGATES: an unfiltered global `SELECT count(*)`
+      // (and, when every live file carries complete stats and no
+      // deletion vector is active, `min(col)`/`max(col)` on integral /
+      // date / timestamp columns) over a graft table answers from the
+      // commit log — live files' #rows stats minus still-applicable
+      // deletion-vector rows, folded per-column [min, max]
+      // (TxnTable.tableStats, exact after every DML commit) — so a
+      // 100 TB row count or freshness watermark is a KB-scale metadata
+      // fold on the driver, not a table scan. Grouping, filters,
+      // DISTINCT, count(col) (null-sensitive), float/string extremes
+      // (NaN / truncation semantics) and every other aggregate fall
+      // through to the normal lowered scan, as does min/max the moment
+      // a DV exists (a DV can delete the extreme row — bounds stop
+      // being provably-attained values). Analysis-time evaluation pins
+      // the snapshot exactly like the read lowering below does.
+      case agg @ Aggregate(Nil, exprs, GraftRel(_, t), _)
+          if exprs.nonEmpty &&
+            exprs.forall(e => isCountStar(e) || minMaxOf(e).isDefined) =>
+        metaAggregate(t, agg)
+          .getOrElse(agg) // unchanged: the traversal lowers the scan below
       // a Filter DIRECTLY above a graft relation (the `SELECT ... WHERE`
       // shape after analysis) routes its prunable conjuncts into the
       // commit-log FILE skipping (stats/bloom/null prune) — the snapshot
@@ -85,121 +105,97 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case r @ DataSourceV2Relation(t: GraftTableV2, _, _, _, _, _) => readPlan(r, t)
     }
 
-  /** The planning-time skip predicates extractable from `cond`: literal
-    * comparisons / IN-lists / null tests on a bare column of the
-    * relation. Strict `<` / `>` prune as their inclusive forms (sound at
-    * file granularity); anything unrecognized simply contributes no
-    * predicate. Value mapping mirrors the stats space (`footerStats`):
-    * plain numerics verbatim, DATE as epoch days, TIMESTAMP[_NTZ] as
-    * epoch micros; strings carry through for the bloom probe only. */
-  private def skipPredsOf(cond: Expression,
-      r: DataSourceV2Relation): Seq[TxnTable.SkipPred] = {
-    import org.apache.spark.sql.catalyst.expressions._
+  /** `count(*)` / `count(1)` — non-distinct, unfiltered, all-literal
+    * non-null arguments: the aggregates whose global value is exactly
+    * the table's row count. */
+  private def isCountStar(ne: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Boolean = ne match {
+    case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _) =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count =>
+          c.children.nonEmpty && c.children.forall(e =>
+            e.foldable && e.deterministic &&
+              scala.util.Try(e.eval(null)).toOption.exists(_ != null))
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** `min(col)` / `max(col)` on a type whose commit-log stats are EXACT
+    * attained values (parquet footer min/max are exact for these; string
+    * stats truncate and float stats have NaN semantics — excluded). */
+  private def minMaxOf(ne: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Option[(Boolean, String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
-    val outs = r.outputSet
-    // RuntimeReplaceables (BETWEEN et al.) survive analysis unexpanded —
-    // their replacement is the expanded form (`between` → `>= AND <=`),
-    // so recursing into it extracts the bounds the optimizer would see
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
-      case rr: RuntimeReplaceable => conjuncts(rr.replacement)
-      // common-expression factoring (With/ref/def — what BETWEEN's
-      // replacement arrives wrapped in): inline the defs back
-      case w: With =>
-        val byId = w.defs.map(d => d.id -> d.child).toMap
-        conjuncts(w.child.transform {
-          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
-        })
-      case other => Seq(other)
-    }
-    // EXACT order-preserving widenings (what coercion inserts around the
-    // column side, e.g. `cast(k as bigint) IN (...)` on an INT column):
-    // comparing in the wider space decides identically to the stats
-    // space, so the cast can be seen through. Anything lossy (long →
-    // double) stays opaque — no pruning beats wrong pruning.
-    def widens(from: DataType, to: DataType): Boolean = {
-      def rank(dt: DataType): Option[Int] = dt match {
-        case ByteType => Some(0); case ShortType => Some(1)
-        case IntegerType => Some(2); case LongType => Some(3)
-        case _ => None
-      }
-      from == to ||
-        rank(from).zip(rank(to)).exists { case (a, b) => a <= b } ||
-        (from == FloatType && to == DoubleType)
-    }
-    def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference if outs.contains(a) => Some(a.name)
-      case c: Cast => c.child match {
-        case a: AttributeReference
-            if outs.contains(a) && widens(a.dataType, c.dataType) =>
-          Some(a.name)
-        case _ => None
-      }
-      case _ => None
-    }
-    // constant side of a comparison: a Literal, or any FOLDABLE
-    // deterministic expression (the analyzed plan still carries the
-    // coercion Casts the optimizer folds later — `k > 110` on a BIGINT
-    // column is `k > cast(110 as bigint)` here), evaluated now
-    def constOf(e: Expression): Option[(Any, DataType)] = e match {
-      case Literal(v, dt) => Option(v).map((_, dt))
-      case _ if e.foldable && e.deterministic =>
-        scala.util.Try(e.eval(null)).toOption
-          .flatMap(Option(_)).map((_, e.dataType))
-      case _ => None
-    }
-    // a literal in the STATS comparison space (prune bound)
-    def bdLit(e: Expression): Option[BigDecimal] = constOf(e).flatMap {
-      case (v, IntegerType) => Some(BigDecimal(v.asInstanceOf[Int]))
-      case (v, LongType) => Some(BigDecimal(v.asInstanceOf[Long]))
-      case (v, ShortType) => Some(BigDecimal(v.asInstanceOf[Short].toInt))
-      case (v, ByteType) => Some(BigDecimal(v.asInstanceOf[Byte].toInt))
-      case (v, DoubleType) => Some(BigDecimal(v.asInstanceOf[Double]))
-      case (v, FloatType) => Some(BigDecimal(v.asInstanceOf[Float].toDouble))
-      case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
-      case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
-      case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))
-      case _ => None
-    }
-    // a literal as a POINT value (stats range via statsSpace, bloom via
-    // the schema-typed probe). Date/timestamp literals pass their raw
-    // days/micros — the stats space — and the bloom probe ignores them
-    // (schema type mismatch keeps the file), which is sound.
-    def pointVal(e: Expression): Option[Any] = constOf(e).flatMap {
-      case (v, StringType) => Some(v.toString)
-      case (v, IntegerType | LongType | DoubleType | FloatType |
-               ShortType | ByteType | DateType | TimestampType |
-               TimestampNTZType) => Some(v)
-      case _ => None
-    }
-    // `attr OP lit` keeps the bound as written; `lit OP attr` flips it
-    def range(x: Expression, y: Expression, loSide: Boolean)
-        : Option[TxnTable.SkipPred] =
-      (for (n <- attrName(x); b <- bdLit(y)) yield
-        if (loSide) TxnTable.SkipRange(n, Some(b), None)
-        else TxnTable.SkipRange(n, None, Some(b)))
-      .orElse(for (n <- attrName(y); b <- bdLit(x)) yield
-        if (loSide) TxnTable.SkipRange(n, None, Some(b))
-        else TxnTable.SkipRange(n, Some(b), None))
-    conjuncts(cond).flatMap {
-      case GreaterThanOrEqual(x, y) => range(x, y, loSide = true)
-      case GreaterThan(x, y) => range(x, y, loSide = true)
-      case LessThanOrEqual(x, y) => range(x, y, loSide = false)
-      case LessThan(x, y) => range(x, y, loSide = false)
-      case EqualTo(x, y) =>
-        (for (n <- attrName(x); v <- pointVal(y))
-          yield TxnTable.SkipEq(n, v))
-        .orElse(for (n <- attrName(y); v <- pointVal(x))
-          yield TxnTable.SkipEq(n, v))
-      case In(a, list) if list.nonEmpty =>
-        for (n <- attrName(a);
-             xs <- Some(list.flatMap(pointVal(_))) if xs.size == list.size)
-          yield TxnTable.SkipIn(n, xs)
-      case IsNull(a) => attrName(a).map(TxnTable.SkipNull(_, isNull = true))
-      case IsNotNull(a) => attrName(a).map(TxnTable.SkipNull(_, isNull = false))
+    def ok(dt: DataType) = dt == IntegerType || dt == LongType ||
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    ne match {
+      case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _)
+          if ae.filter.isEmpty =>
+        // DISTINCT is irrelevant to an extreme — accepted either way
+        ae.aggregateFunction match {
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference)
+              if ok(a.dataType) => Some((true, a.name, a.dataType))
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference)
+              if ok(a.dataType) => Some((false, a.name, a.dataType))
+          case _ => None
+        }
       case _ => None
     }
   }
+
+  /** The one-row LocalRelation answering `agg` from log metadata at the
+    * relation's (possibly pinned) version, or None when the fold cannot
+    * prove every value (no committed version, a min/max column without
+    * complete stats in every live file, any active DV) — the normal
+    * scan answers then. An EMPTY table answers count 0 / extremes NULL
+    * without touching stats completeness at all. */
+  private def metaAggregate(t: GraftTableV2, agg: Aggregate)
+      : Option[LogicalPlan] =
+    scala.util.Try {
+      val table = TxnTable.at(session, t.root)
+      val v = if (t.pinnedVersion >= 0) t.pinnedVersion
+              else table.currentVersion
+      if (v < 0) None
+      else {
+        val st = table.tableStats(v)
+        lazy val dvFree = !table.hasDeletionVectors(v)
+        val vals: Seq[Option[Any]] = agg.aggregateExpressions.map { ne =>
+          if (isCountStar(ne)) Some(st.rowCount)
+          else minMaxOf(ne).flatMap { case (isMin, name, dt) =>
+            if (st.rowCount == 0L) Some(null) // SQL extreme of no rows
+            else if (!dvFree) None
+            else st.colMinMax.get(name).map { case (lo, hi) =>
+              internalOf(if (isMin) lo else hi, dt) }
+          }
+        }
+        if (vals.forall(_.isDefined))
+          Some(LocalRelation(agg.output,
+            Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+              vals.map(_.get)))))
+        else None
+      }
+    }.toOption.flatten
+
+  /** A stats-space BigDecimal back to the column's INTERNAL value. */
+  private def internalOf(bd: BigDecimal,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | DateType => bd.toIntExact
+      case LongType | TimestampType | TimestampNTZType => bd.toLongExact
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+  }
+
+  /** The planning-time skip predicates extractable from `cond` — the
+    * shared extractor (`sources.SkipExtract`) with the resolved-plan
+    * attribute strategy: bare relation attributes, exact widening
+    * coercion casts seen through, foldable literal sides evaluated. */
+  private def skipPredsOf(cond: Expression,
+      r: DataSourceV2Relation): Seq[TxnTable.SkipPred] =
+    graft.sources.SkipExtract.preds(cond,
+      graft.sources.SkipExtract.resolvedAttr(r.outputSet))
 
   private def readPlan(r: DataSourceV2Relation, t: GraftTableV2,
       preds: Seq[TxnTable.SkipPred] = Nil): LogicalPlan = {

@@ -171,6 +171,40 @@ object TTxn {
     graft.sources.GraftSql.session(s, root)
   }
 
+  /** Shared time-skipping fixture: the events projection catalog-mounted
+    * and cluster-compacted by `ts` into 4 range-disjoint files — the
+    * layout where a time-function WHERE (`year(ts)`, `CAST(ts AS DATE)`)
+    * typed in plain SQL must plan a strict file subset
+    * (t_txn_time_fn_prune reads it; TxnSpec pins planned-file counts on
+    * its own per-day fixture). */
+  private def timeFnHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.SparkSession = {
+    val root = scratch("txn_timefn_" + math.abs(d.hashCode))
+    warmed.computeIfAbsent("timefn:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      val src = Tables.events(ss, d)
+        .select("event_id", "ts", "event_type", "value")
+      ss.sql("CREATE TABLE graft.main.timefn " +
+        s"(${src.schema.toDDL}) USING `graft-txn`")
+      src.createOrReplaceTempView("timefn_src")
+      ss.sql("INSERT INTO graft.main.timefn SELECT * FROM timefn_src")
+      TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.timefn", ss))
+        .compact(target = 4, clusterBy = Seq("ts"))
+      root
+    })
+    graft.sources.GraftSql.session(s, root)
+  }
+
   private def agg(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -1037,6 +1071,79 @@ object TTxn {
         .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"),
           count(col("qty_bp")).as("n_bp"), sum("qty_bp").as("sum_bp"))
         .orderBy("l_returnflag")
+    }),
+
+    "t_txn_time_fn_prune" -> ((s, d) => {
+      // TIME-FUNCTION file skipping through plain SQL: `year(ts) = Y` and
+      // `CAST(ts AS DATE) BETWEEN d1 AND d2` — the predicates users type
+      // for "this week's data" — invert (SkipExtract.TimeInvert) onto the
+      // ts column's raw micros stats, so the week's query plans the
+      // week's files on a time-clustered table. The oracle recomputes the
+      // same predicates from source: a wrong inversion (an unsound
+      // boundary, a dropped DST/UTC instant) loses or gains rows and
+      // breaks the hash. The planned-file pin is TxnSpec's.
+      val ss = timeFnHistory(s, d)
+      ss.sql("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v " +
+        "FROM graft.main.timefn WHERE year(ts) = 2024 " +
+        "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14' " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
+
+    "t_txn_count_meta" -> ((s, d) => {
+      // metadata-only COUNT(*): the analysis rule answers an unfiltered
+      // `SELECT count(*)` over a graft table straight from the commit
+      // log — live files' #rows stats minus deletion-vector rows — so a
+      // 100 TB row count costs a KB metadata fold, not a scan. The
+      // fixture stacks every term of that arithmetic: plain appends
+      // (#rows), a merge-on-read UPDATE (DV old images + staged
+      // post-image adds, net zero), and a DV DELETE (net negative);
+      // the oracle recomputes the surviving-row count from source, so a
+      // wrong stats sum, a missed DV subtraction, or a double-counted
+      // post-image all break the one-row hash. The no-scan proof (count
+      // survives data files deleted from disk) is TxnSpec's pin.
+      val root = scratch("txn_cntmeta_" + math.abs(d.hashCode))
+      warmed.computeIfAbsent("cntmeta:" + d, _ => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(root)
+        if (Files.exists(p)) {
+          val w = Files.walk(p)
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally w.close()
+        }
+        val ss = graft.sources.GraftSql.session(s, root)
+        ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+        ss.sql("CREATE TABLE graft.main.cnt " +
+          s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
+        slice(ss, d, 1).createOrReplaceTempView("cnt_line1")
+        slice(ss, d, 2).createOrReplaceTempView("cnt_line2")
+        ss.sql("INSERT INTO graft.main.cnt SELECT * FROM cnt_line1")
+        ss.sql("INSERT INTO graft.main.cnt SELECT * FROM cnt_line2")
+        val t = TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.cnt", ss))
+        t.update(Map("l_quantity" -> (col("l_quantity") + lit(1.0d))),
+          col("l_linenumber") === 2, dv = true) // MOR: DVs + post-images
+        t.deleteWhere(col("l_quantity") > 30.0d, dv = true) // DV delete
+        root
+      })
+      graft.sources.GraftSql.session(s, root)
+        .sql("SELECT count(*) AS n FROM graft.main.cnt")
+    }),
+
+    "t_txn_minmax_meta" -> ((s, d) => {
+      // metadata-only MIN/MAX beside the count: on a DV-free table whose
+      // live files all carry complete stats, integral/timestamp extremes
+      // answer from the commit-log fold (footer min/max are EXACT
+      // attained values for these types) — the freshness-watermark
+      // statement (`SELECT max(ts) FROM t`) at KB metadata cost. The
+      // oracle recomputes the extremes from source, so a stats fold that
+      // widened, clipped, or grabbed a neighboring file's bound breaks
+      // the hash. The no-scan proof and the refusals (DV active, string
+      // column, incomplete stats) are TxnSpec's pins.
+      val ss = timeFnHistory(s, d)
+      ss.sql("SELECT min(ts) AS ts_min, max(ts) AS ts_max, " +
+        "min(event_id) AS id_min, max(event_id) AS id_max, count(*) AS n " +
+        "FROM graft.main.timefn")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1279,5 +1386,25 @@ object TTxn {
         "FROM lineitem WHERE l_linenumber = 6) " +
         "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
         "count(qty_bp) AS n_bp, CAST(sum(qty_bp) AS BIGINT) AS sum_bp " +
-        "FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"))
+        "FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // same time predicates recomputed straight from source — a wrong
+    // monotone inversion in the skipping loses rows and breaks the hash
+    "t_txn_time_fn_prune" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v " +
+        "FROM events WHERE year(ts) = 2024 " +
+        "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14' " +
+        "GROUP BY event_type ORDER BY event_type"),
+    // surviving-row count after append + MOR update (+1.0 on line 2) +
+    // DV delete of quantity > 30 — recomputed rowwise from source
+    "t_txn_count_meta" ->
+      ("SELECT count(*) AS n FROM (" +
+        "SELECT l_quantity AS q FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_quantity + 1 FROM lineitem WHERE l_linenumber = 2) " +
+        "WHERE NOT q > 30"),
+    // extremes recomputed rowwise from source — a widened/clipped stats
+    // fold or a bound from the wrong file breaks the one-row hash
+    "t_txn_minmax_meta" ->
+      ("SELECT min(ts) AS ts_min, max(ts) AS ts_max, " +
+        "min(event_id) AS id_min, max(event_id) AS id_max, count(*) AS n " +
+        "FROM events"))
 }

@@ -1,0 +1,400 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** The ONE place a row predicate is lowered into planning-time skip
+  * predicates (`TxnTable.SkipPred`) — shared by every surface that wants
+  * file-level skipping from a user-written condition:
+  *
+  *  - the SQL analysis rule (`GraftSqlRule`): a WHERE directly above a
+  *    graft relation, with RESOLVED attributes;
+  *  - the native DML entry points (`deleteWhere` / `update`): an API
+  *    `Column` whose attributes are UNRESOLVED names — candidate
+  *    DISCOVERY then reads commit metadata instead of scanning the
+  *    table for its touched files;
+  *  - the `graft-txn` format bridge translates V1 `sources.Filter`s
+  *    separately (`TxnFilters.toSkipPreds` — that surface already hands
+  *    over decomposed conjuncts with external values).
+  *
+  * Soundness contract, same as everywhere in the skipping core: an
+  * extracted predicate must be implied by the condition (conjuncts
+  * only; strict bounds widen to inclusive; unknown shapes extract
+  * NOTHING), because the caller prunes files by it and re-applies the
+  * exact condition above — so a missed extraction costs pruning, never
+  * rows, and a wrong extraction is the only unsound failure. */
+private[graft] object SkipExtract {
+
+  /** Resolver for RESOLVED plans: a bare attribute of `outs`, or an
+    * EXACT order-preserving widening cast of one (what type coercion
+    * wraps the column side in, e.g. `cast(k as bigint) IN (...)` on an
+    * INT column — deciding in the wider space is identical to deciding
+    * in the stats space). Lossy casts (long → double) stay opaque. */
+  def resolvedAttr(outs: AttributeSet): Expression => Option[String] = {
+    def widens(from: DataType, to: DataType): Boolean = {
+      def rank(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(0); case ShortType => Some(1)
+        case IntegerType => Some(2); case LongType => Some(3)
+        case _ => None
+      }
+      from == to ||
+        rank(from).zip(rank(to)).exists { case (a, b) => a <= b } ||
+        (from == FloatType && to == DoubleType)
+    }
+    e => e match {
+      case a: AttributeReference if outs.contains(a) => Some(a.name)
+      case c: Cast => c.child match {
+        case a: AttributeReference
+            if outs.contains(a) && widens(a.dataType, c.dataType) =>
+          Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Resolver for API-level `Column`s (unresolved single-part names)
+    * against the table's declared column set. No cast-unwrapping here:
+    * an unresolved attribute has no known type to prove a cast safe. */
+  def namedAttr(names: Set[String]): Expression => Option[String] = {
+    case a: AttributeReference if names.contains(a.name) => Some(a.name)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if u.nameParts.length == 1 && names.contains(u.nameParts.head) =>
+      Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** Extract the skip predicates implied by `cond`, with `attrOf`
+    * deciding what counts as a bare column reference. */
+  def preds(cond: Expression,
+      attrOf: Expression => Option[String]): Seq[TxnTable.SkipPred] = {
+    // RuntimeReplaceables (BETWEEN et al.) survive analysis unexpanded —
+    // their replacement is the expanded form (`between` → `>= AND <=`),
+    // so recursing into it extracts the bounds the optimizer would see
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case rr: RuntimeReplaceable => conjuncts(rr.replacement)
+      // common-expression factoring (With/ref/def — what BETWEEN's
+      // replacement arrives wrapped in): inline the defs back
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        conjuncts(w.child.transform {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        })
+      case other => Seq(other)
+    }
+    // constant side of a comparison: a Literal, or any FOLDABLE
+    // deterministic resolved expression (analyzed plans still carry the
+    // coercion Casts the optimizer folds later — `k > 110` on a BIGINT
+    // column is `k > cast(110 as bigint)` there), evaluated now
+    def constOf(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, dt) => Option(v).map((_, dt))
+      case _ if e.resolved && e.foldable && e.deterministic =>
+        scala.util.Try(e.eval(null)).toOption
+          .flatMap(Option(_)).map((_, e.dataType))
+      case _ => None
+    }
+    // a literal in the STATS comparison space (prune bound)
+    def bdLit(e: Expression): Option[BigDecimal] = constOf(e).flatMap {
+      case (v, IntegerType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, LongType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, ShortType) => Some(BigDecimal(v.asInstanceOf[Short].toInt))
+      case (v, ByteType) => Some(BigDecimal(v.asInstanceOf[Byte].toInt))
+      case (v, DoubleType) => Some(BigDecimal(v.asInstanceOf[Double]))
+      case (v, FloatType) => Some(BigDecimal(v.asInstanceOf[Float].toDouble))
+      case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case _ => None
+    }
+    // a literal as a POINT value (stats range via the numeric space,
+    // bloom via the schema-typed probe). Date/timestamp literals pass
+    // their raw days/micros — the stats space — and the bloom probe
+    // ignores them (schema type mismatch keeps the file): sound.
+    def pointVal(e: Expression): Option[Any] = constOf(e).flatMap {
+      case (v, StringType) => Some(v.toString)
+      case (v, IntegerType | LongType | DoubleType | FloatType |
+               ShortType | ByteType | DateType | TimestampType |
+               TimestampNTZType) => Some(v)
+      case _ => None
+    }
+    // `attr OP lit` keeps the bound as written; `lit OP attr` flips it
+    def range(x: Expression, y: Expression, loSide: Boolean)
+        : Option[TxnTable.SkipPred] =
+      (for (n <- attrOf(x); b <- bdLit(y)) yield
+        if (loSide) TxnTable.SkipRange(n, Some(b), None)
+        else TxnTable.SkipRange(n, None, Some(b)))
+      .orElse(for (n <- attrOf(y); b <- bdLit(x)) yield
+        if (loSide) TxnTable.SkipRange(n, None, Some(b))
+        else TxnTable.SkipRange(n, Some(b), None))
+    def basic(e: Expression): Option[TxnTable.SkipPred] = e match {
+      case GreaterThanOrEqual(x, y) => range(x, y, loSide = true)
+      case GreaterThan(x, y) => range(x, y, loSide = true)
+      case LessThanOrEqual(x, y) => range(x, y, loSide = false)
+      case LessThan(x, y) => range(x, y, loSide = false)
+      case EqualTo(x, y) =>
+        (for (n <- attrOf(x); v <- pointVal(y))
+          yield TxnTable.SkipEq(n, v))
+        .orElse(for (n <- attrOf(y); v <- pointVal(x))
+          yield TxnTable.SkipEq(n, v))
+      case In(a, list) if list.nonEmpty =>
+        for (n <- attrOf(a);
+             xs <- Some(list.flatMap(pointVal(_))) if xs.size == list.size)
+          yield TxnTable.SkipIn(n, xs)
+      case IsNull(a) => attrOf(a).map(TxnTable.SkipNull(_, isNull = true))
+      case IsNotNull(a) => attrOf(a).map(TxnTable.SkipNull(_, isNull = false))
+      case _ => None
+    }
+    // monotone TIME-function inversion: `year(ts) = 2024`,
+    // `cast(ts as date) = DATE '…'`, `date_trunc('day', ts) >= …` — the
+    // predicates users actually type for "the day's data" — become a
+    // SkipRange on the UNDERLYING column's raw stats space (micros/days),
+    // so the day's query plans the day's files without rewriting the SQL.
+    // Tried only when the plain extraction yields nothing, so a bare
+    // point equality keeps its bloom-probing SkipEq.
+    def timeFn(e: Expression): Option[TxnTable.SkipPred] = {
+      def inverted(fn: Expression, lit: Expression)
+          : Option[(String, (BigDecimal, BigDecimal))] =
+        for { (n, m) <- TimeInvert.inv(fn, attrOf)
+              c <- constOf(lit); r <- m(c._1, c._2) } yield (n, r)
+      e match {
+        case EqualTo(x, y) =>
+          inverted(x, y).orElse(inverted(y, x)).map { case (n, (lo, hi)) =>
+            TxnTable.SkipRange(n, Some(lo), Some(hi)) }
+        case GreaterThanOrEqual(x, y) => invCmp(inverted, x, y)
+        case GreaterThan(x, y) => invCmp(inverted, x, y)
+        case LessThanOrEqual(x, y) => invCmp(inverted, y, x)
+        case LessThan(x, y) => invCmp(inverted, y, x)
+        case In(a, list) if list.nonEmpty =>
+          // span of the per-value intervals — sound (a superset of the
+          // disjunction), and the common `day IN (d1, d2)` lists are
+          // near-contiguous so the span still prunes
+          val rs = list.map(l => inverted(a, l))
+          if (rs.forall(_.isDefined)) {
+            val got = rs.flatten
+            Some(TxnTable.SkipRange(got.head._1,
+              Some(got.map(_._2._1).min), Some(got.map(_._2._2).max)))
+          } else None
+        case _ => None
+      }
+    }
+    conjuncts(cond).flatMap(c => basic(c).orElse(timeFn(c)))
+  }
+
+  /** `f(attr) >= lit` (either argument order — callers pass (ge-side,
+    * le-side)): keep only the bound the monotone inversion makes sound. */
+  private def invCmp(
+      inverted: (Expression, Expression) => Option[(String, (BigDecimal, BigDecimal))],
+      geSide: Expression, leSide: Expression): Option[TxnTable.SkipPred] =
+    // fn on the >= side: x >= lo(c). fn on the <= side: x <= hi(c).
+    inverted(geSide, leSide)
+      .map { case (n, (lo, _)) => TxnTable.SkipRange(n, Some(lo), None) }
+      .orElse(inverted(leSide, geSide)
+        .map { case (n, (_, hi)) => TxnTable.SkipRange(n, None, Some(hi)) })
+
+  /** Inversion of a MONOTONE (non-decreasing) time-function chain applied
+    * to a date/timestamp column, into bounds in the column's raw stats
+    * space (epoch days for DATE, epoch micros for TIMESTAMP[_NTZ]).
+    *
+    * Contract (what makes the pruning sound): for chain `f` and constant
+    * `c`, the returned interval [lo, hi] satisfies
+    *   f(x) >= c  ⇒  x >= lo      and      f(x) <= c  ⇒  x <= hi
+    * so equality implies x ∈ [lo, hi], `>=`/`>` keep only lo, `<=`/`<`
+    * keep only hi (strict widened to inclusive — file granularity).
+    * Composition maps interval ENDPOINTS through the child's inversion,
+    * which preserves the contract because every step is non-decreasing.
+    * Anything uninvertible (lossy cast, non-monotone field like month(),
+    * unknown unit, arithmetic overflow) returns None — no pruning beats
+    * wrong pruning. Timezone arithmetic uses the Cast/TruncTimestamp
+    * node's OWN zone (what the analyzer resolved) via java.time rules —
+    * the same rules Spark evaluates with — with earlier/later offset at
+    * DST overlaps chosen per endpoint so the interval can only widen. */
+  private object TimeInvert {
+    import java.time._
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    private val Micros = 1000000L
+
+    /** Point constant in the chain's value space → raw [lo, hi]. */
+    type Mapper = (Any, DataType) => Option[(BigDecimal, BigDecimal)]
+
+    def inv(e: Expression, attrOf: Expression => Option[String])
+        : Option[(String, Mapper)] =
+      recur(e, attrOf).collect {
+        // a bare column (or widening cast of one) is the basic
+        // extraction's job — only a genuine function chain lands here
+        case (n, space, m) if !isBare(e) =>
+          (n, (v: Any, dt: DataType) => toNum(v, dt, space)
+            .flatMap(c => scala.util.Try(m(c)).toOption.flatten))
+      }
+
+    private def isBare(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case c: Cast => c.child.isInstanceOf[AttributeReference] &&
+        c.child.dataType == c.dataType
+      case _ => false
+    }
+
+    /** The constant, converted to the chain's numeric space iff its
+      * resolved type matches the space family exactly (the analyzer
+      * coerces the literal to the function's return type, so a family
+      * mismatch means "don't prune", not "convert"). */
+    private def toNum(v: Any, dt: DataType, space: DataType)
+        : Option[BigDecimal] = (dt, space) match {
+      case (DateType, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (TimestampType, TimestampType | TimestampNTZType) |
+           (TimestampNTZType, TimestampType | TimestampNTZType) =>
+        Some(BigDecimal(v.asInstanceOf[Long]))
+      case (IntegerType, IntegerType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (LongType, IntegerType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (ShortType, IntegerType) =>
+        Some(BigDecimal(v.asInstanceOf[Short].toInt))
+      case _ => None
+    }
+
+    /** (column, value-space type, point-inversion in numeric space). */
+    private def recur(e: Expression, attrOf: Expression => Option[String])
+        : Option[(String, DataType, BigDecimal => Option[(BigDecimal, BigDecimal)])] = {
+      def compose(childM: BigDecimal => Option[(BigDecimal, BigDecimal)],
+          lo: BigDecimal, hi: BigDecimal): Option[(BigDecimal, BigDecimal)] =
+        for ((l, _) <- childM(lo); (_, h) <- childM(hi)) yield (l, h)
+      e match {
+        // base: a raw date/timestamp column — identity inversion
+        case a: AttributeReference if attrOf(a).isDefined &&
+            (a.dataType == DateType || a.dataType == TimestampType ||
+             a.dataType == TimestampNTZType) =>
+          Some((attrOf(a).get, a.dataType, c => Some((c, c))))
+        // to_date(ts) and friends analyze to a RuntimeReplaceable whose
+        // replacement is the Cast chain below
+        case rr: RuntimeReplaceable => recur(rr.replacement, attrOf)
+        case c: Cast =>
+          recur(c.child, attrOf).flatMap { case (n, space, m) =>
+            (space, c.dataType) match {
+              // micros → days: day d's preimage is [startOfDay(d),
+              // startOfDay(d+1)) in the cast's zone (NTZ: wall clock)
+              case (TimestampType | TimestampNTZType, DateType) =>
+                val zone = zoneFor(space, c.timeZoneId)
+                Some((n, DateType, (d: BigDecimal) => {
+                  val ld = LocalDate.ofEpochDay(d.toLongExact)
+                  compose(m, BigDecimal(dayStartMicros(ld, zone, later = false)),
+                    BigDecimal(dayStartMicros(ld.plusDays(1), zone, later = true) - 1L))
+                }))
+              // days → micros: instant c's preimage in days is
+              // [ceil-day(c), floor-day(c)] (lo > hi when c is interior
+              // to a day and only equality could match — still sound)
+              case (DateType, TimestampType | TimestampNTZType) =>
+                val zone = zoneFor(c.dataType, c.timeZoneId)
+                Some((n, c.dataType, (mic: BigDecimal) => {
+                  val micL = mic.toLongExact
+                  val ld = Instant.ofEpochSecond(Math.floorDiv(micL, Micros),
+                    Math.floorMod(micL, Micros) * 1000L).atZone(zone).toLocalDate
+                  val loDay =
+                    if (dayStartMicros(ld, zone, later = false) >= micL) ld
+                    else ld.plusDays(1)
+                  compose(m, BigDecimal(loDay.toEpochDay),
+                    BigDecimal(ld.toEpochDay))
+                }))
+              // exact integral widening around an integer-space chain
+              // (`year(ts) = 2024L` coerces the YEAR side up)
+              case (IntegerType, LongType) => Some((n, space, m))
+              case _ => None
+            }
+          }
+        case y: org.apache.spark.sql.catalyst.expressions.Year =>
+          recur(y.child, attrOf).flatMap { case (n, space, m) =>
+            if (space != DateType) None
+            else Some((n, IntegerType, (y: BigDecimal) => {
+              val yi = y.toIntExact
+              if (yi < 1 || yi > 9998) None
+              else compose(m, BigDecimal(LocalDate.of(yi, 1, 1).toEpochDay),
+                BigDecimal(LocalDate.of(yi + 1, 1, 1).toEpochDay - 1L))
+            }))
+          }
+        // date_trunc(unit, ts): f(x) >= c ⇒ x >= c (trunc never exceeds
+        // its input), f(x) <= c ⇒ x < nextBoundary(floorBoundary(c))
+        case TruncTimestamp(fmt, child, tz) if fmt.foldable =>
+          for {
+            unit <- scala.util.Try(fmt.eval(null)).toOption.flatMap(Option(_))
+              .map(_.toString.toUpperCase(java.util.Locale.ROOT))
+            (n, space, m) <- recur(child, attrOf)
+            if space == TimestampType || space == TimestampNTZType
+          } yield {
+            val zone = zoneFor(space, tz)
+            (n, TimestampType, (c: BigDecimal) => {
+              val cL = c.toLongExact
+              nextBoundaryMicros(cL, unit, zone)
+                .flatMap(nb => compose(m, c, BigDecimal(nb - 1L)))
+            })
+          }
+        // trunc(date, unit): same shape in the days space
+        case TruncDate(child, fmt) if fmt.foldable =>
+          for {
+            unit <- scala.util.Try(fmt.eval(null)).toOption.flatMap(Option(_))
+              .map(_.toString.toUpperCase(java.util.Locale.ROOT))
+            (n, space, m) <- recur(child, attrOf) if space == DateType
+          } yield (n, DateType, (c: BigDecimal) => {
+            val ld = LocalDate.ofEpochDay(c.toLongExact)
+            floorNextDate(ld, unit).flatMap { case (_, nx) =>
+              compose(m, c, BigDecimal(nx.toEpochDay - 1L)) }
+          })
+        case _ => None
+      }
+    }
+
+    /** NTZ chains do wall-clock arithmetic (UTC stands in for "no zone");
+      * instant chains use the node's analyzer-resolved zone. */
+    private def zoneFor(space: DataType, tz: Option[String]): ZoneId =
+      if (space == TimestampNTZType) ZoneOffset.UTC
+      else ZoneId.of(tz.getOrElse(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+
+    private def microsOf(i: Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, Micros),
+        i.getNano / 1000L)
+
+    /** First instant of `ld` in `zone` as micros; at a DST overlap the
+      * `later` flag picks the offset that can only WIDEN the interval. */
+    private def dayStartMicros(ld: LocalDate, zone: ZoneId,
+        later: Boolean): Long = {
+      val z = ld.atStartOfDay(zone)
+      microsOf((if (later) z.withLaterOffsetAtOverlap() else z).toInstant)
+    }
+
+    /** The first truncation boundary STRICTLY ABOVE floor(c) for `unit`
+      * in `zone`, as micros (later offset at overlap — widening-safe). */
+    private def nextBoundaryMicros(c: Long, unit: String,
+        zone: ZoneId): Option[Long] = {
+      val l = Instant.ofEpochSecond(Math.floorDiv(c, Micros),
+        Math.floorMod(c, Micros) * 1000L).atZone(zone).toLocalDateTime
+      val nx: Option[LocalDateTime] = unit match {
+        case "YEAR" | "YYYY" | "YY" | "QUARTER" | "MONTH" | "MON" | "MM" |
+             "WEEK" | "DAY" | "DD" =>
+          floorNextDate(l.toLocalDate, unit).map(_._2.atStartOfDay)
+        case "HOUR" => Some(l.truncatedTo(ChronoUnit.HOURS).plusHours(1))
+        case "MINUTE" => Some(l.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1))
+        case "SECOND" => Some(l.truncatedTo(ChronoUnit.SECONDS).plusSeconds(1))
+        case _ => None
+      }
+      nx.map(n =>
+        microsOf(n.atZone(zone).withLaterOffsetAtOverlap().toInstant))
+    }
+
+    /** (floor boundary, next boundary) of `ld` for a date-granular unit
+      * (week starts Monday, matching Spark's trunc/date_trunc). */
+    private def floorNextDate(ld: LocalDate, unit: String)
+        : Option[(LocalDate, LocalDate)] = unit match {
+      case "YEAR" | "YYYY" | "YY" =>
+        val s = ld.withDayOfYear(1); Some((s, s.plusYears(1)))
+      case "QUARTER" =>
+        val s = LocalDate.of(ld.getYear, ((ld.getMonthValue - 1) / 3) * 3 + 1, 1)
+        Some((s, s.plusMonths(3)))
+      case "MONTH" | "MON" | "MM" =>
+        val s = ld.withDayOfMonth(1); Some((s, s.plusMonths(1)))
+      case "WEEK" =>
+        val s = ld.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        Some((s, s.plusDays(7)))
+      case "DAY" | "DD" =>
+        Some((ld, ld.plusDays(1)))
+      case _ => None
+    }
+  }
+}

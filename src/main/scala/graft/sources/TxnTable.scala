@@ -566,6 +566,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     ck.fold(Vector.empty[String])(_.dvs) ++ tail.flatMap(_.dv)
   }
 
+  /** Whether any deletion-vector sidecar is active at `v` — the gate the
+    * metadata-only MIN/MAX fast path checks: a DV can delete an extreme
+    * row, so stats bounds stop being provably-attained VALUES the moment
+    * one exists (row counts stay exact — DV rows are subtracted).
+    * Conservative: sidecars targeting since-rewritten files count too. */
+  private[graft] def hasDeletionVectors(v: Long): Boolean = dvsAt(v).nonEmpty
+
   /** Latest committed version, or -1 for an empty/absent log. Versions are
     * dense (the publish primitive makes v+1 impossible to skip), so the
     * max listed entry IS the tip. */
@@ -1863,6 +1870,60 @@ final class TxnTable(val spark: SparkSession, val root: String,
     scanTagged(v, liveFiles(v))
   }
 
+  /** The tagged scan a DML's matched-row DISCOVERY runs over: the
+    * condition's extractable conjuncts (shared `SkipExtract` core, with
+    * the table's column names resolving the unresolved API attributes)
+    * prune the candidate files from COMMIT METADATA first — a point
+    * delete/update on a clustered or bloomed column then discovers its
+    * touched set without scanning the table, the same shape `merge`
+    * already had for its key range. Files the stats cannot exclude scan
+    * as before; a condition with no extractable conjunct scans the live
+    * set — discovery pruning can only skip files PROVABLY free of
+    * matches, never change which rows match. */
+  private def taggedCandidates(cond: org.apache.spark.sql.Column,
+      v: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // the declared schema WITHOUT mapping metadata — what the API
+    // condition resolves against (identical to the snapshot frame's
+    // logical surface)
+    val plainSchema = schemaAt(v).map(sc => StructType(sc.fields.map(f =>
+      StructField(f.name, f.dataType, f.nullable))))
+    // resolve `cond` against an EMPTY frame of that schema: full
+    // analysis (name resolution + type coercion) with zero file access,
+    // then extract the skip predicates from the RESOLVED condition —
+    // the same battle-tested path the SQL rule takes. Any analysis
+    // failure here falls back to the unpruned scan (the real DML will
+    // surface the error with its own context).
+    val preds = plainSchema.map { sc =>
+      scala.util.Try {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
+        val analyzed = empty.filter(cond)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+            org.apache.spark.sql.Row]]
+          .queryExecution.analyzed
+        analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            SkipExtract.preds(f.condition,
+              SkipExtract.resolvedAttr(f.child.outputSet))
+        }.getOrElse(Nil)
+      }.getOrElse(Nil)
+    }.getOrElse(Nil)
+    val candidates = filesSurviving(v, preds)
+    if (candidates.nonEmpty) scanTagged(v, candidates)
+    else plainSchema match {
+      // zero candidates: the condition provably matches nothing — an
+      // EMPTY tagged frame without touching any file
+      case Some(sc) =>
+        import org.apache.spark.sql.functions.lit
+        spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
+          .withColumn("_f", lit("").cast("string"))
+          .withColumn("_idx", lit(0L))
+      case None => readTagged(v).limit(0)
+    }
+  }
+
   /** The PLAIN schema-bound scan over a file subset: physical column
     * names on disk, aliased back to logicals — no provenance columns, so
     * the plan is exactly the parquet scan (the shape `read` uses when no
@@ -2367,7 +2428,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
-    val tagged = readTagged(v)
+    val tagged = taggedCandidates(cond, v)
     // the matched rows feed up to three consumers (the touched-file
     // collect or DV sidecar, plus the CDC capture) — materialize once;
     // bounded by match bytes, unpersisted before return
@@ -2439,7 +2500,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
-    val tagged = readTagged(v)
+    val tagged = taggedCandidates(cond, v)
     val dataCols = tagged.columns.filterNot(c => c == "_f" || c == "_idx").toSeq
     set.keys.foreach(k => require(dataCols.contains(k), s"no such column: $k"))
     // GENERATED ALWAYS columns refuse direct assignment; they recompute

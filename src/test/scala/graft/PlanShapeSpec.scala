@@ -328,6 +328,11 @@ class PlanShapeSpec extends SparkTestBase {
       "i_embed_neardup", "i_simhash_hamming", "i_ann_recall",
       "i_lsh_recall", "i_ann_ivf", "i_ann_ivf_recall", "i_ann_pq_recall",
       "i_ann_ivfpq_recall", "i_embed_infer_sim", "i_embed_infer_ann_recall",
+      // multi-probe IVF: same bounded shapes as i_ann_ivf — the n×nlist
+      // assignment is a broadcast of the √n centroid table plus a one-row
+      // corpus-count scalar; the recall key additionally embeds the
+      // declared exact baseline (stride-sampled)
+      "i_ann_ivf_probe", "i_ann_ivf_probe_recall",
       // (b) one-row scalar / bounded-table broadcasts
       "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
       "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",

@@ -967,6 +967,58 @@ class TxnSpec extends SparkTestBase {
     assert(got(110L) == -1L && got(-5L) == -2L && got(109L) == 327L)
   }
 
+  test("delete/update discover touched files from stats — provably never scan non-candidates") {
+    val t = TxnTable.fresh(spark, dir("dml_prune"))
+    val rng = new scala.util.Random(29)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    // delete the TOP-range clustered file from disk: if the DML's
+    // matched-row discovery scanned the whole table, both statements
+    // below would die on the missing file — the condition's extracted
+    // conjuncts prune it from commit metadata instead
+    val top = t.readRange("k", 399, 399).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(top.size == 1)
+    Files.delete(Paths.get(java.net.URI.create(top.head)))
+    t.update(Map("v" -> (col("v") + 1L)), col("k") === 110L)
+    t.deleteWhere(col("k") >= 20L && col("k") <= 25L)
+    val got = t.readRange("k", 0, 299).as[(Long, Long)].collect().toMap
+    assert(got(110L) == 331L, s"update applied: ${got.get(110L)}")
+    assert(!(20L to 25L).exists(got.contains), "delete applied")
+    assert(got(109L) == 327L && got(26L) == 78L, "neighbors intact")
+    // each DML rewrote exactly the one file its condition admits
+    val removed = t.history().orderBy(col("version").desc).limit(2)
+      .select("n_removed_files").as[Long].collect().toSeq
+    assert(removed == Seq(1L, 1L), s"per-DML removes: $removed")
+  }
+
+  test("DML discovery composes with time-function inversion — a calendar DELETE never scans other days") {
+    import java.sql.Timestamp
+    // one file per day (single-partition appends), then a DELETE typed
+    // with the CALENDAR predicate (cast-to-date), not a raw ts range:
+    // discovery must invert it onto the micros stats and admit only the
+    // day's file — proven by deleting ANOTHER day's file from disk first
+    val t = TxnTable.fresh(spark, dir("dml_time_prune"))
+    val days = Seq("2024-03-01", "2024-03-02", "2024-03-03")
+    days.zipWithIndex.foreach { case (day, di) =>
+      val rows = (0 until 24).map(h =>
+        (Timestamp.valueOf(f"$day $h%02d:00:00"), di * 100L + h))
+      t.append(rows.toDF("ts", "v").repartition(1))
+    }
+    val day3 = t.readRange("v", 200, 223).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(day3.size == 1)
+    Files.delete(Paths.get(java.net.URI.create(day3.head)))
+    t.deleteWhere(expr("CAST(ts AS DATE) = DATE '2024-03-02'"))
+    assert(t.readRange("v", 0, 123).as[(java.sql.Timestamp, Long)]
+      .collect().map(_._2).toSet == (0 until 24).map(_.toLong).toSet,
+      "day 1 intact, day 2 gone")
+    val removed = t.history().orderBy(col("version").desc).limit(1)
+      .select("n_removed_files").as[Long].head()
+    assert(removed == 1L, s"calendar DELETE rewrote $removed files")
+  }
+
   test("readRangeTime prunes by timestamp stats: a day's query plans the day's file") {
     import java.sql.Timestamp
     val t = TxnTable.fresh(spark, dir("stats_time"))
@@ -2052,6 +2104,178 @@ class TxnSpec extends SparkTestBase {
     assert(mix.inputFiles.count(_.contains("/d-")) == 1)
     assert(mix.as[Long].collect().toSet ==
       (110L to 130L by 2).map(_ * 3).toSet)
+    // time travel composes with the skipping: the pinned snapshot's WHERE
+    // prunes by the SAME stats (4 clustered files live at the tip too)
+    val tip = t.currentVersion
+    assert(sqlS.sql(
+        s"SELECT v FROM graft.sp.t VERSION AS OF $tip WHERE k = 17")
+      .inputFiles.count(_.contains("/d-")) == 1)
+  }
+
+  test("plain SQL time-range WHERE plans the day's file (timestamp stats through the rule)") {
+    // the dominant 100-TB scan shape: a day's query over a time-clustered
+    // table must plan the day's files from a TYPED SQL statement, not
+    // only from the native readRangeTime API
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsp")
+    sqlS.sql("CREATE TABLE graft.tsp.t (ts TIMESTAMP, v BIGINT) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.tsp.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    val rng = new scala.util.Random(31)
+    val rows = for (day <- 1 to 4; m <- 0 until 100) yield
+      (java.sql.Timestamp.valueOf(f"2024-01-0$day ${m / 60}%02d:${m % 60}%02d:00"),
+        day * 1000L + m)
+    rng.shuffle(rows.toList).grouped(100)
+      .foreach(g => t.append(g.toDF("ts", "v")))
+    t.compact(target = 4, clusterBy = Seq("ts"))
+    // window strictly interior to day 2's quartile (range-partition
+    // boundaries are sampled — same caution as the readRangeTime pin)
+    val day2 = sqlS.sql("SELECT v FROM graft.tsp.t WHERE ts BETWEEN " +
+      "TIMESTAMP '2024-01-02 00:25:00' AND TIMESTAMP '2024-01-02 01:14:00'")
+    assert(day2.as[Long].collect().toSet ==
+      (25 until 75).map(m => 2000L + m).toSet)
+    assert(day2.inputFiles.count(_.contains("/d-")) == 1,
+      s"day query planned ${day2.inputFiles.count(_.contains("/d-"))} of 4")
+    assert(sqlS.sql("SELECT v FROM graft.tsp.t")
+      .inputFiles.count(_.contains("/d-")) == 4)
+  }
+
+  test("time-function WHERE prunes files: year / CAST-to-date / date_trunc invert onto raw stats") {
+    import java.sql.Timestamp
+    // four SINGLE-FILE appends, one calendar day each across three years —
+    // every planned-file pin below is exact, no range-partition sampling
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.tfn")
+    sqlS.sql("CREATE TABLE graft.tfn.t (ts TIMESTAMP, v BIGINT) USING `graft-txn`")
+    val t = TxnTable.at(sqlS, graft.plans.GraftTableFunctions.rootOf("graft.tfn.t", sqlS))
+    val days = Seq("2023-12-31", "2024-01-02", "2024-06-15", "2025-01-01")
+    days.zipWithIndex.foreach { case (day, di) =>
+      val rows = (0 until 48).map(i => (
+        Timestamp.valueOf(f"$day ${i / 2}%02d:${(i % 2) * 30}%02d:00"),
+        di * 1000L + i))
+      t.append(rows.toDF("ts", "v").repartition(1))
+    }
+    def q(where: String) = sqlS.sql(s"SELECT v FROM graft.tfn.t WHERE $where")
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.count(_.contains("/d-"))
+    assert(files(sqlS.sql("SELECT v FROM graft.tfn.t")) == 4)
+    def dayVals(di: Int) = (0 until 48).map(i => di * 1000L + i).toSet
+    // CAST-to-date point: the day's file, exactly
+    val castDay = q("CAST(ts AS DATE) = DATE '2024-01-02'")
+    assert(files(castDay) == 1, s"cast-date planned ${files(castDay)} of 4")
+    assert(castDay.as[Long].collect().toSet == dayVals(1))
+    // year() equality spans the year's files only
+    val y24 = q("year(ts) = 2024")
+    assert(files(y24) == 2, s"year planned ${files(y24)} of 4")
+    assert(y24.as[Long].collect().toSet == (dayVals(1) ++ dayVals(2)))
+    // year comparison keeps the sound single bound
+    assert(files(q("year(ts) <= 2023")) == 1)
+    // to_date() analyzes to the same cast chain
+    assert(files(q("to_date(ts) = DATE '2025-01-01'")) == 1)
+    // date_trunc month point and day lower bound
+    val mon = q("date_trunc('MONTH', ts) = TIMESTAMP '2024-06-01 00:00:00'")
+    assert(files(mon) == 1, s"trunc-month planned ${files(mon)} of 4")
+    assert(mon.as[Long].collect().toSet == dayVals(2))
+    assert(files(q("date_trunc('DAY', ts) >= TIMESTAMP '2024-06-15 00:00:00'")) == 2)
+    // a DATE column takes the days-space inversions (year, trunc)
+    sqlS.sql("CREATE TABLE graft.tfn.d (d DATE, v BIGINT) USING `graft-txn`")
+    val td = TxnTable.at(sqlS, graft.plans.GraftTableFunctions.rootOf("graft.tfn.d", sqlS))
+    Seq("2023", "2024").zipWithIndex.foreach { case (y, yi) =>
+      val rows = (1 to 12).map(m =>
+        (java.sql.Date.valueOf(f"$y-$m%02d-15"), yi * 100L + m))
+      td.append(rows.toDF("d", "v").repartition(1))
+    }
+    val yd = sqlS.sql("SELECT v FROM graft.tfn.d WHERE year(d) = 2024")
+    assert(yd.inputFiles.count(_.contains("/d-")) == 1)
+    assert(yd.as[Long].collect().toSet == (1 to 12).map(100L + _).toSet)
+    val md = sqlS.sql(
+      "SELECT v FROM graft.tfn.d WHERE trunc(d, 'MONTH') = DATE '2024-03-01'")
+    assert(md.inputFiles.count(_.contains("/d-")) == 1)
+    assert(md.as[Long].collect().toSet == Set(103L))
+  }
+
+  test("COUNT(*) answers from the commit log — survives every data file deleted from disk") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.cnm")
+    sqlS.sql("CREATE TABLE graft.cnm.t (k BIGINT, v DOUBLE) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.cnm.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    t.append((0L until 100L).map(k => (k, k.toDouble)).toDF("k", "v"))
+    t.append(Seq((100L, Option.empty[Double]), (101L, Some(1.0d)))
+      .toDF("k", "v"))                                  // one NULL v
+    // MOR update (DVs + staged post-images, net zero) and a DV delete
+    t.update(Map("v" -> (col("v") + 1.0d)), col("k") < 10L, dv = true)
+    t.deleteWhere(col("k") >= 90L && col("k") <= 99L, dv = true)
+    val vAfter = t.currentVersion
+    def cnt(sql: String) = sqlS.sql(sql).head().getLong(0)
+    assert(cnt("SELECT count(*) FROM graft.cnm.t") == 92L)
+    // null-sensitive and filtered counts must NOT be metadata-answered
+    assert(cnt("SELECT count(v) FROM graft.cnm.t") == 91L)
+    assert(cnt("SELECT count(*) FROM graft.cnm.t WHERE k >= 0") == 92L)
+    // wipe every DATA file (DV sidecars and the log stay): the global
+    // count(*) must keep answering — the proof it never opens data
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(Paths.get(root))
+    val dataFiles =
+      try w.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getParent.getFileName.toString.startsWith("d-")).toList
+      finally w.close()
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(Files.delete)
+    assert(cnt("SELECT count(*) FROM graft.cnm.t") == 92L)
+    assert(cnt(s"SELECT count(*) FROM graft.cnm.t VERSION AS OF $vAfter") == 92L)
+    assert(cnt("SELECT count(*) AS a FROM graft.cnm.t") +
+      cnt("SELECT count(1) FROM graft.cnm.t") == 184L)
+  }
+
+  test("MIN/MAX answer from commit-log stats — DV-free, complete-stats, exact-type columns only") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.mmx")
+    sqlS.sql("CREATE TABLE graft.mmx.t (k BIGINT, d DATE, s STRING) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.mmx.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    val rng = new scala.util.Random(41)
+    rng.shuffle((0L until 100L).toList).grouped(50).foreach { g =>
+      t.append(g.map(k => (k,
+        java.sql.Date.valueOf(f"2024-01-${k % 28 + 1}%02d"), s"x$k"))
+        .toDF("k", "d", "s"))
+    }
+    val mmSql = "SELECT min(k) AS a, max(k) AS b, min(d) AS c, " +
+      "max(d) AS e, count(*) AS n FROM graft.mmx.t"
+    def mm() = {
+      val r = sqlS.sql(mmSql).head()
+      (r.getLong(0), r.getLong(1), r.getDate(2).toString,
+        r.getDate(3).toString, r.getLong(4))
+    }
+    val expected = (0L, 99L, "2024-01-01", "2024-01-28", 100L)
+    assert(mm() == expected)
+    // a STRING extreme is excluded from the fast path (truncated stats)
+    // — it scans, and answers correctly while the files exist
+    assert(sqlS.sql("SELECT min(s) FROM graft.mmx.t").head().getString(0) == "x0")
+    // wipe the data files: the typed extremes and the count keep
+    // answering (pure metadata), the string extreme now HAS to fail —
+    // proof the fast path answered the former and refused the latter
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(Paths.get(root))
+    try w.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+      p.getParent.getFileName.toString.startsWith("d-")).toList.foreach(Files.delete)
+    finally w.close()
+    assert(mm() == expected)
+    intercept[Exception] {
+      sqlS.sql("SELECT min(s) FROM graft.mmx.t").collect()
+    }
+    // DV gate: one deletion vector and extremes refuse the metadata
+    // answer (a DV can delete the extreme row) while count stays exact
+    sqlS.sql("CREATE TABLE graft.mmx.dv (k BIGINT) USING `graft-txn`")
+    val rootDv = graft.plans.GraftTableFunctions.rootOf("graft.mmx.dv", sqlS)
+    val tdv = TxnTable.at(sqlS, rootDv)
+    tdv.append((0L until 10L).toDF("k"))
+    tdv.deleteWhere(col("k") === 9L, dv = true)
+    assert(sqlS.sql("SELECT max(k) FROM graft.mmx.dv").head().getLong(0) == 8L)
+    val w2 = Files.walk(Paths.get(rootDv))
+    try w2.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+      p.getParent.getFileName.toString.startsWith("d-")).toList.foreach(Files.delete)
+    finally w2.close()
+    assert(sqlS.sql("SELECT count(*) FROM graft.mmx.dv").head().getLong(0) == 9L)
+    intercept[Exception] { // max must SCAN under a DV — and so it fails
+      sqlS.sql("SELECT max(k) FROM graft.mmx.dv").collect()
+    }
   }
 
   test("graft-txn format bridge prunes files from pushed filters (proof by deleting a pruned file)") {

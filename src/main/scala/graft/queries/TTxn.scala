@@ -205,6 +205,42 @@ object TTxn {
     graft.sources.GraftSql.session(s, root)
   }
 
+  /** Shared STRING-skipping fixture: lines 1/2/6 tagged with a
+    * zero-padded string key and cluster-compacted by it into 4
+    * range-disjoint files — the layout where a string WHERE range typed
+    * in plain SQL must plan a strict file subset via the "#str" footer
+    * bounds (t_txn_str_prune reads it; TxnSpec pins planned-file counts
+    * on its own per-file fixture). */
+  private def strPruneHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.SparkSession = {
+    val root = scratch("txn_strprune_" + math.abs(d.hashCode))
+    warmed.computeIfAbsent("strprune:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      val src = slice(ss, d, 1).unionByName(slice(ss, d, 2))
+        .unionByName(slice(ss, d, 6))
+        .withColumn("tag",
+          concat(lit("t"), lpad(col("l_orderkey").cast("string"), 8, "0")))
+      ss.sql("CREATE TABLE graft.main.strpruned " +
+        s"(${src.schema.toDDL}) USING `graft-txn`")
+      src.createOrReplaceTempView("str_prune_src")
+      ss.sql("INSERT INTO graft.main.strpruned SELECT * FROM str_prune_src")
+      TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.strpruned", ss))
+        .compact(target = 4, clusterBy = Seq("tag"))
+      root
+    })
+    graft.sources.GraftSql.session(s, root)
+  }
+
   private def agg(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -1130,6 +1166,41 @@ object TTxn {
         .sql("SELECT count(*) AS n FROM graft.main.cnt")
     }),
 
+    "t_txn_or_prune" -> ((s, d) => {
+      // OR-tree file skipping through plain SQL: a disjunction whose
+      // every arm extracts (two BETWEEN windows here) plans the UNION
+      // of the arms' file sets — the multi-window scan shape (compare
+      // two months, audit two key ranges) that conjunct-only skipping
+      // scans the whole table for. Reuses the warmed clustered fixture;
+      // the oracle recomputes both windows from source, so an arm
+      // dropped or a window boundary misread loses rows and breaks the
+      // hash. Planned-file pins (2-of-4, opaque-arm poisoning, DML
+      // discovery, bridge disjunction) are TxnSpec's.
+      val ss = sqlPruneHistory(s, d)
+      ss.sql("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM graft.main.pruned " +
+        "WHERE l_orderkey BETWEEN 0 AND 1500 " +
+        "OR l_orderkey BETWEEN 4000 AND 6000 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
+    "t_txn_str_prune" -> ((s, d) => {
+      // STRING file skipping through plain SQL: the commit log records
+      // per-file UTF8_BINARY [min, max] bounds for string columns
+      // ("#str" footer stats — valid under parquet's truncation
+      // contract), so a WHERE range on a string-clustered key plans a
+      // strict file subset exactly like the numeric paths. The oracle
+      // recomputes the tagged range from source: a wrong byte-order
+      // comparison, a truncation-unsafe bound, or a dropped multibyte
+      // edge loses rows and breaks the hash. Planned-file counts (eq /
+      // range / IN / prefix, SQL + native + bridge) are TxnSpec's pins.
+      val ss = strPruneHistory(s, d)
+      ss.sql("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM graft.main.strpruned " +
+        "WHERE tag >= 't00000000' AND tag <= 't00003000' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
     "t_txn_minmax_meta" -> ((s, d) => {
       // metadata-only MIN/MAX beside the count: on a DV-free table whose
       // live files all carry complete stats, integral/timestamp extremes
@@ -1401,6 +1472,21 @@ object TTxn {
         "SELECT l_quantity AS q FROM lineitem WHERE l_linenumber = 1 " +
         "UNION ALL SELECT l_quantity + 1 FROM lineitem WHERE l_linenumber = 2) " +
         "WHERE NOT q > 30"),
+    // both OR windows recomputed from source — a dropped arm or a
+    // misread window boundary loses rows
+    "t_txn_or_prune" -> oracleAgg(
+      "l_linenumber IN (1, 2, 6) AND (l_orderkey BETWEEN 0 AND 1500 " +
+        "OR l_orderkey BETWEEN 4000 AND 6000)"),
+    // the same string range recomputed from source through the same
+    // zero-padded tag — byte-order or truncation mistakes lose rows
+    "t_txn_str_prune" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty FROM (" +
+        "SELECT l_returnflag, l_quantity, " +
+        "'t' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS tag " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2, 6)) " +
+        "WHERE tag >= 't00000000' AND tag <= 't00003000' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // extremes recomputed rowwise from source — a widened/clipped stats
     // fold or a bound from the wrong file breaks the one-row hash
     "t_txn_minmax_meta" ->

@@ -118,6 +118,11 @@ private[graft] object SkipExtract {
                TimestampNTZType) => Some(v)
       case _ => None
     }
+    // string literal for the UTF8_BINARY range pred (Spark's default
+    // collation — matching the "#str" footer bounds' byte order)
+    def strLit(e: Expression): Option[String] = constOf(e).collect {
+      case (v, StringType) => v.toString
+    }
     // `attr OP lit` keeps the bound as written; `lit OP attr` flips it
     def range(x: Expression, y: Expression, loSide: Boolean)
         : Option[TxnTable.SkipPred] =
@@ -127,6 +132,12 @@ private[graft] object SkipExtract {
       .orElse(for (n <- attrOf(y); b <- bdLit(x)) yield
         if (loSide) TxnTable.SkipRange(n, None, Some(b))
         else TxnTable.SkipRange(n, Some(b), None))
+      .orElse(for (n <- attrOf(x); s <- strLit(y)) yield
+        if (loSide) TxnTable.SkipStrRange(n, Some(s), None)
+        else TxnTable.SkipStrRange(n, None, Some(s)))
+      .orElse(for (n <- attrOf(y); s <- strLit(x)) yield
+        if (loSide) TxnTable.SkipStrRange(n, None, Some(s))
+        else TxnTable.SkipStrRange(n, Some(s), None))
     def basic(e: Expression): Option[TxnTable.SkipPred] = e match {
       case GreaterThanOrEqual(x, y) => range(x, y, loSide = true)
       case GreaterThan(x, y) => range(x, y, loSide = true)
@@ -143,8 +154,31 @@ private[graft] object SkipExtract {
           yield TxnTable.SkipIn(n, xs)
       case IsNull(a) => attrOf(a).map(TxnTable.SkipNull(_, isNull = true))
       case IsNotNull(a) => attrOf(a).map(TxnTable.SkipNull(_, isNull = false))
+      // LIKE with a literal pattern: no wildcards → a point lookup
+      // (stats + bloom); a pure 'prefix%' → the shared prefix range.
+      // Anything else (interior %, _, an escape char in play) extracts
+      // nothing — the exact LIKE always re-applies above.
+      case l: Like =>
+        for {
+          n <- attrOf(l.left); c <- constOf(l.right)
+          if c._2 == StringType
+          p <- likePred(n, c._1.toString, l.escapeChar)
+        } yield p
+      case sw: StartsWith =>
+        for { n <- attrOf(sw.left); c <- constOf(sw.right)
+              if c._2 == StringType }
+          yield TxnTable.prefixRange(n, c._1.toString)
       case _ => None
     }
+    def likePred(n: String, pat: String, esc: Char)
+        : Option[TxnTable.SkipPred] =
+      if (pat.indexOf(esc) >= 0) None
+      else if (!pat.exists(ch => ch == '%' || ch == '_'))
+        Some(TxnTable.SkipEq(n, pat))
+      else if (pat.endsWith("%") &&
+          !pat.dropRight(1).exists(ch => ch == '%' || ch == '_'))
+        Some(TxnTable.prefixRange(n, pat.dropRight(1)))
+      else None
     // monotone TIME-function inversion: `year(ts) = 2024`,
     // `cast(ts as date) = DATE '…'`, `date_trunc('day', ts) >= …` — the
     // predicates users actually type for "the day's data" — become a
@@ -178,7 +212,70 @@ private[graft] object SkipExtract {
         case _ => None
       }
     }
-    conjuncts(cond).flatMap(c => basic(c).orElse(timeFn(c)))
+    // OR trees prune too, when EVERY side yields a predicate: a side is
+    // itself a conjunction (subset extraction sound — drop what doesn't
+    // extract), an OR branch requires both arms (one opaque arm makes
+    // the whole OR extract nothing — keeping such a file is the only
+    // sound call). `(ts in window A) OR (ts in window B)` — the
+    // multi-window scan / multi-key GDPR shape — plans both windows'
+    // files and nothing else.
+    def leafPred(e: Expression): Option[TxnTable.SkipPred] = e match {
+      // NOT pushes through the tree instead of extracting nothing:
+      // De Morgan on And/Or, operator flips on comparisons, null-test
+      // inversion. Each rewrite is an implication as a FILTER (a row
+      // passing `NOT (k > 5)` has k <= 5 — a null k passes neither), so
+      // soundness is inherited. `NOT BETWEEN` lands here via the
+      // RuntimeReplaceable expansion as Not(And(ge, le)).
+      case Not(inner) => negate(inner).flatMap(leafPred)
+      case Or(l, r) =>
+        for (a <- sidePred(l); b <- sidePred(r)) yield (a, b) match {
+          // OR of points on ONE column is an IN list — keeps the bloom
+          // probe a generic SkipOr would lose
+          case (TxnTable.SkipEq(c1, v1), TxnTable.SkipEq(c2, v2))
+              if c1 == c2 => TxnTable.SkipIn(c1, Seq(v1, v2))
+          case (TxnTable.SkipIn(c1, vs), TxnTable.SkipEq(c2, v))
+              if c1 == c2 => TxnTable.SkipIn(c1, vs :+ v)
+          case (TxnTable.SkipEq(c1, v), TxnTable.SkipIn(c2, vs))
+              if c1 == c2 => TxnTable.SkipIn(c1, v +: vs)
+          case (TxnTable.SkipIn(c1, v1), TxnTable.SkipIn(c2, v2))
+              if c1 == c2 => TxnTable.SkipIn(c1, v1 ++ v2)
+          case _ => TxnTable.SkipOr(Seq(a, b))
+        }
+      case other => basic(other).orElse(timeFn(other))
+    }
+    def sidePred(e: Expression): Option[TxnTable.SkipPred] =
+      conjuncts(e).flatMap(leafPred) match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => Some(TxnTable.SkipAnd(many))
+      }
+    // the NEGATION of `e`, as an expression the extractors above
+    // understand — None when no sound flip exists (e.g. a negated
+    // equality, whose complement prunes nothing useful). A negated OR
+    // may keep just its negatable side: the result is a conjunct subset
+    // of the true complement, which only weakens the prune.
+    def negate(e: Expression): Option[Expression] = e match {
+      case Not(x) => Some(x)
+      case And(l, r) => for (a <- negate(l); b <- negate(r)) yield Or(a, b)
+      case Or(l, r) => (negate(l), negate(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (one, other) => one.orElse(other)
+      }
+      case GreaterThan(x, y) => Some(LessThanOrEqual(x, y))
+      case GreaterThanOrEqual(x, y) => Some(LessThan(x, y))
+      case LessThan(x, y) => Some(GreaterThanOrEqual(x, y))
+      case LessThanOrEqual(x, y) => Some(GreaterThan(x, y))
+      case IsNull(x) => Some(IsNotNull(x))
+      case IsNotNull(x) => Some(IsNull(x))
+      case rr: RuntimeReplaceable => negate(rr.replacement)
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        negate(w.child.transform {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        })
+      case _ => None
+    }
+    conjuncts(cond).flatMap(leafPred)
   }
 
   /** `f(attr) >= lit` (either argument order — callers pass (ge-side,

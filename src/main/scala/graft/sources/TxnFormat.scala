@@ -177,19 +177,44 @@ private[graft] object TxnFilters {
     filters.toSeq.flatMap {
       case EqualTo(a, v) if v != null => Seq(TxnTable.SkipEq(a, v))
       case GreaterThan(a, v) =>
-        bd(v).map(b => TxnTable.SkipRange(a, Some(b), None)).toSeq
+        loPred(a, v)
       case GreaterThanOrEqual(a, v) =>
-        bd(v).map(b => TxnTable.SkipRange(a, Some(b), None)).toSeq
+        loPred(a, v)
       case LessThan(a, v) =>
-        bd(v).map(b => TxnTable.SkipRange(a, None, Some(b))).toSeq
+        hiPred(a, v)
       case LessThanOrEqual(a, v) =>
-        bd(v).map(b => TxnTable.SkipRange(a, None, Some(b))).toSeq
+        hiPred(a, v)
       case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
         Seq(TxnTable.SkipIn(a, vs.toIndexedSeq))
       case IsNull(a) => Seq(TxnTable.SkipNull(a, isNull = true))
       case IsNotNull(a) => Seq(TxnTable.SkipNull(a, isNull = false))
+      case StringStartsWith(a, prefix) if prefix != null =>
+        Seq(TxnTable.prefixRange(a, prefix))
+      // boolean trees: AND contributes whatever its sides extract
+      // (subset sound); OR requires BOTH sides, else nothing
+      case And(l, r) => toSkipPreds(Array(l, r))
+      case Or(l, r) =>
+        val (as, bs) = (toSkipPreds(Array(l)), toSkipPreds(Array(r)))
+        if (as.nonEmpty && bs.nonEmpty)
+          Seq(TxnTable.SkipOr(Seq(andOf(as), andOf(bs))))
+        else Nil
       case _ => Nil
     }
+
+  private def andOf(ps: Seq[TxnTable.SkipPred]): TxnTable.SkipPred =
+    if (ps.size == 1) ps.head else TxnTable.SkipAnd(ps)
+
+  /** `attr >[=] v` / `attr <[=] v` → the matching one-sided skip bound,
+    * numeric stats space or UTF8_BINARY string space. Strict bounds
+    * widen to inclusive — sound at file granularity. */
+  private def loPred(a: String, v: Any): Seq[TxnTable.SkipPred] = v match {
+    case s: String => Seq(TxnTable.SkipStrRange(a, Some(s), None))
+    case other => bd(other).map(b => TxnTable.SkipRange(a, Some(b), None)).toSeq
+  }
+  private def hiPred(a: String, v: Any): Seq[TxnTable.SkipPred] = v match {
+    case s: String => Seq(TxnTable.SkipStrRange(a, None, Some(s)))
+    case other => bd(other).map(b => TxnTable.SkipRange(a, None, Some(b))).toSeq
+  }
 
   /** External value → stats-space bound (mirrors TxnTable.statsSpace —
     * kept here only for the V1 range filters, whose values arrive as

@@ -1067,6 +1067,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
     val bad = scala.collection.mutable.Set.empty[String]
+    // STRING (BINARY/UTF8) bounds, recorded as the pseudo-column
+    // "#str.<physical>:<hex min>:<hex max>" — hex keeps the ':'/';'
+    // framing safe for arbitrary bytes. Parquet footer min/max for
+    // binary are valid BOUNDS even when the writer truncated long
+    // values (truncation rounds min down / max up by contract), and
+    // unsigned byte order equals Spark's UTF8_BINARY collation, so a
+    // bound decided here can never disagree with the row filter.
+    val sacc = scala.collection.mutable.LinkedHashMap.empty[String, (Array[Byte], Array[Byte])]
+    val sbad = scala.collection.mutable.Set.empty[String]
     // null counts, for EVERY top-level column with complete footer null
     // statistics (type-agnostic): recorded as the pseudo-column
     // "#nulls.<physical>" so IS NULL / IS NOT NULL reads can skip files
@@ -1080,6 +1089,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
         val s = c.getStatistics
         if (s == null || !s.isNumNullsSet) { badN += name; nulls -= name }
         else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+      }
+      if (!name.contains('.') && !sbad(name)) {
+        val pt = c.getPrimitiveType.getPrimitiveTypeName
+        val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+        val isString = pt == BINARY &&
+          ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        val s = c.getStatistics
+        if (!isString) { sbad += name; sacc -= name }
+        else if (s == null || s.isEmpty || !s.hasNonNullValue) {
+          sbad += name; sacc -= name
+        } else {
+          val mn = s.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          val mx = s.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          def lt(a: Array[Byte], b: Array[Byte]) =
+            java.util.Arrays.compareUnsigned(a, b) < 0
+          sacc.get(name) match {
+            case Some((a, z)) =>
+              sacc(name) = (if (lt(mn, a)) mn else a, if (lt(z, mx)) mx else z)
+            case None => sacc(name) = (mn, mx)
+          }
+        }
       }
       if (!name.contains('.') && !bad(name)) {
         val pt = c.getPrimitiveType.getPrimitiveTypeName
@@ -1107,7 +1139,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
         }
       }
     }
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
     (acc.map { case (n, (a, z)) => s"$n:$a:$z" } ++
+      sacc.map { case (n, (a, z)) => s"#str.$n:${hex(a)}:${hex(z)}" } ++
       nulls.map { case (n, c) => s"#nulls.$n:$c:$c" }).mkString(";")
   }
 
@@ -2019,6 +2053,24 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** STRING-range read with the same FILE-LEVEL skipping, in
+    * UTF8_BINARY order (Spark's default collation == the "#str" footer
+    * bounds' unsigned byte order, so the prune can never disagree with
+    * the filter). Inclusive both ends. The point-lookup twin is
+    * `readWhereEq`/`readWhereIn`, whose string values now consult the
+    * same bounds before the bloom probe. */
+  def readRangeStr(colName: String, lo: String, hi: String,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version < 0) currentVersion else version
+    require(v >= 0, s"no committed version in $root")
+    val files = filesSurviving(v,
+      Seq(TxnTable.SkipStrRange(colName, Some(lo), Some(hi))))
+    (if (dvsAt(v).isEmpty) scanPlain(v, files)
+     else scanTagged(v, files).drop("_f", "_idx"))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
   /** Time-range read with the same FILE-LEVEL skipping, over a MICROS
     * timestamp column (what `stage` always writes — see the INT96 note
     * there): bounds are `yyyy-MM-dd HH:mm:ss[.SSSSSS]` strings,
@@ -2102,12 +2154,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val sc = schemaAt(v)
     // footer stats are keyed by PHYSICAL column name (what the files
     // contain) — translate each predicate's logical name once
-    val physOf = preds.map {
-      case p: SkipRange => p.col -> physicalIn(sc, p.col)
-      case p: SkipEq => p.col -> physicalIn(sc, p.col)
-      case p: SkipIn => p.col -> physicalIn(sc, p.col)
-      case p: SkipNull => p.col -> physicalIn(sc, p.col)
-    }.toMap
+    def colsOf(p: SkipPred): Seq[String] = p match {
+      case p: SkipRange => Seq(p.col)
+      case p: SkipEq => Seq(p.col)
+      case p: SkipIn => Seq(p.col)
+      case p: SkipNull => Seq(p.col)
+      case p: SkipStrRange => Seq(p.col)
+      case SkipAnd(ps) => ps.flatMap(colsOf)
+      case SkipOr(ps) => ps.flatMap(colsOf)
+    }
+    val physOf = preds.flatMap(colsOf).distinct
+      .map(c => c -> physicalIn(sc, c)).toMap
     def minMax(enc: String, phys: String): Option[(BigDecimal, BigDecimal)] =
       enc.split(';').collectFirst {
         case s if s.startsWith(phys + ":") =>
@@ -2122,18 +2179,44 @@ final class TxnTable(val spark: SparkSession, val root: String,
       minMax(enc, phys).forall { case (mn, mx) =>
         lo.forall(mx >= _) && hi.forall(mn <= _)
       }
+    // "#str.<phys>" bounds (hex UTF-8 bytes, possibly empty strings —
+    // parsed positionally, split would drop a trailing empty field)
+    def strMinMax(enc: String, phys: String): Option[(Array[Byte], Array[Byte])] = {
+      val prefix = s"#str.$phys:"
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix) =>
+          val body = s.substring(prefix.length)
+          val i = body.indexOf(':')
+          def un(h: String): Array[Byte] =
+            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          (un(body.take(i)), un(body.drop(i + 1)))
+      }
+    }
+    def strRangeKeep(enc: String, phys: String, lo: Option[String],
+        hi: Option[String]): Boolean =
+      strMinMax(enc, phys).forall { case (mn, mx) =>
+        def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        lo.forall(l => java.util.Arrays.compareUnsigned(mx, b(l)) >= 0) &&
+          hi.forall(h => java.util.Arrays.compareUnsigned(mn, b(h)) <= 0)
+      }
+    def pointKeep(enc: String, c: String, x: Any): Boolean = x match {
+      case s: String => strRangeKeep(enc, physOf(c), Some(s), Some(s))
+      case other => statsSpace(other).forall(b =>
+        rangeKeep(enc, physOf(c), Some(b), Some(b)))
+    }
     def statsKeep(enc: String, p: SkipPred): Boolean = p match {
       case SkipRange(c, lo, hi) => rangeKeep(enc, physOf(c), lo, hi)
-      case SkipEq(c, value) => statsSpace(value).forall(b =>
-        rangeKeep(enc, physOf(c), Some(b), Some(b)))
-      case SkipIn(c, values) => values.exists(x => statsSpace(x).forall(b =>
-        rangeKeep(enc, physOf(c), Some(b), Some(b))))
+      case SkipStrRange(c, lo, hi) => strRangeKeep(enc, physOf(c), lo, hi)
+      case SkipEq(c, value) => pointKeep(enc, c, value)
+      case SkipIn(c, values) => values.exists(pointKeep(enc, c, _))
       case SkipNull(c, isNull) =>
         (nullsField(enc, s"#nulls.${physOf(c)}"), nullsField(enc, "#rows")) match {
           case (Some(nn), _) if isNull => nn > 0
           case (Some(nn), Some(nr)) if !isNull => nn < nr
           case _ => true
         }
+      case SkipAnd(ps) => ps.forall(statsKeep(enc, _))
+      case SkipOr(ps) => ps.exists(statsKeep(enc, _))
     }
     val afterStats = live.filter(f =>
       statsByFile.get(f).forall(enc => preds.forall(statsKeep(enc, _))))
@@ -2849,6 +2932,36 @@ object TxnTable {
   final case class SkipEq(col: String, value: Any) extends SkipPred
   final case class SkipIn(col: String, values: Seq[Any]) extends SkipPred
   final case class SkipNull(col: String, isNull: Boolean) extends SkipPred
+  /** String range in UTF8_BINARY order (Spark's default collation ==
+    * unsigned UTF-8 byte order == the recorded "#str" bounds' order). */
+  final case class SkipStrRange(col: String, lo: Option[String],
+      hi: Option[String]) extends SkipPred
+
+  /** Boolean combinations, for predicates the conjunct split alone
+    * cannot carry: a file survives `SkipOr` if ANY branch admits it,
+    * `SkipAnd` if EVERY branch does — exactly the may-contain
+    * semantics of the leaves, so soundness composes. Extracted from
+    * OR trees whose every side yields a pred (one unprunable side
+    * makes the whole OR extract nothing). Stats-only: the bloom pass
+    * applies to top-level point predicates as before. */
+  final case class SkipAnd(preds: Seq[SkipPred]) extends SkipPred
+  final case class SkipOr(preds: Seq[SkipPred]) extends SkipPred
+
+  /** A prefix scan as the range [prefix, prefix-with-last-char-
+    * incremented): the inclusive upper bound is SOUND (a superset) —
+    * any string starting with the prefix compares below it in
+    * UTF8_BINARY order, because UTF-8 preserves code-point order.
+    * Increment only while the result stays a plain BMP char below the
+    * surrogate range; otherwise keep the one-sided bound (pruning
+    * lost, never rows). Shared by every surface that sees a prefix
+    * predicate (SQL LIKE 'p%' / startsWith, the V1 bridge's
+    * StringStartsWith). */
+  def prefixRange(col: String, prefix: String): SkipStrRange = {
+    val hi = if (prefix.nonEmpty && prefix.last < 0xD7FF.toChar)
+      Some(prefix.init + (prefix.last + 1).toChar)
+    else None
+    SkipStrRange(col, Some(prefix), hi)
+  }
 
   /** Metadata-only table statistics (see `tableStats`): exact live row
     * count and on-disk bytes, plus per-logical-column [min, max] bounds

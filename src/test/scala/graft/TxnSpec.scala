@@ -2192,6 +2192,119 @@ class TxnSpec extends SparkTestBase {
     assert(md.as[Long].collect().toSet == Set(103L))
   }
 
+  test("string file skipping: UTF8_BINARY stats bounds prune eq/range/IN/prefix on every surface") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.str")
+    sqlS.sql("CREATE TABLE graft.str.t (s STRING, v BIGINT) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.str.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    // four single-file appends with disjoint string ranges (a*, b*, c*,
+    // d*) plus a fifth of MULTIBYTE keys (é sorts after ASCII in UTF-8
+    // byte order — the collation the bounds are recorded in)
+    (0 until 4).foreach { gi =>
+      val rows = (0 until 26).map(j => (f"${('a' + gi).toChar}$j%02d", gi * 100L + j))
+      t.append(rows.toDF("s", "v").repartition(1))
+    }
+    t.append((0 until 26).map(j => (f"é$j%02d", 400L + j))
+      .toDF("s", "v").repartition(1))
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.count(_.contains("/d-"))
+    def q(where: String) = sqlS.sql(s"SELECT v FROM graft.str.t WHERE $where")
+    assert(files(sqlS.sql("SELECT v FROM graft.str.t")) == 5)
+    // SQL point/range/IN — no bloom declared anywhere: stats alone prune
+    val eq = q("s = 'c10'")
+    assert(files(eq) == 1, s"eq planned ${files(eq)} of 5")
+    assert(eq.as[Long].collect().toSeq == Seq(210L))
+    assert(files(q("s BETWEEN 'b' AND 'b99'")) == 1)
+    assert(files(q("s >= 'd' AND s < 'e'")) == 1)
+    assert(files(q("s IN ('a05', 'd20')")) == 2)
+    // multibyte point + lower bound (byte order, not char order, decides)
+    val mb = q("s >= 'é'")
+    assert(files(mb) == 1, s"é range planned ${files(mb)} of 5")
+    assert(mb.as[Long].collect().toSet == (400L until 426L).toSet)
+    // LIKE: pure prefix → the [prefix, prefix+1) range; no wildcards →
+    // a point lookup; an interior wildcard extracts nothing (5 planned)
+    assert(files(q("s LIKE 'b%'")) == 1)
+    assert(files(q("s LIKE 'c10'")) == 1)
+    assert(files(q("s LIKE '%10'")) == 5)
+    val lk = q("s LIKE 'd1%'")
+    assert(files(lk) == 1)
+    assert(lk.as[Long].collect().toSet ==
+      (310L until 320L).toSet, "LIKE rows exact")
+    // native APIs ride the same bounds
+    assert(t.readRangeStr("s", "b", "b99").inputFiles.count(_.contains("/d-")) == 1)
+    assert(t.readRangeStr("s", "b", "b99").as[(String, Long)].collect()
+      .map(_._2).toSet == (100L until 126L).toSet)
+    assert(t.readWhereEq("s", "c10").inputFiles.count(_.contains("/d-")) == 1)
+    // bridge (V1 pushed filters): prefix scan plans exactly the b file,
+    // proven BEHAVIORALLY — bind the plans, delete the d file from
+    // disk, and any execution that didn't prune it dies (the full scan
+    // does); the filtered ones answer
+    val bridge = sqlS.read.format("graft-txn").load(root)
+    val prefix = bridge.filter(col("s").startsWith("b"))
+    val below = bridge.filter(col("s") <= "a99")
+    val dFile = t.readRangeStr("s", "d", "d99").inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(dFile.size == 1)
+    Files.delete(Paths.get(java.net.URI.create(dFile.head)))
+    assert(prefix.count() == 26L)
+    assert(below.count() == 26L)
+    intercept[Exception] { bridge.count() }
+    // DML discovery composes: a string point DELETE never scans the
+    // missing d file either
+    t.deleteWhere(col("s") === "c10")
+    assert(q("s >= 'c' AND s < 'd'").as[Long].collect().toSet ==
+      ((200L until 226L).toSet - 210L))
+  }
+
+  test("OR predicates prune files: both-sides-extractable trees plan the union of their windows") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.orp")
+    sqlS.sql("CREATE TABLE graft.orp.t (k BIGINT, v BIGINT) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.orp.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    val rng = new scala.util.Random(43)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    def q(where: String) = sqlS.sql(s"SELECT k FROM graft.orp.t WHERE $where")
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.count(_.contains("/d-"))
+    // two windows at opposite ends plan 2 of the 4 range-disjoint files
+    // (interior windows so range-partition boundary sampling can't leak)
+    val two = q("k BETWEEN 10 AND 30 OR k BETWEEN 310 AND 330")
+    assert(files(two) == 2, s"two-window OR planned ${files(two)} of 4")
+    assert(two.as[Long].collect().toSet ==
+      ((10L to 30L) ++ (310L to 330L)).toSet)
+    // a conjunction inside one arm still extracts; points compose too
+    assert(files(q("(k > 310 AND k < 330) OR k = 15")) == 2)
+    // one OPAQUE arm poisons the whole OR — everything planned, sound
+    assert(files(q("k = 15 OR v % 7 = 0")) == 4)
+    // NOT pushes through the tree: the complement of an interior
+    // BETWEEN is the two-end OR
+    val nb = q("NOT (k BETWEEN 30 AND 370)")
+    assert(files(nb) == 2, s"NOT BETWEEN planned ${files(nb)} of 4")
+    assert(nb.as[Long].collect().toSet ==
+      ((0L to 29L) ++ (371L to 399L)).toSet)
+    // bind the bridge BEFORE the disk surgery (relation construction
+    // resolves every live file) — the load pins its snapshot, so the
+    // disjunction below counts the PRE-delete content
+    val bridge = sqlS.read.format("graft-txn").load(root)
+    val disj = bridge.filter(col("k") < 20L || col("k") > 380L)
+    // DML discovery rides the same tree: a two-point OR delete never
+    // scans the file deleted from disk below
+    val mid = t.readRange("k", 150, 250).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(mid.size >= 1)
+    Files.delete(Paths.get(java.net.URI.create(mid.head)))
+    t.deleteWhere(col("k") === 15L || col("k") === 315L)
+    assert(q("k BETWEEN 10 AND 30 OR k BETWEEN 310 AND 330")
+      .as[Long].collect().toSet ==
+      ((10L to 30L) ++ (310L to 330L)).toSet -- Set(15L, 315L))
+    // V1 bridge: the pushed disjunction prunes at file level — the
+    // pinned pre-delete snapshot still lists the missing middle file as
+    // live, so any plan that didn't prune it dies; 20 + 19 rows answer
+    assert(disj.count() == 20L + 19L)
+  }
+
   test("COUNT(*) answers from the commit log — survives every data file deleted from disk") {
     sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.cnm")
     sqlS.sql("CREATE TABLE graft.cnm.t (k BIGINT, v DOUBLE) USING `graft-txn`")

@@ -54,7 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
-      """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(([^)]*)\))?\s*;?\s*""").r
+      """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(([^)]*)\))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
   private val Zorder =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)\s+ZORDER\s+BY\s+\(([^)]*)\)""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
@@ -109,7 +110,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .map(_.replace("`", "")).toSeq,
         Option(files).map(_.toInt).getOrElse(4)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case Optimize(t, rows, kind, cols) => graftTarget(t).map { tt =>
+    case Optimize(t, rows, kind, cols, where) => graftTarget(t).map { tt =>
       val cs = Option(cols).toSeq.flatMap(_.split(',')).map(_.trim)
         .filter(_.nonEmpty).map(_.replace("`", ""))
       val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
@@ -117,7 +118,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // toward ~1M-row outputs
       GraftOptimizeCommand(tt,
         Option(rows).map(_.toLong).getOrElse(1L << 20),
-        if (zorder) Nil else cs, if (zorder) cs else Nil): LogicalPlan
+        if (zorder) Nil else cs, if (zorder) cs else Nil,
+        Option(where).map(_.trim).filter(_.nonEmpty)): LogicalPlan
     }.getOrElse(delegate.parsePlan(sqlText))
     case RestoreV(t, v) => graftTarget(t)
       .map(GraftRestoreCommand(_, Some(v.toLong), None): LogicalPlan)
@@ -186,13 +188,18 @@ case class GraftVacuumCommand(target: String, retainVersions: Int,
 
 /** OPTIMIZE: incremental bin-pack of sub-target files. */
 case class GraftOptimizeCommand(target: String, targetRows: Long,
-    clusterBy: Seq[String], zorderBy: Seq[String] = Nil)
+    clusterBy: Seq[String], zorderBy: Seq[String] = Nil,
+    whereSql: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
-      .optimize(targetRows, clusterBy, zorderBy)))
+      .optimize(targetRows, clusterBy, zorderBy,
+        // the predicate SCOPES which files are compaction candidates
+        // (file skipping decides admission); content is invariant either
+        // way, so this is maintenance cost control, not filtering
+        whereSql.map(org.apache.spark.sql.functions.expr))))
 }
 
 /** OPTIMIZE ... ZORDER BY: full Z-order relayout (a clustered compact). */

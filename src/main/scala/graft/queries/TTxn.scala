@@ -479,6 +479,42 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_optimize_where" -> ((s, d) => {
+      // OPTIMIZE ... WHERE through the parser: the predicate SCOPES
+      // which files are compaction candidates via the same commit-log
+      // skipping every read uses — here the line-1 files (per-file
+      // l_linenumber stats are the point [1, 1]) compact while the
+      // line-2 files never move. "Compact today's ingest, not the
+      // table" — the maintenance statement a 100 TB table needs nightly.
+      // Content must be INVARIANT under any scoping (the oracle hash
+      // proves it); the selectivity itself (untouched non-candidates,
+      // no-op on <2 candidates) is TxnSpec's pin.
+      val root = scratch("txn_optwhere_" + math.abs(d.hashCode))
+      warmed.computeIfAbsent("optwhere:" + d, _ => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(root)
+        if (Files.exists(p)) {
+          val w = Files.walk(p)
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally w.close()
+        }
+        val ss = graft.sources.GraftSql.session(s, root)
+        ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+        ss.sql("CREATE TABLE graft.main.optw " +
+          s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
+        val t = TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.optw", ss))
+        t.append(slice(ss, d, 1).repartition(8))
+        t.append(slice(ss, d, 2).repartition(8))
+        ss.sql("OPTIMIZE graft.main.optw WHERE l_linenumber = 1")
+        root
+      })
+      agg(TxnTable.at(graft.sources.GraftSql.session(s, root),
+        graft.plans.GraftTableFunctions.rootOf("graft.main.optw",
+          graft.sources.GraftSql.session(s, root))).read())
+    }),
+
     "t_txn_zorder" -> ((s, d) => {
       // OPTIMIZE ZORDER through the table format: lineitem's join columns
       // plus the 20-bit Morton key (p_zorder's interleave of the low 10
@@ -1239,6 +1275,8 @@ object TTxn {
     "t_txn_checkpoint" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     "t_txn_rename" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_optimize" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // scoped compaction must be content-invisible: same plain union
+    "t_txn_optimize_where" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_format_rw" -> oracleAgg("l_linenumber IN (1, 2)"),
     "t_txn_zorder" -> {
       val morton = (0 until 10).map { b =>

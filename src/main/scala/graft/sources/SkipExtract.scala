@@ -148,6 +148,19 @@ private[graft] object SkipExtract {
           yield TxnTable.SkipEq(n, v))
         .orElse(for (n <- attrOf(y); v <- pointVal(x))
           yield TxnTable.SkipEq(n, v))
+      // <=> with a non-null literal skips like =; <=> NULL is IS NULL
+      case EqualNullSafe(x, y) =>
+        def nullLit(e: Expression): Boolean = e match {
+          case Literal(null, _) => true
+          case _ if e.resolved && e.foldable && e.deterministic =>
+            scala.util.Try(e.eval(null)).toOption.contains(null)
+          case _ => false
+        }
+        def side(a: Expression, l: Expression) = attrOf(a).flatMap { n =>
+          if (nullLit(l)) Some(TxnTable.SkipNull(n, isNull = true))
+          else pointVal(l).map(TxnTable.SkipEq(n, _))
+        }
+        side(x, y).orElse(side(y, x))
       case In(a, list) if list.nonEmpty =>
         for (n <- attrOf(a);
              xs <- Some(list.flatMap(pointVal(_))) if xs.size == list.size)

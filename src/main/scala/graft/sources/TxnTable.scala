@@ -1718,7 +1718,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
   }
 
   def optimize(targetRows: Long, clusterBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions.col
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     require(clusterBy.isEmpty || zorderBy.isEmpty,
@@ -1726,7 +1727,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
     val stats = statsAt(v)
-    val small = liveFiles(v).filter(rowCountOf(_, stats) < targetRows).sorted
+    // OPTIMIZE ... WHERE: scope the candidate set to files the
+    // predicate's extractable conjuncts ADMIT (stats/bloom skipping —
+    // the same core every read uses), so maintenance touches the hot
+    // range, not the table: "compact today's ingest" on a time-
+    // clustered 100 TB table reads today's small files only. Rewriting
+    // any file subset is content-invisible, so an unextractable
+    // predicate degrading to the full candidate set costs extra
+    // compaction work, never correctness.
+    val scoped = where.fold(liveFiles(v)) { c =>
+      filesSurviving(v, skipPredsFor(c, v))
+    }
+    val small = scoped.filter(rowCountOf(_, stats) < targetRows).sorted
     if (small.size < 2) return v
     val base = scanTagged(v, small).drop("_f", "_idx")
     val sc = schemaAt(v).getOrElse(base.schema)
@@ -1914,21 +1926,27 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * as before; a condition with no extractable conjunct scans the live
     * set — discovery pruning can only skip files PROVABLY free of
     * matches, never change which rows match. */
-  private def taggedCandidates(cond: org.apache.spark.sql.Column,
-      v: Long): DataFrame = {
+  /** The declared schema at `v` WITHOUT mapping metadata — what an API
+    * condition resolves against (identical to the snapshot frame's
+    * logical surface). */
+  private def plainSchemaAt(v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    // the declared schema WITHOUT mapping metadata — what the API
-    // condition resolves against (identical to the snapshot frame's
-    // logical surface)
-    val plainSchema = schemaAt(v).map(sc => StructType(sc.fields.map(f =>
+    schemaAt(v).map(sc => StructType(sc.fields.map(f =>
       StructField(f.name, f.dataType, f.nullable))))
-    // resolve `cond` against an EMPTY frame of that schema: full
-    // analysis (name resolution + type coercion) with zero file access,
-    // then extract the skip predicates from the RESOLVED condition —
-    // the same battle-tested path the SQL rule takes. Any analysis
-    // failure here falls back to the unpruned scan (the real DML will
-    // surface the error with its own context).
-    val preds = plainSchema.map { sc =>
+  }
+
+  /** Skip predicates extractable from an API `Column` condition at `v`:
+    * resolve `cond` against an EMPTY frame of the declared schema (full
+    * analysis — name resolution + type coercion — with zero file
+    * access), then extract from the RESOLVED condition, the same
+    * battle-tested path the SQL rule takes. Any analysis failure falls
+    * back to no predicates (the real consumer will surface the error
+    * with its own context). Shared by DML matched-row discovery and
+    * `OPTIMIZE ... WHERE` candidate scoping. */
+  private def skipPredsFor(cond: org.apache.spark.sql.Column,
+      v: Long): Seq[TxnTable.SkipPred] =
+    plainSchemaAt(v).map { sc =>
       scala.util.Try {
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
@@ -1943,7 +1961,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
         }.getOrElse(Nil)
       }.getOrElse(Nil)
     }.getOrElse(Nil)
-    val candidates = filesSurviving(v, preds)
+
+  private def taggedCandidates(cond: org.apache.spark.sql.Column,
+      v: Long): DataFrame = {
+    val plainSchema = plainSchemaAt(v)
+    val candidates = filesSurviving(v, skipPredsFor(cond, v))
     if (candidates.nonEmpty) scanTagged(v, candidates)
     else plainSchema match {
       // zero candidates: the condition provably matches nothing — an

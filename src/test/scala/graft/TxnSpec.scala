@@ -2284,6 +2284,8 @@ class TxnSpec extends SparkTestBase {
     assert(files(nb) == 2, s"NOT BETWEEN planned ${files(nb)} of 4")
     assert(nb.as[Long].collect().toSet ==
       ((0L to 29L) ++ (371L to 399L)).toSet)
+    // null-safe equality skips like equality
+    assert(files(q("k <=> 17")) == 1)
     // bind the bridge BEFORE the disk surgery (relation construction
     // resolves every live file) — the load pins its snapshot, so the
     // disjunction below counts the PRE-delete content
@@ -2303,6 +2305,36 @@ class TxnSpec extends SparkTestBase {
     // pinned pre-delete snapshot still lists the missing middle file as
     // live, so any plan that didn't prune it dies; 20 + 19 rows answer
     assert(disj.count() == 20L + 19L)
+  }
+
+  test("OPTIMIZE ... WHERE scopes compaction to the predicate's files") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+    sqlS.sql("CREATE TABLE graft.ow.t (k BIGINT, v BIGINT) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.ow.t", sqlS)
+    val t = TxnTable.at(sqlS, root)
+    // eight small single-file appends: four in a LOW key range, four in
+    // a HIGH one — the "compact today's ingest, not the table" shape
+    (0 until 4).foreach(g => t.append(
+      ((g * 100L) until (g * 100L + 50L)).map(k => (k, k)).toDF("k", "v")
+        .repartition(1)))
+    (0 until 4).foreach(g => t.append(
+      ((1000L + g * 100L) until (1000L + g * 100L + 50L))
+        .map(k => (k, k)).toDF("k", "v").repartition(1)))
+    val before = t.read().as[(Long, Long)].collect().toSet
+    assert(t.read().inputFiles.count(_.contains("/d-")) == 8)
+    sqlS.sql("OPTIMIZE graft.ow.t TARGET 1000 ROWS WHERE k >= 1000")
+    // only the four high-range files compacted into one; low untouched
+    assert(t.read().inputFiles.count(_.contains("/d-")) == 5,
+      s"live files: ${t.read().inputFiles.count(_.contains("/d-"))}")
+    val h = t.history().orderBy(col("version").desc).limit(1)
+      .select("n_removed_files").as[Long].head()
+    assert(h == 4L, s"scoped OPTIMIZE removed $h files")
+    assert(t.read().as[(Long, Long)].collect().toSet == before,
+      "compaction is content-invisible")
+    // a predicate admitting <2 candidates is a metadata no-op
+    val vTip = t.currentVersion
+    sqlS.sql("OPTIMIZE graft.ow.t TARGET 1000 ROWS WHERE k > 99999")
+    assert(t.currentVersion == vTip)
   }
 
   test("COUNT(*) answers from the commit log — survives every data file deleted from disk") {

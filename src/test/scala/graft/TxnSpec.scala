@@ -2175,6 +2175,11 @@ class TxnSpec extends SparkTestBase {
     assert(files(mon) == 1, s"trunc-month planned ${files(mon)} of 4")
     assert(mon.as[Long].collect().toSet == dayVals(2))
     assert(files(q("date_trunc('DAY', ts) >= TIMESTAMP '2024-06-15 00:00:00'")) == 2)
+    // a calendar IN-list prunes by the SPAN of its day intervals: the
+    // two adjacent early days cover 2 files; a same-day pair covers 1
+    val inn = q("CAST(ts AS DATE) IN (DATE '2023-12-31', DATE '2024-01-02')")
+    assert(files(inn) == 2, s"calendar IN planned ${files(inn)} of 4")
+    assert(inn.as[Long].collect().toSet == (dayVals(0) ++ dayVals(1)))
     // a DATE column takes the days-space inversions (year, trunc)
     sqlS.sql("CREATE TABLE graft.tfn.d (d DATE, v BIGINT) USING `graft-txn`")
     val td = TxnTable.at(sqlS, graft.plans.GraftTableFunctions.rootOf("graft.tfn.d", sqlS))

@@ -2197,6 +2197,44 @@ class TxnSpec extends SparkTestBase {
     assert(md.as[Long].collect().toSet == Set(103L))
   }
 
+  test("time-function inversion is zone-correct: non-UTC session over a DST gap never loses rows") {
+    // every other suite runs UTC; a session in America/New_York casting
+    // across the 2024-03-10 spring-forward is where a zone bug in the
+    // inversion (wrong offset, naive day arithmetic) would silently
+    // UNDER-prune-bound and lose rows. Rows are built from INSTANTS
+    // (zone-independent); the expected set is derived with java.time's
+    // own rules — the same rules Spark and the inversion use.
+    val saved = sqlS.conf.get("spark.sql.session.timeZone")
+    try {
+      sqlS.conf.set("spark.sql.session.timeZone", "America/New_York")
+      sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.tz")
+      sqlS.sql("CREATE TABLE graft.tz.t (ts TIMESTAMP, v BIGINT) USING `graft-txn`")
+      val t = TxnTable.at(sqlS, graft.plans.GraftTableFunctions.rootOf("graft.tz.t", sqlS))
+      val base = java.time.Instant.parse("2024-03-09T00:00:00Z")
+      // one file per UTC day, hourly instants — the NY calendar day
+      // 2024-03-10 straddles the UTC 03-10/03-11 file boundary
+      (0 until 3).foreach { day =>
+        val rows = (0 until 24).map { h =>
+          val i = base.plusSeconds((day * 24 + h) * 3600L)
+          (java.sql.Timestamp.from(i), day * 24L + h)
+        }
+        t.append(rows.toDF("ts", "v").repartition(1))
+      }
+      val ny = java.time.ZoneId.of("America/New_York")
+      val expected = (0 until 72).filter { k =>
+        base.plusSeconds(k * 3600L).atZone(ny).toLocalDate.toString ==
+          "2024-03-10"
+      }.map(_.toLong).toSet
+      assert(expected.size == 23, s"DST day has 23 hours, got ${expected.size}")
+      val day = sqlS.sql(
+        "SELECT v FROM graft.tz.t WHERE CAST(ts AS DATE) = DATE '2024-03-10'")
+      assert(day.as[Long].collect().toSet == expected,
+        "zone-correct rows across the spring-forward gap")
+      assert(day.inputFiles.count(_.contains("/d-")) == 2,
+        s"NY day straddles two UTC files: planned ${day.inputFiles.count(_.contains("/d-"))} of 3")
+    } finally sqlS.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("string file skipping: UTF8_BINARY stats bounds prune eq/range/IN/prefix on every surface") {
     sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.str")
     sqlS.sql("CREATE TABLE graft.str.t (s STRING, v BIGINT) USING `graft-txn`")

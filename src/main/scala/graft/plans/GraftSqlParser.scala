@@ -73,7 +73,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """('[^']+'|[\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val CopyInto =
     ("""(?is)\s*COPY\s+INTO\s+('[^']+'|[\w.`]+)\s+FROM\s+'([^']+)'""" +
-      """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""").r
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+(FORCE))?\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -137,9 +137,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .map(s => GraftCloneCommand(target(dst), s,
         Option(ver).map(_.toLong).getOrElse(-1L)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case CopyInto(t, src, fmt) => graftTarget(t)
+    case CopyInto(t, src, fmt, force) => graftTarget(t)
       .map(GraftCopyIntoCommand(_, src,
-        Option(fmt).map(_.toLowerCase).getOrElse("parquet")): LogicalPlan)
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+        force = force != null): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -281,23 +282,28 @@ case class GraftCloneCommand(dest: String, source: String,
   }
 }
 
-/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]` — the
-  * idempotent batch-ingest statement (Delta's COPY INTO shape), lowered
-  * onto the streaming sink's exactly-once primitive: each source file
-  * appends under the ledger tag `copy:<canonical-path>` with its
-  * mtime-based fingerprint as the batch id, so re-running the SAME
-  * statement (operator retry, scheduler replay, crash-recovery re-run)
-  * skips every already-ingested file as a log-metadata no-op — a
-  * half-applied COPY resumes from where it stopped, and a double-applied
-  * one changes nothing. A file MODIFIED since its ingest (newer mtime)
-  * re-ingests as a new batch. CSV/JSON read under the TABLE's declared
-  * schema (no inference — a schema drift fails loudly instead of
-  * committing differently-typed rows); PARQUET brings its own. Returns
-  * (files loaded, files skipped, rows added). Cost at 100 TB: one
-  * KB-scale commit per NEW file, never a rescan of previously loaded
-  * data — the batch twin of the streaming ingest path. */
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON] [FORCE]` —
+  * the idempotent batch-ingest statement (Delta's COPY INTO shape),
+  * lowered onto the streaming sink's exactly-once primitive: each source
+  * file appends under the ledger tag `copy:<canonical-path>`, so
+  * re-running the SAME statement (operator retry, scheduler replay,
+  * crash-recovery re-run) skips every already-ingested PATH as a
+  * log-metadata no-op — a half-applied COPY resumes from where it
+  * stopped, and a double-applied one changes nothing. Delta semantics:
+  * an already-loaded path is NEVER re-ingested implicitly, even if the
+  * file's content changed since (an in-place-appended log file would
+  * otherwise silently duplicate its earlier rows); `FORCE` explicitly
+  * re-loads every matched file as a fresh batch (the caller owns the
+  * resulting duplication, exactly as Delta's force option does). The
+  * directory is walked RECURSIVELY, so date-partitioned landing layouts
+  * (`dt=.../part-*.parquet`) ingest in one statement. CSV/JSON read
+  * under the TABLE's declared schema (no inference — a schema drift
+  * fails loudly instead of committing differently-typed rows); PARQUET
+  * brings its own. Returns (files loaded, files skipped, rows added).
+  * Cost at 100 TB: one KB-scale commit per NEW file, never a rescan of
+  * previously loaded data — the batch twin of the streaming ingest. */
 case class GraftCopyIntoCommand(target: String, source: String,
-    format: String) extends LeafRunnableCommand {
+    format: String, force: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_loaded", IntegerType)(),
     AttributeReference("n_skipped", IntegerType)(),
@@ -320,24 +326,31 @@ case class GraftCopyIntoCommand(target: String, source: String,
       case "json" => n => n.endsWith(".json") || n.endsWith(".jsonl")
     }
     val files = {
-      val s = Files.list(dir)
+      val s = Files.walk(dir)
       try s.iterator().asScala.toVector
-        .filter(p => wanted(p.getFileName.toString)).sortBy(_.toString)
+        .filter(p => Files.isRegularFile(p) &&
+          wanted(p.getFileName.toString)).sortBy(_.toString)
       finally s.close()
     }
     var loaded = 0; var skipped = 0
     val loadedVersions = Vector.newBuilder[Long]
     files.foreach { p =>
       val abs = p.toAbsolutePath.normalize.toString
-      val reader = sc.fold(session.read)(session.read.schema(_))
-      val df = format match {
-        case "parquet" => reader.parquet(abs)
-        case "csv" => reader.option("header", "true").csv(abs)
-        case "json" => reader.json(abs)
+      val tag = s"copy:$abs"
+      // batch id 0 marks "this path is loaded"; a FORCE re-load claims
+      // the next id so the ledger stays monotone per path
+      val batch = if (force) t.lastCommitted(tag) + 1 else 0L
+      if (!force && t.lastCommitted(tag) >= 0L) skipped += 1
+      else {
+        val reader = sc.fold(session.read)(session.read.schema(_))
+        val df = format match {
+          case "parquet" => reader.parquet(abs)
+          case "csv" => reader.option("header", "true").csv(abs)
+          case "json" => reader.json(abs)
+        }
+        val v = t.appendIdempotent(df, tag, batch)
+        if (v >= 0) { loaded += 1; loadedVersions += v } else skipped += 1
       }
-      val v = t.appendIdempotent(df, s"copy:$abs",
-        Files.getLastModifiedTime(p).toMillis)
-      if (v >= 0) { loaded += 1; loadedVersions += v } else skipped += 1
     }
     // row counts from the commit entries themselves (KB metadata — the
     // appends already counted exactly from parquet footers; no extra job)

@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   *
   *  - the SQL analysis rule (`GraftSqlRule`): a WHERE directly above a
   *    graft relation, with RESOLVED attributes;
-  *  - the native DML entry points (`deleteWhere` / `update`): an API
-  *    `Column` whose attributes are UNRESOLVED names — candidate
+  *  - the native DML entry points (`deleteWhere` / `update` / `merge` /
+  *    OPTIMIZE WHERE): the API `Column` is ANALYZED against an empty
+  *    frame of the table's schema (`TxnTable.skipPredsFor`), then lands
+  *    here with resolved attributes via `resolvedAttr` — candidate
   *    DISCOVERY then reads commit metadata instead of scanning the
   *    table for its touched files;
   *  - the `graft-txn` format bridge translates V1 `sources.Filter`s
@@ -29,7 +31,12 @@ private[graft] object SkipExtract {
     * EXACT order-preserving widening cast of one (what type coercion
     * wraps the column side in, e.g. `cast(k as bigint) IN (...)` on an
     * INT column — deciding in the wider space is identical to deciding
-    * in the stats space). Lossy casts (long → double) stay opaque. */
+    * in the stats space). Lossy casts (long → double) stay opaque.
+    * float → double is value-exact but NOT stats-space-exact: float
+    * bounds are recorded in Float.toString rendering (0.3), which does
+    * not bound the exact double-cast values (0.30000001192...), so a
+    * double-space comparison against them could wrongly prune — that
+    * cast stays opaque too (pruning loss only, sound). */
   def resolvedAttr(outs: AttributeSet): Expression => Option[String] = {
     def widens(from: DataType, to: DataType): Boolean = {
       def rank(dt: DataType): Option[Int] = dt match {
@@ -38,8 +45,7 @@ private[graft] object SkipExtract {
         case _ => None
       }
       from == to ||
-        rank(from).zip(rank(to)).exists { case (a, b) => a <= b } ||
-        (from == FloatType && to == DoubleType)
+        rank(from).zip(rank(to)).exists { case (a, b) => a <= b }
     }
     e => e match {
       case a: AttributeReference if outs.contains(a) => Some(a.name)
@@ -51,17 +57,6 @@ private[graft] object SkipExtract {
       }
       case _ => None
     }
-  }
-
-  /** Resolver for API-level `Column`s (unresolved single-part names)
-    * against the table's declared column set. No cast-unwrapping here:
-    * an unresolved attribute has no known type to prove a cast safe. */
-  def namedAttr(names: Set[String]): Expression => Option[String] = {
-    case a: AttributeReference if names.contains(a.name) => Some(a.name)
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        if u.nameParts.length == 1 && names.contains(u.nameParts.head) =>
-      Some(u.nameParts.head)
-    case _ => None
   }
 
   /** Extract the skip predicates implied by `cond`, with `attrOf`
@@ -101,7 +96,11 @@ private[graft] object SkipExtract {
       case (v, ShortType) => Some(BigDecimal(v.asInstanceOf[Short].toInt))
       case (v, ByteType) => Some(BigDecimal(v.asInstanceOf[Byte].toInt))
       case (v, DoubleType) => Some(BigDecimal(v.asInstanceOf[Double]))
-      case (v, FloatType) => Some(BigDecimal(v.asInstanceOf[Float].toDouble))
+      // Float.toString matches the footer's float rendering; toDouble
+      // would shift the value off the recorded bounds (e.g. 0.3f →
+      // 0.30000001192092896) and wrongly prune an exact-match file
+      case (v, FloatType) =>
+        Some(BigDecimal(v.asInstanceOf[Float].toString))
       case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
       case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
       case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))

@@ -225,7 +225,9 @@ private[graft] object TxnFilters {
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
     case d: Double => Some(BigDecimal(d))
-    case f: Float => Some(BigDecimal(f.toDouble))
+    // Float.toString keeps the probe inside the footer's float-rendered
+    // bounds (see TxnTable.statsSpace) — toDouble would not
+    case f: Float => Some(BigDecimal(f.toString))
     case t: java.sql.Timestamp =>
       Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))

@@ -1015,19 +1015,25 @@ final class TxnTable(val spark: SparkSession, val root: String,
   /** Stats at a fixed (version, file set) are immutable — memoized so
     * repeated reads of the same snapshot (micro-batch tailing, multi-read
     * keys) pay the fold once per handle. Size-capped like the entry
-    * cache. Keyed by the file LIST itself (structural equality), not its
-    * 32-bit hashCode: two different pruned subsets of the same version
-    * must never share an entry (a hash collision would silently attach
-    * the wrong CatalogStatistics to a scan — CBO misestimates only, but
-    * avoidable for the price of holding the key list). */
+    * cache. Keyed by (version, SHA-256 of the NUL-framed file list), not
+    * the list itself: two different pruned subsets of the same version must
+    * never share an entry, and a 256-bit digest makes collision risk
+    * negligible WITHOUT retaining up to 1024 full file lists on the
+    * driver (at 100k+ live files × many distinct pruned subsets, the
+    * retained lists would dwarf the stats they key). */
   private val leafStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Seq[String]), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
+    (Long, String), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
 
   private def withLeafStats(df: DataFrame, v: Long,
       relFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val key = (v, relFiles.toList)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    relFiles.foreach { f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte) // unambiguous framing between names
+    }
+    val key = (v, md.digest().map("%02x".format(_)).mkString)
     val cs =
       if (leafStatsCache.size < 1024)
         leafStatsCache.computeIfAbsent(key, _ => leafCatalogStats(v, relFiles))
@@ -2146,7 +2152,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
     case d: Double => Some(BigDecimal(d))
-    case f: Float => Some(BigDecimal(f.toDouble))
+    // Float.toString, NOT toDouble: the footer records float bounds via
+    // java.lang.Float.toString (shortest decimal, e.g. "0.3"), while
+    // 0.3f.toDouble renders as 0.30000001192092896 — a point probe built
+    // that way lands OUTSIDE a [0.3, 0.3] file and wrongly prunes it
+    case f: Float => Some(BigDecimal(f.toString))
     case t: java.sql.Timestamp =>
       Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))

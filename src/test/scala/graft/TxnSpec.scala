@@ -2637,6 +2637,83 @@ class TxnSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("COPY INTO: modified path never re-ingests implicitly, FORCE does, walk recurses") {
+    import java.nio.file.StandardCopyOption
+    val srcDir = dir("copy_force_src")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    // nested partition-style layout — must be picked up by the walk
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/dt=d1")
+    val t = TxnTable.fresh(spark, dir("copy_force"))
+    t.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    val r1 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir'").head()
+    assert((r1.getInt(0), r1.getInt(1), r1.getLong(2)) == ((2, 0, 2L)))
+    // rewrite the TOP-LEVEL part file in place (different rows, newer
+    // mtime) — the in-place-appended-log-file hazard
+    def partIn(d: java.nio.file.Path, recurse: Boolean): java.nio.file.Path = {
+      val s = if (recurse) Files.walk(d) else Files.list(d)
+      try s.iterator().asScala
+        .find(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val tmp = dir("copy_force_tmp")
+    Seq((9L, "z")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val target = partIn(Paths.get(srcDir), recurse = false)
+    Files.copy(partIn(Paths.get(tmp), recurse = true), target,
+      StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar — the replaced bytes no longer
+    // match it and ChecksumFileSystem would fail the re-read
+    Files.deleteIfExists(
+      target.resolveSibling("." + target.getFileName.toString + ".crc"))
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+    // Delta semantics: an already-loaded PATH is skipped even when its
+    // content/mtime changed — no silent duplication of its earlier rows
+    val r2 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir'").head()
+    assert((r2.getInt(0), r2.getInt(1), r2.getLong(2)) == ((0, 2, 0L)))
+    // FORCE re-loads every matched file as a fresh batch
+    val r3 = sqlS.sql(s"COPY INTO '${t.root}' FROM '$srcDir' FORCE").head()
+    assert((r3.getInt(0), r3.getInt(1), r3.getLong(2)) == ((2, 0, 2L)))
+    val got = t.read().as[(Long, String)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map((1L, "a") -> 1, (2L, "b") -> 2, (9L, "z") -> 1), got)
+  }
+
+  test("float-column skipping: probes use the footer's float rendering, never toDouble") {
+    // 0.3f's footer bounds render as "0.3" (Float.toString); a probe
+    // built via toDouble (0.30000001192092896) lands OUTSIDE [0.3, 0.3]
+    // and wrongly prunes the exact-match file — the r15 regression this
+    // test pins: reads, IN-lists, and DML discovery on a float column.
+    val t = TxnTable.fresh(spark, dir("float_prune"))
+    t.append(Seq((1L, 0.1f), (2L, 0.2f)).toDF("k", "f").repartition(1))
+    t.append(Seq((3L, 0.3f), (4L, 0.3f)).toDF("k", "f").repartition(1))
+    t.append(Seq((5L, 0.7f), (6L, 0.9f)).toDF("k", "f").repartition(1))
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("/d-"))
+    val eq = t.readWhereEq("f", 0.3f)
+    assert(eq.select("k").as[Long].collect().toSet == Set(3L, 4L))
+    assert(planned(eq) == 1, "exact-match file must survive AND others prune")
+    val in = t.readWhereIn("f", Seq(0.3f, 0.9f))
+    assert(in.select("k").as[Long].collect().toSet == Set(3L, 4L, 6L))
+    assert(planned(in) == 2)
+    // float-vs-double SQL comparison coerces through a lossy cast — it
+    // must extract NOTHING (all files planned) rather than mis-prune
+    val sqlCmp = t.read().filter("f > 0.29")
+    assert(sqlCmp.select("k").as[Long].collect().toSet == Set(3L, 4L, 5L, 6L))
+    // DML discovery on the float key: the delete must actually land
+    t.deleteWhere(col("f") === 0.3f)
+    assert(t.read().select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L, 6L), "delete silently skipped the matched file")
+  }
+
   test("cloneTo names a stale partial clone instead of a confusing copy failure") {
     val t = TxnTable.fresh(spark, dir("clone_stale_src"))
     t.append(Seq((1L, "a")).toDF("k", "v"))

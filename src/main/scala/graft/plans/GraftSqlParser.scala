@@ -74,6 +74,58 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CopyInto =
     ("""(?is)\s*COPY\s+INTO\s+('[^']+'|[\w.`]+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+(FORCE))?\s*;?\s*""").r
+  // --- DML: lowered onto the native TxnTable entry points, so the SQL
+  // front door pays the same SkipExtract candidate-discovery pruning as
+  // the API path (the WHERE routes through TxnTable.skipPredsFor)
+  private val DeleteFrom =
+    ("""(?is)\s*DELETE\s+FROM\s+('[^']+'|[\w.`]+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val UpdateSet =
+    ("""(?is)\s*UPDATE\s+('[^']+'|[\w.`]+)\s+SET\s+(.+?)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  // the upsert-all MERGE shape the native merge implements: equi-keys in
+  // ON, whole-row replace on match, whole-row insert otherwise. Any other
+  // WHEN clause combination delegates (and fails loudly in Spark) rather
+  // than silently approximating different semantics.
+  private val MergeInto =
+    ("""(?is)\s*MERGE\s+INTO\s+('[^']+'|[\w.`]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
+      """\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  // --- ALTER TABLE DDL: each variant is a metadata-only log commit on
+  // the existing TxnTable primitives
+  private val AlterAddCols =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+ADD\s+COLUMNS?\s+""" +
+      """\((.+)\)\s*;?\s*""").r
+  private val AlterAddIdentity =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+ADD\s+COLUMNS?\s+""" +
+      """`?(\w+)`?\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
+      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+(?:STEP|INCREMENT\s+BY)\s+(-?\d+)\s*\))?\s*;?\s*""").r
+  private val AlterAddGenerated =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+ADD\s+COLUMNS?\s+""" +
+      """`?(\w+)`?\s+([\w()<>, ]+?)\s+GENERATED\s+ALWAYS\s+AS\s+""" +
+      """\((.+)\)\s*;?\s*""").r
+  private val AlterAddCol =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+ADD\s+COLUMNS?\s+""" +
+      """`?(\w+)`?\s+([\w()<>, ]+?)\s*;?\s*""").r
+  private val AlterRenameCol =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+RENAME\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
+  private val AlterDropCol =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+DROP\s+COLUMN\s+""" +
+      """`?(\w+)`?\s*;?\s*""").r
+  private val AlterSetProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+SET\s+TBLPROPERTIES\s+""" +
+      """\((.+)\)\s*;?\s*""").r
+  private val AlterUnsetProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+UNSET\s+TBLPROPERTIES\s+""" +
+      """\((.+)\)\s*;?\s*""").r
+  private val AlterAddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s+\((.+)\)\s*;?\s*""").r
+  private val AlterDropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+('[^']+'|[\w.`]+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(\w+)\s*;?\s*""").r
 
   private def target(raw: String): String = {
     val t = raw.trim
@@ -90,6 +142,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val t = target(raw)
     if (raw.trim.startsWith("'") || t.contains('/')) Some(t)
     else scala.util.Try(GraftTableFunctions.rootOf(t)).toOption.map(_ => t)
+  }
+
+  /** Gate for the DML/DDL statements: intercept PATH targets only —
+    * the shape Spark's grammar cannot express at all. Catalog-qualified
+    * names keep Spark's own DELETE/UPDATE/MERGE/ALTER grammar, which
+    * `GraftSqlRule` + the catalog's `alterTable` already lower onto the
+    * same native primitives; one route per target shape, never two
+    * competing ones for the same statement. */
+  private def pathTarget(raw: String): Option[String] = {
+    val t = target(raw)
+    if (raw.trim.startsWith("'") || t.contains('/')) Some(t) else None
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -142,6 +205,56 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
         force = force != null): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
+    case DeleteFrom(t, where) => pathTarget(t)
+      .map(GraftPathDeleteCommand(_,
+        Option(where).map(_.trim).filter(_.nonEmpty)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case UpdateSet(t, sets, where) => pathTarget(t)
+      .map(GraftPathUpdateCommand(_, GraftSqlParser.assignments(sets),
+        Option(where).map(_.trim).filter(_.nonEmpty)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case MergeInto(t, tAlias, src, on) => pathTarget(t)
+      .map(GraftPathMergeCommand(_, src.trim,
+        GraftSqlParser.equiKeys(on, Option(tAlias))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterAddCols(t, cols) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.AddColumns(GraftSqlParser.columnDefs(cols))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterAddIdentity(t, name, start, step) => pathTarget(t)
+      .map(GraftAlterCommand(_, AlterOp.AddIdentity(name,
+        Option(start).map(_.toLong).getOrElse(1L),
+        Option(step).map(_.toLong).getOrElse(1L))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterAddGenerated(t, name, ddl, genExpr) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.AddGenerated(name, ddl.trim, genExpr.trim)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterAddCol(t, name, ddl) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.AddColumns(Seq((name, ddl.trim)))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterRenameCol(t, from, to) => pathTarget(t)
+      .map(GraftAlterCommand(_, AlterOp.RenameColumn(from, to)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterDropCol(t, name) => pathTarget(t)
+      .map(GraftAlterCommand(_, AlterOp.DropColumn(name)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterSetProps(t, kvs) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.SetProps(GraftSqlParser.propPairs(kvs))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterUnsetProps(t, ks) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.UnsetProps(GraftSqlParser.propKeys(ks))): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterAddConstraint(t, name, check) => pathTarget(t)
+      .map(GraftAlterCommand(_,
+        AlterOp.AddConstraint(name, check.trim)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case AlterDropConstraint(t, name) => pathTarget(t)
+      .map(GraftAlterCommand(_, AlterOp.DropConstraint(name)): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -161,6 +274,209 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+/** String-level helpers for the regex-delegating parser: top-level
+  * splitting that respects parentheses and single-quoted strings, and
+  * the small grammars (assignment lists, ON equi-keys, column defs,
+  * property lists) the DML/DDL statements carry. */
+object GraftSqlParser {
+
+  /** Split `s` on top-level `sep` — separators inside parens or inside
+    * single-quoted strings ('' escapes) don't split. */
+  private[plans] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.result(); cur.clear()
+        case x => cur += x
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `a = expr, b = expr` → (column, expression SQL) pairs. The LHS is a
+    * bare or backticked identifier, so the FIRST top-level '=' splits. */
+  private[plans] def assignments(s: String): Seq[(String, String)] =
+    splitTop(s, ',').map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad SET assignment (expected col = expr): $a")
+      (a.take(i).trim.replace("`", ""), a.drop(i + 1).trim)
+    }
+
+  /** MERGE ON condition → key column names: a conjunction of
+    * `t.k = s.k` equalities where both sides name the SAME column
+    * (the native merge's key contract). Anything else is refused with
+    * the supported shape named. */
+  private[plans] def equiKeys(on: String, tAlias: Option[String]): Seq[String] =
+    splitTop(on, ' ').mkString(" ") // normalize whitespace
+      .split("(?i)\\s+AND\\s+").toSeq.map { eq =>
+        val sides = eq.split('=')
+        require(sides.length == 2,
+          s"MERGE ON supports only equi-key conjunctions (t.k = s.k AND …): $eq")
+        def colOf(side: String): String = {
+          val p = side.trim.replace("`", "").split('.')
+          p(p.length - 1)
+        }
+        val (l, r) = (colOf(sides(0)), colOf(sides(1)))
+        require(l.equalsIgnoreCase(r),
+          s"MERGE ON keys must name the same column on both sides, got $eq")
+        l
+      }
+
+  /** `a INT, b DECIMAL(10, 2)` → (name, type DDL) pairs. */
+  private[plans] def columnDefs(s: String): Seq[(String, String)] =
+    splitTop(s, ',').map { d =>
+      val t = d.trim
+      val i = t.indexWhere(_.isWhitespace)
+      require(i > 0, s"bad column definition (expected name TYPE): $d")
+      (t.take(i).replace("`", ""), t.drop(i + 1).trim)
+    }
+
+  /** `'k' = 'v', 'k2' = 'v2'` → property map. */
+  private[plans] def propPairs(s: String): Map[String, String] =
+    splitTop(s, ',').map { kv =>
+      val p = splitTop(kv, '=')
+      require(p.length == 2, s"bad TBLPROPERTIES entry (expected 'k' = 'v'): $kv")
+      (unquote(p(0)), unquote(p(1)))
+    }.toMap
+
+  /** `'k', 'k2'` → property key list. */
+  private[plans] def propKeys(s: String): Seq[String] =
+    splitTop(s, ',').map(unquote)
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+}
+
+/** ALTER TABLE variants, each a metadata-only commit on the matching
+  * TxnTable primitive. */
+sealed trait AlterOp
+object AlterOp {
+  case class AddColumns(cols: Seq[(String, String)]) extends AlterOp
+  case class AddGenerated(name: String, typeDdl: String, expr: String) extends AlterOp
+  case class AddIdentity(name: String, start: Long, step: Long) extends AlterOp
+  case class RenameColumn(from: String, to: String) extends AlterOp
+  case class DropColumn(name: String) extends AlterOp
+  case class SetProps(kv: Map[String, String]) extends AlterOp
+  case class UnsetProps(keys: Seq[String]) extends AlterOp
+  case class AddConstraint(name: String, check: String) extends AlterOp
+  case class DropConstraint(name: String) extends AlterOp
+}
+
+/** ALTER TABLE <target> <op> — returns the committed version. The ops
+  * lower onto the proven log actions (`addColumns` / `renameColumn` /
+  * `dropColumn` / `setProperties` / `addConstraint` / `dropConstraint` /
+  * `addGeneratedColumn` / `addIdentityColumn`), so everything the API
+  * surface enforces (constraint validation scans, protocol bumps,
+  * column-mapping physical names, rename/drop refusals on constrained
+  * columns) holds identically through SQL. */
+case class GraftAlterCommand(target: String, op: AlterOp)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    def dt(ddl: String): DataType =
+      session.sessionState.sqlParser.parseDataType(ddl)
+    val v = op match {
+      case AlterOp.AddColumns(cols) =>
+        t.addColumns(StructType(cols.map { case (n, d) =>
+          org.apache.spark.sql.types.StructField(n, dt(d)) }))
+      case AlterOp.AddGenerated(n, d, e) => t.addGeneratedColumn(n, dt(d), e)
+      case AlterOp.AddIdentity(n, start, step) =>
+        t.addIdentityColumn(n, start, step)
+      case AlterOp.RenameColumn(from, to) => t.renameColumn(from, to)
+      case AlterOp.DropColumn(n) => t.dropColumn(n)
+      case AlterOp.SetProps(kv) => t.setProperties(kv)
+      case AlterOp.UnsetProps(ks) => t.setProperties(Map.empty, ks)
+      case AlterOp.AddConstraint(n, check) => t.addConstraint(n, check)
+      case AlterOp.DropConstraint(n) => t.dropConstraint(n)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `DELETE FROM <target> [WHERE <cond>]` — the native copy-on-write
+  * `deleteWhere`, whose candidate DISCOVERY routes the condition through
+  * SkipExtract file skipping: a point delete on a clustered/bloomed
+  * column plans and rewrites 1-of-N files, through plain SQL. No WHERE
+  * deletes every row (SQL semantics). Returns the committed version
+  * (the unchanged tip when nothing matched). */
+case class GraftPathDeleteCommand(target: String, whereSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val cond = whereSql.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Seq(Row(t.deleteWhere(cond)))
+  }
+}
+
+/** `UPDATE <target> SET c = expr [, …] [WHERE <cond>]` — the native
+  * copy-on-write `update`: only files CONTAINING a matching row rewrite,
+  * and the WHERE pays the same SkipExtract discovery pruning as the API
+  * path. Assignments are SQL expressions over the row's own columns. */
+case class GraftPathUpdateCommand(target: String,
+    sets: Seq[(String, String)], whereSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val cond = whereSql.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val set = sets.map { case (c, e) =>
+      c -> org.apache.spark.sql.functions.expr(e) }.toMap
+    Seq(Row(t.update(set, cond)))
+  }
+}
+
+/** `MERGE INTO <target> [t] USING <source> [s] ON t.k = s.k [AND …]
+  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+  * the upsert-all shape the native `merge` implements: same-key rows
+  * replace, new keys append, only key-containing files rewrite (the
+  * touched-file discovery is stats-pruned on the first key). The source
+  * is a table/view name or a parenthesized query. Any other WHEN-clause
+  * combination falls through to Spark's parser (unsupported, loudly)
+  * rather than silently approximating different semantics. */
+case class GraftPathMergeCommand(target: String, sourceSpec: String,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    // "<name>", "<name> alias", "(query)", "(query) alias" — the alias is
+    // only ON-clause sugar (keys are already extracted), so it drops here
+    val spec = sourceSpec.trim
+    val noAlias =
+      if (spec.startsWith("(")) spec.take(spec.lastIndexOf(')') + 1)
+      else spec.split("\\s+")(0)
+    val src =
+      if (noAlias.startsWith("("))
+        session.sql(noAlias.substring(1, noAlias.length - 1))
+      else session.table(noAlias.replace("`", ""))
+    Seq(Row(t.merge(src, keyCols)))
+  }
 }
 
 /** DESCRIBE HISTORY as a command (rows come from KB-scale log metadata). */

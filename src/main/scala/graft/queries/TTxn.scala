@@ -888,6 +888,94 @@ object TTxn {
           "ORDER BY _change_type, _commit_version, l_returnflag")
     }),
 
+    "t_txn_sql_delete" -> ((s, d) => {
+      // DELETE FROM through the PATH front door — the statement Spark's
+      // grammar cannot express (`DELETE FROM '/path'`), intercepted by
+      // the delegating parser and lowered onto the native deleteWhere
+      // (whose discovery routes the WHERE through SkipExtract skipping;
+      // TxnSpec pins the 1-of-N rewrite). Hash must equal the API twin
+      // t_txn_delete exactly — a mis-lowered condition cannot hide.
+      val t = cloneOf(s, base12(s, d), "txn_sql_delete")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"DELETE FROM '${t.root}' WHERE l_quantity > 25")
+      agg(t.read())
+    }),
+
+    "t_txn_sql_update" -> ((s, d) => {
+      // UPDATE ... SET through the path front door: assignment
+      // expressions over the row's own columns, lowered onto the native
+      // copy-on-write update (file-granular rewrite, SkipExtract
+      // discovery). Content pinned against the CASE-recomputing oracle.
+      val t = cloneOf(s, base12(s, d), "txn_sql_update")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"UPDATE '${t.root}' SET l_quantity = l_quantity * 2 " +
+        "WHERE l_quantity > 25")
+      agg(t.read())
+    }),
+
+    "t_txn_sql_merge" -> ((s, d) => {
+      // MERGE INTO through the path front door (upsert-all shape): the
+      // equi-key ON conjunction becomes the native merge's key list, the
+      // source resolves as a view in the issuing session. Same content
+      // as the API twin t_txn_merge — matched keys replaced (doubled
+      // line 2), new keys inserted (line 6), untouched line 1 verbatim.
+      val t = cloneOf(s, base12(s, d), "txn_sql_merge")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      slice(ss, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(ss, d, 6))
+        .createOrReplaceTempView("sql_path_upd")
+      ss.sql(s"MERGE INTO '${t.root}' t USING sql_path_upd s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      agg(t.read())
+    }),
+
+    "t_txn_sql_ddl" -> ((s, d) => {
+      // ALTER TABLE DDL through the path front door, composed the way a
+      // schema migration actually runs: declare a generated column, add
+      // a CHECK constraint (which validates existing data and bumps the
+      // writer protocol — TxnSpec pins the gate), declare write-time
+      // clustering, rename a column — all metadata-only commits — then
+      // append through the evolved rules. The read back must show NULL
+      // generated values on pre-declaration rows, computed ones on the
+      // new append, and the renamed column everywhere.
+      val t = cloneOf(s, base12(s, d), "txn_sql_ddl")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"ALTER TABLE '${t.root}' ADD COLUMN qty_bp BIGINT " +
+        "GENERATED ALWAYS AS (CAST(floor(l_quantity * 100) AS BIGINT))")
+      ss.sql(s"ALTER TABLE '${t.root}' ADD CONSTRAINT qty_pos " +
+        "CHECK (l_quantity >= 0)")
+      ss.sql(s"ALTER TABLE '${t.root}' SET TBLPROPERTIES " +
+        "('graft.clusterBy' = 'l_orderkey')")
+      ss.sql(s"ALTER TABLE '${t.root}' RENAME COLUMN l_returnflag TO flag")
+      t.append(slice(s, d, 6).withColumnRenamed("l_returnflag", "flag"))
+      t.read().groupBy("flag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"),
+          count("qty_bp").as("n_bp"),
+          sum("qty_bp").cast("bigint").as("sum_bp"))
+        .orderBy("flag")
+    }),
+
+    "t_txn_identity" -> ((s, d) => {
+      // GENERATED ALWAYS AS IDENTITY: ids allocate DENSELY above the
+      // log-recorded high water, atomically with each data commit, and
+      // keep rising across appends. WHICH row got which id is
+      // partition-order dependent (and must be — a global sort per
+      // append would be a scale bug), so the key pins the allocation's
+      // set invariants instead: pre-declaration rows read NULL, the
+      // allocated ids are exactly {1..n} (min/max/sum over a dense range
+      // determine it uniquely), and the count matches the rows appended
+      // after the declaration. Disjointness under racing writers is
+      // TxnSpec's pin.
+      val t = cloneOf(s, base12(s, d), "txn_identity")
+      t.addIdentityColumn("row_id") // start 1, step 1
+      t.append(slice(s, d, 6))
+      t.append(slice(s, d, 5))
+      t.read().agg(count(lit(1)).as("n_rows"), count("row_id").as("n_ids"),
+        min("row_id").as("id_min"), max("row_id").as("id_max"),
+        sum("row_id").cast("bigint").as("id_sum"))
+    }),
+
     "t_txn_cluster_write" -> ((s, d) => {
       // WRITE-TIME clustering: the declared `graft.clusterBy` property
       // range-sorts EVERY staged append (and defaults merge/optimize),
@@ -1345,6 +1433,42 @@ object TTxn {
         ") ORDER BY _change_type, _commit_version, l_returnflag"),
     "t_txn_delete" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
+    // the path-SQL front door must land exactly where the API twins land
+    "t_txn_sql_delete" ->
+      oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
+    "t_txn_sql_update" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_quantity > 25 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "t_txn_sql_merge" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_linenumber = 2 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2, 6) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // lines 1, 2 predate the generated-column declaration (NULL qty_bp),
+    // line 6 appends through it; l_returnflag reads back as `flag`
+    "t_txn_sql_ddl" ->
+      ("WITH m AS (" +
+        "SELECT l_returnflag AS flag, l_quantity, CAST(NULL AS BIGINT) AS qty_bp " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2) " +
+        "UNION ALL SELECT l_returnflag, l_quantity, " +
+        "CAST(floor(l_quantity * 100) AS BIGINT) " +
+        "FROM lineitem WHERE l_linenumber = 6) " +
+        "SELECT flag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty, " +
+        "count(qty_bp) AS n_bp, CAST(sum(qty_bp) AS BIGINT) AS sum_bp " +
+        "FROM m GROUP BY flag ORDER BY flag"),
+    // dense allocation invariants: ids of the post-declaration appends
+    // are exactly {1..n} (count/min/max/sum pin the set), pre-declaration
+    // rows read NULL
+    "t_txn_identity" ->
+      ("WITH k AS (SELECT count(*) AS c FROM lineitem " +
+        "WHERE l_linenumber IN (5, 6)), " +
+        "a AS (SELECT count(*) AS t FROM lineitem " +
+        "WHERE l_linenumber IN (1, 2, 5, 6)) " +
+        "SELECT a.t AS n_rows, k.c AS n_ids, CAST(1 AS BIGINT) AS id_min, " +
+        "CAST(k.c AS BIGINT) AS id_max, " +
+        "CAST(k.c * (k.c + 1) / 2 AS BIGINT) AS id_sum FROM a, k"),
     "t_txn_delete_dv" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 49)"),
     "t_txn_stats_prune" ->

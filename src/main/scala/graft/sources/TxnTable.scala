@@ -766,13 +766,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
       add: Seq[String], remove: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       cdc: Option[String], stats: FileStats,
-      guard: Option[(String, BigDecimal, BigDecimal)], what: String): Long = {
+      guard: Option[(String, BigDecimal, BigDecimal)], what: String,
+      props: Option[Map[String, String]] = None): Long = {
     onBeforePublish()
     var v = vBase
     var res = -1L
     while (res < 0) {
       if (tryCommit(v + 1, action, rows, add, remove, None, schema,
-          cdc = cdc, stats = stats)) res = v + 1
+          cdc = cdc, stats = stats, props = props)) res = v + 1
       else {
         val tip = currentVersion
         if (!reconcilable(vBase, tip, remove.toSet, guard))
@@ -1421,6 +1422,106 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }
   }
 
+  // --------------------------------------------------------------- identity
+
+  /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS IDENTITY — a
+    * METADATA-ONLY commit recording the evolved schema (BIGINT, fresh
+    * physical name) plus two properties: the declaration
+    * `graft.identity.<name>` = "start,step" and the log-recorded
+    * HIGH-WATER mark `graft.identityHw.<name>` = last allocated value
+    * (absent until the first allocation). From this commit on, every
+    * data-ADDING write (append / overwrite / the merge's insert side)
+    * allocates a dense id range above the high water and commits the new
+    * mark ATOMICALLY with the data (same log entry), so ids are monotone
+    * across writers and restarts. Rows committed BEFORE the declaration
+    * read NULL (evolution semantics, like any added column).
+    *
+    * OCC discipline: because the mark rides the PROPERTY map, any
+    * intervening identity-allocating commit changes the table's
+    * properties, which `reconcilable` refuses — a lost race can never
+    * re-claim a staged id range, it must RE-DERIVE it at the new tip
+    * (append's retry loop re-stages via the fingerprint; merge throws
+    * the re-run error). Ids are therefore unique by construction but NOT
+    * gap-free across aborted transactions — the standard identity
+    * contract (Delta/SQL IDENTITY make the same trade). */
+  def addIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): Long = {
+    require(step != 0L, "identity step must be non-zero")
+    val physFor = freshPhysFor()
+    var res = -2L
+    while (res == -2L) {
+      val tip = currentVersion
+      require(tip >= 0, s"no committed version in $root")
+      val sc = schemaAt(tip).getOrElse(
+        throw new IllegalStateException(s"no schema recorded at v$tip"))
+      require(!sc.fieldNames.contains(name), s"column exists: $name")
+      val fresh = org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.LongType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(PhysKey, physFor(name)).build())
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields :+ fresh)
+      val props = propertiesAt(tip) +
+        (s"graft.identity.$name" -> s"$start,$step")
+      if (tryCommit(tip + 1, "addcol", 0L, Nil, Nil, None, Some(sc2),
+          props = Some(props)))
+        res = tip + 1
+    }
+    res
+  }
+
+  /** Declared identity columns at `v`: (name, step, highWater) in name
+    * order. highWater = last allocated value (start - step before the
+    * first allocation, so the first id is exactly `start`). */
+  private def identityAt(v: Long): Seq[(String, Long, Long)] = {
+    val ps = propertiesAt(v)
+    ps.keys.filter(_.startsWith("graft.identity."))
+      .map(_.stripPrefix("graft.identity.")).toSeq.sorted.map { name =>
+        val Array(st, sp) = ps(s"graft.identity.$name").split(',')
+        val hw = ps.get(s"graft.identityHw.$name").map(_.toLong)
+          .getOrElse(st.toLong - sp.toLong)
+        (name, sp.toLong, hw)
+      }
+  }
+
+  /** Allocate the identity columns active at `v` onto a batch about to
+    * stage: each declared column gets hw + step·(1..n) via a DENSE
+    * per-partition assignment (one zipWithIndex pass over the batch —
+    * work ∝ batch, never table). A batch carrying the column explicitly
+    * is refused — GENERATED ALWAYS means the engine owns the value.
+    * Returns the frame with ids attached, the property DELTA the commit
+    * must carry (empty when no identity is declared or the batch is
+    * empty), and a cleanup to run AFTER staging — the input is
+    * materialized once (spill-safe, batch-sized) because the count and
+    * the assignment must see the same rows even for a non-deterministic
+    * source plan, and it must stay materialized until the staged write
+    * consumed it. */
+  private def withIdentity(df: DataFrame, v: Long)
+      : (DataFrame, Map[String, String], () => Unit) = {
+    val ids = identityAt(v)
+    if (ids.isEmpty) return (df, Map.empty, () => ())
+    ids.foreach { case (n, _, _) =>
+      if (df.columns.contains(n)) throw new IllegalArgumentException(
+        s"column $n is GENERATED ALWAYS AS IDENTITY — it cannot be " +
+          "written directly; omit it and the engine allocates it")
+    }
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    if (n == 0) { cached.unpersist(); return (df, Map.empty, () => ()) }
+    val inSchema = cached.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields ++ ids.map { case (name, _, _) =>
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.LongType, nullable = false) })
+    val withIds = spark.createDataFrame(
+      cached.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+          ids.map { case (_, step, hw) => hw + step * (i + 1L) })
+      }, outSchema)
+    val delta = ids.map { case (name, step, hw) =>
+      s"graft.identityHw.$name" -> (hw + step * n).toString }.toMap
+    (withIds, delta, () => { cached.unpersist(); () })
+  }
+
   // ------------------------------------------------------------ constraints
 
   /** ALTER TABLE ADD CONSTRAINT — a CHECK constraint recorded in the log
@@ -1529,7 +1630,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
         // generated columns: computed at stage time, rejected if written
         // directly — and part of the staging fingerprint like constraints
         val gens = generatedAt(tip)
-        val dfG = withGenerated(df, tip, rejectExplicit = true)
+        val dfG0 = withGenerated(df, tip, rejectExplicit = true)
+        // identity allocation: ids above the tip's high-water mark, the
+        // new mark committed ATOMICALLY with the data (props below); the
+        // mark is part of the fingerprint, so a lost race to any other
+        // allocating commit re-derives the whole range at the new tip
+        val (dfG, hwDelta, idCleanup) = withIdentity(dfG0, tip)
+        val idsFp = identityAt(tip).map { case (n, s, hw) => s"id:$n:$s:$hw" }
         val sc = unionSchema(schemaAt(tip), dfG.schema, physFor)
         val cs = constraintsAt(tip)
         // the staging fingerprint includes the ACTIVE constraint set: a
@@ -1541,14 +1648,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
         val cb = declaredClusterBy(tip)
         val proj = dfG.columns.toSeq.map(physicalIn(Some(sc), _)) ++
           cs.map { case (n, e) => s"c:$n:$e" } ++ cb.map("cb:" + _) ++
-          gens.map { case (n, e) => s"g:$n:$e" }
+          gens.map { case (n, e) => s"g:$n:$e" } ++ idsFp
         if (stagedProj == null || proj != stagedProj) {
-          val r = stage(toPhysical(enforced(clusterFor(dfG, cb), cs), sc))
-          files = r._1; rows = r._2; fstats = r._3
+          try {
+            val r = stage(toPhysical(enforced(clusterFor(dfG, cb), cs), sc))
+            files = r._1; rows = r._2; fstats = r._3
+          } finally idCleanup()
           stagedProj = proj
-        }
+        } else idCleanup()
         if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc),
-            stats = fstats))
+            stats = fstats,
+            props = if (hwDelta.isEmpty) None
+              else Some(propertiesAt(tip) ++ hwDelta)))
           res = tip + 1
       }
     }
@@ -1606,28 +1717,39 @@ final class TxnTable(val spark: SparkSession, val root: String,
     var fstats: FileStats = Map.empty
     var done = false; var v = -1L
     var stagedDf: DataFrame = null
+    var hwDelta: Map[String, String] = Map.empty
     while (!done) {
       val tip = currentVersion
       v = tip + 1
       val cs = constraintsAt(tip)
       val cb = declaredClusterBy(tip)
       if (stagedUnder == null ||
-          (cs, cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}"))
+          (cs, cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}") ++
+            identityAt(tip).map(i => s"id:${i._1}:${i._2}:${i._3}"))
             != stagedUnder) {
         // generated columns compute here too (and reject explicit values)
-        // — an overwrite replaces content, not the declared rules
-        val dfG = withGenerated(df, tip, rejectExplicit = true)
-        val r = stage(enforced(clusterFor(dfG, cb), cs))
-        files = r._1; rows = r._2; fstats = r._3
+        // — an overwrite replaces content, not the declared rules; ditto
+        // identity: the high water keeps rising across the reset (the
+        // SQL IDENTITY contract — truncating a table never recycles ids)
+        val dfG0 = withGenerated(df, tip, rejectExplicit = true)
+        val (dfG, hd, idCleanup) = withIdentity(dfG0, tip)
+        hwDelta = hd
+        try {
+          val r = stage(enforced(clusterFor(dfG, cb), cs))
+          files = r._1; rows = r._2; fstats = r._3
+        } finally idCleanup()
         stagedUnder = (cs,
-          cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}"))
+          cb ++ generatedAt(tip).map(g => s"g:${g._1}:${g._2}") ++
+            identityAt(tip).map(i => s"id:${i._1}:${i._2}:${i._3}"))
         stagedDf = dfG
       }
       val gone = if (v == 0) Nil else liveFiles(v - 1)
       // an overwrite REPLACES content, so it resets the schema to its own
       // (dropping columns via overwrite is legitimate; via append it isn't)
       done = tryCommit(v, "overwrite", rows, files, gone, None,
-        Some(stagedDf.schema), stats = fstats)
+        Some(stagedDf.schema), stats = fstats,
+        props = if (hwDelta.isEmpty) None
+          else Some(propertiesAt(tip) ++ hwDelta))
     }
     v
   }
@@ -2476,9 +2598,32 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val inTouched = tagged.filter(col("_f").isin(touched: _*)).drop("_f")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // identity columns: a matched key KEEPS its stored id (the update
+    // row inherits it through the key join — an upsert must not reissue
+    // a row's identity), only genuinely NEW keys allocate above the high
+    // water; the new mark commits atomically with the merge below
+    val idDecl = identityAt(v)
+    val (upsI, hwDelta, idCleanup) =
+      if (idDecl.isEmpty) (ups, Map.empty[String, String], () => ())
+      else {
+        idDecl.foreach { case (n, _, _) =>
+          if (ups.columns.contains(n)) throw new IllegalArgumentException(
+            s"column $n is GENERATED ALWAYS AS IDENTITY — it cannot be " +
+              "written directly; omit it and the engine allocates it")
+        }
+        val idNames = idDecl.map(_._1)
+        val oldIds = inTouched
+          .select((keyCols ++ idNames).map(c => col(s"`$c`")): _*)
+        val joined = ups.join(oldIds, keyCols, "left")
+        val matchedSide = joined.filter(col(idNames.head).isNotNull)
+        val insertSide = joined.filter(col(idNames.head).isNull)
+          .drop(idNames: _*)
+        val (insertWithIds, delta, cleanup) = withIdentity(insertSide, v)
+        (matchedSide.unionByName(insertWithIds), delta, cleanup)
+      }
     // rewritten content: touched files' unmatched rows + ALL update rows
     // (matched replacements and brand-new keys land together)
-    val touchedRows = if (touched.isEmpty) ups.limit(0)
+    val touchedRows = if (touched.isEmpty) upsI.limit(0)
       else inTouched.join(updKeys, keyCols, "left_anti")
     // change-data-feed sidecar, written AT COMMIT TIME because the
     // pre-images are unrecoverable afterwards (the rewrite destroys
@@ -2490,32 +2635,38 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val existKeys = inTouched.select(keyExpr: _*).distinct()
       val pre = inTouched.join(updKeys, keyCols, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
-      val post = ups.join(existKeys, keyCols, "left_semi")
+      val post = upsI.join(existKeys, keyCols, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
-      val ins = ups.join(existKeys, keyCols, "left_anti")
+      val ins = upsI.join(existKeys, keyCols, "left_anti")
         .withColumn("_change_type", lit("insert"))
       pre.unionByName(post, allowMissingColumns = true)
         .unionByName(ins, allowMissingColumns = true)
         .write.parquet(abs(rel))
       Some(rel)
     }
-    val merged = touchedRows.unionByName(ups, allowMissingColumns = true)
+    val merged = touchedRows.unionByName(upsI, allowMissingColumns = true)
     val cb = if (clusterBy.nonEmpty) clusterBy else declaredClusterBy(v)
     val staged =
       if (cb.isEmpty) merged
       else merged.repartitionByRange(math.max(1, touched.size), cb.map(col): _*)
         .sortWithinPartitions(cb.map(col): _*)
-    val sc = unionSchema(schemaAt(v), ups.schema, freshPhysFor())
+    val sc = unionSchema(schemaAt(v), upsI.schema, freshPhysFor())
     val (files, rows, fstats) =
-      stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
+      try stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
+      finally idCleanup()
     // lost publish races re-validate and re-claim WITHOUT re-staging when
     // every intervening commit is provably disjoint (file sets + key
-    // ranges) — two merges on disjoint key ranges each stage exactly once
+    // ranges) — two merges on disjoint key ranges each stage exactly once.
+    // With an identity allocation in play the commit carries the new
+    // high-water props; reconcilable's props check then refuses any
+    // intervening ALLOCATING commit, so a raced id range is re-derived
+    // by the caller's re-run, never re-claimed.
     val guard = keyRange.map { case (lo, hi) =>
       (physicalIn(Some(sc), keyCols.head), lo, hi)
     }
     publishReconciling(v, "merge", rows, files, touched, Some(sc),
-      cdcRel, fstats, guard, "merge")
+      cdcRel, fstats, guard, "merge",
+      props = if (hwDelta.isEmpty) None else Some(propertiesAt(v) ++ hwDelta))
     } finally { inTouched.unpersist(); () }
   }
 
@@ -2624,6 +2775,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (set.contains(n)) throw new IllegalArgumentException(
         s"column $n is GENERATED ALWAYS AS — it cannot be assigned; " +
           "it recomputes from the updated row")
+    }
+    identityAt(v).foreach { case (n, _, _) =>
+      if (set.contains(n)) throw new IllegalArgumentException(
+        s"column $n is GENERATED ALWAYS AS IDENTITY — it cannot be " +
+          "assigned; a row keeps its id for life")
     }
     val matchedPred = coalesce(cond, lit(false))
     // assignments applied to a matched row (column order preserved)

@@ -2714,6 +2714,104 @@ class TxnSpec extends SparkTestBase {
       Set(1L, 2L, 5L, 6L), "delete silently skipped the matched file")
   }
 
+  test("path-target SQL DML: DELETE/UPDATE/MERGE on a quoted path, point delete rewrites 1-of-N") {
+    val t = TxnTable.fresh(spark, dir("sql_dml_path"))
+    val rng = new scala.util.Random(7)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 2)).toDF("k", "q")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    assert(t.read().inputFiles.count(_.contains("/d-")) == 4)
+    // point DELETE through SQL: candidate discovery must prune to the one
+    // clustered file (the t_txn_sql_prune pin, applied to DML discovery)
+    val vDel = sqlS.sql(s"DELETE FROM '${t.root}' WHERE k = 120")
+      .head().getLong(0)
+    val h = t.history().collect().find(_.getLong(0) == vDel).get
+    assert(h.getLong(4) == 1,
+      s"point delete must rewrite exactly 1 of 4 files, removed ${h.getLong(4)}")
+    assert(t.read().filter(col("k") === 120L).count() == 0)
+    assert(t.read().count() == 399)
+    // UPDATE through SQL (assignment over the row's own columns)
+    sqlS.sql(s"UPDATE '${t.root}' SET q = q + 1000 WHERE k = 7")
+    assert(t.read().filter(col("k") === 7L).select("q").as[Long].head() == 1014L)
+    // MERGE through SQL, subquery source: matched key replaces, new key inserts
+    sqlS.sql(s"MERGE INTO '${t.root}' t USING (SELECT cast(5 AS bigint) AS k, " +
+      "cast(999 AS bigint) AS q UNION ALL SELECT 1000, 1) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().filter(col("k") === 5L).select("q").as[Long].head() == 999L)
+    assert(t.read().filter(col("k") === 1000L).count() == 1)
+    assert(t.read().count() == 400)
+  }
+
+  test("path-target ALTER TABLE DDL: columns, props, constraints through SQL") {
+    val t = TxnTable.fresh(spark, dir("sql_ddl_path"))
+    t.append(Seq((1L, 10.0)).toDF("k", "q"))
+    sqlS.sql(s"ALTER TABLE '${t.root}' ADD COLUMNS (tag STRING, n INT)")
+    assert(t.read().columns.toSeq == Seq("k", "q", "tag", "n"))
+    sqlS.sql(s"ALTER TABLE '${t.root}' RENAME COLUMN tag TO label")
+    assert(t.read().columns.toSeq == Seq("k", "q", "label", "n"))
+    sqlS.sql(s"ALTER TABLE '${t.root}' DROP COLUMN n")
+    assert(t.read().columns.toSeq == Seq("k", "q", "label"))
+    sqlS.sql(s"ALTER TABLE '${t.root}' SET TBLPROPERTIES " +
+      "('graft.clusterBy' = 'k', 'owner' = 'ops')")
+    assert(t.properties.get("owner").contains("ops"))
+    assert(t.properties.get("graft.clusterBy").contains("k"))
+    sqlS.sql(s"ALTER TABLE '${t.root}' UNSET TBLPROPERTIES ('owner')")
+    assert(!t.properties.contains("owner"))
+    // ADD CONSTRAINT through SQL: validates existing data AND raises the
+    // writer protocol in the same commit — the old-protocol gate every
+    // pre-constraint writer build must now trip on
+    assert(t.protocol == ((1, 1)))
+    sqlS.sql(s"ALTER TABLE '${t.root}' ADD CONSTRAINT q_pos CHECK (q >= 0)")
+    assert(t.protocol == ((1, 2)),
+      "SQL ADD CONSTRAINT must bump minWriter so old writers are gated")
+    sqlS.sql(s"ALTER TABLE '${t.root}' DROP CONSTRAINT q_pos")
+    assert(t.constraintsAt(t.currentVersion).isEmpty)
+    // generated column declared through SQL computes on the next append
+    sqlS.sql(s"ALTER TABLE '${t.root}' ADD COLUMN k2 BIGINT " +
+      "GENERATED ALWAYS AS (k * 2)")
+    t.append(Seq((3L, 1.0, "y")).toDF("k", "q", "label"))
+    assert(t.read().filter(col("k") === 3L).select("k2").as[Long].head() == 6L)
+  }
+
+  test("identity columns: dense monotone allocation, merge preserves matched ids, races re-derive") {
+    val t = TxnTable.fresh(spark, dir("identity"))
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("name", "v"))
+    t.addIdentityColumn("id", start = 100L, step = 10L)
+    // pre-declaration rows read NULL (evolution semantics, no rewrite)
+    assert(t.read().filter(col("id").isNull).count() == 2)
+    // appends allocate densely above the high water, atomically committed
+    t.append(Seq(("c", 3L), ("d", 4L)).toDF("name", "v"))
+    assert(t.read().filter(col("id").isNotNull)
+      .select("id").as[Long].collect().toSet == Set(100L, 110L))
+    // GENERATED ALWAYS: explicit writes refused
+    intercept[IllegalArgumentException](
+      t.append(Seq(("x", 9L, 1L)).toDF("name", "v", "id")))
+    // merge: a matched key KEEPS its id, only the new key allocates
+    val before = t.read().filter(col("id").isNotNull)
+      .select("name", "id").as[(String, Long)].collect().toMap
+    t.merge(Seq(("c", 30L), ("e", 5L)).toDF("name", "v"), Seq("name"))
+    val after = t.read().filter(col("id").isNotNull)
+      .select("name", "id").as[(String, Long)].collect().toMap
+    assert(after("c") == before("c"), "matched key must keep its identity")
+    assert(after("e") == 120L, s"insert allocates the next id, got ${after("e")}")
+    assert(t.read().filter(col("name") === "c")
+      .select("v").as[Long].head() == 30L)
+    // racing appends: every loser re-derives its range at the new tip
+    // (the high-water rides the property map, which reconciliation
+    // refuses to span) — ids stay dense, unique, monotone
+    (1 to 4).par_unsafe { w =>
+      t.append(Seq((s"w$w-1", w.toLong), (s"w$w-2", w.toLong)).toDF("name", "v"))
+    }
+    val all = t.read().filter(col("id").isNotNull).select("id").as[Long].collect()
+    assert(all.length == 11 && all.distinct.length == 11,
+      s"identity ids must never collide: ${all.sorted.toSeq}")
+    assert(all.toSet == (100L to 200L by 10L).toSet,
+      s"allocation must stay dense across racing writers: ${all.sorted.toSeq}")
+    // identity survives overwrite: the mark keeps rising (never recycles)
+    t.overwrite(Seq(("z", 0L)).toDF("name", "v"))
+    assert(t.read().select("id").as[Long].head() == 210L)
+  }
+
   test("cloneTo names a stale partial clone instead of a confusing copy failure") {
     val t = TxnTable.fresh(spark, dir("clone_stale_src"))
     t.append(Seq((1L, "a")).toDF("k", "v"))

@@ -168,7 +168,20 @@ object OCurate {
     * discipline as i_pagerank). Initial centroids are the first `k`
     * vec_ids; at scale the centroid side is a broadcast of k·dims rows.
     * Returns (vec_id, cid, n_members). */
-  def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+  def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
+    kmeansD2(embeddings, k, iters).withColumn("rn", row_number()
+        .over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cid")))
+      .orderBy("vec_id")
+
+  /** The FINAL-iteration (vec_id, cid, d2) distance table of [[kmeans]]
+    * — training identical (same integer-scaled Lloyd loop), factored out
+    * so the rank-1 assignment and the multi-probe RANKED assignment
+    * derive from one table and can never train apart. */
+  private def kmeansD2(embeddings: DataFrame, k: Int = 4,
+      iters: Int = 2): DataFrame = {
     val dims = embeddings
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xv")))
@@ -176,22 +189,30 @@ object OCurate {
         floor(col("xv") * 1000000 + 0.5).cast("long").as("x"))
     var cent = dims.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
-    var assign: DataFrame = null
+    var last: DataFrame = null
     for (_ <- 1 to iters) {
       val d2 = dims.join(cent, "dim")
         .groupBy("vec_id", "cid")
         .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
-      assign = d2.withColumn("rn", row_number()
+      last = d2
+      val assign = d2.withColumn("rn", row_number()
           .over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
         .filter(col("rn") === 1).select("vec_id", "cid")
       cent = dims.join(assign, "vec_id")
         .groupBy("cid", "dim").agg(expr("sum(x) DIV count(1)").as("cx"))
     }
-    assign
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cid")))
-      .orderBy("vec_id")
+    last
   }
+
+  /** Ranked coarse assignment to depth `depth`: (vec_id, cell, arank)
+    * with arank = 1 the [[kmeans]] cell. The multi-probe query side —
+    * integer distances, so re-evaluation is bit-stable. */
+  def kmeansRanked(embeddings: DataFrame, depth: Int): DataFrame =
+    kmeansD2(embeddings).withColumn("arank", row_number()
+        .over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("arank") <= depth)
+      .select(col("vec_id"), col("cid").as("cell"), col("arank"))
+      .cutLineage()
 
   /** Product quantization ANN (the IVF-PQ scale path's compression half):
     * vectors are split into M=4 subspaces of 16 dims; per subspace an
@@ -353,6 +374,85 @@ object OCurate {
         expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
   }
 
+  /** MULTI-PROBE IVF+PQ (the production ANN configuration): the data
+    * side stays the rank-1 inverted index (one cell per vector, M code
+    * bytes of state), each QUERY fans out to its `nprobe` nearest coarse
+    * cells — the recall knob real deployments tune before touching the
+    * index. The probe list is an nprobe-rows-per-query equi-join key
+    * set, so the candidate join grows linearly in nprobe with the same
+    * (sub, cid, cell) shuffle shape as nprobe = 1; index build cost is
+    * unchanged. Coarse ranking and PQ training are the bit-identical
+    * integer paths ([[kmeansRanked]] / pqTrained), so the DuckDB oracle
+    * hash-matches. Returns top-5 (q_id, b_id, cell, rn, adc_d2). */
+  def annIvfPqProbe(emb: DataFrame, nprobe: Int): DataFrame = {
+    val bounded = emb.filter(col("vec_id") < 300)
+    val ranked = kmeansRanked(bounded, nprobe)
+    annIvfPqProbeFrom(pqDims(bounded), ranked.filter(col("arank") === 1),
+      ranked)
+  }
+
+  private def annIvfPqProbeFrom(dims: DataFrame, dataCells: DataFrame,
+      qRanked: DataFrame): DataFrame = {
+    val (c1, code) = pqTrained(dims)
+    // each candidate lives in exactly ONE cell (rank-1 data side) and a
+    // query probes that cell at most once, so grouping by (q, b, cell)
+    // sums qd2 over the M subspaces only — the plain ADC identity
+    val qAdc = adcOf(dims, c1)
+      .join(qRanked.select(col("vec_id").as("q_id"), col("cell")), "q_id")
+    val bCode = code.join(dataCells.select("vec_id", "cell"), "vec_id")
+      .select(col("vec_id").as("b_id"), col("sub"), col("cid"), col("cell"))
+    qAdc.join(bCode, Seq("sub", "cid", "cell"))
+      .groupBy("q_id", "b_id", "cell").agg(sum("qd2").as("adc_d2"))
+      .filter(col("q_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("b_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("b_id"), col("cell"),
+        col("rn").cast("long").as("rn"), col("adc_d2"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Recall@5 of the IVF+PQ hybrid AS A FUNCTION OF nprobe (1, 2, 3)
+    * against exact integer L2 — the tuning table that fixes the
+    * production probe depth. The CANDIDATE sets are nested in nprobe
+    * (each probe set contains the last — scalatest pins it), but unlike
+    * plain IVF (exact in-cell ranking, where a true neighbor in the
+    * candidates always survives the top-k), the hybrid ranks by
+    * QUANTIZED ADC distance, so a newly probed cell's candidate can
+    * displace a true neighbor and measured recall is only approximately
+    * monotone — which is exactly why a deployment derives this table
+    * empirically instead of assuming the knob is free. One ranked
+    * assignment to depth 3 answers all three depths; one materialized
+    * dim table feeds both the hybrid and the exact-truth sides. */
+  def annIvfPqProbeRecall(emb: DataFrame): DataFrame = {
+    val bounded = emb.filter(col("vec_id") < 300)
+    val dims = pqDims(bounded)
+    val ranked = kmeansRanked(bounded, 3)
+    val dataCells = ranked.filter(col("arank") === 1)
+    val ed2 = dims.filter(col("vec_id") < 5).as("a")
+      .join(dims.as("b"),
+        col("a.sub") === col("b.sub") && col("a.sdim") === col("b.sdim") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("q_id"), col("b.vec_id").as("b_id"))
+      .agg(sum((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")))
+        .as("d2"))
+    val etop = ed2.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("b_id"))))
+      .filter(col("rn") <= 5).select("q_id", "b_id").cutLineage()
+    (1 to 3).map { p =>
+      val htop = annIvfPqProbeFrom(dims, dataCells,
+          ranked.filter(col("arank") <= p))
+        .select("q_id", "b_id")
+      etop.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(htop.agg(count(lit(1)).as("n_ivfpq")))
+        .crossJoin(etop.join(htop, Seq("q_id", "b_id"))
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(p).as("nprobe"), col("n_exact"), col("n_ivfpq"),
+          col("n_hit"),
+          expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** First-fit-decreasing bin packing per source stream: docs stay WHOLE
     * (no splitting across windows — the complement of `seqPack`) and are
     * placed largest-first into the first bin with room, minimizing
@@ -455,6 +555,10 @@ object OCurate {
     "i_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
     "i_ann_ivfpq_recall" -> ((s, d) =>
       annIvfPqRecall(Tables.embeddings(s, d))),
+    "i_ann_ivfpq_probe" -> ((s, d) =>
+      annIvfPqProbe(Tables.embeddings(s, d), 2)),
+    "i_ann_ivfpq_probe_recall" -> ((s, d) =>
+      annIvfPqProbeRecall(Tables.embeddings(s, d))),
 
     "i_semdedup" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
@@ -664,7 +768,58 @@ object OCurate {
         "(SELECT CAST(c AS BIGINT) FROM hit) n_hit, " +
         "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
         "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
+    "i_ann_ivfpq_probe" ->
+      (ivfpqCtes + ", " + rankedCellCte + ", " +
+        "cpairs2 AS (SELECT a.q_id, k.vec_id b_id, qa.cid cell, " +
+        "CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+        "FROM qadc a JOIN a2r qa ON qa.vec_id = a.q_id AND qa.arank <= 2 " +
+        "JOIN qcode k ON a.sub = k.sub AND a.cid = k.cid " +
+        "JOIN a2 ba ON ba.vec_id = k.vec_id AND ba.cid = qa.cid " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT q_id, b_id, cell, CAST(rn AS BIGINT) rn, adc_d2 FROM " +
+        "(SELECT q_id, b_id, cell, adc_d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc_d2, b_id) rn FROM cpairs2 " +
+        "WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"),
+    "i_ann_ivfpq_probe_recall" ->
+      (ivfpqCtes + ", " + rankedCellCte + ", " +
+        "probes AS (SELECT p FROM (VALUES (1), (2), (3)) AS t(p)), " +
+        "cpairsp AS (SELECT p.p AS nprobe, a.q_id, k.vec_id b_id, " +
+        "CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+        "FROM probes p JOIN a2r qa ON qa.arank <= p.p " +
+        "JOIN qadc a ON qa.vec_id = a.q_id " +
+        "JOIN qcode k ON a.sub = k.sub AND a.cid = k.cid " +
+        "JOIN a2 ba ON ba.vec_id = k.vec_id AND ba.cid = qa.cid " +
+        "GROUP BY 1, 2, 3), " +
+        "htopp AS (SELECT nprobe, q_id, b_id FROM (SELECT nprobe, q_id, " +
+        "b_id, row_number() OVER (PARTITION BY nprobe, q_id " +
+        "ORDER BY adc_d2, b_id) rn FROM cpairsp WHERE q_id <> b_id) " +
+        "WHERE rn <= 5), " +
+        "ed2 AS (SELECT a.vec_id q_id, b.vec_id b_id, " +
+        "CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) d2 " +
+        "FROM dims a JOIN dims b ON a.dim = b.dim " +
+        "AND a.vec_id < 5 AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+        "etop AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY d2, b_id) rn " +
+        "FROM ed2) WHERE rn <= 5), " +
+        "hitp AS (SELECT nprobe, count(*) c FROM etop JOIN htopp " +
+        "USING (q_id, b_id) GROUP BY nprobe), " +
+        "hn AS (SELECT nprobe, count(*) c FROM htopp GROUP BY nprobe) " +
+        "SELECT p.p AS nprobe, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM etop) n_exact, " +
+        "CAST(coalesce(hn.c, 0) AS BIGINT) n_ivfpq, " +
+        "CAST(coalesce(hitp.c, 0) AS BIGINT) n_hit, " +
+        "CAST((coalesce(hitp.c, 0) * 20000 + (SELECT count(*) FROM etop)) " +
+        "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp " +
+        "FROM probes p LEFT JOIN hn ON hn.nprobe = p.p " +
+        "LEFT JOIN hitp ON hitp.nprobe = p.p ORDER BY nprobe"),
   )
+
+  /** Ranked coarse assignment to depth 3 from kmCtes' final distance
+    * table — the oracle twin of [[kmeansRanked]]. */
+  private def rankedCellCte: String =
+    "a2r AS (SELECT vec_id, cid, arank FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) arank " +
+      "FROM d2) WHERE arank <= 3)"
 
   /** Shared DuckDB CTE chain for the full-vector k-means family (bounded
     * to vec_id < 300, k=4, 2 Lloyd rounds), ending in `a2` (vec_id, cid).

@@ -702,6 +702,34 @@ object TTxn {
       s.table(name).orderBy("l_returnflag")
     }),
 
+    "t_txn_stream_drain" -> ((s, d) => {
+      // Trigger.AvailableNow WITHOUT pacing — the nightly-catchup run
+      // shape: one bounded drain of the whole commit backlog up to the
+      // tip snapshotted at query start (prepareForTriggerAvailableNow),
+      // then the query STOPS ITSELF. Content must equal the interactive
+      // tail exactly (same oracle as t_txn_stream_read — lines 1, 2, 5
+      // with the compact delivering nothing); the start-time cap and the
+      // self-stop under a mid-drain append are StreamingSpec's pins.
+      val root = scratch("txn_stream_drain")
+      val t = TxnTable.fresh(s, root)
+      t.append(slice(s, d, 1))                                  // v0
+      t.append(slice(s, d, 2))                                  // v1
+      t.compact(target = 1)                                     // v2: silent
+      t.append(slice(s, d, 5))                                  // v3
+      val name = "txn_stream_drain_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      val q = s.readStream.format("graft.sources.TxnStreamSource")
+        .option("path", root).load()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table(name).orderBy("l_returnflag")
+    }),
+
     "t_txn_stream_cdc" -> ((s, d) => {
       // STREAMING the row-level change feed (readChangeFeed=true): a
       // consumer that subscribed at version 1 receives the merge's
@@ -1382,6 +1410,8 @@ object TTxn {
         "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"),
     "t_txn_stream_read" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_stream_paced" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
+    // the unpaced AvailableNow drain delivers exactly the tail's content
+    "t_txn_stream_drain" -> oracleAgg("l_linenumber IN (1, 2, 5)"),
     "t_txn_pipeline" ->
       oracleAgg("l_linenumber IN (1, 2, 5) AND l_quantity > 10"),
     // the view brought current by deltas must equal the direct aggregate

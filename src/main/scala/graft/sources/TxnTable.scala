@@ -591,19 +591,28 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * inline entries as a local relation — then a per-path last-action-wins
     * aggregate (max over the (version, change) struct). One column out:
     * `path` (table-relative), the live set at `version`. */
-  def liveFilesDF(version: Long): DataFrame = {
+  def liveFilesDF(version: Long): DataFrame =
+    liveDF(version, withStats = false)
+
+  /** `liveFilesDF` optionally carrying each live path's commit-time stats
+    * string: stats ride the SAME row as the path's winning add (every
+    * re-adding commit — restore, clone — re-records them, so the winning
+    * row's stats are the authoritative ones `statsAt` would fold), which
+    * is what lets manifest-pruned planning evaluate the skip predicates
+    * executor-side without a second stats pass. */
+  private def liveDF(version: Long, withStats: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, map => fmap, max => fmax, split, struct}
     import spark.implicits._
     val (ck, es) = tailEntries(version)
     // the checkpoint's live set enters the fold as adds AT the checkpoint
     // version — any later remove outranks them, any re-add after that wins
-    val inline = ck.toSeq.flatMap(c => c.live.map((_, "add", c.version))) ++
-      es.flatMap(e =>
-        e.inlineAdd.map((_, "add", e.version)) ++
-          e.inlineRemove.map((_, "remove", e.version)))
-    val inlineDF = inline.toDF("path", "change", "version")
-    val manifests = es.flatMap(e => e.manifest.map(_ -> e.version))
-    val all =
+    val all = if (!withStats) {
+      val inline = ck.toSeq.flatMap(c => c.live.map((_, "add", c.version))) ++
+        es.flatMap(e =>
+          e.inlineAdd.map((_, "add", e.version)) ++
+            e.inlineRemove.map((_, "remove", e.version)))
+      val inlineDF = inline.toDF("path", "change", "version")
+      val manifests = es.flatMap(e => e.manifest.map(_ -> e.version))
       if (manifests.isEmpty) inlineDF
       else {
         // manifest rows carry no version column; recover it from the
@@ -618,16 +627,42 @@ final class TxnTable(val spark: SparkSession, val root: String,
             element_at(split(col("_metadata.file_path"), "/"), -1)))
           .select("path", "change", "version"))
       }
+    } else {
+      val inline = ck.toSeq.flatMap(c =>
+          c.live.map(p => (p, "add", c.version, c.stats.get(p).orNull))) ++
+        es.flatMap(e =>
+          e.inlineAdd.map(p => (p, "add", e.version, e.stats.get(p).orNull)) ++
+            e.inlineRemove.map((_, "remove", e.version, null: String)))
+      val inlineDF = inline.toDF("path", "change", "version", "stats")
+      val manifests = es.flatMap(e => e.manifest.map(_ -> e.version))
+      if (manifests.isEmpty) inlineDF
+      else {
+        val vByName = manifests.flatMap { case (m, v) =>
+          Seq(lit(Paths.get(m).getFileName.toString), lit(v)) }
+        inlineDF.unionByName(spark.read
+          .schema("path STRING, change STRING, stats STRING")
+          .parquet(manifests.map(m => abs(m._1)): _*)
+          .withColumn("version", element_at(fmap(vByName: _*),
+            element_at(split(col("_metadata.file_path"), "/"), -1)))
+          .select("path", "change", "version", "stats"))
+      }
+    }
     // last-action-wins: a path is live iff its HIGHEST-version change is
     // an add. A plain add-anti-join-remove set difference is wrong here —
     // restore re-adds a previously removed path (2 adds vs 1 remove) and
     // the anti-join would silently drop it. Within one commit a path
     // appears on at most one side, so the (version, change) struct max is
     // exact; were both ever present, "remove" > "add" lexically and the
-    // file is conservatively dropped, never resurrected.
-    all.groupBy("path")
-      .agg(fmax(struct(col("version"), col("change"))).as("last"))
-      .filter(col("last.change") === "add").select("path")
+    // file is conservatively dropped, never resurrected. (The stats field
+    // rides behind (version, change) in the struct and can never decide
+    // the max — ties on both are impossible within a log.)
+    val key = if (withStats)
+      struct(col("version"), col("change"), col("stats"))
+    else struct(col("version"), col("change"))
+    val folded = all.groupBy("path").agg(fmax(key).as("last"))
+      .filter(col("last.change") === "add")
+    if (withStats) folded.select(col("path"), col("last.stats").as("stats"))
+    else folded.select("path")
   }
 
   /** Live table-relative paths at `version`. Inline-only logs fold
@@ -2263,28 +2298,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       loB: BigDecimal, hiB: BigDecimal): Seq[String] =
     filesSurviving(v, Seq(TxnTable.SkipRange(colName, Some(loB), Some(hiB))))
 
-  /** A point value in the STATS comparison space (the footer's plain
-    * decimal rendering): plain numerics verbatim, timestamps as epoch
-    * micros, dates as epoch days — exactly what `footerStats` recorded
-    * for those physical types. Strings/decimals/etc. have no recorded
-    * ordering → None (the bloom probe may still apply). */
-  private def statsSpace(x: Any): Option[BigDecimal] = x match {
-    case l: Long => Some(BigDecimal(l))
-    case i: Int => Some(BigDecimal(i))
-    case s: Short => Some(BigDecimal(s.toInt))
-    case b: Byte => Some(BigDecimal(b.toInt))
-    case d: Double => Some(BigDecimal(d))
-    // Float.toString, NOT toDouble: the footer records float bounds via
-    // java.lang.Float.toString (shortest decimal, e.g. "0.3"), while
-    // 0.3f.toDouble renders as 0.30000001192092896 — a point probe built
-    // that way lands OUTSIDE a [0.3, 0.3] file and wrongly prunes it
-    case f: Float => Some(BigDecimal(f.toString))
-    case t: java.sql.Timestamp =>
-      Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
-    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
-    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
-    case _ => None
-  }
+  /** A point value in the STATS comparison space — see the static
+    * `TxnTable.statsSpace` (shared with the executor-side admission). */
+  private def statsSpace(x: Any): Option[BigDecimal] = TxnTable.statsSpace(x)
 
   /** THE file-skipping core: live files at `v` that MAY contain a row
     * satisfying every predicate in `preds` — commit-time [min, max] /
@@ -2302,78 +2318,38 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def filesSurviving(v: Long,
       preds: Seq[TxnTable.SkipPred]): Seq[String] = {
     import TxnTable._
-    val live = liveFiles(v)
-    if (preds.isEmpty) return live
-    val statsByFile: FileStats = statsAt(v)
+    if (preds.isEmpty) return liveFiles(v)
     val sc = schemaAt(v)
     // footer stats are keyed by PHYSICAL column name (what the files
     // contain) — translate each predicate's logical name once
-    def colsOf(p: SkipPred): Seq[String] = p match {
-      case p: SkipRange => Seq(p.col)
-      case p: SkipEq => Seq(p.col)
-      case p: SkipIn => Seq(p.col)
-      case p: SkipNull => Seq(p.col)
-      case p: SkipStrRange => Seq(p.col)
-      case SkipAnd(ps) => ps.flatMap(colsOf)
-      case SkipOr(ps) => ps.flatMap(colsOf)
-    }
-    val physOf = preds.flatMap(colsOf).distinct
+    val physOf = preds.flatMap(predCols).distinct
       .map(c => c -> physicalIn(sc, c)).toMap
-    def minMax(enc: String, phys: String): Option[(BigDecimal, BigDecimal)] =
-      enc.split(';').collectFirst {
-        case s if s.startsWith(phys + ":") =>
-          val p = s.split(':'); (BigDecimal(p(1)), BigDecimal(p(2)))
+    val (_, es) = tailEntries(v)
+    val afterStats =
+      if (es.forall(_.manifest.isEmpty)) {
+        // inline-scale log: KB driver fold — a Spark job costs more
+        lastPlanningCollect = -1 // no Spark collect on the inline path
+        val statsByFile: FileStats = statsAt(v)
+        liveFiles(v).filter(f =>
+          statsByFile.get(f).forall(statsAdmits(_, preds, physOf)))
+      } else {
+        // MANIFEST-scale table: the stats prune runs INSIDE the planning
+        // scan — manifests read distributed-side, the admission function
+        // evaluated per path executor-side — so the driver collect lands
+        // ONLY the surviving files, never the live set. At millions of
+        // files this is the planner cost that matters: a point read on a
+        // clustered column collects ~1 path. Stats-less rows (null) are
+        // always kept — incomplete metadata costs pruning, never rows.
+        import org.apache.spark.sql.functions.{col, udf}
+        val (ps, ph) = (preds, physOf)
+        val admits = udf((enc: String) =>
+          enc == null || TxnTable.statsAdmits(enc, ps, ph))
+        val survivors = liveDF(v, withStats = true)
+          .filter(admits(col("stats"))).select("path")
+          .collect().map(_.getString(0)).toSeq.sorted
+        lastPlanningCollect = survivors.length // ∝ survivors, by design
+        survivors
       }
-    def nullsField(enc: String, prefix: String): Option[Long] =
-      enc.split(';').collectFirst {
-        case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
-      }
-    def rangeKeep(enc: String, phys: String, lo: Option[BigDecimal],
-        hi: Option[BigDecimal]): Boolean =
-      minMax(enc, phys).forall { case (mn, mx) =>
-        lo.forall(mx >= _) && hi.forall(mn <= _)
-      }
-    // "#str.<phys>" bounds (hex UTF-8 bytes, possibly empty strings —
-    // parsed positionally, split would drop a trailing empty field)
-    def strMinMax(enc: String, phys: String): Option[(Array[Byte], Array[Byte])] = {
-      val prefix = s"#str.$phys:"
-      enc.split(';').collectFirst {
-        case s if s.startsWith(prefix) =>
-          val body = s.substring(prefix.length)
-          val i = body.indexOf(':')
-          def un(h: String): Array[Byte] =
-            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-          (un(body.take(i)), un(body.drop(i + 1)))
-      }
-    }
-    def strRangeKeep(enc: String, phys: String, lo: Option[String],
-        hi: Option[String]): Boolean =
-      strMinMax(enc, phys).forall { case (mn, mx) =>
-        def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        lo.forall(l => java.util.Arrays.compareUnsigned(mx, b(l)) >= 0) &&
-          hi.forall(h => java.util.Arrays.compareUnsigned(mn, b(h)) <= 0)
-      }
-    def pointKeep(enc: String, c: String, x: Any): Boolean = x match {
-      case s: String => strRangeKeep(enc, physOf(c), Some(s), Some(s))
-      case other => statsSpace(other).forall(b =>
-        rangeKeep(enc, physOf(c), Some(b), Some(b)))
-    }
-    def statsKeep(enc: String, p: SkipPred): Boolean = p match {
-      case SkipRange(c, lo, hi) => rangeKeep(enc, physOf(c), lo, hi)
-      case SkipStrRange(c, lo, hi) => strRangeKeep(enc, physOf(c), lo, hi)
-      case SkipEq(c, value) => pointKeep(enc, c, value)
-      case SkipIn(c, values) => values.exists(pointKeep(enc, c, _))
-      case SkipNull(c, isNull) =>
-        (nullsField(enc, s"#nulls.${physOf(c)}"), nullsField(enc, "#rows")) match {
-          case (Some(nn), _) if isNull => nn > 0
-          case (Some(nn), Some(nr)) if !isNull => nn < nr
-          case _ => true
-        }
-      case SkipAnd(ps) => ps.forall(statsKeep(enc, _))
-      case SkipOr(ps) => ps.exists(statsKeep(enc, _))
-    }
-    val afterStats = live.filter(f =>
-      statsByFile.get(f).forall(enc => preds.forall(statsKeep(enc, _))))
     // bloom passes only for the point predicates, only on the
     // stats-admitted candidates (on a clustered column that is ~1 file)
     preds.foldLeft(afterStats) {
@@ -2383,6 +2359,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
       case (fs, _) => fs
     }
   }
+
+  /** TEST SEAM: how many paths the most recent predicate-planning pass
+    * landed on the driver — TxnSpec pins that manifest-scale planning
+    * collects only SURVIVORS (not the live set) under a point read. */
+  @volatile private[graft] var lastPlanningCollect: Int = -1
 
   /** Snapshot read over ONLY the files surviving `preds` — NO row filter
     * applied, which is why it is `private[graft]`: the SQL lowering
@@ -3134,6 +3115,107 @@ object TxnTable {
     * applies to top-level point predicates as before. */
   final case class SkipAnd(preds: Seq[SkipPred]) extends SkipPred
   final case class SkipOr(preds: Seq[SkipPred]) extends SkipPred
+
+  /** Logical columns a predicate tree touches. */
+  private[sources] def predCols(p: SkipPred): Seq[String] = p match {
+    case p: SkipRange => Seq(p.col)
+    case p: SkipEq => Seq(p.col)
+    case p: SkipIn => Seq(p.col)
+    case p: SkipNull => Seq(p.col)
+    case p: SkipStrRange => Seq(p.col)
+    case SkipAnd(ps) => ps.flatMap(predCols)
+    case SkipOr(ps) => ps.flatMap(predCols)
+  }
+
+  /** A point value in the STATS comparison space (the footer's plain
+    * decimal rendering): plain numerics verbatim, timestamps as epoch
+    * micros, dates as epoch days — exactly what `footerStats` recorded
+    * for those physical types. Strings/decimals/etc. have no recorded
+    * ordering → None (the bloom probe may still apply). Static — the
+    * executor-side admission below needs it too. */
+  private[sources] def statsSpace(x: Any): Option[BigDecimal] = x match {
+    case l: Long => Some(BigDecimal(l))
+    case i: Int => Some(BigDecimal(i))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case d: Double => Some(BigDecimal(d))
+    // Float.toString, NOT toDouble: the footer records float bounds via
+    // java.lang.Float.toString (shortest decimal, e.g. "0.3"), while
+    // 0.3f.toDouble renders as 0.30000001192092896 — a point probe built
+    // that way lands OUTSIDE a [0.3, 0.3] file and wrongly prunes it
+    case f: Float => Some(BigDecimal(f.toString))
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case _ => None
+  }
+
+  /** PURE commit-stats admission: may a file whose encoded stats string
+    * is `enc` contain a row satisfying EVERY predicate? `physOf` maps
+    * each predicate's logical column to the physical name the stats are
+    * keyed by. Static and serializable so manifest-pruned planning can
+    * evaluate it executor-side, inside the live-set resolution scan —
+    * the driver then collects only surviving paths. A column missing
+    * from `enc` always keeps the file (incomplete metadata costs
+    * pruning, never rows). */
+  private[sources] def statsAdmits(enc: String, preds: Seq[SkipPred],
+      physOf: Map[String, String]): Boolean = {
+    def minMax(phys: String): Option[(BigDecimal, BigDecimal)] =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(phys + ":") =>
+          val p = s.split(':'); (BigDecimal(p(1)), BigDecimal(p(2)))
+      }
+    def nullsField(prefix: String): Option[Long] =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
+      }
+    def rangeKeep(phys: String, lo: Option[BigDecimal],
+        hi: Option[BigDecimal]): Boolean =
+      minMax(phys).forall { case (mn, mx) =>
+        lo.forall(mx >= _) && hi.forall(mn <= _)
+      }
+    // "#str.<phys>" bounds (hex UTF-8 bytes, possibly empty strings —
+    // parsed positionally, split would drop a trailing empty field)
+    def strMinMax(phys: String): Option[(Array[Byte], Array[Byte])] = {
+      val prefix = s"#str.$phys:"
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix) =>
+          val body = s.substring(prefix.length)
+          val i = body.indexOf(':')
+          def un(h: String): Array[Byte] =
+            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          (un(body.take(i)), un(body.drop(i + 1)))
+      }
+    }
+    def strRangeKeep(phys: String, lo: Option[String],
+        hi: Option[String]): Boolean =
+      strMinMax(phys).forall { case (mn, mx) =>
+        def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        lo.forall(l => java.util.Arrays.compareUnsigned(mx, b(l)) >= 0) &&
+          hi.forall(h => java.util.Arrays.compareUnsigned(mn, b(h)) <= 0)
+      }
+    def pointKeep(c: String, x: Any): Boolean = x match {
+      case s: String => strRangeKeep(physOf(c), Some(s), Some(s))
+      case other => statsSpace(other).forall(b =>
+        rangeKeep(physOf(c), Some(b), Some(b)))
+    }
+    def statsKeep(p: SkipPred): Boolean = p match {
+      case SkipRange(c, lo, hi) => rangeKeep(physOf(c), lo, hi)
+      case SkipStrRange(c, lo, hi) => strRangeKeep(physOf(c), lo, hi)
+      case SkipEq(c, value) => pointKeep(c, value)
+      case SkipIn(c, values) => values.exists(pointKeep(c, _))
+      case SkipNull(c, isNull) =>
+        (nullsField(s"#nulls.${physOf(c)}"), nullsField("#rows")) match {
+          case (Some(nn), _) if isNull => nn > 0
+          case (Some(nn), Some(nr)) if !isNull => nn < nr
+          case _ => true
+        }
+      case SkipAnd(ps) => ps.forall(statsKeep)
+      case SkipOr(ps) => ps.exists(statsKeep)
+    }
+    preds.forall(statsKeep)
+  }
 
   /** A prefix scan as the range [prefix, prefix-with-last-char-
     * incremented): the inclusive upper bound is SOUND (a superset) —

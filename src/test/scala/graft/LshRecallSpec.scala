@@ -134,4 +134,43 @@ class LshRecallSpec extends SparkTestBase {
     assert(recalls.last > recalls.head,
       s"three probes should beat one on this corpus: $recalls")
   }
+
+  test("IVF+PQ multi-probe: candidate sets nest in nprobe, rows match the dedicated keys") {
+    // the containment law that IS guaranteed for the hybrid: probe p's
+    // candidate pair set is a subset of probe p+1's (measured RECALL is
+    // deliberately not asserted monotone — ADC-quantized ranking lets a
+    // newly probed cell's candidate displace a true neighbor, which is
+    // why the tuning table exists). The recall table's nprobe=1/2 rows
+    // must reproduce the dedicated single-probe and probe keys exactly.
+    import graft.queries.OCurate
+    val bounded = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 300)
+    val ranked = OCurate.kmeansRanked(bounded, 3)
+    val data = ranked.filter(col("arank") === 1)
+      .select(col("vec_id").as("b_id"), col("cell"))
+    def candidates(p: Int): Set[(Long, Long)] = ranked
+      .filter(col("arank") <= p && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("cell"))
+      .join(data, "cell")
+      .filter(col("q_id") =!= col("b_id"))
+      .select("q_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (c1, c2, c3) = (candidates(1), candidates(2), candidates(3))
+    assert(c1.subsetOf(c2) && c2.subsetOf(c3),
+      s"candidate sets must nest: ${c1.size}/${c2.size}/${c3.size}")
+    assert(c1.size < c2.size && c2.size < c3.size,
+      "extra probes must actually widen the candidate pool on this corpus")
+    val rows = SparkEntry.queries("i_ann_ivfpq_probe_recall")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // nprobe=1 row reproduces the single-probe hybrid key's numbers
+    val one = graft.queries.OCurate.annIvfPqRecall(
+      graft.Tables.embeddings(spark, sfDir)).head()
+    assert(rows.head._2 == ((one.getLong(1), one.getLong(2))),
+      "probe-recall nprobe=1 row must reproduce the single-probe key")
+    val probeN = SparkEntry.queries("i_ann_ivfpq_probe")(spark, sfDir).count()
+    assert(rows(1)._2._1 == probeN,
+      "probe-recall nprobe=2 row must describe the dedicated probe key's set")
+  }
 }

@@ -333,6 +333,9 @@ class PlanShapeSpec extends SparkTestBase {
       // corpus-count scalar; the recall key additionally embeds the
       // declared exact baseline (stride-sampled)
       "i_ann_ivf_probe", "i_ann_ivf_probe_recall",
+      // multi-probe IVF+PQ: bounded like i_ann_ivfpq (vec_id < 300
+      // calibration tier), recall keys cross-join one-row count scalars
+      "i_ann_ivfpq_probe", "i_ann_ivfpq_probe_recall",
       // (b) one-row scalar / bounded-table broadcasts
       "d_agg_hll_union", "d_sketch_theta", "i_tfidf", "i_dsir",
       "i_dataset_card", "i_triangles", "i_domain_mix", "i_mix_temperature",

@@ -74,6 +74,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CopyInto =
     ("""(?is)\s*COPY\s+INTO\s+('[^']+'|[\w.`]+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+(FORCE))?\s*;?\s*""").r
+  // --- path-target CREATE/INSERT: the remaining statements a PATH table
+  // needs for a full SQL lifecycle without a catalog mount (names keep
+  // Spark's own grammar + the GraftSqlRule/catalog lowering)
+  private val CreatePath =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?('[^']+')\s*""" +
+      """\((.+)\)(?:\s+USING\s+`?graft-txn`?)?\s*;?\s*""").r
+  private val InsertPath =
+    ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?('[^']+')\s+""" +
+      """(SELECT\s.+|VALUES\s.+|FROM\s.+|TABLE\s.+)""").r
   // --- DML: lowered onto the native TxnTable entry points, so the SQL
   // front door pays the same SkipExtract candidate-discovery pruning as
   // the API path (the WHERE routes through TxnTable.skipPredsFor)
@@ -204,6 +213,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .map(GraftCopyIntoCommand(_, src,
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
         force = force != null): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case CreatePath(ifNotExists, t, cols) => pathTarget(t)
+      .map(GraftPathCreateCommand(_, GraftSqlParser.columnDefs(cols),
+        ifNotExists != null): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+    case InsertPath(mode, t, query) => pathTarget(t)
+      .map(GraftPathInsertCommand(_, query.trim,
+        overwrite = mode.equalsIgnoreCase("OVERWRITE")): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
     case DeleteFrom(t, where) => pathTarget(t)
       .map(GraftPathDeleteCommand(_,
@@ -411,6 +428,70 @@ case class GraftAlterCommand(target: String, op: AlterOp)
       case AlterOp.DropConstraint(n) => t.dropConstraint(n)
     }
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE '<path>' (col TYPE, …) [USING graft-txn]` — the
+  * schema-only v0 commit (`TxnTable.create`) on a path target, the
+  * statement that starts the path-SQL lifecycle (CREATE → COPY
+  * INTO/INSERT → DML → maintenance) without a catalog mount. IF NOT
+  * EXISTS makes re-running the bootstrap script a no-op; without it a
+  * second CREATE fails loudly (create is not idempotent by design). */
+case class GraftPathCreateCommand(target: String,
+    cols: Seq[(String, String)], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session,
+      GraftTableFunctions.rootOfNew(target, session))
+    if (ifNotExists && t.currentVersion >= 0) Seq(Row(t.currentVersion))
+    else Seq(Row(t.create(StructType(cols.map { case (n, d) =>
+      org.apache.spark.sql.types.StructField(n,
+        session.sessionState.sqlParser.parseDataType(d)) }))))
+  }
+}
+
+/** `INSERT INTO|OVERWRITE '<path>' <query>` — append/overwrite through
+  * the commit protocol on a path target (the catalog-name forms are
+  * Spark's own grammar, lowered by GraftSqlRule). The query text is any
+  * SELECT/VALUES/TABLE statement, resolved in the issuing session at run
+  * time; the write enforces the table's declared schema, constraints,
+  * clustering and generated/identity rules exactly like the API path. */
+case class GraftPathInsertCommand(target: String, querySql: String,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
+    val df = session.sql(querySql)
+    // SQL INSERT maps the query's columns to the table POSITIONALLY
+    // (standard semantics — `SELECT 1, 'a'` inserts into (k, v) whatever
+    // the select-list expressions are named), cast to the declared
+    // types. ENGINE-OWNED columns (GENERATED ALWAYS AS expr/IDENTITY)
+    // are excluded from the mapping — the write computes them, and a
+    // query supplying them explicitly is refused by arity.
+    val aligned = Some(t.currentVersion).filter(_ >= 0)
+      .flatMap(t.schemaAt) match {
+      case Some(sc) =>
+        val owned = t.properties.keys.collect {
+          case k if k.startsWith("graft.generated.") =>
+            k.stripPrefix("graft.generated.")
+          case k if k.startsWith("graft.identity.") &&
+              !k.startsWith("graft.identityHw.") =>
+            k.stripPrefix("graft.identity.")
+        }.toSet
+        val writable = sc.fields.toSeq.filterNot(f => owned(f.name))
+        require(df.columns.length == writable.length,
+          s"INSERT provides ${df.columns.length} columns but " +
+            s"${t.root} expects ${writable.length} " +
+            s"(${writable.map(_.name).mkString(", ")})")
+        df.toDF(writable.map(_.name): _*).select(writable.map(f =>
+          col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
+    Seq(Row(if (overwrite) t.overwrite(aligned) else t.append(aligned)))
   }
 }
 

@@ -76,6 +76,24 @@ object TTxn {
       root
     })
 
+  /** Root of the shared base12 + CDC-merge history (v2 = line 1 verbatim,
+    * line 2 doubled, line 6 inserted, with the commit-time CDC sidecar) —
+    * the change-feed keys (t_txn_cdc / t_txn_incr_mv / t_txn_stream_cdc)
+    * all replay this exact merge, so it is built ONCE per JVM and sf dir
+    * and each key clones it and diverges (pre-merge state stays readable
+    * through time travel). Content is deterministic; oracle hashes are
+    * blind to which key built it. */
+  private def mergedCdc(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("mcdc:" + d, _ => {
+      val t = cloneOf(s, base12(s, d), "txn_mcdc_" + math.abs(d.hashCode))
+      val updates = slice(s, d, 2)
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      t.root
+    })
+
   /** Fresh mutable clone of the table at `src`: wipe `name`'s scratch
     * dir, copy the whole table tree (data + log), reopen. */
   private def cloneOf(s: org.apache.spark.sql.SparkSession, src: String,
@@ -566,11 +584,7 @@ object TTxn {
       // change class to its commit — a lost pre-image, a
       // double-delivered insert, or compact rows leaking into the feed
       // all break the hash.
-      val t = cloneOf(s, base12(s, d), "txn_cdc")
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      val t = cloneOf(s, mergedCdc(s, d), "txn_cdc") // v2 merge(cdc) warmed
       t.compact(target = 4)                                          // v3
       t.deleteWhere(col("l_quantity") > 25, cdc = true)              // v4
       t.readChanges(1)
@@ -611,13 +625,12 @@ object TTxn {
       // wrong delta sign, missed change class, or double-applied image
       // breaks the hash. (l_quantity is integral, so the incremental
       // sum is exact — no float-association hazard vs the direct sum.)
-      val t = cloneOf(s, base12(s, d), "txn_incr_mv")
-      val mv0 = t.read().groupBy("l_returnflag")
+      val t = cloneOf(s, mergedCdc(s, d), "txn_incr_mv") // v2 merge warmed
+      // the view as materialized BEFORE the DML: the pre-merge snapshot,
+      // read through time travel (identical content to reading the clone
+      // before merging — the log IS the history)
+      val mv0 = t.read(version = 1).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n0"), sum("l_quantity").as("q0"))
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
       t.deleteWhere(col("l_quantity") > 25, cdc = true)               // v3
       val sgn = when(col("_change_type")
         .isin("insert", "update_postimage"), 1L).otherwise(-1L)
@@ -738,13 +751,9 @@ object TTxn {
       // incremental-materialized-view feed in streaming form. Two
       // processAllAvailable waves prove multi-batch delivery; the hash
       // pins every change class to its commit.
-      val t = cloneOf(s, base12(s, d), "txn_stream_cdc")
+      val t = cloneOf(s, mergedCdc(s, d), "txn_stream_cdc") // v2 warmed
       val name = "txn_stream_cdc_sink"
       if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
       val q = s.readStream.format("graft.sources.TxnStreamSource")
         .option("path", t.root).option("readChangeFeed", "true")
         .option("startingVersion", "1").load()
@@ -956,6 +965,33 @@ object TTxn {
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       agg(t.read())
+    }),
+
+    "t_txn_sql_insert" -> ((s, d) => {
+      // the path-SQL WRITE lifecycle end to end, no catalog mount:
+      // CREATE TABLE '<path>' (schema-only v0), INSERT INTO (append),
+      // INSERT OVERWRITE (replace), INSERT INTO again — all four
+      // statements the delegating parser lowers onto create/append/
+      // overwrite, read back through the log. The overwrite must erase
+      // the first insert exactly (lines 2, 6 survive).
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = scratch("txn_sql_insert")
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      slice(ss, d, 1).createOrReplaceTempView("sql_ins_1")
+      slice(ss, d, 2).createOrReplaceTempView("sql_ins_2")
+      slice(ss, d, 6).createOrReplaceTempView("sql_ins_6")
+      ss.sql(s"CREATE TABLE '$root' (${slice(ss, d, 1).schema.toDDL})")
+      ss.sql(s"INSERT INTO '$root' SELECT * FROM sql_ins_1")      // v1
+      ss.sql(s"INSERT OVERWRITE '$root' SELECT * FROM sql_ins_2") // v2
+      ss.sql(s"INSERT INTO '$root' SELECT * FROM sql_ins_6")      // v3
+      agg(TxnTable.at(s, root).read())
     }),
 
     "t_txn_sql_ddl" -> ((s, d) => {
@@ -1476,6 +1512,8 @@ object TTxn {
         "CASE WHEN l_linenumber = 2 THEN l_quantity * 2 ELSE l_quantity END" +
         "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2, 6) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // INSERT OVERWRITE erased the line-1 insert; lines 2, 6 survive
+    "t_txn_sql_insert" -> oracleAgg("l_linenumber IN (2, 6)"),
     // lines 1, 2 predate the generated-column declaration (NULL qty_bp),
     // line 6 appends through it; l_returnflag reads back as `flag`
     "t_txn_sql_ddl" ->

@@ -2766,6 +2766,34 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().count() == 400)
   }
 
+  test("path-target CREATE/INSERT: schema-only v0, IF NOT EXISTS no-op, re-CREATE refused") {
+    val root = dir("sql_create_path")
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    sqlS.sql(s"CREATE TABLE '$root' (k BIGINT, v STRING)")
+    val t = TxnTable.at(spark, root)
+    assert(t.currentVersion == 0L && t.read().isEmpty,
+      "CREATE must publish a schema-only empty v0")
+    // bootstrap-script re-run: IF NOT EXISTS is a no-op, bare CREATE fails
+    sqlS.sql(s"CREATE TABLE IF NOT EXISTS '$root' (k BIGINT, v STRING)")
+    assert(t.currentVersion == 0L)
+    intercept[IllegalArgumentException](
+      sqlS.sql(s"CREATE TABLE '$root' (k BIGINT)"))
+    sqlS.sql(s"INSERT INTO '$root' " +
+      "SELECT CAST(1 AS BIGINT), 'a' UNION ALL SELECT 2, 'b'")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    sqlS.sql(s"INSERT OVERWRITE '$root' SELECT CAST(3 AS BIGINT), 'c'")
+    assert(t.read().as[(Long, String)].collect().toSet == Set((3L, "c")),
+      "INSERT OVERWRITE must replace, not extend")
+    sqlS.sql(s"INSERT INTO '$root' VALUES (CAST(4 AS BIGINT), 'd')")
+    assert(t.read().count() == 2)
+  }
+
   test("path-target ALTER TABLE DDL: columns, props, constraints through SQL") {
     val t = TxnTable.fresh(spark, dir("sql_ddl_path"))
     t.append(Seq((1L, 10.0)).toDF("k", "q"))

@@ -348,14 +348,38 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** INSERT INTO / INSERT OVERWRITE lowered onto the commit protocol. */
+/** INSERT INTO / INSERT OVERWRITE lowered onto the commit protocol.
+  * ENGINE-OWNED columns (GENERATED ALWAYS AS expr / IDENTITY) that
+  * arrive as NULL-literal padding — what Spark's default-column
+  * resolution inserts for columns missing from `INSERT INTO t (cols)` —
+  * are dropped so the write computes them; a column the user assigned a
+  * REAL expression passes through and is refused loudly by the write
+  * path (GENERATED ALWAYS means the engine owns the value). */
 case class GraftInsertCommand(root: String, query: LogicalPlan,
     overwrite: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
-    val df = Bridge.ofRows(
-      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], query)
     val t = TxnTable.at(session, root)
+    val owned = t.properties.keys.collect {
+      case k if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.")
+      case k if k.startsWith("graft.identity.") &&
+          !k.startsWith("graft.identityHw.") =>
+        k.stripPrefix("graft.identity.")
+    }.toSet
+    val padded: Seq[String] =
+      if (owned.isEmpty) Nil
+      else query match {
+        case Project(exprs, _) => exprs.collect {
+          case Alias(e, name) if owned(name) && e.foldable &&
+              e.deterministic &&
+              scala.util.Try(e.eval(null)).toOption.forall(_ == null) => name
+        }
+        case _ => Nil
+      }
+    val df0 = Bridge.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], query)
+    val df = if (padded.isEmpty) df0 else df0.drop(padded: _*)
     if (overwrite) t.overwrite(df) else t.append(df)
     Nil
   }

@@ -387,21 +387,32 @@ object OCurate {
   def annIvfPqProbe(emb: DataFrame, nprobe: Int): DataFrame = {
     val bounded = emb.filter(col("vec_id") < 300)
     val ranked = kmeansRanked(bounded, nprobe)
-    annIvfPqProbeFrom(pqDims(bounded), ranked.filter(col("arank") === 1),
-      ranked)
+    val dims = pqDims(bounded)
+    val (qAdc, bCode) = ivfPqSides(dims, ranked.filter(col("arank") === 1))
+    ivfPqTopk(qAdc, bCode, ranked)
   }
 
-  private def annIvfPqProbeFrom(dims: DataFrame, dataCells: DataFrame,
-      qRanked: DataFrame): DataFrame = {
+  /** The probe-depth-INDEPENDENT halves, built once however many depths
+    * are queried: the query ADC table and the cell-tagged corpus codes
+    * (one PQ training pass — the expensive part). */
+  private def ivfPqSides(dims: DataFrame, dataCells: DataFrame)
+      : (DataFrame, DataFrame) = {
     val (c1, code) = pqTrained(dims)
-    // each candidate lives in exactly ONE cell (rank-1 data side) and a
-    // query probes that cell at most once, so grouping by (q, b, cell)
-    // sums qd2 over the M subspaces only — the plain ADC identity
-    val qAdc = adcOf(dims, c1)
-      .join(qRanked.select(col("vec_id").as("q_id"), col("cell")), "q_id")
+    val qAdc = adcOf(dims, c1).cutLineage()
     val bCode = code.join(dataCells.select("vec_id", "cell"), "vec_id")
       .select(col("vec_id").as("b_id"), col("sub"), col("cid"), col("cell"))
-    qAdc.join(bCode, Seq("sub", "cid", "cell"))
+      .cutLineage()
+    (qAdc, bCode)
+  }
+
+  /** Top-5 per query over the probed inverted lists: each candidate
+    * lives in exactly ONE cell (rank-1 data side) and a query probes
+    * that cell at most once, so grouping by (q, b, cell) sums qd2 over
+    * the M subspaces only — the plain ADC identity. */
+  private def ivfPqTopk(qAdc: DataFrame, bCode: DataFrame,
+      qRanked: DataFrame): DataFrame =
+    qAdc.join(qRanked.select(col("vec_id").as("q_id"), col("cell")), "q_id")
+      .join(bCode, Seq("sub", "cid", "cell"))
       .groupBy("q_id", "b_id", "cell").agg(sum("qd2").as("adc_d2"))
       .filter(col("q_id") =!= col("b_id"))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
@@ -410,7 +421,6 @@ object OCurate {
       .select(col("q_id"), col("b_id"), col("cell"),
         col("rn").cast("long").as("rn"), col("adc_d2"))
       .orderBy("q_id", "rn")
-  }
 
   /** Recall@5 of the IVF+PQ hybrid AS A FUNCTION OF nprobe (1, 2, 3)
     * against exact integer L2 — the tuning table that fixes the
@@ -439,9 +449,11 @@ object OCurate {
     val etop = ed2.withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("b_id"))))
       .filter(col("rn") <= 5).select("q_id", "b_id").cutLineage()
+    // PQ training + ADC table + cell-tagged codes are probe-depth
+    // independent — built ONCE, all three depths rank from them
+    val (qAdc, bCode) = ivfPqSides(dims, dataCells)
     (1 to 3).map { p =>
-      val htop = annIvfPqProbeFrom(dims, dataCells,
-          ranked.filter(col("arank") <= p))
+      val htop = ivfPqTopk(qAdc, bCode, ranked.filter(col("arank") <= p))
         .select("q_id", "b_id")
       etop.agg(count(lit(1)).as("n_exact"))
         .crossJoin(htop.agg(count(lit(1)).as("n_ivfpq")))

@@ -55,9 +55,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def defaultNamespace(): Array[String] = Array("default")
 
   /** Declares ALTER TABLE ADD/DROP CONSTRAINT support — Spark routes the
-    * parsed constraint DDL through `alterTable` only when this is set. */
+    * parsed constraint DDL through `alterTable` only when this is set —
+    * and CREATE TABLE with GENERATED ALWAYS AS (expr) / AS IDENTITY
+    * columns: Spark refuses the statements outright for a catalog that
+    * does not declare the capability, and with it the specs arrive as
+    * field METADATA (`identity.start`/`step`/`allowExplicitInsert`,
+    * `GENERATION_EXPRESSION`) which `createTable` lowers onto the same
+    * log properties the write paths already honor. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(ident: Identifier): java.nio.file.Path =
     ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
@@ -114,8 +122,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
 
+  /** The Column-based CREATE — the overload Spark actually calls for SQL
+    * DDL, and the ONLY one that carries GENERATED ALWAYS AS (expr) /
+    * AS IDENTITY specs (the default StructType conversion silently drops
+    * them, which is why the deprecated overload below also re-extracts
+    * from field metadata as a fallback for direct API callers). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val identities = columns.collect {
+      case c if c.identityColumnSpec() != null =>
+        val s = c.identityColumnSpec()
+        require(!s.isAllowExplicitInsert,
+          s"column ${c.name()}: GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported — use GENERATED ALWAYS AS IDENTITY")
+        c.name() -> (s.getStart, s.getStep)
+    }.toMap
+    val generated = columns.collect {
+      case c if c.generationExpression() != null =>
+        c.name() -> c.generationExpression()
+    }.toMap
+    val schema = StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (c.comment() != null) mb.putString("comment", c.comment())
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createGraft(ident, schema, partitions, properties, identities, generated)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // direct API callers may carry the specs as field metadata (the
+    // encoding Spark's catalyst utilities use) — re-extract and strip
+    val GenKey = "GENERATION_EXPRESSION"
+    val identities = schema.fields.collect {
+      case f if f.metadata.contains("identity.start") =>
+        require(!f.metadata.contains("identity.allowExplicitInsert") ||
+            !f.metadata.getBoolean("identity.allowExplicitInsert"),
+          s"column ${f.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported — use GENERATED ALWAYS AS IDENTITY")
+        f.name -> (f.metadata.getLong("identity.start"),
+          f.metadata.getLong("identity.step"))
+    }.toMap
+    val generated = schema.fields.collect {
+      case f if f.metadata.contains(GenKey) =>
+        f.name -> f.metadata.getString(GenKey)
+    }.toMap
+    val clean = StructType(schema.fields.map { f =>
+      if (!identities.contains(f.name) && !generated.contains(f.name)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Seq("identity.start", "identity.step", "identity.allowExplicitInsert",
+          GenKey).foreach(mb.remove)
+        f.copy(metadata = mb.build())
+      }
+    })
+    createGraft(ident, clean, partitions, properties, identities, generated)
+  }
+
+  /** Shared CREATE body: cluster transforms -> `graft.clusterBy`,
+    * engine-owned column declarations ride the SAME v0 commit as log
+    * properties (the write paths' single source of truth). */
+  private def createGraft(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      identities: Map[String, (Long, Long)],
+      generated: Map[String, String]): Table = {
     // `CREATE TABLE ... CLUSTER BY (c1, c2)` arrives as a ClusterByTransform
     // — the declarative layout this format DOES support: it lowers onto the
     // `graft.clusterBy` property (every write range-sorts, OPTIMIZE
@@ -133,11 +207,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(d)
     val t = TxnTable.at(spark, d.toString)
-    t.create(schema)
+    t.create(schema, identities, generated)
     // column-level NOT NULL in the DDL becomes an enforced constraint —
     // schema nullability alone would be a promise the write path never
-    // checks
-    schema.fields.filterNot(_.nullable).foreach(f => t.setNotNull(f.name))
+    // checks (engine-owned columns excluded: the engine fills them, and
+    // a NOT NULL check on a pre-declaration NULL would be unsatisfiable)
+    schema.fields.filterNot(_.nullable)
+      .filterNot(f => identities.contains(f.name) || generated.contains(f.name))
+      .foreach(f => t.setNotNull(f.name))
     // user TBLPROPERTIES ride the log (Spark-injected bookkeeping keys
     // stay out — the catalog holds no state, so only log-recorded
     // properties exist). `graft.clusterBy` is the layout-bearing one:

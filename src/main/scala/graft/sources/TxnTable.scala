@@ -1343,9 +1343,38 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * types required, additive columns allowed). Fails if any version
     * exists — DDL create is not idempotent by design (CREATE OR REPLACE
     * is `overwrite`, IF NOT EXISTS is the caller's check). */
-  def create(schema: org.apache.spark.sql.types.StructType): Long = {
+  def create(schema: org.apache.spark.sql.types.StructType): Long =
+    create(schema, Map.empty, Map.empty)
+
+  /** CREATE with engine-owned column declarations in the SAME v0 commit:
+    * `identities` maps column name -> (start, step) and `generated` maps
+    * column name -> generation SQL — recorded as the `graft.identity.*` /
+    * `graft.generated.*` properties the write paths already honor, so a
+    * table born with these columns behaves identically to one that
+    * ALTERed them in (and the declared column ORDER is preserved, which
+    * the ALTER route cannot do — it appends). */
+  def create(schema: org.apache.spark.sql.types.StructType,
+      identities: Map[String, (Long, Long)],
+      generated: Map[String, String]): Long = {
     require(currentVersion < 0, s"table already exists at $root")
-    if (!tryCommit(0L, "create", 0L, Nil, Nil, None, Some(schema)))
+    (identities.keySet ++ generated.keySet).foreach(n =>
+      require(schema.fieldNames.contains(n),
+        s"declared engine-owned column $n is not in the schema"))
+    identities.foreach { case (n, (_, step)) =>
+      require(step != 0L, s"identity step must be non-zero for $n")
+      require(schema(n).dataType == org.apache.spark.sql.types.LongType,
+        s"identity column $n must be BIGINT")
+    }
+    generated.foreach { case (_, e) =>
+      require(!e.exists(c => c == '\u0001' || c == '\u0002' || c == '\n'),
+        "generated expression must be one line without control separators")
+    }
+    val props =
+      identities.map { case (n, (st, sp)) =>
+        s"graft.identity.$n" -> s"$st,$sp" } ++
+      generated.map { case (n, e) => s"graft.generated.$n" -> e }
+    if (!tryCommit(0L, "create", 0L, Nil, Nil, None, Some(schema),
+        props = if (props.isEmpty) None else Some(props.toMap)))
       throw new IllegalStateException(
         s"create lost the race at $root: another writer committed v0")
     0L

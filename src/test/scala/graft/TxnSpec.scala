@@ -2825,6 +2825,41 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().filter(col("k") === 3L).select("k2").as[Long].head() == 6L)
   }
 
+  test("catalog CREATE TABLE declares IDENTITY and GENERATED columns in the DDL") {
+    sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.idn")
+    sqlS.sql("CREATE TABLE graft.idn.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5), " +
+      "k BIGINT, k2 BIGINT GENERATED ALWAYS AS (k * 2)) USING `graft-txn`")
+    val root = graft.plans.GraftTableFunctions.rootOf("graft.idn.t", sqlS)
+    val t = TxnTable.at(spark, root)
+    // declared order preserved, specs stripped into properties
+    assert(t.read().columns.toSeq == Seq("id", "k", "k2"))
+    assert(t.properties.get("graft.identity.id").contains("10,5"))
+    assert(t.properties.get("graft.generated.k2").contains("k * 2"))
+    // engine computes both on a plain append of the writable column
+    t.append(Seq(Tuple1(3L), Tuple1(4L)).toDF("k"))
+    val rows = t.read().select("id", "k", "k2")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(rows.map(_._1).toSet == Set(10L, 15L), s"ids: ${rows.toSeq}")
+    assert(rows.map(r => r._2 * 2).toSeq == rows.map(_._3).toSeq)
+    // SQL INSERT with a column list: Spark pads the engine-owned columns
+    // with NULL literals, which the insert lowering DROPS so the engine
+    // computes them — the everyday write statement against an identity
+    // table works through plain catalog SQL
+    sqlS.sql("INSERT INTO graft.idn.t (k) VALUES (CAST(7 AS BIGINT))")
+    val r7 = t.read().filter(col("k") === 7L)
+      .select("id", "k2").as[(Long, Long)].head()
+    assert(r7 == ((20L, 14L)), s"got $r7")
+    // but a REAL user-supplied value for an owned column is refused
+    val e1 = intercept[Exception](sqlS.sql(
+      "INSERT INTO graft.idn.t (id, k) VALUES (999, CAST(8 AS BIGINT))"))
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    // GENERATED BY DEFAULT is refused loudly at create
+    val e = intercept[Exception](sqlS.sql("CREATE TABLE graft.idn.bad (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY, k BIGINT) USING `graft-txn`"))
+    assert(e.getMessage.contains("GENERATED ALWAYS AS IDENTITY"), e.getMessage)
+  }
+
   test("identity columns: dense monotone allocation, merge preserves matched ids, races re-derive") {
     val t = TxnTable.fresh(spark, dir("identity"))
     t.append(Seq(("a", 1L), ("b", 2L)).toDF("name", "v"))

@@ -51,7 +51,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?""" +
-      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+('[^']+'|[\w.`]+)(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+(CLUSTER|ZORDER)\s+BY\s+\(([^)]*)\))?""" +
@@ -168,10 +168,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Describe(t) => graftTarget(t)
       .map(GraftHistorySqlCommand(_))
       .getOrElse(delegate.parsePlan(sqlText))
-    case Vacuum(t, hours, keep) => graftTarget(t)
+    case Vacuum(t, hours, keep, dry) => graftTarget(t)
       .map(GraftVacuumCommand(_,
         Option(keep).map(_.toInt).getOrElse(1),
-        Option(hours).map(_.toDouble).getOrElse(-1.0)))
+        Option(hours).map(_.toDouble).getOrElse(-1.0),
+        dryRun = dry != null))
       .getOrElse(delegate.parsePlan(sqlText))
     // full Z-order relayout matches FIRST: with TARGET now optional, the
     // bare `OPTIMIZE t ZORDER BY (a, b)` must keep its full-relayout
@@ -574,14 +575,18 @@ case class GraftHistorySqlCommand(target: String) extends LeafRunnableCommand {
       .history().collect().toSeq
 }
 
-/** VACUUM with the union retention (age window + version floor). */
+/** VACUUM with the union retention (age window + version floor).
+  * `DRY RUN` reports the would-delete count without touching a file —
+  * the check an operator runs before pointing a retention policy at a
+  * production table. */
 case class GraftVacuumCommand(target: String, retainVersions: Int,
-    retainHours: Double) extends LeafRunnableCommand {
+    retainHours: Double, dryRun: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_deleted", IntegerType)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
-      .vacuum(retainVersions, retainHours)))
+      .vacuum(retainVersions, retainHours, dryRun)))
 }
 
 /** OPTIMIZE: incremental bin-pack of sub-target files. */

@@ -572,6 +572,37 @@ object OCurate {
     "i_ann_ivfpq_probe_recall" -> ((s, d) =>
       annIvfPqProbeRecall(Tables.embeddings(s, d))),
 
+    "i_ann_ivfpq_persist" -> ((s, d) => {
+      // BUILD-ONCE / QUERY-MANY for the hybrid — the production ANN
+      // deployment shape: the expensive build (coarse assignment + PQ
+      // training + per-vector codes) lands in TRANSACTIONAL TABLES —
+      // the cell-tagged code index cell-clustered on write, the PQ
+      // codebook beside it — and the query side answers from the
+      // PERSISTED tables alone: ADC table from the stored codebook, the
+      // candidate join a parquet-scan equi-join on the stored cells,
+      // with snapshot isolation between a rebuild and in-flight queries
+      // for free. nprobe = 2 like the dedicated probe key, whose oracle
+      // this key shares: integer codes/centroids round-trip parquet
+      // exactly, so persisted equals in-memory BY CONSTRUCTION — a
+      // drifted write path or a lossy round-trip breaks the hash.
+      val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val dims = pqDims(bounded)
+      val ranked = kmeansRanked(bounded, 2)
+      val (c1, code) = pqTrained(dims)
+      val bCode = code
+        .join(ranked.filter(col("arank") === 1).select("vec_id", "cell"),
+          "vec_id")
+        .select(col("vec_id").as("b_id"), col("sub"), col("cid"), col("cell"))
+      val idxT = graft.sources.TxnTable.fresh(s, scratch("ann_ivfpq_idx"))
+      idxT.overwrite(bCode)                               // the index build
+      idxT.compact(target = 4, clusterBy = Seq("cell"))   // the layout job
+      val cbT = graft.sources.TxnTable.fresh(s, scratch("ann_ivfpq_cb"))
+      cbT.overwrite(c1)                                   // the codebook
+      // query side: per-batch coarse assignment (centroid broadcast) +
+      // ADC from the STORED codebook + equi-join on the STORED index
+      ivfPqTopk(adcOf(dims, cbT.read()).cutLineage(), idxT.read(), ranked)
+    }),
+
     "i_semdedup" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
       // embedding space, then drop near-duplicates WITHIN each cluster
@@ -780,6 +811,20 @@ object OCurate {
         "(SELECT CAST(c AS BIGINT) FROM hit) n_hit, " +
         "CAST(((SELECT c FROM hit) * 20000 + (SELECT count(*) FROM etop)) " +
         "// (2 * (SELECT count(*) FROM etop)) AS BIGINT) recall_bp"),
+    // identical by construction to the in-memory probe path: integer
+    // codes/centroids round-trip parquet exactly
+    "i_ann_ivfpq_persist" ->
+      (ivfpqCtes + ", " + rankedCellCte + ", " +
+        "cpairs2 AS (SELECT a.q_id, k.vec_id b_id, qa.cid cell, " +
+        "CAST(sum(a.qd2) AS BIGINT) adc_d2 " +
+        "FROM qadc a JOIN a2r qa ON qa.vec_id = a.q_id AND qa.arank <= 2 " +
+        "JOIN qcode k ON a.sub = k.sub AND a.cid = k.cid " +
+        "JOIN a2 ba ON ba.vec_id = k.vec_id AND ba.cid = qa.cid " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT q_id, b_id, cell, CAST(rn AS BIGINT) rn, adc_d2 FROM " +
+        "(SELECT q_id, b_id, cell, adc_d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc_d2, b_id) rn FROM cpairs2 " +
+        "WHERE q_id <> b_id) WHERE rn <= 5 ORDER BY q_id, rn"),
     "i_ann_ivfpq_probe" ->
       (ivfpqCtes + ", " + rankedCellCte + ", " +
         "cpairs2 AS (SELECT a.q_id, k.vec_id b_id, qa.cid cell, " +

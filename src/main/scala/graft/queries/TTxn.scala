@@ -910,11 +910,7 @@ object TTxn {
       // each row tagged with its commit version). Side-effect-free, so a
       // table function is the right surface; a cdc-less commit inside
       // the range throws at resolution (TxnSpec's pin).
-      val t = cloneOf(s, base12(s, d), "txn_sql_cdf")
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
+      val t = cloneOf(s, mergedCdc(s, d), "txn_sql_cdf") // v2 merge warmed
       t.deleteWhere(col("l_quantity") > 25, cdc = true)               // v3
       val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
       ss.sql(

@@ -3011,8 +3011,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * it. Time travel, change feeds, and `restore` past the horizon stop
     * working — the retention trade every log-structured table format
     * prices (Delta's `RETAIN n HOURS`, here with a version floor too).
-    * Returns #deleted. */
-  def vacuum(retainVersions: Int = 1, retainHours: Double = -1.0): Int = {
+    * `dryRun` computes the reclaim set and returns its size WITHOUT
+    * deleting anything — what an operator checks before pointing a
+    * retention policy at a production table. Returns #deleted (#would-
+    * delete under dryRun). */
+  def vacuum(retainVersions: Int = 1, retainHours: Double = -1.0,
+      dryRun: Boolean = false): Int = {
     require(retainVersions >= 1, "must retain at least the tip snapshot")
     val tip = currentVersion
     val byCount = math.max(0L, tip - retainVersions + 1) to tip
@@ -3033,7 +3037,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .flatMap(d => ls(d))
       .map(p => rootP.relativize(p).toString)
     val gone = all.filterNot(keep)
-    gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
+    if (!dryRun) gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
     // manifests and DV sidecars referenced by ANY entry stay (time travel
     // replays them); only race-orphaned ones — written, never published — go
     val es = entries(tip)
@@ -3043,14 +3047,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val n = p.getFileName.toString
       n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n)
     }
-    orphans.foreach(Files.deleteIfExists(_))
+    if (!dryRun) orphans.foreach(Files.deleteIfExists(_))
     // DV and CDC sidecar dirs referenced by any entry stay (time travel /
     // feed replays); race-orphaned ones go
     def sweepSidecars(dirName: String, refd: Set[String]): Int = {
       val base = rootP.resolve(dirName)
       if (!Files.isDirectory(base)) return 0
       val orphanDirs = ls(base).filter(p => !refd.contains(p.getFileName.toString))
-      orphanDirs.foreach { d =>
+      if (!dryRun) orphanDirs.foreach { d =>
         val w = Files.walk(d)
         try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
         finally w.close()
@@ -3075,7 +3079,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
         n.startsWith(".ptr-tmp-") || orphanCrc) &&
         Files.getLastModifiedTime(p).toMillis < horizonMs
     }
-    tmps.foreach(Files.deleteIfExists(_))
+    if (!dryRun) tmps.foreach(Files.deleteIfExists(_))
     gone.size + orphans.size + nDv + nCdc + tmps.size
   }
 }

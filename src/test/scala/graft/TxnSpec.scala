@@ -2714,6 +2714,28 @@ class TxnSpec extends SparkTestBase {
       Set(1L, 2L, 5L, 6L), "delete silently skipped the matched file")
   }
 
+  test("VACUUM DRY RUN reports the reclaim count without deleting anything") {
+    val t = TxnTable.fresh(spark, dir("vacuum_dry"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "v")) // v1: v0's file reclaimable
+    def files(): Int = {
+      val w = Files.walk(Paths.get(t.root))
+      try w.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          p.getParent.getFileName.toString.startsWith("d-"))
+      finally w.close()
+    }
+    val before = files()
+    val dry = sqlS.sql(s"VACUUM '${t.root}' KEEP 1 VERSIONS DRY RUN")
+      .head().getInt(0)
+    assert(dry >= 1, "dry run must report the reclaimable files")
+    assert(files() == before, "DRY RUN must not delete anything")
+    assert(t.read(version = 0).count() == 1, "time travel intact after dry run")
+    val real = sqlS.sql(s"VACUUM '${t.root}' KEEP 1 VERSIONS").head().getInt(0)
+    assert(real == dry, "the real vacuum must reclaim exactly what the dry run priced")
+    assert(files() == before - 1)
+  }
+
   test("manifest-pruned planning: the driver collect lands only surviving files") {
     // at manifest scale the skip predicates must ride INSIDE the live-set
     // resolution scan: a point read on a clustered table collects ~1 path

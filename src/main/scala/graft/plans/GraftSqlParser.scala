@@ -339,9 +339,25 @@ object GraftSqlParser {
     * `t.k = s.k` equalities where both sides name the SAME column
     * (the native merge's key contract). Anything else is refused with
     * the supported shape named. */
-  private[plans] def equiKeys(on: String, tAlias: Option[String]): Seq[String] =
-    splitTop(on, ' ').mkString(" ") // normalize whitespace
-      .split("(?i)\\s+AND\\s+").toSeq.map { eq =>
+  private[plans] def equiKeys(on: String, tAlias: Option[String]): Seq[String] = {
+    // a fully-parenthesized condition — `ON (t.k = s.k AND …)` — sheds
+    // its outer parens (only when they wrap the WHOLE string: a paren
+    // closing early, as in `(a = b) AND (c = d)`, must stay)
+    def shed(s: String): String = {
+      val t = s.trim
+      if (!(t.startsWith("(") && t.endsWith(")"))) t
+      else {
+        var depth = 0; var wraps = true
+        for (i <- 0 until t.length - 1) {
+          if (t.charAt(i) == '(') depth += 1
+          else if (t.charAt(i) == ')') { depth -= 1; if (depth == 0) wraps = false }
+        }
+        if (wraps) shed(t.substring(1, t.length - 1)) else t
+      }
+    }
+    shed(splitTop(on, ' ').mkString(" ")) // normalize whitespace
+      .split("(?i)\\s+AND\\s+").toSeq.map { eq0 =>
+        val eq = shed(eq0)
         val sides = eq.split('=')
         require(sides.length == 2,
           s"MERGE ON supports only equi-key conjunctions (t.k = s.k AND …): $eq")
@@ -354,6 +370,7 @@ object GraftSqlParser {
           s"MERGE ON keys must name the same column on both sides, got $eq")
         l
       }
+  }
 
   /** `a INT, b DECIMAL(10, 2)` → (name, type DDL) pairs. */
   private[plans] def columnDefs(s: String): Seq[(String, String)] =
@@ -446,10 +463,20 @@ case class GraftPathCreateCommand(target: String,
   override def run(session: SparkSession): Seq[Row] = {
     val t = TxnTable.at(session,
       GraftTableFunctions.rootOfNew(target, session))
-    if (ifNotExists && t.currentVersion >= 0) Seq(Row(t.currentVersion))
-    else Seq(Row(t.create(StructType(cols.map { case (n, d) =>
+    if (ifNotExists && t.currentVersion >= 0) return Seq(Row(t.currentVersion))
+    // `col TYPE NOT NULL` in the list: the suffix becomes an enforced
+    // CHECK constraint (the catalog route's discipline — nullability
+    // alone would be a promise the write path never checks)
+    val NotNull = "(?is)(.*?)\\s+NOT\\s+NULL\\s*$".r
+    val parsed = cols.map { case (n, d) => d match {
+      case NotNull(core) => (n, core.trim, true)
+      case _ => (n, d, false)
+    }}
+    val v = t.create(StructType(parsed.map { case (n, d, nn) =>
       org.apache.spark.sql.types.StructField(n,
-        session.sessionState.sqlParser.parseDataType(d)) }))))
+        session.sessionState.sqlParser.parseDataType(d), nullable = !nn) }))
+    parsed.filter(_._3).foreach { case (n, _, _) => t.setNotNull(n) }
+    Seq(Row(v))
   }
 }
 

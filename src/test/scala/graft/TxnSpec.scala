@@ -2814,6 +2814,25 @@ class TxnSpec extends SparkTestBase {
       "INSERT OVERWRITE must replace, not extend")
     sqlS.sql(s"INSERT INTO '$root' VALUES (CAST(4 AS BIGINT), 'd')")
     assert(t.read().count() == 2)
+    // NOT NULL in the path-CREATE column list becomes an enforced check
+    val root2 = dir("sql_create_nn")
+    val p2 = Paths.get(root2)
+    if (Files.exists(p2)) {
+      val w = Files.walk(p2)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    sqlS.sql(s"CREATE TABLE '$root2' (k BIGINT NOT NULL, v STRING)")
+    val t2 = TxnTable.at(spark, root2)
+    assert(t2.constraintsAt(t2.currentVersion).exists(_._1 == "nn_k"))
+    intercept[Exception](
+      t2.append(Seq((Option.empty[java.lang.Long], "x")).toDF("k", "v")))
+    // parenthesized MERGE ON condition parses (outer-paren shedding)
+    sqlS.sql(s"INSERT INTO '$root2' SELECT CAST(1 AS BIGINT), 'a'")
+    sqlS.sql(s"MERGE INTO '$root2' t USING (SELECT CAST(1 AS BIGINT) AS k, " +
+      "'z' AS v) s ON (t.k = s.k) " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(t2.read().as[(Long, String)].collect().toSeq == Seq((1L, "z")))
   }
 
   test("path-target ALTER TABLE DDL: columns, props, constraints through SQL") {

@@ -2866,6 +2866,35 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().filter(col("k") === 3L).select("k2").as[Long].head() == 6L)
   }
 
+  test("identity under OCC: a merge racing an allocating append must re-derive, never re-claim") {
+    // the reconcile fast path re-claims a staged commit only when every
+    // intervening commit is provably disjoint — an identity ALLOCATION is
+    // never disjoint (the high-water property moved), so a merge whose
+    // staged ids raced an allocating append must throw the re-run error
+    // rather than publish a colliding range. The re-run then allocates
+    // past the winner: all ids stay unique.
+    val t = TxnTable.fresh(spark, dir("identity_race"))
+    t.append(Seq(("a", 1L)).toDF("name", "v"))
+    t.addIdentityColumn("id")
+    t.append(Seq(("b", 2L)).toDF("name", "v")) // id 1
+    var fired = false
+    t.onBeforePublish = () => if (!fired) {
+      fired = true
+      t.append(Seq(("mid", 9L)).toDF("name", "v")) // allocates id 2 mid-race
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        t.merge(Seq(("c", 3L)).toDF("name", "v"), Seq("name")) // staged id 2 too
+      }
+      assert(e.getMessage.contains("re-run"), e.getMessage)
+    } finally t.onBeforePublish = () => ()
+    // the caller's re-run derives its range from the new tip
+    t.merge(Seq(("c", 3L)).toDF("name", "v"), Seq("name"))
+    val ids = t.read().filter(col("id").isNotNull)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"ids must be unique and dense: $ids")
+  }
+
   test("catalog CREATE TABLE declares IDENTITY and GENERATED columns in the DDL") {
     sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.idn")
     sqlS.sql("CREATE TABLE graft.idn.t (" +

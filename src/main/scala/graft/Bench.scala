@@ -40,6 +40,25 @@ object Bench {
     for (w <- Seq("d_agg_basic", "e_win_ranking"))
       try { SparkEntry.queries(w)(spark, sfDir).count() }
       catch { case _: Throwable => () }
+    // The txn path-SQL keys' first touch pays parser/command/staging
+    // classload — BENCH_r16 showed t_txn_sql_insert at 11.6 s noisy vs
+    // 1.11 s quiet-min for exactly this reason. One untimed 2-row
+    // lifecycle (CREATE/INSERT/UPDATE/MERGE/DELETE through the
+    // delegating parser) loads those classes before anything is timed,
+    // so the driver-facing total reflects steady state.
+    try {
+      val wdir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_scratch/bench_warm_${java.util.UUID.randomUUID()}"
+      val ss = graft.sources.GraftSql.session(spark, s"$wdir/cat")
+      ss.sql(s"CREATE TABLE '$wdir/t' (k BIGINT, v DOUBLE)")
+      ss.sql(s"INSERT INTO '$wdir/t' " +
+        "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)")
+      ss.sql(s"UPDATE '$wdir/t' SET v = v + 1 WHERE k = 1")
+      ss.sql(s"MERGE INTO '$wdir/t' t USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(2.0 AS DOUBLE) AS v) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      ss.sql(s"DELETE FROM '$wdir/t' WHERE k = 1")
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_KEYS=k1,k2 restricts the run — lets a key be timed in an
     // otherwise-idle JVM to separate its own cost from session-level churn
     val selected = sys.env.get("SPARK_GRAFT_KEYS") match {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
-import graft.sources.TxnTable
+import graft.sources.{MergeClause, TxnTable}
 
 /** Parser extension for the MAINTENANCE statements a lakehouse operator
   * types — the pieces plain Spark SQL has no grammar for (the same seam
@@ -80,6 +80,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreatePath =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?('[^']+')\s*""" +
       """\((.+)\)(?:\s+USING\s+`?graft-txn`?)?\s*;?\s*""").r
+  // CTAS on a path target: schema derives from the query, lowered onto
+  // create + append (two commits, one statement — the bootstrap-with-data
+  // twin of CreatePath). IF NOT EXISTS makes a re-run a version-returning
+  // no-op; without it a second CREATE fails loudly like the column form.
+  private val CreatePathAs =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?('[^']+')\s+""" +
+      """(?:USING\s+`?graft-txn`?\s+)?AS\s+""" +
+      """(SELECT\s.+|VALUES\s.+|FROM\s.+|TABLE\s.+)""").r
   private val InsertPath =
     ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?('[^']+')\s+""" +
       """(SELECT\s.+|VALUES\s.+|FROM\s.+|TABLE\s.+)""").r
@@ -89,18 +97,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DeleteFrom =
     ("""(?is)\s*DELETE\s+FROM\s+('[^']+'|[\w.`]+)""" +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  // the SET...WHERE boundary is found by QUOTE/PAREN-AWARE scanning
+  // (GraftSqlParser.splitWhere), never a plain regex: `SET v = 'a WHERE b'`
+  // must not split inside the literal
   private val UpdateSet =
-    ("""(?is)\s*UPDATE\s+('[^']+'|[\w.`]+)\s+SET\s+(.+?)""" +
-      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
-  // the upsert-all MERGE shape the native merge implements: equi-keys in
-  // ON, whole-row replace on match, whole-row insert otherwise. Any other
-  // WHEN clause combination delegates (and fails loudly in Spark) rather
-  // than silently approximating different semantics.
+    ("""(?is)\s*UPDATE\s+('[^']+'|[\w.`]+)\s+SET\s+(.+?)\s*;?\s*""").r
+  // MERGE with the FULL WHEN-clause surface: `WHEN MATCHED [AND cond]
+  // THEN UPDATE SET */c = expr, ... | DELETE` and `WHEN NOT MATCHED
+  // [AND cond] THEN INSERT */(cols) VALUES (exprs)`, clause order
+  // semantic (first-true applies). The upsert-all shape lowers onto the
+  // tuned native `merge`; everything else onto `mergeWhen`. The source
+  // is a view/table name, a parenthesized query, or a quoted PATH (a
+  // graft table root or a parquet directory). A tail this grammar cannot
+  // parse delegates to Spark (which refuses loudly) rather than silently
+  // approximating different semantics.
   private val MergeInto =
     ("""(?is)\s*MERGE\s+INTO\s+('[^']+'|[\w.`]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
-      """\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
-      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+      """\s+USING\s+(.+?)\s*;?\s*""").r
   // --- ALTER TABLE DDL: each variant is a metadata-only log commit on
   // the existing TxnTable primitives
   private val AlterAddCols =
@@ -215,6 +228,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
         force = force != null): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
+    case CreatePathAs(ifNotExists, t, query) => pathTarget(t)
+      .map(GraftPathCtasCommand(_, query.trim,
+        ifNotExists != null): LogicalPlan)
+      .getOrElse(delegate.parsePlan(sqlText))
     case CreatePath(ifNotExists, t, cols) => pathTarget(t)
       .map(GraftPathCreateCommand(_, GraftSqlParser.columnDefs(cols),
         ifNotExists != null): LogicalPlan)
@@ -227,13 +244,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .map(GraftPathDeleteCommand(_,
         Option(where).map(_.trim).filter(_.nonEmpty)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case UpdateSet(t, sets, where) => pathTarget(t)
-      .map(GraftPathUpdateCommand(_, GraftSqlParser.assignments(sets),
-        Option(where).map(_.trim).filter(_.nonEmpty)): LogicalPlan)
+    case UpdateSet(t, body) => pathTarget(t)
+      .map { tt =>
+        val (sets, where) = GraftSqlParser.splitWhere(body)
+        GraftPathUpdateCommand(tt, GraftSqlParser.assignments(sets),
+          where): LogicalPlan
+      }
       .getOrElse(delegate.parsePlan(sqlText))
-    case MergeInto(t, tAlias, src, on) => pathTarget(t)
-      .map(GraftPathMergeCommand(_, src.trim,
-        GraftSqlParser.equiKeys(on, Option(tAlias))): LogicalPlan)
+    case MergeInto(t, tAlias, rest) => pathTarget(t)
+      .flatMap { tt =>
+        GraftSqlParser.parseMergeTail(rest, Option(tAlias)).map {
+          case (srcSpec, keys, clauses, tA, sA) =>
+            GraftPathMergeCommand(tt, srcSpec, keys, clauses, tA,
+              sA): LogicalPlan
+        }
+      }
       .getOrElse(delegate.parsePlan(sqlText))
     case AlterAddCols(t, cols) => pathTarget(t)
       .map(GraftAlterCommand(_,
@@ -326,6 +351,64 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Index of the first TOP-LEVEL occurrence of keyword `kw` in `s` —
+    * case-insensitive, word-bounded, outside parens and single-quoted
+    * strings ('' escapes). -1 when absent. The scanner every statement
+    * splitter here uses, so a keyword inside a string literal or a
+    * subquery can never split the statement. */
+  private[plans] def indexOfTop(s: String, kw: String): Int = {
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !isWord(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length || !isWord(s.charAt(i + kw.length))) =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a statement body at its top-level WHERE: (before, condition).
+    * No top-level WHERE → the whole body, no condition. */
+  private[plans] def splitWhere(s: String): (String, Option[String]) =
+    indexOfTop(s, "WHERE") match {
+      case -1 => (s.trim, None)
+      case i => (s.take(i).trim,
+        Some(s.drop(i + "WHERE".length).trim).filter(_.nonEmpty))
+    }
+
+  /** Segments following each top-level occurrence of `kw`, plus the head
+    * before the first one. `splitTopKeyword("WHEN a WHEN b", "WHEN")` →
+    * ("", Seq(" a ", " b")). */
+  private[plans] def splitTopKeyword(s: String, kw: String)
+      : (String, Seq[String]) = {
+    val idxs = Iterator.iterate(indexOfTop(s, kw)) { i =>
+      val nxt = indexOfTop(s.drop(i + kw.length), kw)
+      if (nxt < 0) -1 else i + kw.length + nxt
+    }.takeWhile(_ >= 0).toSeq
+    if (idxs.isEmpty) (s, Nil)
+    else {
+      val head = s.take(idxs.head)
+      val segs = idxs.zipAll(idxs.drop(1), -1, s.length).map {
+        case (a, b) => s.substring(a + kw.length, b)
+      }
+      (head, segs)
+    }
+  }
+
   /** `a = expr, b = expr` → (column, expression SQL) pairs. The LHS is a
     * bare or backticked identifier, so the FIRST top-level '=' splits. */
   private[plans] def assignments(s: String): Seq[(String, String)] =
@@ -335,11 +418,115 @@ object GraftSqlParser {
       (a.take(i).trim.replace("`", ""), a.drop(i + 1).trim)
     }
 
+  /** Everything after `MERGE INTO <target> [alias] USING ` → (source
+    * spec, key columns, WHEN clauses, target alias, source alias), or
+    * None when the tail is not this grammar (the caller then delegates
+    * to Spark, which refuses loudly). The source spec keeps its core
+    * form — `name`, `(query)` or `'/path'` — with any alias stripped;
+    * missing aliases default to `t` / the bare source name / `s`, so
+    * qualified references in clause expressions resolve against the
+    * struct scopes `mergeWhen` builds. Known limit, stated plainly: a
+    * clause CONDITION containing a top-level `CASE WHEN` cannot be
+    * split by this keyword scanner and delegates (parens around the
+    * CASE make it parseable). */
+  private[plans] def parseMergeTail(rest: String, tAliasOpt: Option[String])
+      : Option[(String, Seq[String], Seq[MergeClause], String, String)] = {
+    val onIdx = indexOfTop(rest, "ON")
+    if (onIdx < 0) return None
+    val (srcSpec, sAliasOpt) = parseSourceSpec(rest.take(onIdx)) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val afterOn = rest.drop(onIdx + 2)
+    val (onCond, clauseSegs) = splitTopKeyword(afterOn, "WHEN")
+    if (clauseSegs.isEmpty || onCond.trim.isEmpty) return None
+    val clauses = clauseSegs.map(mergeClauseOf)
+    if (clauses.exists(_.isEmpty)) return None
+    val tA = tAliasOpt.getOrElse("t")
+    val sA = sAliasOpt.getOrElse {
+      val core = srcSpec.trim
+      if (core.startsWith("(") || core.startsWith("'")) "s"
+      else core.replace("`", "").split('.').last
+    }
+    Some((srcSpec, equiKeys(onCond, Some(tA), Some(sA)),
+      clauses.flatten, tA, sA))
+  }
+
+  /** `name | name [AS] a | (query) [AS] a | '/path' [AS] a` →
+    * (core spec, alias). */
+  private[plans] def parseSourceSpec(s: String)
+      : Option[(String, Option[String])] = {
+    val t = s.trim
+    if (t.isEmpty) return None
+    val coreEnd =
+      if (t.startsWith("(")) {
+        var depth = 0; var inStr = false; var i = 0; var end = -1
+        while (i < t.length && end < 0) {
+          val c = t.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        end
+      } else if (t.startsWith("'")) t.indexOf('\'', 1)
+      else { val i = t.indexWhere(_.isWhitespace); if (i < 0) t.length - 1 else i - 1 }
+    if (coreEnd < 0) return None
+    val core = t.take(coreEnd + 1)
+    val alias = t.drop(coreEnd + 1).trim.split("\\s+").toSeq
+      .filter(_.nonEmpty) match {
+      case Seq() => Some(None)
+      case Seq(a) if !a.equalsIgnoreCase("AS") =>
+        Some(Some(a.replace("`", "")))
+      case Seq(as, a) if as.equalsIgnoreCase("AS") =>
+        Some(Some(a.replace("`", "")))
+      case _ => None
+    }
+    alias.map(a => (core, a))
+  }
+
+  private val MUpd =
+    """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val MDel =
+    """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+  private val MInsStar =
+    ("""(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s+)?""" +
+      """THEN\s+INSERT\s+\*\s*""").r
+  private val MInsCols =
+    ("""(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s+)?""" +
+      """THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""").r
+
+  /** One segment after a top-level WHEN → a MergeClause, or None when
+    * it is not a clause this grammar supports. */
+  private[plans] def mergeClauseOf(seg: String): Option[MergeClause] =
+    seg match {
+      case MDel(cond) =>
+        Some(MergeClause.Delete(Option(cond).map(_.trim)))
+      case MUpd(cond, body) =>
+        val sets =
+          if (body.trim == "*") None
+          else Some(assignments(body.trim))
+        Some(MergeClause.Update(Option(cond).map(_.trim), sets))
+      case MInsStar(cond) =>
+        Some(MergeClause.Insert(Option(cond).map(_.trim), None))
+      case MInsCols(cond, cols, exprs) =>
+        val cs = splitTop(cols, ',').map(_.trim.replace("`", ""))
+        val es = splitTop(exprs, ',').map(_.trim)
+        if (cs.length != es.length || cs.isEmpty) None
+        else Some(MergeClause.Insert(Option(cond).map(_.trim), Some(cs.zip(es))))
+      case _ => None
+    }
+
   /** MERGE ON condition → key column names: a conjunction of
     * `t.k = s.k` equalities where both sides name the SAME column
-    * (the native merge's key contract). Anything else is refused with
+    * (the native merge's key contract). When both aliases are known and
+    * both sides are qualified, the qualifiers must be exactly the two
+    * declared aliases — a condition referencing some third relation is
+    * refused with the expectation named. Anything else is refused with
     * the supported shape named. */
-  private[plans] def equiKeys(on: String, tAlias: Option[String]): Seq[String] = {
+  private[plans] def equiKeys(on: String, tAlias: Option[String],
+      sAlias: Option[String]): Seq[String] = {
     // a fully-parenthesized condition — `ON (t.k = s.k AND …)` — sheds
     // its outer parens (only when they wrap the WHOLE string: a paren
     // closing early, as in `(a = b) AND (c = d)`, must stay)
@@ -365,9 +552,22 @@ object GraftSqlParser {
           val p = side.trim.replace("`", "").split('.')
           p(p.length - 1)
         }
+        def qualOf(side: String): Option[String] = {
+          val p = side.trim.replace("`", "").split('.')
+          if (p.length >= 2) Some(p(p.length - 2)) else None
+        }
         val (l, r) = (colOf(sides(0)), colOf(sides(1)))
         require(l.equalsIgnoreCase(r),
           s"MERGE ON keys must name the same column on both sides, got $eq")
+        // qualifier validation: with both aliases declared, a fully
+        // qualified equality must reference exactly those two scopes
+        for (tq <- tAlias; sq <- sAlias;
+             lq <- qualOf(sides(0)); rq <- qualOf(sides(1))) {
+          val got = Set(lq.toLowerCase, rq.toLowerCase)
+          require(got == Set(tq.toLowerCase, sq.toLowerCase),
+            s"MERGE ON must join the target ($tq) to the source ($sq); " +
+              s"got qualifiers ${got.mkString(", ")} in $eq")
+        }
         l
       }
   }
@@ -561,30 +761,62 @@ case class GraftPathUpdateCommand(target: String,
 }
 
 /** `MERGE INTO <target> [t] USING <source> [s] ON t.k = s.k [AND …]
-  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
-  * the upsert-all shape the native `merge` implements: same-key rows
-  * replace, new keys append, only key-containing files rewrite (the
-  * touched-file discovery is stats-pruned on the first key). The source
-  * is a table/view name or a parenthesized query. Any other WHEN-clause
-  * combination falls through to Spark's parser (unsupported, loudly)
-  * rather than silently approximating different semantics. */
+  * WHEN ...` — the full conditional-clause MERGE on a path target. The
+  * parser already normalized the clause list; the upsert-all shape
+  * (`UPDATE SET * / INSERT *`, both unconditional) lowers onto the tuned
+  * native `merge` (identity/evolution-aware fast path), every other
+  * combination onto `mergeWhen` with the declared aliases. The source is
+  * a table/view name, a parenthesized query, or a quoted PATH — a graft
+  * table root (read through the log, snapshot-isolated) or a plain
+  * parquet directory. */
 case class GraftPathMergeCommand(target: String, sourceSpec: String,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+    keyCols: Seq[String], clauses: Seq[MergeClause],
+    tAlias: String, sAlias: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val t = TxnTable.at(session, GraftTableFunctions.rootOf(target, session))
-    // "<name>", "<name> alias", "(query)", "(query) alias" — the alias is
-    // only ON-clause sugar (keys are already extracted), so it drops here
     val spec = sourceSpec.trim
-    val noAlias =
-      if (spec.startsWith("(")) spec.take(spec.lastIndexOf(')') + 1)
-      else spec.split("\\s+")(0)
     val src =
-      if (noAlias.startsWith("("))
-        session.sql(noAlias.substring(1, noAlias.length - 1))
-      else session.table(noAlias.replace("`", ""))
-    Seq(Row(t.merge(src, keyCols)))
+      if (spec.startsWith("("))
+        session.sql(spec.substring(1, spec.length - 1))
+      else if (spec.startsWith("'")) {
+        val p = spec.substring(1, spec.length - 1)
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(p, "_txn_log")))
+          session.read.format("graft-txn").load(p)
+        else session.read.parquet(p)
+      }
+      else session.table(spec.replace("`", ""))
+    val upsertAll = clauses == Seq(MergeClause.Update(None, None),
+      MergeClause.Insert(None, None))
+    Seq(Row(
+      if (upsertAll) t.merge(src, keyCols)
+      else t.mergeWhen(src, keyCols, clauses, tAlias, sAlias)))
+  }
+}
+
+/** `CREATE TABLE '<path>' [USING graft-txn] AS <query>` — path CTAS:
+  * the v0 create takes its schema from the analyzed query, the query
+  * rows append as v1, one statement. IF NOT EXISTS returns the existing
+  * tip untouched (idempotent bootstrap); otherwise a second CREATE
+  * fails loudly, exactly like the column-list form. */
+case class GraftPathCtasCommand(target: String, querySql: String,
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session,
+      GraftTableFunctions.rootOfNew(target, session))
+    if (t.currentVersion >= 0) {
+      if (ifNotExists) return Seq(Row(t.currentVersion))
+      throw new IllegalStateException(
+        s"CREATE TABLE AS: ${t.root} already holds a table " +
+          "(use IF NOT EXISTS for an idempotent bootstrap)")
+    }
+    val df = session.sql(querySql)
+    t.create(df.schema)
+    Seq(Row(t.append(df)))
   }
 }
 

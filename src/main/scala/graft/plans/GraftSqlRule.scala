@@ -371,9 +371,15 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
       if (owned.isEmpty) Nil
       else query match {
         case Project(exprs, _) => exprs.collect {
+          // ONLY a provably-NULL literal is padding: an expression that
+          // THROWS at eval (e.g. 1/0 under ANSI) must fall through to the
+          // write path's loud refusal, not be silently dropped as if the
+          // user never wrote it — so match Success(null) explicitly
           case Alias(e, name) if owned(name) && e.foldable &&
-              e.deterministic &&
-              scala.util.Try(e.eval(null)).toOption.forall(_ == null) => name
+              e.deterministic && (scala.util.Try(e.eval(null)) match {
+                case scala.util.Success(null) => true
+                case _ => false
+              }) => name
         }
         case _ => Nil
       }

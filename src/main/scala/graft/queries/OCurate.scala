@@ -552,6 +552,67 @@ object OCurate {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---- shared IVF+PQ build (r17, verdict item 8): the four hybrid keys
+  // (i_ann_ivfpq / _recall / _probe / _probe_recall) all rank from the
+  // SAME probe-depth-independent pieces — the integer dim table, the
+  // depth-3 ranked coarse assignment (depth only filters, so rank-1 IS
+  // the plain kmeans cell bit-exactly), the query ADC table and the
+  // cell-tagged corpus codes (the one expensive PQ training pass). Built
+  // once per (session, sf dir) and served from lineage-cut frames, so
+  // running the whole family costs one build, not four; the standalone
+  // functions above stay for direct callers (LshRecallSpec pins that
+  // the standalone build reproduces the shared rows bit-identically).
+  private final case class IvfPqBuild(dims: DataFrame, ranked: DataFrame,
+      c1: DataFrame, qAdc: DataFrame, bCode: DataFrame)
+
+  private val ivfpqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqBuild]()
+
+  /** (dims, ranked-to-3, codebook, qAdc, bCode) for the bounded
+    * calibration corpus, built once per (session, sf dir). */
+  private def ivfpqShared(s: org.apache.spark.sql.SparkSession, d: String)
+      : IvfPqBuild =
+    ivfpqCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + d, _ => {
+        val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        val dims = pqDims(bounded)
+        val ranked = kmeansRanked(bounded, 3)
+        val (c1, code) = pqTrained(dims)
+        val qAdc = adcOf(dims, c1).cutLineage()
+        val bCode = code
+          .join(ranked.filter(col("arank") === 1).select("vec_id", "cell"),
+            "vec_id")
+          .select(col("vec_id").as("b_id"), col("sub"), col("cid"),
+            col("cell"))
+          .cutLineage()
+        IvfPqBuild(dims, ranked, c1, qAdc, bCode)
+      })
+
+  /** Exact integer-L2 top-5 truth for queries vec_id < 5 over the dim
+    * table — the recall family's shared denominator. */
+  private def exactTop5(dims: DataFrame): DataFrame = {
+    val ed2 = dims.filter(col("vec_id") < 5).as("a")
+      .join(dims.as("b"),
+        col("a.sub") === col("b.sub") && col("a.sdim") === col("b.sdim") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("q_id"), col("b.vec_id").as("b_id"))
+      .agg(sum((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")))
+        .as("d2"))
+    ed2.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("b_id"))))
+      .filter(col("rn") <= 5).select("q_id", "b_id")
+  }
+
+  /** One measured-recall row: exact truth vs a hybrid top-5 frame. */
+  private def recallOf(etop: DataFrame, htop: DataFrame,
+      nCol: String): DataFrame =
+    etop.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(htop.agg(count(lit(1)).as(nCol)))
+      .crossJoin(etop.join(htop, Seq("q_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col(nCol), col("n_hit"),
+        expr("(n_hit * 20000 + n_exact) DIV (2 * n_exact)").as("recall_bp"))
+
   val m: ListMap[String, Q] = ListMap(
     "i_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
     "i_chunk_overlap" -> ((s, d) => chunkOverlap(Tables.documents(s, d))),
@@ -564,13 +625,31 @@ object OCurate {
       kmeans(Tables.embeddings(s, d).filter(col("vec_id") < 300))),
     "i_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d))),
     "i_ann_pq_recall" -> ((s, d) => annPqRecall(Tables.embeddings(s, d))),
-    "i_ann_ivfpq" -> ((s, d) => annIvfPq(Tables.embeddings(s, d))),
-    "i_ann_ivfpq_recall" -> ((s, d) =>
-      annIvfPqRecall(Tables.embeddings(s, d))),
-    "i_ann_ivfpq_probe" -> ((s, d) =>
-      annIvfPqProbe(Tables.embeddings(s, d), 2)),
-    "i_ann_ivfpq_probe_recall" -> ((s, d) =>
-      annIvfPqProbeRecall(Tables.embeddings(s, d))),
+    "i_ann_ivfpq" -> ((s, d) => {
+      val b = ivfpqShared(s, d)
+      ivfPqTopk(b.qAdc, b.bCode, b.ranked.filter(col("arank") === 1))
+    }),
+    "i_ann_ivfpq_recall" -> ((s, d) => {
+      val b = ivfpqShared(s, d)
+      val htop = ivfPqTopk(b.qAdc, b.bCode,
+        b.ranked.filter(col("arank") === 1)).select("q_id", "b_id")
+      recallOf(exactTop5(b.dims), htop, "n_ivfpq")
+    }),
+    "i_ann_ivfpq_probe" -> ((s, d) => {
+      val b = ivfpqShared(s, d)
+      ivfPqTopk(b.qAdc, b.bCode, b.ranked.filter(col("arank") <= 2))
+    }),
+    "i_ann_ivfpq_probe_recall" -> ((s, d) => {
+      val b = ivfpqShared(s, d)
+      val etop = exactTop5(b.dims).cutLineage()
+      (1 to 3).map { p =>
+        val htop = ivfPqTopk(b.qAdc, b.bCode,
+          b.ranked.filter(col("arank") <= p)).select("q_id", "b_id")
+        recallOf(etop, htop, "n_ivfpq")
+          .select(lit(p).as("nprobe"), col("n_exact"), col("n_ivfpq"),
+            col("n_hit"), col("recall_bp"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
+    }),
 
     "i_ann_ivfpq_persist" -> ((s, d) => {
       // BUILD-ONCE / QUERY-MANY for the hybrid — the production ANN
@@ -585,22 +664,16 @@ object OCurate {
       // this key shares: integer codes/centroids round-trip parquet
       // exactly, so persisted equals in-memory BY CONSTRUCTION — a
       // drifted write path or a lossy round-trip breaks the hash.
-      val bounded = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-      val dims = pqDims(bounded)
-      val ranked = kmeansRanked(bounded, 2)
-      val (c1, code) = pqTrained(dims)
-      val bCode = code
-        .join(ranked.filter(col("arank") === 1).select("vec_id", "cell"),
-          "vec_id")
-        .select(col("vec_id").as("b_id"), col("sub"), col("cid"), col("cell"))
+      val b = ivfpqShared(s, d) // the build the whole hybrid family shares
       val idxT = graft.sources.TxnTable.fresh(s, scratch("ann_ivfpq_idx"))
-      idxT.overwrite(bCode)                               // the index build
+      idxT.overwrite(b.bCode)                             // the index build
       idxT.compact(target = 4, clusterBy = Seq("cell"))   // the layout job
       val cbT = graft.sources.TxnTable.fresh(s, scratch("ann_ivfpq_cb"))
-      cbT.overwrite(c1)                                   // the codebook
+      cbT.overwrite(b.c1)                                 // the codebook
       // query side: per-batch coarse assignment (centroid broadcast) +
       // ADC from the STORED codebook + equi-join on the STORED index
-      ivfPqTopk(adcOf(dims, cbT.read()).cutLineage(), idxT.read(), ranked)
+      ivfPqTopk(adcOf(b.dims, cbT.read()).cutLineage(), idxT.read(),
+        b.ranked.filter(col("arank") <= 2))
     }),
 
     "i_semdedup" -> ((s, d) => {

@@ -189,6 +189,43 @@ object TTxn {
     graft.sources.GraftSql.session(s, root)
   }
 
+  /** Shared DECIMAL-skipping fixture: lines 1, 2 carrying a money-typed
+    * column `l_fine DECIMAL(12,2)` (exactly l_orderkey + 0.25 — integer
+    * construction, bit-exact in both engines), catalog-mounted and
+    * cluster-compacted on l_fine into 4 range-disjoint files — the
+    * layout where a money-range WHERE must plan a strict file subset
+    * through the DECIMAL stats space (t_txn_decimal_prune reads it;
+    * TxnSpec pins planned-file counts and DML discovery on its own
+    * decimal fixture). */
+  private def decimalHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.SparkSession = {
+    val root = scratch("txn_decprune_" + math.abs(d.hashCode))
+    warmed.computeIfAbsent("dec:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      val src = slice(ss, d, 1).unionByName(slice(ss, d, 2))
+        .withColumn("l_fine",
+          expr("CAST(l_orderkey + 0.25 AS DECIMAL(12, 2))"))
+      src.createOrReplaceTempView("dec_src")
+      ss.sql("CREATE TABLE graft.main.money " +
+        s"(${src.schema.toDDL}) USING `graft-txn`")
+      ss.sql("INSERT INTO graft.main.money SELECT * FROM dec_src")
+      TxnTable.at(ss,
+          graft.plans.GraftTableFunctions.rootOf("graft.main.money", ss))
+        .compact(target = 4, clusterBy = Seq("l_fine"))
+      root
+    })
+    graft.sources.GraftSql.session(s, root)
+  }
+
   /** Shared time-skipping fixture: the events projection catalog-mounted
     * and cluster-compacted by `ts` into 4 range-disjoint files — the
     * layout where a time-function WHERE (`year(ts)`, `CAST(ts AS DATE)`)
@@ -990,6 +1027,115 @@ object TTxn {
       agg(TxnTable.at(s, root).read())
     }),
 
+    "t_txn_merge_cond" -> ((s, d) => {
+      // CONDITIONAL MERGE through the API (`mergeWhen` — the full
+      // WHEN-clause surface): clause order is semantic, first-true
+      // applies. Matched line-2 rows: qty > 40 → DELETE; else source
+      // qty (= 2x) > 30 → explicit SET from a source expression; else
+      // KEPT UNCHANGED (no unconditional fallback — the silent class a
+      // broken clause dispatcher folds into update or delete, which the
+      // hash would catch). Unmatched line-6 rows insert only under the
+      // insert clause's own condition, through an explicit column/value
+      // list; the rest of the source is dropped. Untouched line-1 files
+      // survive verbatim (file granularity pinned in TxnSpec). The
+      // MATCHED side of the source is key-deduped first (max per key,
+      // doubled) — the testdata's (l_orderkey, l_linenumber) is not
+      // unique and mergeWhen REFUSES matched multi-match by design;
+      // unmatched line-6 dups stay, proving they insert per-row.
+      val t = cloneOf(s, base12(s, d), "txn_merge_cond")
+      val updates = slice(s, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .unionByName(slice(s, d, 6))
+      t.mergeWhen(updates, Seq("l_orderkey", "l_linenumber"), Seq(
+        graft.sources.MergeClause.Delete(Some("t.l_quantity > 40")),
+        graft.sources.MergeClause.Update(Some("s.l_quantity > 30"),
+          Some(Seq("l_quantity" -> "s.l_quantity + 1"))),
+        graft.sources.MergeClause.Insert(Some("s.l_quantity <= 20"),
+          Some(Seq("l_orderkey" -> "s.l_orderkey",
+            "l_linenumber" -> "s.l_linenumber",
+            "l_returnflag" -> "s.l_returnflag",
+            "l_quantity" -> "s.l_quantity + 0.5")))))
+      agg(t.read())
+    }),
+
+    "t_txn_sql_merge_cond" -> ((s, d) => {
+      // the SAME conditional merge through the path-SQL front door —
+      // `WHEN MATCHED [AND cond] THEN DELETE | UPDATE SET c = expr`,
+      // `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)`
+      // — parsed by the delegating parser's clause grammar and lowered
+      // onto the native mergeWhen with the statement's own aliases.
+      // Hash must equal the API twin t_txn_merge_cond exactly: a
+      // mis-parsed condition, a clause applied out of order, or a
+      // mis-bound alias cannot hide.
+      val t = cloneOf(s, base12(s, d), "txn_sql_merge_cond")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      slice(ss, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .unionByName(slice(ss, d, 6))
+        .createOrReplaceTempView("sql_cond_upd")
+      ss.sql(s"MERGE INTO '${t.root}' t USING sql_cond_upd s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED AND t.l_quantity > 40 THEN DELETE " +
+        "WHEN MATCHED AND s.l_quantity > 30 THEN UPDATE SET " +
+        "l_quantity = s.l_quantity + 1 " +
+        "WHEN NOT MATCHED AND s.l_quantity <= 20 THEN INSERT " +
+        "(l_orderkey, l_linenumber, l_returnflag, l_quantity) VALUES " +
+        "(s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity + 0.5)")
+      agg(t.read())
+    }),
+
+    "t_txn_sql_merge_path" -> ((s, d) => {
+      // MERGE whose source is a quoted PATH (`USING '<dir>'`) — the
+      // landing-zone shape: the staged batch sits in a parquet directory,
+      // no view registration, no catalog. Same upsert-all content as
+      // t_txn_sql_merge, so the hash pins that the path source reads
+      // byte-identically to the view source.
+      val t = cloneOf(s, base12(s, d), "txn_sql_merge_path")
+      val srcDir = scratch("txn_merge_srcdir")
+      slice(s, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+        .write.mode("overwrite").parquet(srcDir)
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      ss.sql(s"MERGE INTO '${t.root}' t USING '$srcDir' s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      agg(t.read())
+    }),
+
+    "t_txn_sql_ctas" -> ((s, d) => {
+      // path CTAS: `CREATE TABLE '<path>' AS SELECT` bootstraps schema
+      // AND data in one statement (v0 create from the query's schema,
+      // v1 append), then the created table behaves like any other —
+      // the follow-up INSERT INTO proves it. The IF NOT EXISTS re-run
+      // in between must be a pure no-op: a CTAS that re-appended on
+      // re-run would double lines 1-2 and break the hash.
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = scratch("txn_sql_ctas")
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      slice(ss, d, 1).unionByName(slice(ss, d, 2))
+        .createOrReplaceTempView("sql_ctas_src")
+      slice(ss, d, 6).createOrReplaceTempView("sql_ctas_6")
+      ss.sql(s"CREATE TABLE '$root' USING `graft-txn` AS " +
+        "SELECT * FROM sql_ctas_src")
+      ss.sql(s"CREATE TABLE IF NOT EXISTS '$root' AS " +
+        "SELECT * FROM sql_ctas_src") // idempotent re-run: no-op
+      ss.sql(s"INSERT INTO '$root' SELECT * FROM sql_ctas_6")
+      agg(TxnTable.at(s, root).read())
+    }),
+
     "t_txn_sql_ddl" -> ((s, d) => {
       // ALTER TABLE DDL through the path front door, composed the way a
       // schema migration actually runs: declare a generated column, add
@@ -1224,6 +1370,25 @@ object TTxn {
       ss.sql("SELECT l_returnflag, count(*) AS n, " +
         "round(sum(l_quantity), 4) AS sum_qty FROM graft.main.pruned " +
         "WHERE l_orderkey BETWEEN 0 AND 3000 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
+    "t_txn_decimal_prune" -> ((s, d) => {
+      // MONEY-TYPED file skipping: the commit-time stats record
+      // int64-backed DECIMAL bounds as exact logical values
+      // (BigDecimal(unscaled, scale)), SkipExtract lowers the BETWEEN
+      // on the DECIMAL(12,2) column into that same space, and the
+      // cluster-compacted layout plans a strict subset of the 4 files
+      // (TxnSpec pins the count; the oracle recomputes from source so a
+      // wrongly-skipped file loses rows and hash-fails). This is the
+      // fine/fee column every billing table has — before this key, a
+      // decimal-clustered column got NO min/max pruning at all.
+      val ss = decimalHistory(s, d)
+      ss.sql("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(sum(CAST(l_fine AS DOUBLE)), 4) AS sum_fine " +
+        "FROM graft.main.money " +
+        "WHERE l_fine BETWEEN 100.25 AND 3000.25 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")
     }),
 
@@ -1510,6 +1675,50 @@ object TTxn {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // INSERT OVERWRITE erased the line-1 insert; lines 2, 6 survive
     "t_txn_sql_insert" -> oracleAgg("l_linenumber IN (2, 6)"),
+    // conditional clauses, first-true per row: matched line-2 rows with
+    // qty > 40 deleted; else source qty (2x) > 30 → set to 2x+1; else
+    // kept; line-6 rows insert (qty + 0.5) only when qty <= 20; line-1
+    // untouched
+    "t_txn_merge_cond" ->
+      ("WITH sm AS (SELECT l_orderkey, l_linenumber, " +
+        "max(l_quantity) * 2 AS sq FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_orderkey, l_linenumber), " +
+        "r AS (" +
+        "SELECT l_returnflag, l_quantity AS q FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l.l_returnflag, CASE WHEN sm.sq > 30 " +
+        "THEN sm.sq + 1 ELSE l.l_quantity END " +
+        "FROM lineitem l JOIN sm ON l.l_orderkey = sm.l_orderkey " +
+        "AND l.l_linenumber = sm.l_linenumber " +
+        "WHERE l.l_linenumber = 2 AND NOT (l.l_quantity > 40) " +
+        "UNION ALL SELECT l_returnflag, l_quantity + 0.5 " +
+        "FROM lineitem WHERE l_linenumber = 6 AND l_quantity <= 20) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the SQL twin must land exactly where the API twin lands
+    "t_txn_sql_merge_cond" ->
+      ("WITH sm AS (SELECT l_orderkey, l_linenumber, " +
+        "max(l_quantity) * 2 AS sq FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_orderkey, l_linenumber), " +
+        "r AS (" +
+        "SELECT l_returnflag, l_quantity AS q FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l.l_returnflag, CASE WHEN sm.sq > 30 " +
+        "THEN sm.sq + 1 ELSE l.l_quantity END " +
+        "FROM lineitem l JOIN sm ON l.l_orderkey = sm.l_orderkey " +
+        "AND l.l_linenumber = sm.l_linenumber " +
+        "WHERE l.l_linenumber = 2 AND NOT (l.l_quantity > 40) " +
+        "UNION ALL SELECT l_returnflag, l_quantity + 0.5 " +
+        "FROM lineitem WHERE l_linenumber = 6 AND l_quantity <= 20) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // path-sourced MERGE reads byte-identically to the view source
+    "t_txn_sql_merge_path" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(" +
+        "CASE WHEN l_linenumber = 2 THEN l_quantity * 2 ELSE l_quantity END" +
+        "), 4) AS sum_qty FROM lineitem WHERE l_linenumber IN (1, 2, 6) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // CTAS lands lines 1-2 exactly once (IF NOT EXISTS re-run no-op),
+    // the follow-up insert adds line 6
+    "t_txn_sql_ctas" -> oracleAgg("l_linenumber IN (1, 2, 6)"),
     // lines 1, 2 predate the generated-column declaration (NULL qty_bp),
     // line 6 appends through it; l_returnflag reads back as `flag`
     "t_txn_sql_ddl" ->
@@ -1655,6 +1864,18 @@ object TTxn {
     // content-invisible — the range filter recomputed from source
     "t_txn_sql_prune" -> oracleAgg(
       "l_linenumber IN (1, 2, 6) AND l_orderkey BETWEEN 0 AND 3000"),
+    // the decimal range recomputed from source: l_fine is exactly
+    // l_orderkey + 0.25 (integer construction — x.25 is binary-exact,
+    // so the double sum is order-independent)
+    "t_txn_decimal_prune" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(sum(CAST(CAST(l_orderkey + 0.25 AS DECIMAL(12, 2)) " +
+        "AS DOUBLE)), 4) AS sum_fine " +
+        "FROM lineitem WHERE l_linenumber IN (1, 2) " +
+        "AND CAST(l_orderkey + 0.25 AS DECIMAL(12, 2)) " +
+        "BETWEEN 100.25 AND 3000.25 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the two point lookups (smallest + largest line-2 orderkey tag)
     // over both appended slices; coalesce mirrors the probe-anyway-on-
     // empty default the Spark side uses

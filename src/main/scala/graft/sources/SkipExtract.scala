@@ -44,8 +44,28 @@ private[graft] object SkipExtract {
         case IntegerType => Some(2); case LongType => Some(3)
         case _ => None
       }
+      // integral digits an integral type can need (sign aside)
+      def digits(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(3); case ShortType => Some(5)
+        case IntegerType => Some(10); case LongType => Some(19)
+        case _ => None
+      }
       from == to ||
-        rank(from).zip(rank(to)).exists { case (a, b) => a <= b }
+        rank(from).zip(rank(to)).exists { case (a, b) => a <= b } ||
+        // decimal→decimal rescale that provably loses nothing (scale
+        // and integral headroom both non-shrinking) is value-exact and
+        // order-preserving, and the stats space compares exact decimal
+        // values — so `fine = 123.456` on a DECIMAL(12,2) column, which
+        // the analyzer wraps as cast(fine as decimal(13,3)), still
+        // prunes. Same for an exact integral→decimal coercion.
+        ((from, to) match {
+          case (d1: DecimalType, d2: DecimalType) =>
+            d2.scale >= d1.scale &&
+              d2.precision - d2.scale >= d1.precision - d1.scale
+          case (f, d2: DecimalType) =>
+            digits(f).exists(d => d2.precision - d2.scale >= d)
+          case _ => false
+        })
     }
     e => e match {
       case a: AttributeReference if outs.contains(a) => Some(a.name)
@@ -104,6 +124,10 @@ private[graft] object SkipExtract {
       case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
       case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
       case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      // decimal bounds compare as the exact logical value — the space
+      // footerStats records int32/int64-backed decimal stats in
+      case (v, _: DecimalType) =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
       case _ => None
     }
     // a literal as a POINT value (stats range via the numeric space,
@@ -115,6 +139,10 @@ private[graft] object SkipExtract {
       case (v, IntegerType | LongType | DoubleType | FloatType |
                ShortType | ByteType | DateType | TimestampType |
                TimestampNTZType) => Some(v)
+      // decimal point: stats range via the exact-value space (statsSpace
+      // handles Decimal); the bloom probe has no decimal hash and keeps
+      // the file — sound
+      case (v, _: DecimalType) => Some(v)
       case _ => None
     }
     // string literal for the UTF8_BINARY range pred (Spark's default

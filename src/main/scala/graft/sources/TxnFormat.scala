@@ -228,6 +228,9 @@ private[graft] object TxnFilters {
     // Float.toString keeps the probe inside the footer's float-rendered
     // bounds (see TxnTable.statsSpace) — toDouble would not
     case f: Float => Some(BigDecimal(f.toString))
+    // V1 filters hand decimals as external java.math.BigDecimal — the
+    // exact-value space footerStats records int-backed decimal stats in
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
     case t: java.sql.Timestamp =>
       Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))

@@ -1158,7 +1158,20 @@ final class TxnTable(val spark: SparkSession, val root: String,
       if (!name.contains('.') && !bad(name)) {
         val pt = c.getPrimitiveType.getPrimitiveTypeName
         val ann = c.getPrimitiveType.getLogicalTypeAnnotation
-        val orderable =
+        // int32/int64-backed DECIMAL (precision ≤ 18, what Spark writes
+        // by default): the stored unscaled int orders exactly like the
+        // logical value at the declared fixed scale, so the bounds are
+        // recorded AS the logical value — BigDecimal(unscaled, scale) —
+        // and a DECIMAL(12, 2) money column prunes like any numeric.
+        // Binary/FLBA-backed decimals (precision > 18) are skipped:
+        // their footer min/max ordering is writer-dependent, and no
+        // pruning beats wrong pruning.
+        val decScale: Option[Int] = ann match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+              if pt == INT32 || pt == INT64 => Some(d.getScale)
+          case _ => None
+        }
+        val orderable = decScale.isDefined ||
           ((pt == INT32 || pt == INT64 || pt == FLOAT || pt == DOUBLE) &&
             ann == null) ||
           (pt == INT32 &&
@@ -1172,8 +1185,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
         if (!orderable || s == null || s.isEmpty || !s.hasNonNullValue) {
           bad += name; acc -= name
         } else {
-          val mn = BigDecimal(s.genericGetMin.toString)
-          val mx = BigDecimal(s.genericGetMax.toString)
+          def render(v: Any): BigDecimal = decScale match {
+            case Some(sc) => BigDecimal(BigInt(v.toString), sc)
+            case None => BigDecimal(v.toString)
+          }
+          val mn = render(s.genericGetMin)
+          val mx = render(s.genericGetMax)
           acc.get(name) match {
             case Some((a, z)) => acc(name) = (a.min(mn), z.max(mx))
             case None => acc(name) = (mn, mx)
@@ -1695,13 +1712,20 @@ final class TxnTable(val spark: SparkSession, val root: String,
         // directly — and part of the staging fingerprint like constraints
         val gens = generatedAt(tip)
         val dfG0 = withGenerated(df, tip, rejectExplicit = true)
-        // identity allocation: ids above the tip's high-water mark, the
-        // new mark committed ATOMICALLY with the data (props below); the
-        // mark is part of the fingerprint, so a lost race to any other
-        // allocating commit re-derives the whole range at the new tip
-        val (dfG, hwDelta, idCleanup) = withIdentity(dfG0, tip)
-        val idsFp = identityAt(tip).map { case (n, s, hw) => s"id:$n:$s:$hw" }
-        val sc = unionSchema(schemaAt(tip), dfG.schema, physFor)
+        // identity columns: ids allocate above the tip's high-water mark,
+        // the new mark committed ATOMICALLY with the data (props below);
+        // the mark is part of the fingerprint, so a lost race to any
+        // other ALLOCATING commit re-derives the whole range at the new
+        // tip. The fingerprint is computed BEFORE running the allocation
+        // (identity column names/schema are known without it — the table
+        // schema at tip already carries the declared columns), so a
+        // retry whose fingerprint is unchanged reuses the staged files
+        // AND recomputes the hw delta arithmetically from the staged row
+        // count instead of re-paying the persist + count + zipWithIndex
+        // allocation jobs just to re-derive the same numbers.
+        val ids = identityAt(tip)
+        val idsFp = ids.map { case (n, s, hw) => s"id:$n:$s:$hw" }
+        val sc = unionSchema(schemaAt(tip), dfG0.schema, physFor)
         val cs = constraintsAt(tip)
         // the staging fingerprint includes the ACTIVE constraint set: a
         // concurrent ADD CONSTRAINT landing mid-retry forces a re-stage
@@ -1710,16 +1734,29 @@ final class TxnTable(val spark: SparkSession, val root: String,
         // change mid-retry re-stages under the new sort (a hint, but a
         // cheap one to honor exactly)
         val cb = declaredClusterBy(tip)
-        val proj = dfG.columns.toSeq.map(physicalIn(Some(sc), _)) ++
+        val proj = (dfG0.columns.toSeq ++ ids.map(_._1))
+          .map(physicalIn(Some(sc), _)) ++
           cs.map { case (n, e) => s"c:$n:$e" } ++ cb.map("cb:" + _) ++
           gens.map { case (n, e) => s"g:$n:$e" } ++ idsFp
+        var hwDelta: Map[String, String] = Map.empty
         if (stagedProj == null || proj != stagedProj) {
+          val (dfG, delta, idCleanup) = withIdentity(dfG0, tip)
           try {
             val r = stage(toPhysical(enforced(clusterFor(dfG, cb), cs), sc))
             files = r._1; rows = r._2; fstats = r._3
           } finally idCleanup()
+          hwDelta = delta
           stagedProj = proj
-        } else idCleanup()
+        } else {
+          // unchanged fingerprint ⇒ same hw, same metadata: the staged
+          // ids are exactly what a fresh allocation at this tip would
+          // hand out, so the delta is hw + step·rows per column
+          hwDelta =
+            if (rows == 0L) Map.empty
+            else ids.map { case (name, step, hw) =>
+              s"graft.identityHw.$name" -> (hw + step * rows).toString
+            }.toMap
+        }
         if (tryCommit(tip + 1, "append", rows, files, Nil, txn, Some(sc),
             stats = fstats,
             props = if (hwDelta.isEmpty) None
@@ -1965,7 +2002,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * committed in the undone range applies to every later version and
     * a file-list diff cannot un-apply it, so the old snapshot is
     * MATERIALIZED through a staged rewrite instead (same content,
-    * rewrite cost). */
+    * rewrite cost).
+    *
+    * TABLE METADATA travels with the rollback (the Delta semantics):
+    * the restore commit re-records `toVersion`'s schema AND its
+    * property map, so an identity/generated declaration made after
+    * `toVersion` is undone together with its column — without this the
+    * orphaned `graft.identity.*`/`graft.generated.*` props would make
+    * the dropped column silently reappear (under a fresh physical name)
+    * on the next append. Consequence, stated plainly: restoring past an
+    * identity declaration also restores its HIGH-WATER mark, so ids
+    * allocated in the undone range can be re-issued — to rows that no
+    * longer exist, which is exactly the restored table's truth. */
   def restore(toVersion: Long): Long = {
     val cur0 = currentVersion
     require(toVersion >= 0 && toVersion <= cur0,
@@ -1979,7 +2027,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       while (!done) {
         v = currentVersion + 1
         done = tryCommit(v, "restore", rows, files, liveFiles(v - 1), None,
-          schemaAt(toVersion), stats = fstats)
+          schemaAt(toVersion), stats = fstats,
+          constraints = Some(constraintsAt(toVersion)),
+          props = Some(propertiesAt(toVersion)))
       }
       return v
     }
@@ -1997,7 +2047,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
       val prior = statsAt(toVersion)
       if (tryCommit(tip + 1, "restore", parquetRowCount(add), add, remove,
           None, schemaAt(toVersion),
-          stats = add.flatMap(f => prior.get(f).map(f -> _)).toMap))
+          stats = add.flatMap(f => prior.get(f).map(f -> _)).toMap,
+          constraints = Some(constraintsAt(toVersion)),
+          props = Some(propertiesAt(toVersion))))
         res = tip + 1
     }
     res
@@ -2529,7 +2581,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * stays live in place, so merge cost is ∝ touched files + updates,
     * never table size (the whole point of file-level commit metadata).
     * Key matching is on `keyCols`; `updates` must carry the table schema
-    * (or an additive evolution of it). Runs as ONE transaction: remove
+    * (or an additive evolution of it). Duplicate source keys are LEGAL
+    * here and land in full — the operation is key-replace, so the key's
+    * post-merge rows are exactly the source's rows for that key (the
+    * conditional `mergeWhen` refuses matched multi-match instead,
+    * because a clause decision cannot be driven by two source rows).
+    * Runs as ONE transaction: remove
     * touched files, add the rewritten+inserted files. Aborts on a
     * concurrent commit (like `compact`) rather than merging onto a stale
     * snapshot — the caller re-runs against the new tip.
@@ -2564,7 +2621,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
   private def mergeImpl(updates: DataFrame, keyCols: Seq[String],
       keyExpr: Seq[org.apache.spark.sql.Column],
       clusterBy: Seq[String], cdc: Boolean, v: Long): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, min => fmin}
     // generated columns: the update batch may not write them directly;
     // the engine computes them on the update/insert side (stored values
     // on untouched kept rows carry verbatim)
@@ -2608,10 +2665,22 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val inTouched = tagged.filter(col("_f").isin(touched: _*)).drop("_f")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // identity columns: a matched key KEEPS its stored id (the update
-    // row inherits it through the key join — an upsert must not reissue
-    // a row's identity), only genuinely NEW keys allocate above the high
-    // water; the new mark commits atomically with the merge below
+    // NO multi-match guard here, deliberately: this entry point is
+    // KEY-REPLACE (the key's rows become exactly the source's rows for
+    // that key — all duplicates land, none is "picked"), so duplicate
+    // source keys are well-defined, not ambiguous. The conditional
+    // `mergeWhen` — where a per-target-row clause decision genuinely
+    // cannot be driven by two source rows — is where the Delta-style
+    // multi-match refusal lives.
+    // identity columns: a matched key KEEPS its stored ids (inherited
+    // through the key join — an upsert must not reissue a row's
+    // identity), only genuinely NEW keys allocate above the high water;
+    // the new mark commits atomically with the merge below. The
+    // matched/insert split is decided by KEY MEMBERSHIP (a marker from
+    // the stored-id frame), never by id nullability: a matched row
+    // committed BEFORE the identity declaration carries NULL ids and
+    // keeps them (evolution semantics, same as a plain read of that
+    // row), and each declared column inherits independently.
     val idDecl = identityAt(v)
     val (upsI, hwDelta, idCleanup) =
       if (idDecl.isEmpty) (ups, Map.empty[String, String], () => ())
@@ -2622,12 +2691,18 @@ final class TxnTable(val spark: SparkSession, val root: String,
               "written directly; omit it and the engine allocates it")
         }
         val idNames = idDecl.map(_._1)
-        val oldIds = inTouched
-          .select((keyCols ++ idNames).map(c => col(s"`$c`")): _*)
+        // one row per matched key (min per id column keeps the split
+        // deterministic if a dup-key table ever pairs one update row
+        // with two stored ids — key-replace semantics keep one row)
+        val oldIds = inTouched.groupBy(keyExpr: _*)
+          .agg(fmin(col(s"`${idNames.head}`")).as(idNames.head),
+            idNames.tail.map(n => fmin(col(s"`$n`")).as(n)): _*)
+          .withColumn("_gmatched", lit(true))
         val joined = ups.join(oldIds, keyCols, "left")
-        val matchedSide = joined.filter(col(idNames.head).isNotNull)
-        val insertSide = joined.filter(col(idNames.head).isNull)
-          .drop(idNames: _*)
+        val matchedSide = joined.filter(col("_gmatched").isNotNull)
+          .drop("_gmatched")
+        val insertSide = joined.filter(col("_gmatched").isNull)
+          .drop("_gmatched").drop(idNames: _*)
         val (insertWithIds, delta, cleanup) = withIdentity(insertSide, v)
         (matchedSide.unionByName(insertWithIds), delta, cleanup)
       }
@@ -2677,6 +2752,270 @@ final class TxnTable(val spark: SparkSession, val root: String,
     publishReconciling(v, "merge", rows, files, touched, Some(sc),
       cdcRel, fstats, guard, "merge",
       props = if (hwDelta.isEmpty) None else Some(propertiesAt(v) ++ hwDelta))
+    } finally { inTouched.unpersist(); () }
+  }
+
+  /** Conditional MERGE — the full WHEN-clause surface (`merge` above is
+    * the tuned upsert-all fast path this generalizes). Per target row
+    * matched on `keyCols`, the FIRST matched clause whose condition
+    * holds applies (UPDATE with explicit assignments or SET *, or
+    * DELETE); per unmatched source row, the first not-matched clause
+    * whose condition holds INSERTs (explicit column/value lists or
+    * INSERT *). Conditions/values are SQL strings over two scopes named
+    * by `targetAlias`/`sourceAlias` (the rows ride as two structs, so
+    * `t.qty`/`s.qty` resolve exactly and unqualified ambiguity is
+    * impossible). A NULL condition is false (SQL semantics).
+    *
+    * Same scale posture as `merge`: touched-file DISCOVERY is
+    * stats-pruned on the first key, only files CONTAINING a matched key
+    * rewrite (clause conditions are row-scoped, so file discovery stays
+    * key-based — conservative, never wrong), and an INSERT-ONLY clause
+    * list rewrites NOTHING: it commits a pure append of the surviving
+    * source rows (the Delta insert-only-merge optimization). Multiple
+    * source rows matching one target key refuse loudly (same guard as
+    * `merge`). Engine-owned columns: identity values are kept on
+    * matched rows and allocated for inserts; generated columns are
+    * recomputed on every updated/inserted row; assigning either
+    * explicitly is refused. `cdc = true` writes per-clause change
+    * images (update_preimage/update_postimage, delete, insert) as the
+    * commit-time sidecar. */
+  def mergeWhen(source: DataFrame, keyCols: Seq[String],
+      clauses: Seq[MergeClause], targetAlias: String = "t",
+      sourceAlias: String = "s", cdc: Boolean = false): Long = {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    require(targetAlias != sourceAlias,
+      s"target and source aliases must differ, both are '$targetAlias'")
+    Seq(targetAlias, sourceAlias).foreach(a => require(
+      a.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad merge alias: $a"))
+    val v = currentVersion
+    require(v >= 0, s"no committed version in $root")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge source lacks key column $k"))
+    // materialized once for the same reasons as `merge`: the source
+    // feeds key extraction, the guard, clause application and CDC
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeWhenImpl(src, keyCols, clauses, targetAlias, sourceAlias,
+      cdc, v)
+    finally { src.unpersist(); () }
+  }
+
+  private def mergeWhenImpl(src: DataFrame, keyCols: Seq[String],
+      clauses: Seq[MergeClause], tA: String, sA: String, cdc: Boolean,
+      v: Long): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, when}
+    val matched: Seq[MergeClause] = clauses.filter {
+      case _: MergeClause.Update | _: MergeClause.Delete => true
+      case _ => false
+    }
+    val inserts: Seq[MergeClause.Insert] =
+      clauses.collect { case i: MergeClause.Insert => i }
+    // engine-owned columns can be neither assigned nor carried by the
+    // source — GENERATED ALWAYS means the engine owns the value
+    val gens = generatedAt(v)
+    val genNames = gens.map(_._1).toSet
+    val idNames = identityAt(v).map(_._1)
+    val owned = genNames ++ idNames
+    clauses.foreach {
+      case MergeClause.Update(_, Some(sets)) => sets.foreach { case (c, _) =>
+        require(!owned(c), s"column $c is GENERATED ALWAYS — it cannot " +
+          "be assigned; omit it and the engine computes it") }
+      case MergeClause.Insert(_, Some(vals)) => vals.foreach { case (c, _) =>
+        require(!owned(c), s"column $c is GENERATED ALWAYS — it cannot " +
+          "be assigned; omit it and the engine computes it") }
+      case _ => ()
+    }
+    owned.foreach { n =>
+      if (src.columns.contains(n)) throw new IllegalArgumentException(
+        s"column $n is GENERATED ALWAYS — drop it from the merge source; " +
+          "the engine computes/allocates it")
+    }
+    val keyExpr = keyCols.map(c => col(s"`$c`"))
+    val updKeys = src.select(keyExpr: _*).distinct()
+    // touched-file discovery, stats-pruned exactly like `merge`
+    val keyRange: Option[(BigDecimal, BigDecimal)] = {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val b = updKeys.agg(fmin(col(s"`${keyCols.head}`")),
+        fmax(col(s"`${keyCols.head}`"))).head()
+      for {
+        _ <- Some(()) if !b.isNullAt(0)
+        lo <- statsSpace(b.get(0)); hi <- statsSpace(b.get(1))
+      } yield (lo, hi)
+    }
+    val candidates: Seq[String] = keyRange
+      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
+      .getOrElse(liveFiles(v))
+    val tagged =
+      if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
+      else scanTagged(v, candidates).drop("_idx")
+    val touched = tagged
+      .join(updKeys, keyCols)
+      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    // rows of the touched files (DVs already applied), persisted once
+    // for the guard, the pair join, the key split and the CDC images
+    val inTouched = (if (touched.isEmpty) tagged.limit(0)
+      else tagged.filter(col("_f").isin(touched: _*)))
+      .drop("_f")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val tCols = inTouched.columns.toSeq
+    val sCols = src.columns.toSeq
+    val types = schemaAt(v).map(_.fields.map(f =>
+      f.name -> f.dataType).toMap).getOrElse(
+        Map.empty[String, org.apache.spark.sql.types.DataType])
+    // multi-match guard (same refusal as `merge`)
+    if (touched.nonEmpty) {
+      val dup = src.join(inTouched.select(keyExpr: _*).distinct(),
+          keyCols, "left_semi")
+        .groupBy(keyExpr: _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        "merge: multiple source rows match the same target key (" +
+          keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }
+            .mkString(", ") +
+          "); deduplicate the source on the merge keys and re-run")
+    }
+    // ---- matched side: (target row, source row) pairs as two structs
+    def boxed(df: DataFrame, alias: String): DataFrame =
+      df.select(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)
+        .as(alias) +:
+        keyCols.zipWithIndex.map { case (k, i) =>
+          col(s"`$k`").as(s"_gk$i") }: _*)
+    def condCol(c: Option[String]): org.apache.spark.sql.Column =
+      c.map(e => coalesce(expr(e), lit(false))).getOrElse(lit(true))
+    def tFlat: Seq[org.apache.spark.sql.Column] =
+      tCols.map(c => col(s"`$tA`.`$c`").as(c))
+    // first-true clause index per matched pair (-1 = no clause: keep)
+    val mIdx = matched.zipWithIndex.foldRight(
+        lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
+      val cnd = cl match {
+        case MergeClause.Update(c, _) => c
+        case MergeClause.Delete(c) => c
+        case _ => None
+      }
+      when(condCol(cnd), lit(i)).otherwise(acc)
+    }
+    val gks = keyCols.indices.map(i => s"_gk$i")
+    val decided = boxed(inTouched, tA)
+      .join(boxed(src, sA), gks, "inner")
+      .withColumn("_ci", mIdx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // per-UPDATE-clause output rows: assignments over the pair scope,
+    // every other column carried from the target; generated columns
+    // recomputed below (withGenerated drops + recomputes)
+    val updatedFrames: Seq[DataFrame] = matched.zipWithIndex.collect {
+      case (MergeClause.Update(_, sets), i) =>
+        val out = tCols.map { c =>
+          val base: org.apache.spark.sql.Column = sets match {
+            case None => // SET *
+              if (owned(c) || !sCols.contains(c)) col(s"`$tA`.`$c`")
+              else col(s"`$sA`.`$c`")
+            case Some(ss) => ss.find(_._1 == c)
+              .map { case (_, e) => expr(e) }
+              .getOrElse(col(s"`$tA`.`$c`"))
+          }
+          types.get(c).fold(base)(base.cast(_)).as(c)
+        }
+        decided.filter(col("_ci") === i).select(out: _*)
+    }
+    val updatedAll: Option[DataFrame] = updatedFrames
+      .reduceOption(_.unionByName(_))
+      .map(f => withGenerated(f, v, rejectExplicit = false))
+    val keptMatched = decided.filter(col("_ci") === -1).select(tFlat: _*)
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (_: MergeClause.Delete, i) => i }
+    // ---- insert side: source rows whose key exists NOWHERE in the
+    // table (every matched key lives in a touched file by construction)
+    val matchedKeys = inTouched.select(keyExpr: _*).distinct()
+    val unmatchedSrc = src.join(matchedKeys, keyCols, "left_anti")
+    val sBoxed = unmatchedSrc.select(
+      struct(sCols.map(c => col(s"`$c`")): _*).as(sA))
+    val iIdx = inserts.zipWithIndex.foldRight(
+        lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
+      when(condCol(cl.cond), lit(i)).otherwise(acc)
+    }
+    val insDecided = sBoxed.withColumn("_ii", iIdx)
+    val insCols = tCols.filterNot(owned)
+    val insertFrames: Seq[DataFrame] = inserts.zipWithIndex.map {
+      case (cl, i) =>
+        val out = insCols.map { c =>
+          val base: org.apache.spark.sql.Column = cl.values match {
+            case None => // INSERT *
+              if (sCols.contains(c)) col(s"`$sA`.`$c`")
+              else lit(null)
+            case Some(vals) => vals.find(_._1 == c)
+              .map { case (_, e) => expr(e) }
+              .getOrElse(lit(null))
+          }
+          types.get(c).fold(base)(base.cast(_)).as(c)
+        }
+        insDecided.filter(col("_ii") === i).select(out: _*)
+    }
+    // inserted rows: generated columns recomputed, identity allocated
+    val (insertFinal, hwDelta, idCleanup) = insertFrames
+      .reduceOption(_.unionByName(_)) match {
+      case None => (None, Map.empty[String, String], () => ())
+      case Some(f) =>
+        val g = withGenerated(f, v, rejectExplicit = false)
+        if (idNames.isEmpty) (Some(g), Map.empty[String, String], () => ())
+        else {
+          val (wi, d, cl) = withIdentity(g, v); (Some(wi), d, cl)
+        }
+    }
+    // ---- CDC sidecar at commit time (pre-images die with the rewrite)
+    val cdcRel: Option[String] = if (!cdc) None else {
+      val rel = s"_cdc/c-${UUID.randomUUID()}"
+      val updIdx = matched.zipWithIndex.collect {
+        case (_: MergeClause.Update, i) => i }
+      val frames = Seq(
+        (if (updIdx.isEmpty) None
+         else Some(decided.filter(col("_ci").isin(updIdx.map(Integer.valueOf): _*))
+           .select(tFlat: _*)
+           .withColumn("_change_type", lit("update_preimage")))),
+        updatedAll.map(_.withColumn("_change_type", lit("update_postimage"))),
+        (if (deleteIdx.isEmpty) None
+         else Some(decided.filter(col("_ci").isin(deleteIdx.map(Integer.valueOf): _*))
+           .select(tFlat: _*)
+           .withColumn("_change_type", lit("delete")))),
+        insertFinal.map(_.withColumn("_change_type", lit("insert")))
+      ).flatten
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .write.parquet(abs(rel))
+      Some(rel)
+    }
+    // ---- rewrite content. Matched clauses present: touched files'
+    // untouched-key rows + kept matched rows + updated rows + inserts,
+    // replacing the touched files. Insert-only: just the inserts, ZERO
+    // files removed — a pure append commit.
+    val rewriteFiles = if (matched.isEmpty) Nil else touched
+    val untouchedRows = inTouched.join(updKeys, keyCols, "left_anti")
+    val parts: Seq[DataFrame] =
+      (if (rewriteFiles.nonEmpty)
+        Seq(untouchedRows, keptMatched) ++ updatedAll.toSeq
+      else Nil) ++ insertFinal.toSeq
+    val merged = parts match {
+      case Seq() => inTouched.limit(0)
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val cb = declaredClusterBy(v)
+    val staged =
+      if (cb.isEmpty) merged
+      else merged.repartitionByRange(math.max(1, rewriteFiles.size),
+        cb.map(c => col(s"`$c`")): _*)
+        .sortWithinPartitions(cb.map(c => col(s"`$c`")): _*)
+    val sc = unionSchema(schemaAt(v), merged.schema, freshPhysFor())
+    val (files, rows, fstats) =
+      try stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
+      finally idCleanup()
+    val guard = keyRange.map { case (lo, hi) =>
+      (physicalIn(Some(sc), keyCols.head), lo, hi)
+    }
+    publishReconciling(v, "merge", rows, files, rewriteFiles, Some(sc),
+      cdcRel, fstats, guard, "merge",
+      props = if (hwDelta.isEmpty) None
+        else Some(propertiesAt(v) ++ hwDelta))
+    } finally { decided.unpersist(); () }
     } finally { inTouched.unpersist(); () }
   }
 
@@ -3084,6 +3423,28 @@ final class TxnTable(val spark: SparkSession, val root: String,
   }
 }
 
+/** One WHEN clause of a conditional MERGE (the Delta clause model).
+  * Clause ORDER is semantic: per row, the first clause whose condition
+  * holds applies; a matched row satisfying none stays unchanged, an
+  * unmatched source row satisfying none is dropped. Conditions and
+  * assignment/insert values are SQL expression strings over the two row
+  * scopes, qualified by the aliases `mergeWhen` is called with (default
+  * `t`/`s`) — e.g. `"s.qty > t.qty"`, `"t.price * 1.1"`. */
+sealed trait MergeClause
+object MergeClause {
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...;
+    * `sets = None` is `SET *` (every source column overwrites its
+    * target twin by name; engine-owned columns stay engine-computed). */
+  final case class Update(cond: Option[String],
+      sets: Option[Seq[(String, String)]]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class Delete(cond: Option[String]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs);
+    * `values = None` is `INSERT *`; unassigned columns insert NULL. */
+  final case class Insert(cond: Option[String],
+      values: Option[Seq[(String, String)]]) extends MergeClause
+}
+
 object TxnTable {
   /** Commits wider than this many paths write a manifest instead of
     * inlining; below it, the entry is self-contained and the driver fold
@@ -3177,6 +3538,13 @@ object TxnTable {
     // 0.3f.toDouble renders as 0.30000001192092896 — a point probe built
     // that way lands OUTSIDE a [0.3, 0.3] file and wrongly prunes it
     case f: Float => Some(BigDecimal(f.toString))
+    // decimals compare by exact logical VALUE: the footer records
+    // int32/int64-backed decimal bounds as BigDecimal(unscaled, scale),
+    // which is the same number — so the money-typed (DECIMAL(p, s))
+    // clustered column prunes like any other numeric
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
     case t: java.sql.Timestamp =>
       Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))

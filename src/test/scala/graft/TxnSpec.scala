@@ -191,6 +191,131 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().count() == 6)
   }
 
+  test("mergeWhen: first-true clause wins; no-clause rows kept; untouched files live; CDC per clause") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen"))
+    t.append(Seq((1L, 10L), (2L, 50L), (3L, 20L)).toDF("k", "v")) // file A
+    t.append(Seq((10L, 7L)).toDF("k", "v"))                       // file B
+    val liveBefore = t.read().inputFiles.toSet
+    val src = Seq((1L, 100L), (2L, 100L), (3L, 1L), (9L, 5L), (8L, 99L))
+      .toDF("k", "v")
+    t.mergeWhen(src, Seq("k"), Seq(
+      Delete(Some("t.v > 40")),                 // k=2 (stored 50) → deleted
+      Update(Some("s.v >= 100"),                // k=1 → 100 + 10 = 110
+        Some(Seq("v" -> "s.v + t.v"))),         //   (k=2 consumed above)
+      Insert(Some("s.v < 50"),                  // k=9 → v = 10; k=8 dropped
+        Some(Seq("k" -> "s.k", "v" -> "s.v * 2")))
+    ), cdc = true)
+    // k=3 matched but NO clause true (t.v=20 ≤ 40, s.v=1 < 100) → kept
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 110L), (3L, 20L), (10L, 7L), (9L, 10L)))
+    // the match-free file B survived the rewrite verbatim
+    assert((liveBefore & t.read().inputFiles.toSet).nonEmpty,
+      "mergeWhen rewrote the untouched file")
+    // per-clause change images: exactly one update pre/post pair (k=1),
+    // one delete victim (k=2), one insert (k=9) — the kept row (k=3)
+    // and the dropped source row (k=8) leave no image at all
+    val ch = t.readChanges(t.currentVersion - 1)
+      .select("_change_type", "k", "v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(ch == Set(("update_preimage", 1L, 10L),
+      ("update_postimage", 1L, 110L), ("delete", 2L, 50L),
+      ("insert", 9L, 10L)), s"wrong CDC classes: $ch")
+  }
+
+  test("mergeWhen: SET * / INSERT * twin the upsert fast path; matched multi-match refuses") {
+    import graft.sources.MergeClause._
+    val a = TxnTable.fresh(spark, dir("mergewhen_star_a"))
+    val b = TxnTable.fresh(spark, dir("mergewhen_star_b"))
+    Seq(a, b).foreach { t =>
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+    }
+    val src = Seq((1L, "A!"), (9L, "z")).toDF("k", "v")
+    a.merge(src, Seq("k"))
+    b.mergeWhen(src, Seq("k"),
+      Seq(Update(None, None), Insert(None, None)))
+    assert(a.read().as[(Long, String)].collect().toSet ==
+      b.read().as[(Long, String)].collect().toSet)
+    // two source rows hitting one MATCHED key: refused loudly with the
+    // offending key named (the Delta multi-match error class) — while
+    // duplicate UNMATCHED keys stay legal and insert per-row
+    val dup = Seq((1L, "x"), (1L, "y"), (7L, "n1"), (7L, "n2")).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      b.mergeWhen(dup, Seq("k"), Seq(Update(None, None), Insert(None, None)))
+    }
+    assert(e.getMessage.contains("multiple source rows match") &&
+      e.getMessage.contains("k=1"), e.getMessage)
+    val okDup = Seq((70L, "n1"), (70L, "n2")).toDF("k", "v")
+    b.mergeWhen(okDup, Seq("k"), Seq(Update(None, None), Insert(None, None)))
+    assert(b.read().filter(col("k") === 70L).count() == 2)
+  }
+
+  test("mergeWhen: insert-only clause list removes NO files (pure append commit)") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen_insonly"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val liveBefore = t.read().inputFiles.toSet
+    // k=1 matches (excluded from insert), k=5 inserts — and the matched
+    // file must NOT rewrite: an insert-only merge is an append
+    t.mergeWhen(Seq((1L, 99L), (5L, 50L)).toDF("k", "v"), Seq("k"),
+      Seq(Insert(None, None)))
+    val liveAfter = t.read().inputFiles.toSet
+    assert(liveBefore.subsetOf(liveAfter),
+      "insert-only merge rewrote a file")
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (5L, 50L)))
+  }
+
+  test("mergeWhen: identity kept on matched rows (even NULL pre-declaration ids), allocated on inserts") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen_id"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // pre-declaration
+    t.addIdentityColumn("rid")
+    t.append(Seq((3L, 30L)).toDF("k", "v"))            // rid = 1
+    // update k=1 (pre-declaration row: rid stays NULL — never
+    // reclassified as an insert), insert k=9 (allocates rid = 2)
+    t.mergeWhen(Seq((1L, 11L), (9L, 90L)).toDF("k", "v"), Seq("k"), Seq(
+      Update(None, Some(Seq("v" -> "s.v"))),
+      Insert(None, None)))
+    val rows = t.read().select("k", "v", "rid")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows == Set((1L, 11L, None), (2L, 20L, None),
+      (3L, 30L, Some(1L)), (9L, 90L, Some(2L))), s"got $rows")
+    // explicit assignment of the identity column is refused
+    intercept[IllegalArgumentException] {
+      t.mergeWhen(Seq((1L, 1L)).toDF("k", "v"), Seq("k"),
+        Seq(Update(None, Some(Seq("rid" -> "7")))))
+    }
+  }
+
+  test("upsert merge: matched pre-declaration row keeps NULL ids — split is by key, not id nullability") {
+    val t = TxnTable.fresh(spark, dir("merge_id_split"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // pre-declaration
+    t.addIdentityColumn("rid")
+    // upsert k=1 (matched: keeps NULL rid, must NOT allocate) + k=9 (new)
+    t.merge(Seq((1L, 11L), (9L, 90L)).toDF("k", "v"), Seq("k"))
+    val rows = t.read().select("k", "v", "rid")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows == Set((1L, 11L, None), (2L, 20L, None),
+      (9L, 90L, Some(1L))), s"got $rows")
+  }
+
+  test("restore carries table metadata: identity declared after the target version does not resurrect") {
+    val t = TxnTable.fresh(spark, dir("restore_props"))
+    t.append(Seq((1L, 10L)).toDF("k", "v"))   // v0
+    t.addIdentityColumn("rid")                // v1 (schema + props)
+    t.append(Seq((2L, 20L)).toDF("k", "v"))   // v2 (allocates rid=1)
+    t.restore(0)                              // v3: back to the bare table
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    assert(!t.properties.keys.exists(_.startsWith("graft.identity")),
+      s"orphaned identity props after restore: ${t.properties.keys}")
+    // the next append must NOT resurrect the dropped column
+    t.append(Seq((3L, 30L)).toDF("k", "v"))
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    assert(t.read().count() == 2)
+  }
+
   test("delete rewrites only matching files, keeps NULL-condition rows, no-ops cleanly") {
     val t = TxnTable.fresh(spark, dir("delete"))
     t.append(Seq((1L, Some(5L)), (2L, None)).toDF("k", "n"))      // A: has a match
@@ -2786,6 +2911,98 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().filter(col("k") === 5L).select("q").as[Long].head() == 999L)
     assert(t.read().filter(col("k") === 1000L).count() == 1)
     assert(t.read().count() == 400)
+  }
+
+  test("DECIMAL stats-space skipping: reads plan a strict subset, DML discovery prunes, widening sound") {
+    val t = TxnTable.fresh(spark, dir("dec_prune"))
+    val rng = new scala.util.Random(3)
+    rng.shuffle((0L until 400L).toList).grouped(100).foreach(g =>
+      t.append(g.toDF("k")
+        .withColumn("fine", expr("CAST(k + 0.25 AS DECIMAL(12, 2))"))))
+    t.compact(target = 4, clusterBy = Seq("fine"))
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(_.contains("/d-"))
+    assert(files(t.read()) == 4)
+    // native range read in the decimal stats space: 1-of-4
+    val r = t.readRange("fine", 100.0, 150.0)
+    assert(files(r) == 1, s"decimal range planned ${files(r)} of 4")
+    assert(r.count() == 50) // 100.25 ≤ fine ≤ 150.0 → k in 100..149
+    // a rescaling comparison the analyzer wraps as
+    // cast(fine as decimal(13,3)) — the widening must stay SOUND (no
+    // row matches .256; a wrong widening would fabricate or lose rows)
+    val w = spark.read.format("graft-txn").load(t.root)
+      .filter(expr("fine = 120.256"))
+    assert(w.count() == 0)
+    // DML discovery through the SQL front door: a point DELETE on the
+    // decimal column rewrites exactly 1 of 4 files
+    val vDel = sqlS.sql(s"DELETE FROM '${t.root}' WHERE fine = 120.25")
+      .head().getLong(0)
+    val h = t.history().collect().find(_.getLong(0) == vDel).get
+    assert(h.getLong(4) == 1,
+      s"decimal point delete removed ${h.getLong(4)} of 4 files")
+    assert(t.read().count() == 399)
+    // V1 bridge content equivalence under the decimal filter (its RDD
+    // scan hides planned files from inputFiles; the prune itself shares
+    // filesSurviving with the native pin above, and the bridge's
+    // decimal Filter translation must at least never lose rows)
+    val br = spark.read.format("graft-txn").load(t.root)
+      .filter("fine BETWEEN 100.25 AND 150.25")
+    assert(br.count() == 50) // k 100..150 minus the deleted k=120
+  }
+
+  test("path-target conditional MERGE: clause grammar, WHERE-in-literal safety, CTAS, path source") {
+    val t = TxnTable.fresh(spark, dir("sql_merge_cond"))
+    t.append(Seq((1L, 10L, "keep"), (2L, 50L, "del"), (3L, 20L, "keep"))
+      .toDF("k", "v", "tag"))
+    // conditional clauses through the path front door, first-true wins
+    sqlS.sql(s"MERGE INTO '${t.root}' t USING (SELECT CAST(1 AS BIGINT) AS k, " +
+      "CAST(100 AS BIGINT) AS v UNION ALL SELECT 2, 100 " +
+      "UNION ALL SELECT 3, 1 UNION ALL SELECT 9, 5) s ON t.k = s.k " +
+      "WHEN MATCHED AND t.v > 40 THEN DELETE " +
+      "WHEN MATCHED AND s.v >= 100 THEN UPDATE SET v = s.v + t.v " +
+      "WHEN NOT MATCHED AND s.v < 50 THEN INSERT (k, v) VALUES (s.k, s.v * 2)")
+    assert(t.read().select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 110L), (3L, 20L), (9L, 10L)))
+    // the explicit-column INSERT NULL-pads unassigned columns
+    assert(t.read().filter(col("k") === 9L).select("tag")
+      .as[Option[String]].head().isEmpty)
+    // a SET string literal containing ' WHERE ' must not split there —
+    // the real top-level WHERE still applies
+    sqlS.sql(s"UPDATE '${t.root}' SET tag = 'a WHERE b' WHERE k = 3")
+    assert(t.read().filter(col("k") === 3L).select("tag").as[String]
+      .head() == "a WHERE b")
+    assert(t.read().filter(col("tag") === "a WHERE b").count() == 1)
+    // an ON condition referencing a third relation's alias is refused
+    intercept[Exception](
+      sqlS.sql(s"MERGE INTO '${t.root}' t USING (SELECT CAST(1 AS BIGINT) " +
+        "AS k, CAST(1 AS BIGINT) AS v) s ON t.k = x.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    // CTAS on a path: schema from the query, data at v1, IF NOT EXISTS
+    // re-run is a version-preserving no-op
+    val root2 = dir("sql_ctas_path")
+    val p2 = Paths.get(root2)
+    if (Files.exists(p2)) {
+      val w = Files.walk(p2)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    TxnTable.at(sqlS, t.root).read().select("k", "v")
+      .createOrReplaceTempView("ctas_src_v")
+    sqlS.sql(s"CREATE TABLE '$root2' USING `graft-txn` AS " +
+      "SELECT k, v FROM ctas_src_v")
+    val t2 = TxnTable.at(spark, root2)
+    val rowsOnce = t2.read().as[(Long, Long)].collect().toSet
+    assert(rowsOnce == Set((1L, 110L), (3L, 20L), (9L, 10L)))
+    val vBefore = t2.currentVersion
+    sqlS.sql(s"CREATE TABLE IF NOT EXISTS '$root2' AS SELECT 1 AS nope")
+    assert(t2.currentVersion == vBefore, "IF NOT EXISTS CTAS must no-op")
+    intercept[IllegalStateException](
+      sqlS.sql(s"CREATE TABLE '$root2' AS SELECT 1 AS nope"))
+    // MERGE whose source is a PATH: a graft root reads through the log
+    sqlS.sql(s"MERGE INTO '$root2' t USING '${t.root}' s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 100 THEN UPDATE SET v = s.v * 10")
+    assert(t2.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 1100L), (3L, 20L), (9L, 10L)))
   }
 
   test("path-target CREATE/INSERT: schema-only v0, IF NOT EXISTS no-op, re-CREATE refused") {

@@ -496,11 +496,25 @@ object GraftSqlParser {
   private val MInsCols =
     ("""(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s+)?""" +
       """THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""").r
+  private val MBsUpd =
+    ("""(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?""" +
+      """THEN\s+UPDATE\s+SET\s+(.+?)\s*""").r
+  private val MBsDel =
+    ("""(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?""" +
+      """THEN\s+DELETE\s*""").r
 
   /** One segment after a top-level WHEN → a MergeClause, or None when
     * it is not a clause this grammar supports. */
   private[plans] def mergeClauseOf(seg: String): Option[MergeClause] =
     seg match {
+      // BY SOURCE first: its prefix (`NOT MATCHED BY SOURCE`) must not
+      // be eaten by the plain NOT-MATCHED insert patterns
+      case MBsDel(cond) =>
+        Some(MergeClause.DeleteBySource(Option(cond).map(_.trim)))
+      case MBsUpd(cond, body) if body.trim != "*" =>
+        // SET * has no meaning without a source row — delegate (loud)
+        Some(MergeClause.UpdateBySource(Option(cond).map(_.trim),
+          assignments(body.trim)))
       case MDel(cond) =>
         Some(MergeClause.Delete(Option(cond).map(_.trim)))
       case MUpd(cond, body) =>

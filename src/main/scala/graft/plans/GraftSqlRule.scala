@@ -272,79 +272,165 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         r.table.asInstanceOf[GraftTableV2]
     }
 
-  /** MERGE INTO → `TxnTable.merge`: supported shape is the canonical
-    * upsert — an equi-key ON condition, one unconditional
-    * `WHEN MATCHED THEN UPDATE` and one unconditional
-    * `WHEN NOT MATCHED THEN INSERT` whose assignments agree, cover every
-    * target column, and draw only on the source (SET * / INSERT * after
-    * star expansion). Anything else is rejected loudly — `merge`'s
-    * full-row file-granular rewrite is exactly this shape. */
+  /** MERGE INTO, two lowerings behind one seam:
+    *
+    *  - the CANONICAL UPSERT (equi-key ON, one unconditional
+    *    `WHEN MATCHED THEN UPDATE` + one unconditional `WHEN NOT MATCHED
+    *    THEN INSERT` whose assignments agree, cover every target column
+    *    and draw only on the source — SET * / INSERT * after star
+    *    expansion) takes the tuned `TxnTable.merge` fast path
+    *    (key-replace, identity/evolution-aware);
+    *  - EVERYTHING ELSE — conditional clauses, explicit SET lists,
+    *    matched DELETE, conditional inserts, NOT MATCHED BY SOURCE —
+    *    lowers onto `TxnTable.mergeWhen`: each clause's condition and
+    *    assignment expressions are rewritten into the two struct scopes
+    *    (`t.`/`s.`-qualified SQL) mergeWhen evaluates, so the catalog
+    *    front door carries the same full clause surface as the path
+    *    parser. Only genuinely unliftable shapes (a non-equi ON
+    *    conjunct, a nested assignment target) are rejected loudly. */
   private def lowerMerge(m: MergeIntoTable): Option[LogicalPlan] = m.targetTable match {
     case GraftRel(r, t) =>
-      def unsupported(why: String): Nothing =
-        throw new UnsupportedOperationException(
-          s"graft-txn MERGE INTO supports the equi-key upsert shape " +
-            s"(ON t.k = s.k ... WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-            s"MATCHED THEN INSERT *): $why")
       requireWritable(t)
-      if (m.notMatchedBySourceActions.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
-      val upd = m.matchedActions match {
-        case Seq(UpdateAction(None, as, _)) => as
-        case other => unsupported(s"matched actions $other")
-      }
-      val ins = m.notMatchedActions match {
-        case Seq(InsertAction(None, as)) => as
-        case other => unsupported(s"not-matched actions $other")
-      }
-      val sourceOut = m.sourceTable.outputSet
-      val targetOut = r.outputSet
-      def checkAssignments(as: Seq[Assignment]): Map[String, Expression] =
-        as.map { a =>
-          a.key match {
-            case ar: AttributeReference =>
-              if (!a.value.references.subsetOf(sourceOut))
-                unsupported(s"assignment ${ar.name} references the target row")
-              ar.name -> a.value
-            case other => unsupported(s"nested assignment target $other")
-          }
-        }.toMap
-      val updM = checkAssignments(upd)
-      val insM = checkAssignments(ins)
-      val targetCols = r.output.map(_.name)
-      targetCols.foreach { c =>
-        if (!insM.contains(c)) unsupported(s"column $c is not assigned")
-        if (!updM.get(c).exists(_.semanticEquals(insM(c))))
-          unsupported(s"UPDATE and INSERT assign column $c differently")
-      }
-      // equi-key extraction: every ON conjunct must be target-attr =
-      // source-expr (either orientation), and the source side must be
-      // what the assignments write into that key column — otherwise the
-      // join keys and the upserted values would disagree
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
-          conjuncts(l) ++ conjuncts(rr)
-        case other => Seq(other)
-      }
-      val keyCols = conjuncts(m.mergeCondition).map {
-        case EqualTo(l: AttributeReference, rhs)
-            if targetOut.contains(l) && rhs.references.subsetOf(sourceOut) =>
-          if (!insM(l.name).semanticEquals(rhs))
-            unsupported(s"ON key ${l.name} does not match its assignment")
-          l.name
-        case EqualTo(lhs, rr: AttributeReference)
-            if targetOut.contains(rr) && lhs.references.subsetOf(sourceOut) =>
-          if (!insM(rr.name).semanticEquals(lhs))
-            unsupported(s"ON key ${rr.name} does not match its assignment")
-          rr.name
-        case other => unsupported(s"non-equi ON conjunct $other")
-      }
-      if (keyCols.isEmpty) unsupported("no equi-key in the ON condition")
-      // the update frame: the source projected to the target's columns
-      val projected = Project(targetCols.map(c =>
-        Alias(insM(c), c)()), rewriteReads(m.sourceTable))
-      Some(GraftMergeCommand(t.root, projected, keyCols))
+      Some(lowerUpsertAll(m, r, t).getOrElse(lowerMergeClauses(m, r, t)))
     case _ => None
+  }
+
+  private def lowerUpsertAll(m: MergeIntoTable, r: DataSourceV2Relation,
+      t: GraftTableV2): Option[LogicalPlan] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    val upd = m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => as
+      case _ => return None
+    }
+    val ins = m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => as
+      case _ => return None
+    }
+    val sourceOut = m.sourceTable.outputSet
+    val targetOut = r.outputSet
+    def assignmentsOf(as: Seq[Assignment]): Option[Map[String, Expression]] =
+      Some(as.map { a =>
+        a.key match {
+          case ar: AttributeReference =>
+            if (!a.value.references.subsetOf(sourceOut)) return None
+            ar.name -> a.value
+          case _ => return None
+        }
+      }.toMap)
+    val (updM, insM) = (assignmentsOf(upd), assignmentsOf(ins)) match {
+      case (Some(u), Some(i)) => (u, i)
+      case _ => return None
+    }
+    val targetCols = r.output.map(_.name)
+    targetCols.foreach { c =>
+      if (!insM.contains(c)) return None
+      if (!updM.get(c).exists(_.semanticEquals(insM(c)))) return None
+    }
+    // equi-key extraction: every ON conjunct must be target-attr =
+    // source-expr (either orientation), and the source side must be
+    // what the assignments write into that key column — otherwise the
+    // join keys and the upserted values would disagree
+    val keyCols = mergeConjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, rhs)
+          if targetOut.contains(l) && rhs.references.subsetOf(sourceOut) &&
+            insM.get(l.name).exists(_.semanticEquals(rhs)) =>
+        l.name
+      case EqualTo(lhs, rr: AttributeReference)
+          if targetOut.contains(rr) && lhs.references.subsetOf(sourceOut) &&
+            insM.get(rr.name).exists(_.semanticEquals(lhs)) =>
+        rr.name
+      case _ => return None
+    }
+    if (keyCols.isEmpty) return None
+    // the update frame: the source projected to the target's columns
+    val projected = Project(r.output.map(_.name).map(c =>
+      Alias(insM(c), c)()), rewriteReads(m.sourceTable))
+    Some(GraftMergeCommand(t.root, projected, keyCols))
+  }
+
+  private def mergeConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+      mergeConjuncts(l) ++ mergeConjuncts(rr)
+    case other => Seq(other)
+  }
+
+  /** The general WHEN-clause lowering onto `mergeWhen`: resolved
+    * expressions become `t.`/`s.`-scoped SQL strings (attribute ids →
+    * the struct fields mergeWhen builds), clause order preserved. An
+    * INSERT assignment that arrived as NULL padding (what the analyzer
+    * inserts for columns missing from an explicit insert list) is marked
+    * so the command can drop it for ENGINE-OWNED columns at run time —
+    * the same discipline as GraftInsertCommand, without silently
+    * swallowing a user's real NULL on an ordinary column. */
+  private def lowerMergeClauses(m: MergeIntoTable, r: DataSourceV2Relation,
+      t: GraftTableV2): LogicalPlan = {
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft-txn MERGE INTO cannot express: $why (supported: equi-key " +
+          "ON t.k = s.k conjunctions with UPDATE/DELETE/INSERT clauses, " +
+          "conditional or not, plus NOT MATCHED BY SOURCE)")
+    val sourceOut = m.sourceTable.outputSet
+    val targetOut = r.outputSet
+    def scoped(e: Expression): String = e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    }.sql
+    def setsOf(as: Seq[Assignment]): Seq[(String, String)] = as.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> scoped(a.value)
+        case other => unsupported(s"nested assignment target $other")
+      }
+    }
+    def isNullPad(e: Expression): Boolean =
+      e.foldable && e.deterministic && (scala.util.Try(e.eval(null)) match {
+        case scala.util.Success(null) => true
+        case _ => false
+      })
+    val keyCols = mergeConjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, rr: AttributeReference)
+          if targetOut.contains(l) && sourceOut.contains(rr) &&
+            l.name.equalsIgnoreCase(rr.name) => l.name
+      case EqualTo(l: AttributeReference, rr: AttributeReference)
+          if targetOut.contains(rr) && sourceOut.contains(l) &&
+            l.name.equalsIgnoreCase(rr.name) => rr.name
+      case other => unsupported(s"ON conjunct $other — the native merge " +
+        "keys on same-named target/source columns")
+    }
+    if (keyCols.isEmpty) unsupported("no equi-key in the ON condition")
+    val matchedClauses = m.matchedActions.map {
+      case UpdateAction(cond, as, _) =>
+        graft.sources.MergeClause.Update(cond.map(scoped), Some(setsOf(as)))
+      case DeleteAction(cond) =>
+        graft.sources.MergeClause.Delete(cond.map(scoped))
+      case other => unsupported(s"matched action $other")
+    }
+    // (clause index among not-matched inserts, column) pairs that are
+    // analyzer NULL padding — drop for engine-owned columns at run time
+    val padded = Seq.newBuilder[(Int, String)]
+    val insertClauses = m.notMatchedActions.zipWithIndex.map {
+      case (InsertAction(cond, as), i) =>
+        as.foreach { a =>
+          a.key match {
+            case ar: AttributeReference if isNullPad(a.value) =>
+              padded += ((i, ar.name))
+            case _ => ()
+          }
+        }
+        graft.sources.MergeClause.Insert(cond.map(scoped), Some(setsOf(as)))
+      case (other, _) => unsupported(s"not-matched action $other")
+    }
+    val bySourceClauses = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        graft.sources.MergeClause.UpdateBySource(cond.map(scoped), setsOf(as))
+      case DeleteAction(cond) =>
+        graft.sources.MergeClause.DeleteBySource(cond.map(scoped))
+      case other => unsupported(s"not-matched-by-source action $other")
+    }
+    GraftMergeWhenCommand(t.root, rewriteReads(m.sourceTable), keyCols,
+      matchedClauses ++ insertClauses ++ bySourceClauses,
+      padded.result())
   }
 }
 
@@ -427,6 +513,44 @@ case class GraftMergeCommand(root: String, updates: LogicalPlan,
     val df = Bridge.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], updates)
     TxnTable.at(session, root).merge(df, keyCols)
+    Nil
+  }
+}
+
+/** The general WHEN-clause MERGE on a catalog table, lowered onto
+  * `TxnTable.mergeWhen` with the fixed `t`/`s` scopes the rule rewrote
+  * the clause expressions into. `nullPadded` marks INSERT assignments
+  * that arrived as analyzer NULL padding (columns missing from an
+  * explicit insert list) — dropped here for ENGINE-OWNED columns so the
+  * engine computes them, while a user's real NULL on an ordinary column
+  * passes through untouched. */
+case class GraftMergeWhenCommand(root: String, source: LogicalPlan,
+    keyCols: Seq[String], clauses: Seq[graft.sources.MergeClause],
+    nullPadded: Seq[(Int, String)]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxnTable.at(session, root)
+    val owned = t.properties.keys.collect {
+      case k if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.")
+      case k if k.startsWith("graft.identity.") &&
+          !k.startsWith("graft.identityHw.") =>
+        k.stripPrefix("graft.identity.")
+    }.toSet
+    val pad = nullPadded.toSet
+    var ii = -1
+    val cleaned = clauses.map {
+      case ins: graft.sources.MergeClause.Insert =>
+        ii += 1
+        val i = ii
+        ins.copy(values = ins.values.map(_.filterNot {
+          case (c, _) => owned(c) && pad((i, c))
+        }))
+      case c => c
+    }
+    val df = Bridge.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], source)
+    t.mergeWhen(df, keyCols, cleaned)
     Nil
   }
 }

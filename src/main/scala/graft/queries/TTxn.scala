@@ -1090,6 +1090,94 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_sql_merge_catalog" -> ((s, d) => {
+      // the same conditional clause surface through the CATALOG front
+      // door: Spark's own MERGE grammar resolves the statement
+      // (MergeIntoTable), GraftSqlRule rewrites the resolved clause
+      // expressions into mergeWhen's t/s struct scopes. Hash must equal
+      // the API twin t_txn_merge_cond — the analyzer's resolution and
+      // the path parser's grammar cannot disagree on clause semantics.
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = scratch("txn_sqlcat_condm")
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      ss.sql("CREATE TABLE graft.main.condm " +
+        s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
+      slice(ss, d, 1).unionByName(slice(ss, d, 2))
+        .createOrReplaceTempView("condm_base")
+      ss.sql("INSERT INTO graft.main.condm SELECT * FROM condm_base")
+      slice(ss, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .unionByName(slice(ss, d, 6))
+        .createOrReplaceTempView("condm_upd")
+      ss.sql("MERGE INTO graft.main.condm t USING condm_upd s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED AND t.l_quantity > 40 THEN DELETE " +
+        "WHEN MATCHED AND s.l_quantity > 30 THEN UPDATE SET " +
+        "l_quantity = s.l_quantity + 1 " +
+        "WHEN NOT MATCHED AND s.l_quantity <= 20 THEN INSERT " +
+        "(l_orderkey, l_linenumber, l_returnflag, l_quantity) VALUES " +
+        "(s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity + 0.5)")
+      agg(ss.table("graft.main.condm"))
+    }),
+
+    "t_txn_merge_bysource" -> ((s, d) => {
+      // WHEN NOT MATCHED BY SOURCE — the retention/tombstone side of a
+      // CDC sync: the source carries ONLY the line-2 keys (deduped,
+      // doubled), so every line-1 row is "not matched by source" and
+      // walks the BY SOURCE clause ladder: qty > 45 → DELETE
+      // (tombstone), qty < 10 → UPDATE in the target-only scope
+      // (+100 flag value), else kept verbatim. Matched line-2 rows take
+      // the unconditional explicit SET from the source. A dispatcher
+      // that fed matched rows to the BY SOURCE ladder (or vice versa)
+      // breaks the hash.
+      val t = cloneOf(s, base12(s, d), "txn_merge_bysource")
+      val updates = slice(s, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      t.mergeWhen(updates, Seq("l_orderkey", "l_linenumber"), Seq(
+        graft.sources.MergeClause.Update(None,
+          Some(Seq("l_quantity" -> "s.l_quantity"))),
+        graft.sources.MergeClause.DeleteBySource(Some("t.l_quantity > 45")),
+        graft.sources.MergeClause.UpdateBySource(Some("t.l_quantity < 10"),
+          Seq("l_quantity" -> "t.l_quantity + 100"))))
+      agg(t.read())
+    }),
+
+    "t_txn_sql_merge_bysource" -> ((s, d) => {
+      // the same BY SOURCE merge through the path-SQL front door —
+      // `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET`
+      // — hash-equal to the API twin: a clause routed to the wrong row
+      // class or a mis-bound target-only scope cannot hide.
+      val t = cloneOf(s, base12(s, d), "txn_sql_merge_bysource")
+      val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
+      slice(ss, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .createOrReplaceTempView("sql_bysource_upd")
+      ss.sql(s"MERGE INTO '${t.root}' t USING sql_bysource_upd s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED THEN UPDATE SET l_quantity = s.l_quantity " +
+        "WHEN NOT MATCHED BY SOURCE AND t.l_quantity > 45 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.l_quantity < 10 THEN UPDATE SET " +
+        "l_quantity = t.l_quantity + 100")
+      agg(t.read())
+    }),
+
     "t_txn_sql_merge_path" -> ((s, d) => {
       // MERGE whose source is a quoted PATH (`USING '<dir>'`) — the
       // landing-zone shape: the staged batch sits in a parquet directory,
@@ -1708,6 +1796,54 @@ object TTxn {
         "WHERE l.l_linenumber = 2 AND NOT (l.l_quantity > 40) " +
         "UNION ALL SELECT l_returnflag, l_quantity + 0.5 " +
         "FROM lineitem WHERE l_linenumber = 6 AND l_quantity <= 20) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the catalog route lands exactly where the API twin lands
+    "t_txn_sql_merge_catalog" ->
+      ("WITH sm AS (SELECT l_orderkey, l_linenumber, " +
+        "max(l_quantity) * 2 AS sq FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_orderkey, l_linenumber), " +
+        "r AS (" +
+        "SELECT l_returnflag, l_quantity AS q FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l.l_returnflag, CASE WHEN sm.sq > 30 " +
+        "THEN sm.sq + 1 ELSE l.l_quantity END " +
+        "FROM lineitem l JOIN sm ON l.l_orderkey = sm.l_orderkey " +
+        "AND l.l_linenumber = sm.l_linenumber " +
+        "WHERE l.l_linenumber = 2 AND NOT (l.l_quantity > 40) " +
+        "UNION ALL SELECT l_returnflag, l_quantity + 0.5 " +
+        "FROM lineitem WHERE l_linenumber = 6 AND l_quantity <= 20) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // matched line-2 rows take the source value (2 x max per key);
+    // line-1 rows are NOT MATCHED BY SOURCE: qty > 45 deleted,
+    // qty < 10 gets +100, the rest unchanged
+    "t_txn_merge_bysource" ->
+      ("WITH sm AS (SELECT l_orderkey, l_linenumber, " +
+        "max(l_quantity) * 2 AS sq FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_orderkey, l_linenumber), " +
+        "r AS (" +
+        "SELECT l.l_returnflag, sm.sq AS q " +
+        "FROM lineitem l JOIN sm ON l.l_orderkey = sm.l_orderkey " +
+        "AND l.l_linenumber = sm.l_linenumber WHERE l.l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, " +
+        "CASE WHEN l_quantity < 10 THEN l_quantity + 100 " +
+        "ELSE l_quantity END " +
+        "FROM lineitem WHERE l_linenumber = 1 AND NOT (l_quantity > 45)) " +
+        "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the SQL twin must land exactly where the API twin lands
+    "t_txn_sql_merge_bysource" ->
+      ("WITH sm AS (SELECT l_orderkey, l_linenumber, " +
+        "max(l_quantity) * 2 AS sq FROM lineitem WHERE l_linenumber = 2 " +
+        "GROUP BY l_orderkey, l_linenumber), " +
+        "r AS (" +
+        "SELECT l.l_returnflag, sm.sq AS q " +
+        "FROM lineitem l JOIN sm ON l.l_orderkey = sm.l_orderkey " +
+        "AND l.l_linenumber = sm.l_linenumber WHERE l.l_linenumber = 2 " +
+        "UNION ALL SELECT l_returnflag, " +
+        "CASE WHEN l_quantity < 10 THEN l_quantity + 100 " +
+        "ELSE l_quantity END " +
+        "FROM lineitem WHERE l_linenumber = 1 AND NOT (l_quantity > 45)) " +
         "SELECT l_returnflag, count(*) AS n, round(sum(q), 4) AS sum_qty " +
         "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
     // path-sourced MERGE reads byte-identically to the view source

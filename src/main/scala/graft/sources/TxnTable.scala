@@ -2761,10 +2761,17 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * holds applies (UPDATE with explicit assignments or SET *, or
     * DELETE); per unmatched source row, the first not-matched clause
     * whose condition holds INSERTs (explicit column/value lists or
-    * INSERT *). Conditions/values are SQL strings over two scopes named
+    * INSERT *); per target row with NO source match, the first true
+    * NOT MATCHED BY SOURCE clause applies (UPDATE in the target-only
+    * scope, or DELETE — the retention/tombstone side of a CDC sync).
+    * Conditions/values are SQL strings over two scopes named
     * by `targetAlias`/`sourceAlias` (the rows ride as two structs, so
     * `t.qty`/`s.qty` resolve exactly and unqualified ambiguity is
     * impossible). A NULL condition is false (SQL semantics).
+    * BY SOURCE clauses widen discovery to a full target scan (their
+    * subject is the ABSENCE of a match — inherent to the semantics) and
+    * disable the lost-race key-range reconciliation (fail closed);
+    * still, only files where a clause actually fires rewrite.
     *
     * Same scale posture as `merge`: touched-file DISCOVERY is
     * stats-pruned on the first key, only files CONTAINING a matched key
@@ -2810,6 +2817,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }
     val inserts: Seq[MergeClause.Insert] =
       clauses.collect { case i: MergeClause.Insert => i }
+    val bySource: Seq[MergeClause] = clauses.filter {
+      case _: MergeClause.UpdateBySource | _: MergeClause.DeleteBySource =>
+        true
+      case _ => false
+    }
     // engine-owned columns can be neither assigned nor carried by the
     // source — GENERATED ALWAYS means the engine owns the value
     val gens = generatedAt(v)
@@ -2821,6 +2833,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
         require(!owned(c), s"column $c is GENERATED ALWAYS — it cannot " +
           "be assigned; omit it and the engine computes it") }
       case MergeClause.Insert(_, Some(vals)) => vals.foreach { case (c, _) =>
+        require(!owned(c), s"column $c is GENERATED ALWAYS — it cannot " +
+          "be assigned; omit it and the engine computes it") }
+      case MergeClause.UpdateBySource(_, sets) => sets.foreach { case (c, _) =>
         require(!owned(c), s"column $c is GENERATED ALWAYS — it cannot " +
           "be assigned; omit it and the engine computes it") }
       case _ => ()
@@ -2842,15 +2857,47 @@ final class TxnTable(val spark: SparkSession, val root: String,
         lo <- statsSpace(b.get(0)); hi <- statsSpace(b.get(1))
       } yield (lo, hi)
     }
-    val candidates: Seq[String] = keyRange
-      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
-      .getOrElse(liveFiles(v))
+    // BY SOURCE clauses can fire on a row in ANY file (their subject is
+    // the absence of a source match), so their presence widens candidate
+    // discovery to the full live set — the inherent full-target-scan
+    // cost of NOT MATCHED BY SOURCE semantics (Delta pays the same);
+    // the scan is still discovery-only, and only files where a clause
+    // actually FIRES (or a key matches) rewrite.
+    val candidates: Seq[String] =
+      if (bySource.nonEmpty) liveFiles(v)
+      else keyRange
+        .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
+        .getOrElse(liveFiles(v))
     val tagged =
       if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
       else scanTagged(v, candidates).drop("_idx")
-    val touched = tagged
+    def condColOn(df: DataFrame, c: Option[String])
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{coalesce => co, expr => ex, lit => li}
+      c.map(e => co(ex(e), li(false))).getOrElse(li(true))
+    }
+    val matchTouched = tagged
       .join(updKeys, keyCols)
-      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select("_f").distinct().collect().map(_.getString(0))
+    val bsTouched: Seq[String] =
+      if (bySource.isEmpty) Nil
+      else {
+        // files holding an unmatched row on which some BY SOURCE clause
+        // fires — evaluated in the same t-struct scope the application
+        // uses, so discovery and application can never disagree
+        val nm = tagged.join(updKeys, keyCols, "left_anti")
+        val boxedNm = nm.select(col("_f") +:
+          Seq(struct(nm.columns.filter(_ != "_f").toSeq
+            .map(c => col(s"`$c`")): _*).as(tA)): _*)
+        val fires = bySource.map {
+          case MergeClause.UpdateBySource(c, _) => condColOn(boxedNm, c)
+          case MergeClause.DeleteBySource(c) => condColOn(boxedNm, c)
+          case _ => lit(false)
+        }.reduce(_ || _)
+        boxedNm.filter(fires)
+          .select("_f").distinct().collect().map(_.getString(0)).toSeq
+      }
+    val touched = (matchTouched ++ bsTouched).distinct.toSeq.sorted
     // rows of the touched files (DVs already applied), persisted once
     // for the guard, the pair join, the key split and the CDC images
     val inTouched = (if (touched.isEmpty) tagged.limit(0)
@@ -2963,19 +3010,69 @@ final class TxnTable(val spark: SparkSession, val root: String,
           val (wi, d, cl) = withIdentity(g, v); (Some(wi), d, cl)
         }
     }
+    // ---- BY SOURCE side: target rows in touched files with NO source
+    // match — first-true clause applies (UPDATE in the target-only
+    // scope, or DELETE), none → kept verbatim. Without BY SOURCE
+    // clauses these rows carry through untouched as before.
+    val unmatchedInFile = inTouched.join(updKeys, keyCols, "left_anti")
+    val bDecided: DataFrame = {
+      val boxed = unmatchedInFile.select(
+        struct(tCols.map(c => col(s"`$c`")): _*).as(tA))
+      val bIdx = bySource.zipWithIndex.foldRight(
+          lit(-1): org.apache.spark.sql.Column) { case ((cl, i), acc) =>
+        val cnd = cl match {
+          case MergeClause.UpdateBySource(c, _) => c
+          case MergeClause.DeleteBySource(c) => c
+          case _ => None
+        }
+        when(condCol(cnd), lit(i)).otherwise(acc)
+      }
+      boxed.withColumn("_bi", bIdx)
+    }
+    val bsUpdatedAll: Option[DataFrame] = bySource.zipWithIndex.collect {
+      case (MergeClause.UpdateBySource(_, sets), i) =>
+        val out = tCols.map { c =>
+          val base: org.apache.spark.sql.Column = sets.find(_._1 == c)
+            .map { case (_, e) => expr(e) }
+            .getOrElse(col(s"`$tA`.`$c`"))
+          types.get(c).fold(base)(base.cast(_)).as(c)
+        }
+        bDecided.filter(col("_bi") === i).select(out: _*)
+    }.reduceOption(_.unionByName(_))
+      .map(f => withGenerated(f, v, rejectExplicit = false))
+    val bsDelIdx = bySource.zipWithIndex.collect {
+      case (_: MergeClause.DeleteBySource, i) => i }
+    val unmatchedRows: DataFrame =
+      if (bySource.isEmpty) unmatchedInFile
+      else {
+        val kept = bDecided.filter(col("_bi") === -1).select(tFlat: _*)
+        bsUpdatedAll.fold(kept)(u =>
+          kept.unionByName(u, allowMissingColumns = true))
+      }
     // ---- CDC sidecar at commit time (pre-images die with the rewrite)
     val cdcRel: Option[String] = if (!cdc) None else {
       val rel = s"_cdc/c-${UUID.randomUUID()}"
       val updIdx = matched.zipWithIndex.collect {
         case (_: MergeClause.Update, i) => i }
+      val bsUpdIdx = bySource.zipWithIndex.collect {
+        case (_: MergeClause.UpdateBySource, i) => i }
       val frames = Seq(
         (if (updIdx.isEmpty) None
          else Some(decided.filter(col("_ci").isin(updIdx.map(Integer.valueOf): _*))
            .select(tFlat: _*)
            .withColumn("_change_type", lit("update_preimage")))),
         updatedAll.map(_.withColumn("_change_type", lit("update_postimage"))),
+        (if (bsUpdIdx.isEmpty) None
+         else Some(bDecided.filter(col("_bi").isin(bsUpdIdx.map(Integer.valueOf): _*))
+           .select(tFlat: _*)
+           .withColumn("_change_type", lit("update_preimage")))),
+        bsUpdatedAll.map(_.withColumn("_change_type", lit("update_postimage"))),
         (if (deleteIdx.isEmpty) None
          else Some(decided.filter(col("_ci").isin(deleteIdx.map(Integer.valueOf): _*))
+           .select(tFlat: _*)
+           .withColumn("_change_type", lit("delete")))),
+        (if (bsDelIdx.isEmpty) None
+         else Some(bDecided.filter(col("_bi").isin(bsDelIdx.map(Integer.valueOf): _*))
            .select(tFlat: _*)
            .withColumn("_change_type", lit("delete")))),
         insertFinal.map(_.withColumn("_change_type", lit("insert")))
@@ -2984,15 +3081,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .write.parquet(abs(rel))
       Some(rel)
     }
-    // ---- rewrite content. Matched clauses present: touched files'
-    // untouched-key rows + kept matched rows + updated rows + inserts,
-    // replacing the touched files. Insert-only: just the inserts, ZERO
-    // files removed — a pure append commit.
-    val rewriteFiles = if (matched.isEmpty) Nil else touched
-    val untouchedRows = inTouched.join(updKeys, keyCols, "left_anti")
+    // ---- rewrite content. Matched or BY SOURCE clauses present:
+    // touched files' unmatched rows (clause-decided) + kept matched
+    // rows + updated rows + inserts, replacing the touched files.
+    // Insert-only: just the inserts, ZERO files removed — a pure
+    // append commit.
+    val rewriteFiles =
+      if (matched.isEmpty && bySource.isEmpty) Nil else touched
     val parts: Seq[DataFrame] =
       (if (rewriteFiles.nonEmpty)
-        Seq(untouchedRows, keptMatched) ++ updatedAll.toSeq
+        Seq(unmatchedRows, keptMatched) ++ updatedAll.toSeq
       else Nil) ++ insertFinal.toSeq
     val merged = parts match {
       case Seq() => inTouched.limit(0)
@@ -3008,9 +3106,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val (files, rows, fstats) =
       try stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
       finally idCleanup()
-    val guard = keyRange.map { case (lo, hi) =>
-      (physicalIn(Some(sc), keyCols.head), lo, hi)
-    }
+    // the key-range disjointness guard is UNSOUND once a BY SOURCE
+    // clause is in play: an intervening add OUTSIDE the source-key
+    // range could still hold rows the clause would fire on, so a
+    // serial replay would differ — fail closed (race ⇒ re-run)
+    val guard =
+      if (bySource.nonEmpty) None
+      else keyRange.map { case (lo, hi) =>
+        (physicalIn(Some(sc), keyCols.head), lo, hi)
+      }
     publishReconciling(v, "merge", rows, files, rewriteFiles, Some(sc),
       cdcRel, fstats, guard, "merge",
       props = if (hwDelta.isEmpty) None
@@ -3443,6 +3547,14 @@ object MergeClause {
     * `values = None` is `INSERT *`; unassigned columns insert NULL. */
   final case class Insert(cond: Option[String],
       values: Option[Seq[(String, String)]]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr, ...
+    * — applies to TARGET rows with no source match; only the target
+    * scope is visible (there is no source row), so `SET *` has no
+    * meaning here and the assignment list is required. */
+  final case class UpdateBySource(cond: Option[String],
+      sets: Seq[(String, String)]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class DeleteBySource(cond: Option[String]) extends MergeClause
 }
 
 object TxnTable {

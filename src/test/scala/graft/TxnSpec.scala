@@ -251,6 +251,41 @@ class TxnSpec extends SparkTestBase {
     assert(b.read().filter(col("k") === 70L).count() == 2)
   }
 
+  test("mergeWhen: NOT MATCHED BY SOURCE updates/deletes unmatched target rows, skips clean files") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen_bysource"))
+    t.append(Seq((1L, 10L), (2L, 60L), (3L, 5L)).toDF("k", "v")) // A
+    t.append(Seq((10L, 20L), (11L, 30L)).toDF("k", "v"))         // B: no
+    val liveBefore = t.read().inputFiles.toSet                   // clause fires
+    // source matches only k=1; k=2 (unmatched, v>45) → DELETE,
+    // k=3 (unmatched, v<10) → target-scope UPDATE, file B's rows
+    // (20, 30 — neither clause fires) stay AND file B never rewrites
+    t.mergeWhen(Seq((1L, 11L)).toDF("k", "v"), Seq("k"), Seq(
+      Update(None, Some(Seq("v" -> "s.v"))),
+      DeleteBySource(Some("t.v > 45")),
+      UpdateBySource(Some("t.v < 10"), Seq("v" -> "t.v + 100"))),
+      cdc = true)
+    assert(t.read().as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (3L, 105L), (10L, 20L), (11L, 30L)))
+    assert((liveBefore & t.read().inputFiles.toSet).nonEmpty,
+      "BY SOURCE rewrote a file where no clause fires")
+    // per-clause CDC: matched update pre/post (k=1), BY SOURCE update
+    // pre/post (k=3), BY SOURCE delete (k=2); nothing for file B
+    val ch = t.readChanges(t.currentVersion - 1)
+      .select("_change_type", "k", "v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(ch == Set(("update_preimage", 1L, 10L),
+      ("update_postimage", 1L, 11L), ("update_preimage", 3L, 5L),
+      ("update_postimage", 3L, 105L), ("delete", 2L, 60L)),
+      s"wrong CDC classes: $ch")
+    // assigning an engine-owned column in a BY SOURCE SET is refused
+    t.addIdentityColumn("rid")
+    intercept[IllegalArgumentException] {
+      t.mergeWhen(Seq((1L, 1L)).toDF("k", "v"), Seq("k"),
+        Seq(UpdateBySource(None, Seq("rid" -> "7"))))
+    }
+  }
+
   test("mergeWhen: insert-only clause list removes NO files (pure append commit)") {
     import graft.sources.MergeClause._
     val t = TxnTable.fresh(spark, dir("mergewhen_insonly"))
@@ -1415,24 +1450,34 @@ class TxnSpec extends SparkTestBase {
       == Set(0L, 1L, 5L, 6L))
   }
 
-  test("MERGE INTO rejects shapes merge() cannot express, loudly") {
+  test("catalog MERGE: conditional clauses lower onto mergeWhen; non-equi ON still rejected") {
     sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrej")
     sqlS.sql("CREATE TABLE graft.mrej.t (k BIGINT, q DOUBLE) USING `graft-txn`")
-    sqlS.sql("INSERT INTO graft.mrej.t VALUES (1, 10.0)")
-    sqlS.sql("SELECT * FROM VALUES (1, CAST(11.0 AS DOUBLE)) AS s(k, q)")
+    sqlS.sql("INSERT INTO graft.mrej.t VALUES (1, 10.0), (2, 60.0), (3, 5.0)")
+    sqlS.sql("SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE)), " +
+      "(3, 1.0), (9, 5.0) AS s(k, q)")
       .createOrReplaceTempView("mrej_src")
-    // non-equi ON
+    // non-equi ON: genuinely unliftable, rejected loudly, table untouched
     val e1 = intercept[Exception](sqlS.sql(
       "MERGE INTO graft.mrej.t t USING mrej_src s ON t.k < s.k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
-    assert(e1.getMessage.contains("equi-key") || e1.getCause != null)
-    // matched-delete action (not the upsert shape)
-    intercept[Exception](sqlS.sql(
-      "MERGE INTO graft.mrej.t t USING mrej_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE"))
-    // the table is untouched by the rejected statements
+    assert(e1.getMessage.contains("equi-key") ||
+      e1.getMessage.contains("ON conjunct") || e1.getCause != null)
     val nt = TxnTable.at(spark, Paths.get(dir("sqlcat"), "mrej", "t").toString)
     assert(nt.currentVersion == 1L)
+    // the FULL clause surface through the catalog route (r17): resolved
+    // expressions rewritten into mergeWhen's t/s scopes, first-true
+    // clause per row, BY SOURCE included
+    sqlS.sql("MERGE INTO graft.mrej.t t USING mrej_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.q >= 100 THEN UPDATE SET q = s.q + t.q " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED AND s.q < 50 THEN INSERT (k, q) VALUES (s.k, s.q * 2) " +
+      "WHEN NOT MATCHED BY SOURCE AND t.q > 45 THEN DELETE")
+    // k=1 matched, s.q=100 → q = 110; k=3 matched, s.q=1 (< 100) →
+    // second clause deletes; k=9 unmatched source, q=5 < 50 → insert 10;
+    // k=2 not matched by source, q=60 > 45 → deleted
+    assert(sqlS.table("graft.mrej.t").as[(Long, Double)].collect().toSet ==
+      Set((1L, 110.0), (9L, 10.0)))
   }
 
   test("bare-catalog DELETE pushes through connector SupportsDelete") {

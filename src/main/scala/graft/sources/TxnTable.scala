@@ -2565,6 +2565,30 @@ final class TxnTable(val spark: SparkSession, val root: String,
                   }
                   case Some(StringType) => Some(bf.hash(
                     org.apache.parquet.io.api.Binary.fromString(value.toString)))
+                  // int-backed decimals bloom over the stored UNSCALED
+                  // int — probe only when the file's physical type
+                  // matches (a legacy FLBA writer would hash differently
+                  // and a mismatched probe would wrongly prune), and
+                  // rescale the probe value exactly (inexact rescale ⇒
+                  // the value cannot exist at this scale ⇒ keep is safe)
+                  case Some(dec: DecimalType) if dec.precision <= 18 =>
+                    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                    def unscaled(b: java.math.BigDecimal): Option[Long] =
+                      scala.util.Try(b.setScale(dec.scale)
+                        .unscaledValue().longValueExact()).toOption
+                    val u = value match {
+                      case d: java.math.BigDecimal => unscaled(d)
+                      case d: org.apache.spark.sql.types.Decimal =>
+                        unscaled(d.toJavaBigDecimal)
+                      case d: BigDecimal => unscaled(d.bigDecimal)
+                      case _ => None
+                    }
+                    (u, chunk.getPrimitiveType.getPrimitiveTypeName) match {
+                      case (Some(l), INT64) => Some(bf.hash(l))
+                      case (Some(l), INT32) if l.isValidInt =>
+                        Some(bf.hash(l.toInt))
+                      case _ => None // physical mismatch: keep
+                    }
                   case _ => None // unhashable type: keep
                 }
                 hash.forall(bf.findHash)
@@ -2785,7 +2809,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * recomputed on every updated/inserted row; assigning either
     * explicitly is refused. `cdc = true` writes per-clause change
     * images (update_preimage/update_postimage, delete, insert) as the
-    * commit-time sidecar. */
+    * commit-time sidecar.
+    *
+    * Schema posture, stated plainly: the clause path binds to the
+    * TABLE's declared columns — a source column the table lacks is
+    * ignored by `SET *`/`INSERT *` (clause semantics need a stable
+    * column set to decide against). For additive auto-evolution use the
+    * upsert-all `merge`, or ALTER TABLE ADD COLUMNS first. */
   def mergeWhen(source: DataFrame, keyCols: Seq[String],
       clauses: Seq[MergeClause], targetAlias: String = "t",
       sourceAlias: String = "s", cdc: Boolean = false): Long = {

@@ -2993,6 +2993,31 @@ class TxnSpec extends SparkTestBase {
     val br = spark.read.format("graft-txn").load(t.root)
       .filter("fine BETWEEN 100.25 AND 150.25")
     assert(br.count() == 50) // k 100..150 minus the deleted k=120
+    // bloom probe on an UNCLUSTERED decimal point lookup: shuffled keys
+    // make every file's [min, max] overlap (stats keep all), the
+    // declared bloom decides — probing the stored UNSCALED int
+    // (physical-type checked, so a non-int-backed file is kept)
+    val tb = TxnTable.fresh(spark, dir("dec_bloom"))
+    tb.append(Seq(0L).toDF("k")
+      .withColumn("fine", expr("CAST(k + 0.25 AS DECIMAL(12, 2))")))
+    tb.setProperties(Map("graft.bloomBy" -> "fine"))
+    val rng2 = new scala.util.Random(5)
+    rng2.shuffle((1L until 401L).toList).grouped(100).foreach(g =>
+      tb.append(g.toDF("k").repartition(1)
+        .withColumn("fine", expr("CAST(k + 0.25 AS DECIMAL(12, 2))"))))
+    assert(tb.read().inputFiles.length == 5)
+    val hit = tb.readWhereEq("fine", new java.math.BigDecimal("120.25"))
+    assert(hit.inputFiles.length <= 3,
+      s"decimal bloom hit planned ${hit.inputFiles.length} of 5")
+    assert(hit.count() == 1)
+    // an absent value is PROVEN absent from every bloomed file; a value
+    // inexpressible at scale 2 stays a safe keep-all (count still 0)
+    val miss = tb.readWhereEq("fine", new java.math.BigDecimal("120.30"))
+    assert(miss.inputFiles.length <= 2,
+      s"decimal bloom miss planned ${miss.inputFiles.length} of 5")
+    assert(miss.count() == 0)
+    assert(tb.readWhereEq("fine",
+      new java.math.BigDecimal("120.255")).count() == 0)
   }
 
   test("path-target conditional MERGE: clause grammar, WHERE-in-literal safety, CTAS, path source") {

@@ -2610,6 +2610,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * post-merge rows are exactly the source's rows for that key (the
     * conditional `mergeWhen` refuses matched multi-match instead,
     * because a clause decision cannot be driven by two source rows).
+    * One exception: on an IDENTITY table, duplicate MATCHED keys are
+    * refused loudly — they would inherit the same stored id, and no
+    * surrogate-keyed table can absorb that.
     * Runs as ONE transaction: remove
     * touched files, add the rewritten+inserted files. Aborts on a
     * concurrent commit (like `compact`) rather than merging onto a stale
@@ -2713,6 +2716,23 @@ final class TxnTable(val spark: SparkSession, val root: String,
           if (ups.columns.contains(n)) throw new IllegalArgumentException(
             s"column $n is GENERATED ALWAYS AS IDENTITY — it cannot be " +
               "written directly; omit it and the engine allocates it")
+        }
+        // key-replace tolerates duplicate source keys in general (all
+        // land), but on an IDENTITY table two matched duplicates would
+        // inherit the SAME stored id — a uniqueness violation no table
+        // with a surrogate key can absorb. Refuse loudly with the key;
+        // cost is one grouped count ∝ update batch, identity tables only.
+        if (touched.nonEmpty) {
+          val dup = ups.join(inTouched.select(keyExpr: _*).distinct(),
+              keyCols, "left_semi")
+            .groupBy(keyExpr: _*).count()
+            .filter(col("count") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalStateException(
+            "merge: multiple source rows match the same target key (" +
+              keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }
+                .mkString(", ") +
+              ") on an IDENTITY table — the duplicates would share one " +
+              "id; deduplicate the source on the merge keys and re-run")
         }
         val idNames = idDecl.map(_._1)
         // one row per matched key (min per id column keeps the split

@@ -334,6 +334,18 @@ class TxnSpec extends SparkTestBase {
       .as[(Long, Long, Option[Long])].collect().toSet
     assert(rows == Set((1L, 11L, None), (2L, 20L, None),
       (9L, 90L, Some(1L))), s"got $rows")
+    // duplicate MATCHED source keys on an identity table would share one
+    // stored id — refused loudly (key-replace tolerates dups elsewhere)
+    val e = intercept[IllegalStateException] {
+      t.merge(Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("IDENTITY") &&
+      e.getMessage.contains("k=1"), e.getMessage)
+    // duplicate UNMATCHED keys stay legal: both insert, distinct ids
+    t.merge(Seq((70L, 1L), (70L, 2L)).toDF("k", "v"), Seq("k"))
+    val ids70 = t.read().filter(col("k") === 70L)
+      .select("rid").as[Long].collect().toSet
+    assert(ids70.size == 2, s"dup inserts must get distinct ids: $ids70")
   }
 
   test("restore carries table metadata: identity declared after the target version does not resurrect") {

@@ -77,16 +77,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // --- path-target CREATE/INSERT: the remaining statements a PATH table
   // needs for a full SQL lifecycle without a catalog mount (names keep
   // Spark's own grammar + the GraftSqlRule/catalog lowering)
+  // optional `CLUSTER BY (c1, ...)` declares write-time clustering at
+  // table birth (the graft.clusterBy property) — every subsequent staged
+  // write range-sorts on those columns, so point reads prune from the
+  // first append without a separate ALTER. The column list is extracted
+  // by BALANCED-PAREN scanning (parseCreateRest), never a greedy regex:
+  // `(v DECIMAL(10, 2)) CLUSTER BY (v)` has three closing parens and a
+  // regex capture picks the wrong one.
   private val CreatePath =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?('[^']+')\s*""" +
-      """\((.+)\)(?:\s+USING\s+`?graft-txn`?)?\s*;?\s*""").r
+      """(\(.+?)\s*;?\s*""").r
   // CTAS on a path target: schema derives from the query, lowered onto
   // create + append (two commits, one statement — the bootstrap-with-data
   // twin of CreatePath). IF NOT EXISTS makes a re-run a version-returning
   // no-op; without it a second CREATE fails loudly like the column form.
   private val CreatePathAs =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?('[^']+')\s+""" +
-      """(?:USING\s+`?graft-txn`?\s+)?AS\s+""" +
+      """(?:USING\s+`?graft-txn`?\s+)?""" +
+      """(?:CLUSTER\s+BY\s+\(([^)]*)\)\s+)?AS\s+""" +
       """(SELECT\s.+|VALUES\s.+|FROM\s.+|TABLE\s.+)""").r
   private val InsertPath =
     ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?('[^']+')\s+""" +
@@ -228,13 +236,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
         force = force != null): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case CreatePathAs(ifNotExists, t, query) => pathTarget(t)
-      .map(GraftPathCtasCommand(_, query.trim,
-        ifNotExists != null): LogicalPlan)
+    case CreatePathAs(ifNotExists, t, cluster, query) => pathTarget(t)
+      .map(GraftPathCtasCommand(_, query.trim, ifNotExists != null,
+        GraftSqlParser.clusterCols(cluster)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case CreatePath(ifNotExists, t, cols) => pathTarget(t)
-      .map(GraftPathCreateCommand(_, GraftSqlParser.columnDefs(cols),
-        ifNotExists != null): LogicalPlan)
+    case CreatePath(ifNotExists, t, rest) => pathTarget(t)
+      .flatMap { tt =>
+        GraftSqlParser.parseCreateRest(rest).map { case (cols, cluster) =>
+          GraftPathCreateCommand(tt, cols, ifNotExists != null,
+            cluster): LogicalPlan
+        }
+      }
       .getOrElse(delegate.parsePlan(sqlText))
     case InsertPath(mode, t, query) => pathTarget(t)
       .map(GraftPathInsertCommand(_, query.trim,
@@ -607,6 +619,39 @@ object GraftSqlParser {
   private[plans] def propKeys(s: String): Seq[String] =
     splitTop(s, ',').map(unquote)
 
+  /** `c1, c2` of a CLUSTER BY list → column names (empty when absent). */
+  private[plans] def clusterCols(s: String): Seq[String] =
+    Option(s).toSeq.flatMap(_.split(',')).map(_.trim.replace("`", ""))
+      .filter(_.nonEmpty)
+
+  /** Everything after `CREATE TABLE '<path>' ` — `(cols) [USING
+    * graft-txn] [CLUSTER BY (c1, ...)]` — with the column list taken by
+    * balanced-paren scan (a type like DECIMAL(10, 2) nests parens), or
+    * None when the tail is not this grammar. */
+  private[plans] def parseCreateRest(rest: String)
+      : Option[(Seq[(String, String)], Seq[String])] = {
+    val t = rest.trim
+    if (!t.startsWith("(")) return None
+    var depth = 0; var inStr = false; var end = -1; var i = 0
+    while (i < t.length && end < 0) {
+      val c = t.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    if (end <= 0) return None
+    val cols = t.substring(1, end)
+    val Tail =
+      ("""(?is)\s*(?:USING\s+`?graft-txn`?)?""" +
+        """\s*(?:CLUSTER\s+BY\s+\(([^)]*)\))?\s*""").r
+    t.substring(end + 1) match {
+      case Tail(cluster) => Some((columnDefs(cols), clusterCols(cluster)))
+      case _ => None
+    }
+  }
+
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
@@ -670,7 +715,8 @@ case class GraftAlterCommand(target: String, op: AlterOp)
   * EXISTS makes re-running the bootstrap script a no-op; without it a
   * second CREATE fails loudly (create is not idempotent by design). */
 case class GraftPathCreateCommand(target: String,
-    cols: Seq[(String, String)], ifNotExists: Boolean)
+    cols: Seq[(String, String)], ifNotExists: Boolean,
+    clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
@@ -686,10 +732,14 @@ case class GraftPathCreateCommand(target: String,
       case NotNull(core) => (n, core.trim, true)
       case _ => (n, d, false)
     }}
-    val v = t.create(StructType(parsed.map { case (n, d, nn) =>
+    clusterBy.foreach(c => require(parsed.exists(_._1 == c),
+      s"CLUSTER BY column $c is not in the column list"))
+    var v = t.create(StructType(parsed.map { case (n, d, nn) =>
       org.apache.spark.sql.types.StructField(n,
         session.sessionState.sqlParser.parseDataType(d), nullable = !nn) }))
     parsed.filter(_._3).foreach { case (n, _, _) => t.setNotNull(n) }
+    if (clusterBy.nonEmpty)
+      v = t.setProperties(Map("graft.clusterBy" -> clusterBy.mkString(",")))
     Seq(Row(v))
   }
 }
@@ -816,7 +866,8 @@ case class GraftPathMergeCommand(target: String, sourceSpec: String,
   * tip untouched (idempotent bootstrap); otherwise a second CREATE
   * fails loudly, exactly like the column-list form. */
 case class GraftPathCtasCommand(target: String, querySql: String,
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean, clusterBy: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
@@ -829,7 +880,13 @@ case class GraftPathCtasCommand(target: String, querySql: String,
           "(use IF NOT EXISTS for an idempotent bootstrap)")
     }
     val df = session.sql(querySql)
+    clusterBy.foreach(c => require(df.columns.contains(c),
+      s"CLUSTER BY column $c is not in the query's output"))
     t.create(df.schema)
+    // the clustering declaration lands BEFORE the data commit, so the
+    // CTAS rows themselves stage range-sorted — prunable from v2 on
+    if (clusterBy.nonEmpty)
+      t.setProperties(Map("graft.clusterBy" -> clusterBy.mkString(",")))
     Seq(Row(t.append(df)))
   }
 }

@@ -3087,6 +3087,55 @@ class TxnSpec extends SparkTestBase {
       Set((1L, 1100L), (3L, 20L), (9L, 10L)))
   }
 
+  test("CLUSTER BY in path CREATE/CTAS: clustering declared at birth, first appends prune") {
+    val root = dir("sql_create_cluster")
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    sqlS.sql(s"CREATE TABLE '$root' (k BIGINT, v BIGINT) " +
+      "USING `graft-txn` CLUSTER BY (k)")
+    val t = TxnTable.at(spark, root)
+    assert(t.properties.get("graft.clusterBy").contains("k"))
+    // a CLUSTER BY column outside the schema is refused at run time
+    intercept[Exception](sqlS.sql(
+      s"CREATE TABLE '${root}_x' (k BIGINT) CLUSTER BY (nope)"))
+    // the very first INSERT stages range-sorted: a point read prunes
+    // without any OPTIMIZE/ALTER having run (REPARTITION hint keeps the
+    // staged batch multi-partition so clustering has files to separate)
+    val rng = new scala.util.Random(9)
+    val srcDir = dir("cluster_src")
+    rng.shuffle((0L until 400L).toList).map(k => (k, k * 2))
+      .toDF("k", "v").repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    sqlS.sql(s"INSERT INTO '$root' SELECT /*+ REPARTITION(4) */ k, v " +
+      s"FROM parquet.`$srcDir`")
+    val planned = t.readRange("k", 10, 20).inputFiles.count(_.contains("/d-"))
+    val total = t.read().inputFiles.count(_.contains("/d-"))
+    assert(total > 1 && planned < total,
+      s"birth clustering must prune: $planned of $total")
+    // CTAS with CLUSTER BY: the declaration lands BEFORE the data
+    // commit, so the CTAS rows themselves stage range-sorted
+    val root2 = dir("sql_ctas_cluster")
+    val p2 = Paths.get(root2)
+    if (Files.exists(p2)) {
+      val w = Files.walk(p2)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    sqlS.sql(s"CREATE TABLE '$root2' USING `graft-txn` CLUSTER BY (k) AS " +
+      s"SELECT /*+ REPARTITION(4) */ k, v FROM parquet.`$srcDir`")
+    val t2 = TxnTable.at(spark, root2)
+    assert(t2.properties.get("graft.clusterBy").contains("k"))
+    val planned2 = t2.readRange("k", 10, 20).inputFiles
+      .count(_.contains("/d-"))
+    val total2 = t2.read().inputFiles.count(_.contains("/d-"))
+    assert(total2 > 1 && planned2 < total2,
+      s"CTAS birth clustering must prune: $planned2 of $total2")
+  }
+
   test("path-target CREATE/INSERT: schema-only v0, IF NOT EXISTS no-op, re-CREATE refused") {
     val root = dir("sql_create_path")
     val p = Paths.get(root)

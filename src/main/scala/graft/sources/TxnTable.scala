@@ -2831,11 +2831,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * images (update_preimage/update_postimage, delete, insert) as the
     * commit-time sidecar.
     *
-    * Schema posture, stated plainly: the clause path binds to the
-    * TABLE's declared columns — a source column the table lacks is
-    * ignored by `SET *`/`INSERT *` (clause semantics need a stable
-    * column set to decide against). For additive auto-evolution use the
-    * upsert-all `merge`, or ALTER TABLE ADD COLUMNS first. */
+    * Schema posture: the STAR clauses (`SET *` / `INSERT *`) auto-evolve
+    * ADDITIVE source columns exactly like `merge` — the new column lands
+    * in the committed schema (fresh physical name) and every kept or
+    * untouched row surfaces NULL for it (evolution semantics). Explicit
+    * SET/INSERT lists bind to the table's declared columns only. */
   def mergeWhen(source: DataFrame, keyCols: Seq[String],
       clauses: Seq[MergeClause], targetAlias: String = "t",
       sourceAlias: String = "s", cdc: Boolean = false): Long = {
@@ -2998,6 +2998,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
       .withColumn("_ci", mIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // additive evolution through the STAR clauses (the `merge` parity):
+    // source columns the table lacks ride SET * / INSERT * into the
+    // rewrite, the final unionSchema appends them with fresh physicals,
+    // and every kept/untouched row surfaces NULL for them (evolution
+    // semantics) via the allowMissingColumns unions below. Explicit
+    // SET/INSERT lists still bind to declared columns only.
+    val extraCols = sCols.filterNot(c => tCols.contains(c) || owned(c))
     // per-UPDATE-clause output rows: assignments over the pair scope,
     // every other column carried from the target; generated columns
     // recomputed below (withGenerated drops + recomputes)
@@ -3013,11 +3020,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
               .getOrElse(col(s"`$tA`.`$c`"))
           }
           types.get(c).fold(base)(base.cast(_)).as(c)
-        }
+        } ++ (sets match {
+          case None => extraCols.map(c => col(s"`$sA`.`$c`").as(c))
+          case Some(_) => Nil
+        })
         decided.filter(col("_ci") === i).select(out: _*)
     }
     val updatedAll: Option[DataFrame] = updatedFrames
-      .reduceOption(_.unionByName(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(f => withGenerated(f, v, rejectExplicit = false))
     val keptMatched = decided.filter(col("_ci") === -1).select(tFlat: _*)
     val deleteIdx = matched.zipWithIndex.collect {
@@ -3046,12 +3056,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
               .getOrElse(lit(null))
           }
           types.get(c).fold(base)(base.cast(_)).as(c)
-        }
+        } ++ (cl.values match {
+          case None => extraCols.map(c => col(s"`$sA`.`$c`").as(c))
+          case Some(_) => Nil
+        })
         insDecided.filter(col("_ii") === i).select(out: _*)
     }
     // inserted rows: generated columns recomputed, identity allocated
     val (insertFinal, hwDelta, idCleanup) = insertFrames
-      .reduceOption(_.unionByName(_)) match {
+      .reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
       case None => (None, Map.empty[String, String], () => ())
       case Some(f) =>
         val g = withGenerated(f, v, rejectExplicit = false)

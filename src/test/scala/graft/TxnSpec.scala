@@ -251,6 +251,30 @@ class TxnSpec extends SparkTestBase {
     assert(b.read().filter(col("k") === 70L).count() == 2)
   }
 
+  test("mergeWhen: star clauses auto-evolve an additive source column; explicit lists do not") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen_evolve"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    // source carries a NEW column w: the conditional SET * / INSERT *
+    // carry it, the schema evolves, untouched rows read NULL
+    val src = Seq((1L, 11L, "a"), (9L, 90L, "z")).toDF("k", "v", "w")
+    t.mergeWhen(src, Seq("k"), Seq(
+      Update(Some("s.v > 10"), None), // SET *
+      Insert(None, None)))            // INSERT *
+    assert(t.read().columns.toSeq == Seq("k", "v", "w"))
+    val rows = t.read().select("k", "v", "w")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, 11L, Some("a")), (2L, 20L, None),
+      (9L, 90L, Some("z"))), s"got $rows")
+    // an EXPLICIT assignment list still binds to declared columns: a
+    // second new column x is ignored by the explicit SET, no evolution
+    t.mergeWhen(Seq((1L, 12L, "b", 7L)).toDF("k", "v", "w", "x"),
+      Seq("k"), Seq(Update(None, Some(Seq("v" -> "s.v")))))
+    assert(t.read().columns.toSeq == Seq("k", "v", "w"))
+    assert(t.read().filter(col("k") === 1L)
+      .select("v").as[Long].head() == 12L)
+  }
+
   test("mergeWhen: NOT MATCHED BY SOURCE updates/deletes unmatched target rows, skips clean files") {
     import graft.sources.MergeClause._
     val t = TxnTable.fresh(spark, dir("mergewhen_bysource"))

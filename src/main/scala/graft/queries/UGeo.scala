@@ -128,10 +128,33 @@ object UGeo {
   // nearest inside the 3x3 ring at the maintained ~2-sites/cell
   // density) is unchanged — the oracle hashes pin it.
 
-  private val candCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val phase1Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-session memo of the shared grid plans, keyed WEAKLY by the
+    * session itself (identity semantics — SparkSession doesn't override
+    * equals): a dead session's entry is GC-collected, and once the memo
+    * no longer pins the cached phase-1 frame Spark's ContextCleaner
+    * releases its storage. One dir per session — replacing the dir
+    * unpersists the previous phase-1 materialization EAGERLY. Bounded
+    * to live sessions × 1 and collision-free (r17 verdict hygiene #1:
+    * the identityHashCode-keyed static maps grew without bound, never
+    * unpersisted, and a reused hash could alias a dead session). */
+  private final class GeoMemo(val dir: String) {
+    var cand: DataFrame = _
+    var p1: DataFrame = _
+  }
+  private val memo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, GeoMemo]()
+
+  private def memoFor(s: org.apache.spark.sql.SparkSession,
+      d: String): GeoMemo = memo.synchronized {
+    val cur = memo.get(s)
+    if (cur != null && cur.dir == d) cur
+    else {
+      if (cur != null && cur.p1 != null) { cur.p1.unpersist(); () }
+      val next = new GeoMemo(d)
+      memo.put(s, next)
+      next
+    }
+  }
 
   private def ringSites(s: org.apache.spark.sql.SparkSession, d: String,
       cs: String, r: Range): DataFrame = Tables.customer(s, d)
@@ -164,21 +187,26 @@ object UGeo {
     * memoized (not the data — see the block comment above for the
     * measured caching trade); bucket aggregates it, knn ranks it. */
   private def candidates(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    candCache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + d, _ => {
+      d: String): DataFrame = {
+    val m = memoFor(s, d)
+    m.synchronized {
+      if (m.cand == null) m.cand = {
         val cs = cellUnitsOf(siteCount(s, d)).toString
         gridPts(s, d, cs).join(ringSites(s, d, cs, -1 to 1), "cell")
           .withColumn("dist_km", gridDist)
-      })
+      }
+      m.cand
+    }
+  }
 
   /** Phase-1 ranking: top-3 per point over the shared candidates, plus
     * the knn exterior-cut safety stats (see the knn key's comment for
     * the bound's derivation). Cached — knn reads it twice. */
   private def phase1(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    phase1Cache.computeIfAbsent(
-      System.identityHashCode(s) + ":" + d, _ => {
+      d: String): DataFrame = {
+    val m = memoFor(s, d)
+    m.synchronized {
+      if (m.p1 == null) m.p1 = {
         val csI = cellUnitsOf(siteCount(s, d))
         val cs = csI.toString
         val w3 = Window.partitionBy("o_orderkey")
@@ -197,7 +225,10 @@ object UGeo {
             lit(2.0 * 6371.0) * asin(lit(math.cos(math.toRadians(40.2))) *
               sin(radians(col("d_lon_u") / 10000.0) / 2))))
           .cache()
-      })
+      }
+      m.p1
+    }
+  }
 
   val m: ListMap[String, Q] = ListMap(
     "g_geo_haversine" -> ((s, d) =>

@@ -87,11 +87,52 @@ object TTxn {
       d: String): String =
     warmed.computeIfAbsent("mcdc:" + d, _ => {
       val t = cloneOf(s, base12(s, d), "txn_mcdc_" + math.abs(d.hashCode))
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
+      val updates = s.read.parquet(upsertSrc(s, d))
       t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
       t.root
+    })
+
+  /** Staged parquet of the deduped-and-doubled line-2 merge source (max
+    * flag, 2x max qty per key — the testdata's key is not unique and the
+    * conditional merge refuses matched multi-match). The MATCHED side of
+    * every conditional/BY SOURCE merge key; built ONCE per JVM and sf
+    * dir so each key re-reads a plain parquet scan instead of re-running
+    * the dedup aggregate (fixture orchestration, not the measured merge
+    * — r17 verdict hygiene #3). */
+  private def condSrc(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("csrc:" + d, _ => {
+      val dir = scratch("txn_condsrc_" + math.abs(d.hashCode))
+      slice(s, d, 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_returnflag").as("l_returnflag"),
+          (max("l_quantity") * 2).as("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Staged parquet of the line-6 slice — the INSERT side of the merge
+    * sources (kept un-deduped: line-6 dups prove per-row inserts). */
+  private def line6Src(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("l6src:" + d, _ => {
+      val dir = scratch("txn_l6src_" + math.abs(d.hashCode))
+      slice(s, d, 6).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Staged parquet of the upsert-all merge source (line 2 doubled, NOT
+    * deduped — key-replace tolerates dups — plus line 6), shared by the
+    * SQL upsert merges (view and path-source front doors). */
+  private def upsertSrc(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("usrc:" + d, _ => {
+      val dir = scratch("txn_usrc_" + math.abs(d.hashCode))
+      slice(s, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(slice(s, d, 6))
+        .write.mode("overwrite").parquet(dir)
+      dir
     })
 
   /** Fresh mutable clone of the table at `src`: wipe `name`'s scratch
@@ -402,10 +443,8 @@ object TTxn {
       // granularity pinned in TxnSpec); the hash pins the content:
       // un-applied updates, doubled rows, or lost inserts all break it.
       val t = cloneOf(s, base12(s, d), "txn_merge")
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"))
+      t.merge(s.read.parquet(upsertSrc(s, d)),
+        Seq("l_orderkey", "l_linenumber"))
       agg(t.read())
     }),
 
@@ -861,10 +900,8 @@ object TTxn {
       val t = cloneOf(s, base12(s, d), "txn_constraints")
       t.addConstraint("qty_range", "l_quantity >= 0 AND l_quantity <= 1000")
       t.setNotNull("l_returnflag")
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-      t.merge(updates, Seq("l_orderkey", "l_linenumber"))
+      t.merge(s.read.parquet(upsertSrc(s, d)),
+        Seq("l_orderkey", "l_linenumber"))
       agg(t.read())
     }),
 
@@ -991,8 +1028,7 @@ object TTxn {
       // line 2), new keys inserted (line 6), untouched line 1 verbatim.
       val t = cloneOf(s, base12(s, d), "txn_sql_merge")
       val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
-      slice(ss, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(ss, d, 6))
+      ss.read.parquet(upsertSrc(s, d))
         .createOrReplaceTempView("sql_path_upd")
       ss.sql(s"MERGE INTO '${t.root}' t USING sql_path_upd s " +
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
@@ -1043,12 +1079,8 @@ object TTxn {
       // unique and mergeWhen REFUSES matched multi-match by design;
       // unmatched line-6 dups stay, proving they insert per-row.
       val t = cloneOf(s, base12(s, d), "txn_merge_cond")
-      val updates = slice(s, d, 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(max("l_returnflag").as("l_returnflag"),
-          (max("l_quantity") * 2).as("l_quantity"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .unionByName(slice(s, d, 6))
+      val updates = s.read.parquet(condSrc(s, d))
+        .unionByName(s.read.parquet(line6Src(s, d)))
       t.mergeWhen(updates, Seq("l_orderkey", "l_linenumber"), Seq(
         graft.sources.MergeClause.Delete(Some("t.l_quantity > 40")),
         graft.sources.MergeClause.Update(Some("s.l_quantity > 30"),
@@ -1072,12 +1104,8 @@ object TTxn {
       // mis-bound alias cannot hide.
       val t = cloneOf(s, base12(s, d), "txn_sql_merge_cond")
       val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
-      slice(ss, d, 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(max("l_returnflag").as("l_returnflag"),
-          (max("l_quantity") * 2).as("l_quantity"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .unionByName(slice(ss, d, 6))
+      ss.read.parquet(condSrc(s, d))
+        .unionByName(ss.read.parquet(line6Src(s, d)))
         .createOrReplaceTempView("sql_cond_upd")
       ss.sql(s"MERGE INTO '${t.root}' t USING sql_cond_upd s " +
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
@@ -1113,12 +1141,8 @@ object TTxn {
       slice(ss, d, 1).unionByName(slice(ss, d, 2))
         .createOrReplaceTempView("condm_base")
       ss.sql("INSERT INTO graft.main.condm SELECT * FROM condm_base")
-      slice(ss, d, 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(max("l_returnflag").as("l_returnflag"),
-          (max("l_quantity") * 2).as("l_quantity"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .unionByName(slice(ss, d, 6))
+      ss.read.parquet(condSrc(s, d))
+        .unionByName(ss.read.parquet(line6Src(s, d)))
         .createOrReplaceTempView("condm_upd")
       ss.sql("MERGE INTO graft.main.condm t USING condm_upd s " +
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
@@ -1142,11 +1166,7 @@ object TTxn {
       // that fed matched rows to the BY SOURCE ladder (or vice versa)
       // breaks the hash.
       val t = cloneOf(s, base12(s, d), "txn_merge_bysource")
-      val updates = slice(s, d, 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(max("l_returnflag").as("l_returnflag"),
-          (max("l_quantity") * 2).as("l_quantity"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val updates = s.read.parquet(condSrc(s, d))
       t.mergeWhen(updates, Seq("l_orderkey", "l_linenumber"), Seq(
         graft.sources.MergeClause.Update(None,
           Some(Seq("l_quantity" -> "s.l_quantity"))),
@@ -1163,11 +1183,7 @@ object TTxn {
       // class or a mis-bound target-only scope cannot hide.
       val t = cloneOf(s, base12(s, d), "txn_sql_merge_bysource")
       val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
-      slice(ss, d, 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(max("l_returnflag").as("l_returnflag"),
-          (max("l_quantity") * 2).as("l_quantity"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      ss.read.parquet(condSrc(s, d))
         .createOrReplaceTempView("sql_bysource_upd")
       ss.sql(s"MERGE INTO '${t.root}' t USING sql_bysource_upd s " +
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
@@ -1185,10 +1201,7 @@ object TTxn {
       // t_txn_sql_merge, so the hash pins that the path source reads
       // byte-identically to the view source.
       val t = cloneOf(s, base12(s, d), "txn_sql_merge_path")
-      val srcDir = scratch("txn_merge_srcdir")
-      slice(s, d, 2).withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
-        .write.mode("overwrite").parquet(srcDir)
+      val srcDir = upsertSrc(s, d)
       val ss = graft.sources.GraftSql.session(s, scratch("txn_sqlaux"))
       ss.sql(s"MERGE INTO '${t.root}' t USING '$srcDir' s " +
         "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
@@ -1359,9 +1372,7 @@ object TTxn {
       // refusing / dropping the column) or a wrong NULL backfill breaks
       // the hash; retype rejection is TxnSpec's pin.
       val t = cloneOf(s, base12(s, d), "txn_merge_evolve")
-      val updates = slice(s, d, 2)
-        .withColumn("l_quantity", col("l_quantity") * 2)
-        .unionByName(slice(s, d, 6))
+      val updates = s.read.parquet(upsertSrc(s, d))
         .withColumn("disc_bp", floor(col("l_quantity") * 100).cast("long"))
       t.merge(updates, Seq("l_orderkey", "l_linenumber"))
       t.read().groupBy("l_returnflag")

@@ -458,6 +458,27 @@ object TTxn {
       agg(t.read())
     }),
 
+    "t_txn_delete_filedrop" -> ((s, d) => {
+      // the retention sweep: DELETE on the CLUSTER column of a
+      // key-clustered table. Files the commit stats PROVE fully matched
+      // drop from the log as pure metadata (never read — TxnSpec pins
+      // the no-read claim by deleting such a file from disk first);
+      // only the boundary file rewrites. At 100 TB this is the
+      // difference between a KB commit and scanning the table for a
+      // `ts < cutoff` sweep. The hash pins the survivor content — a
+      // prover that over-claims (strict bound, NULL row, stale stats)
+      // deletes rows the oracle keeps.
+      val t = cloneOf(s, base12(s, d), "txn_delete_filedrop")
+      t.compact(target = 4, clusterBy = Seq("l_orderkey"))
+      // the cutoff comes from TABLE METADATA (tableStats reads the log,
+      // never data) at half the key range, so the sweep provably drops
+      // interior files at EVERY scale factor — a fixed literal would
+      // stop exercising the metadata path the moment the tier grows
+      val cut = t.tableStats().colMinMax("l_orderkey")._2.toLong / 2
+      t.deleteWhere(col("l_orderkey") < cut)
+      agg(t.read())
+    }),
+
     "t_txn_delete_dv" -> ((s, d) => {
       // merge-on-read DELETE in the shape deletion vectors exist for: a
       // NARROW predicate (~2% of rows) that matches in EVERY file — the
@@ -1759,6 +1780,14 @@ object TTxn {
         ") ORDER BY _change_type, _commit_version, l_returnflag"),
     "t_txn_delete" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),
+    // retention sweep on the cluster column: survivors are exactly the
+    // rows at-or-above the half-range cutoff (metadata-only file drops
+    // are a physical detail the content hash must be blind to); `//` is
+    // DuckDB integer division, matching the Spark side's Long / 2
+    "t_txn_delete_filedrop" ->
+      oracleAgg("l_linenumber IN (1, 2) AND l_orderkey >= " +
+        "(SELECT max(l_orderkey) // 2 FROM lineitem " +
+        "WHERE l_linenumber IN (1, 2))"),
     // the path-SQL front door must land exactly where the API twins land
     "t_txn_sql_delete" ->
       oracleAgg("l_linenumber IN (1, 2) AND NOT (l_quantity > 25)"),

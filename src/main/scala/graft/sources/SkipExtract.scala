@@ -318,6 +318,123 @@ private[graft] object SkipExtract {
     conjuncts(cond).flatMap(leafPred)
   }
 
+  /** EXACT lowering for the metadata-only delete prover — the INVERSE
+    * soundness contract of `preds` above. `preds` extracts predicates
+    * IMPLIED by the condition (drop what doesn't translate, widen strict
+    * bounds) because its caller re-applies the exact condition; this
+    * path's caller does NOT — it drops whole files on the strength of
+    * the translation — so it returns Some only when the ENTIRE condition
+    * is a conjunction of leaves translated as EQUIVALENCES (strictness
+    * preserved, nothing dropped; a `TRUE` literal conjunct is identity
+    * and vanishes). Deliberately not shared with the skip extractor's
+    * leaf code: unifying the two would invite widening into this path.
+    * Columns of FLOAT/DOUBLE type never translate — parquet min/max
+    * ignore NaN, so bounds cannot prove a NaN-free all-match. */
+  def exactPreds(cond: Expression, attrOf: Expression => Option[String],
+      typeOf: String => Option[DataType])
+      : Option[Seq[TxnTable.AllPred]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case rr: RuntimeReplaceable => conjuncts(rr.replacement)
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        conjuncts(w.child.transform {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        })
+      case other => Seq(other)
+    }
+    def constOf(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, dt) => Option(v).map((_, dt))
+      case _ if e.resolved && e.foldable && e.deterministic =>
+        scala.util.Try(e.eval(null)).toOption
+          .flatMap(Option(_)).map((_, e.dataType))
+      case _ => None
+    }
+    def bdLit(e: Expression): Option[BigDecimal] = constOf(e).flatMap {
+      case (v, IntegerType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, LongType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, ShortType) => Some(BigDecimal(v.asInstanceOf[Short].toInt))
+      case (v, ByteType) => Some(BigDecimal(v.asInstanceOf[Byte].toInt))
+      case (v, DateType) => Some(BigDecimal(v.asInstanceOf[Int]))
+      case (v, TimestampType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, TimestampNTZType) => Some(BigDecimal(v.asInstanceOf[Long]))
+      case (v, _: DecimalType) =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = constOf(e).collect {
+      case (v, StringType) => v.toString
+    }
+    def pointVal(e: Expression): Option[Any] = constOf(e).flatMap {
+      case (v, StringType) => Some(v.toString)
+      case (v, IntegerType | LongType | ShortType | ByteType |
+               DateType | TimestampType | TimestampNTZType) => Some(v)
+      case (v, _: DecimalType) => Some(v)
+      case _ => None
+    }
+    // a column reference whose TYPE admits an exact all-match proof
+    // (no float/double — NaN; everything else proves through the same
+    // stats space the skip side uses)
+    def attr(e: Expression): Option[String] = attrOf(e).filter { n =>
+      typeOf(n) match {
+        case Some(FloatType) | Some(DoubleType) | None => false
+        case Some(_) => true
+      }
+    }
+    def range(x: Expression, y: Expression, loSide: Boolean,
+        incl: Boolean): Option[TxnTable.AllPred] =
+      (for (n <- attr(x); b <- bdLit(y)) yield
+        if (loSide) TxnTable.AllRange(n, Some((b, incl)), None)
+        else TxnTable.AllRange(n, None, Some((b, incl))))
+      .orElse(for (n <- attr(y); b <- bdLit(x)) yield
+        if (loSide) TxnTable.AllRange(n, None, Some((b, incl)))
+        else TxnTable.AllRange(n, Some((b, incl)), None))
+      .orElse(for (n <- attr(x); s <- strLit(y)) yield
+        if (loSide) TxnTable.AllStrRange(n, Some((s, incl)), None)
+        else TxnTable.AllStrRange(n, None, Some((s, incl))))
+      .orElse(for (n <- attr(y); s <- strLit(x)) yield
+        if (loSide) TxnTable.AllStrRange(n, None, Some((s, incl)))
+        else TxnTable.AllStrRange(n, Some((s, incl)), None))
+    def one(e: Expression): Option[TxnTable.AllPred] = e match {
+      case GreaterThanOrEqual(x, y) => range(x, y, loSide = true, incl = true)
+      case GreaterThan(x, y) => range(x, y, loSide = true, incl = false)
+      case LessThanOrEqual(x, y) => range(x, y, loSide = false, incl = true)
+      case LessThan(x, y) => range(x, y, loSide = false, incl = false)
+      case EqualTo(x, y) =>
+        (for (n <- attr(x); v <- pointVal(y)) yield TxnTable.AllEq(n, v))
+          .orElse(for (n <- attr(y); v <- pointVal(x))
+            yield TxnTable.AllEq(n, v))
+      // a <=> v is (a = v AND a IS NOT NULL); the AllEq prover already
+      // requires zero nulls, so the translations coincide. a <=> NULL
+      // is IS NULL exactly.
+      case EqualNullSafe(x, y) =>
+        def nullLit(e: Expression): Boolean = e match {
+          case Literal(null, _) => true
+          case _ if e.resolved && e.foldable && e.deterministic =>
+            scala.util.Try(e.eval(null)).toOption.contains(null)
+          case _ => false
+        }
+        def side(a: Expression, l: Expression) = attr(a).flatMap { n =>
+          if (nullLit(l)) Some(TxnTable.AllNull(n, isNull = true))
+          else pointVal(l).map(TxnTable.AllEq(n, _))
+        }
+        side(x, y).orElse(side(y, x))
+      case In(a, list) if list.nonEmpty =>
+        for (n <- attr(a);
+             xs <- Some(list.flatMap(pointVal(_))) if xs.size == list.size)
+          yield TxnTable.AllIn(n, xs)
+      case IsNull(a) => attr(a).map(TxnTable.AllNull(_, isNull = true))
+      case IsNotNull(a) => attr(a).map(TxnTable.AllNull(_, isNull = false))
+      case _ => None
+    }
+    val leaves = conjuncts(cond).filter {
+      case Literal(true, BooleanType) => false // identity conjunct
+      case _ => true
+    }
+    val out = leaves.map(one)
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+
   /** `f(attr) >= lit` (either argument order — callers pass (ge-side,
     * le-side)): keep only the bound the monotone inversion makes sound. */
   private def invCmp(

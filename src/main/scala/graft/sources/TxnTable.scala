@@ -2206,10 +2206,64 @@ final class TxnTable(val spark: SparkSession, val root: String,
       }.getOrElse(Nil)
     }.getOrElse(Nil)
 
+  /** Exact all-match predicates for `cond` at `v` — Some only when the
+    * WHOLE condition translates as an equivalence (SkipExtract.
+    * exactPreds); any analysis failure or opaque conjunct yields None
+    * and the metadata-only delete path stays off. Resolution mirrors
+    * `skipPredsFor` exactly (same empty-frame analysis), so the
+    * translation sees the very tree the scan-side filter would. */
+  private def exactAllFor(cond: org.apache.spark.sql.Column,
+      v: Long): Option[Seq[TxnTable.AllPred]] =
+    plainSchemaAt(v).flatMap { sc =>
+      scala.util.Try {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
+        val analyzed = empty.filter(cond)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+            org.apache.spark.sql.Row]]
+          .queryExecution.analyzed
+        analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            val types = f.child.output.map(a => a.name -> a.dataType).toMap
+            SkipExtract.exactPreds(f.condition,
+              SkipExtract.resolvedAttr(f.child.outputSet), types.get)
+        }.flatten
+      }.toOption.flatten
+    }
+
+  /** Live files at `v` whose commit stats PROVE every row satisfies
+    * `preds` (statsProveAll — the conservative dual of the skip
+    * admission). Empty predicate list = a provably-TRUE condition =
+    * every live file. Inline-scale logs fold driver-side; manifest
+    * tables evaluate the prover executor-side inside the planning scan,
+    * exactly like `filesSurviving`. */
+  private def provablyAllMatch(v: Long,
+      preds: Seq[TxnTable.AllPred]): Seq[String] = {
+    if (preds.isEmpty) return liveFiles(v)
+    val sc = schemaAt(v)
+    val physOf = preds.map(_.col).distinct
+      .map(c => c -> physicalIn(sc, c)).toMap
+    val (_, es) = tailEntries(v)
+    if (es.forall(_.manifest.isEmpty)) {
+      val statsByFile: FileStats = statsAt(v)
+      liveFiles(v).filter(f =>
+        statsByFile.get(f).exists(TxnTable.statsProveAll(_, preds, physOf)))
+    } else {
+      import org.apache.spark.sql.functions.{col, udf}
+      val (ps, ph) = (preds, physOf)
+      val proves = udf((enc: String) =>
+        enc != null && TxnTable.statsProveAll(enc, ps, ph))
+      liveDF(v, withStats = true)
+        .filter(proves(col("stats"))).select("path")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+  }
+
   private def taggedCandidates(cond: org.apache.spark.sql.Column,
-      v: Long): DataFrame = {
+      v: Long, exclude: Set[String] = Set.empty): DataFrame = {
     val plainSchema = plainSchemaAt(v)
     val candidates = filesSurviving(v, skipPredsFor(cond, v))
+      .filterNot(exclude)
     if (candidates.nonEmpty) scanTagged(v, candidates)
     else plainSchema match {
       // zero candidates: the condition provably matches nothing — an
@@ -3266,7 +3320,26 @@ final class TxnTable(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion
     require(v >= 0, s"no committed version in $root")
-    val tagged = taggedCandidates(cond, v)
+    // METADATA-ONLY FILE DROPS (r18): when the WHOLE condition
+    // translates exactly into per-column bounds (SkipExtract.exactPreds
+    // — the inverse soundness contract of skipping), a live file whose
+    // commit stats PROVE every row satisfies it drops from the log
+    // WITHOUT being read. This is the retention sweep's dominant shape:
+    // `ts < cutoff` on a time-clustered table drops the interior files
+    // as pure metadata and scans only the boundary file — at 100 TB the
+    // difference between a KB commit and reading the table. Soundness:
+    // NULL rows can never prove (every compared column must record ZERO
+    // nulls — SQL DELETE keeps NULL-condition rows); float/double
+    // columns never translate (NaN is invisible to parquet bounds);
+    // files without stats just take the scan path; DV-carrying files
+    // stay sound (all rows match ⟹ all LIVE rows match, and a DV entry
+    // for a removed file is inert). CDC mode disables the path — the
+    // pre-images must be read. TxnSpec proves the no-read claim by
+    // deleting a fully-covered file from disk first.
+    val provable: Seq[String] =
+      if (dv || cdc) Nil
+      else exactAllFor(cond, v).map(provablyAllMatch(v, _)).getOrElse(Nil)
+    val tagged = taggedCandidates(cond, v, provable.toSet)
     // the matched rows feed up to three consumers (the touched-file
     // collect or DV sidecar, plus the CDC capture) — materialize once;
     // bounded by match bytes, unpersisted before return
@@ -3299,7 +3372,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
     }
     val touched = matched
       .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) return v
+    if (touched.isEmpty && provable.isEmpty) return v
+    if (touched.isEmpty) {
+      // pure metadata-only delete: every affected file was PROVEN
+      // fully-matched — nothing to scan, nothing to stage, one
+      // remove-only commit (cdc is off on this path by construction)
+      return publishReconciling(v, "delete", 0L, Nil, provable,
+        schemaAt(v), None, Map.empty, None, "delete")
+    }
     val keep = tagged.filter(col("_f").isin(touched: _*))
       .filter(coalesce(cond, lit(false)) === lit(false)).drop("_f", "_idx")
     val (files, rows, fstats) =
@@ -3307,7 +3387,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // lost races reconcile only against provably-disjoint REMOVE-ONLY
     // intervening commits (guard = None: an arbitrary delete predicate
     // has no key range to prove adds disjoint against — fail closed)
-    publishReconciling(v, "delete", rows, files, touched, schemaAt(v),
+    publishReconciling(v, "delete", rows, files,
+      (touched ++ provable).sorted, schemaAt(v),
       writeCdc(), fstats, None, "delete")
     } finally { matched.unpersist(); () }
   }
@@ -3740,6 +3821,112 @@ object TxnTable {
     * applies to top-level point predicates as before. */
   final case class SkipAnd(preds: Seq[SkipPred]) extends SkipPred
   final case class SkipOr(preds: Seq[SkipPred]) extends SkipPred
+
+  /** Conjuncts of a DELETE condition translated EXACTLY — each AllPred
+    * is EQUIVALENT to its conjunct (both implication directions), unlike
+    * SkipPred, which only needs to be IMPLIED by it. The metadata-only
+    * delete prover consumes these: a file whose commit stats prove every
+    * AllPred true for EVERY row may be dropped from the log without
+    * being read. Bounds carry their inclusivity — skip preds widen
+    * strict bounds to inclusive, which is sound for skipping and fatal
+    * here. */
+  sealed trait AllPred { def col: String }
+  final case class AllRange(col: String,
+      lo: Option[(BigDecimal, Boolean)],
+      hi: Option[(BigDecimal, Boolean)]) extends AllPred
+  final case class AllStrRange(col: String,
+      lo: Option[(String, Boolean)],
+      hi: Option[(String, Boolean)]) extends AllPred
+  final case class AllEq(col: String, value: Any) extends AllPred
+  final case class AllIn(col: String, values: Seq[Any]) extends AllPred
+  final case class AllNull(col: String, isNull: Boolean) extends AllPred
+
+  /** PURE all-match admission — the dual of `statsAdmits`: do the
+    * encoded stats PROVE that every row of the file satisfies every
+    * predicate? Conservative everywhere `statsAdmits` is permissive: a
+    * column missing from `enc`, missing null counts, or any unprovable
+    * bound returns false (the file just takes the scan path). Every
+    * comparison conjunct additionally requires ZERO recorded nulls —
+    * a NULL evaluates the condition to NULL and SQL DELETE keeps such
+    * rows, so a file with nulls can never be whole-file-dropped on a
+    * comparison. String bounds may be writer-truncated, but truncation
+    * rounds min DOWN / max UP by parquet contract, so proving against
+    * the recorded bounds proves against the true ones. Static and
+    * serializable — manifest-scale planning evaluates it executor-side. */
+  private[sources] def statsProveAll(enc: String, preds: Seq[AllPred],
+      physOf: Map[String, String]): Boolean = {
+    def minMax(phys: String): Option[(BigDecimal, BigDecimal)] =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(phys + ":") =>
+          val p = s.split(':'); (BigDecimal(p(1)), BigDecimal(p(2)))
+      }
+    def nullsField(prefix: String): Option[Long] =
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix + ":") => s.split(':')(1).toLong
+      }
+    def strMinMax(phys: String): Option[(Array[Byte], Array[Byte])] = {
+      val prefix = s"#str.$phys:"
+      enc.split(';').collectFirst {
+        case s if s.startsWith(prefix) =>
+          val body = s.substring(prefix.length)
+          val i = body.indexOf(':')
+          def un(h: String): Array[Byte] =
+            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          (un(body.take(i)), un(body.drop(i + 1)))
+      }
+    }
+    def bytesOfStr(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def zeroNulls(phys: String): Boolean =
+      nullsField(s"#nulls.$phys").contains(0L)
+    def prove(p: AllPred): Boolean = p match {
+      case AllRange(c, lo, hi) =>
+        val ph = physOf(c)
+        zeroNulls(ph) && minMax(ph).exists { case (mn, mx) =>
+          lo.forall { case (b, incl) => if (incl) mn >= b else mn > b } &&
+            hi.forall { case (b, incl) => if (incl) mx <= b else mx < b }
+        }
+      case AllStrRange(c, lo, hi) =>
+        val ph = physOf(c)
+        def cmp(a: Array[Byte], b: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(a, b)
+        zeroNulls(ph) && strMinMax(ph).exists { case (mn, mx) =>
+          lo.forall { case (s, incl) =>
+            val d = cmp(mn, bytesOfStr(s)); if (incl) d >= 0 else d > 0 } &&
+            hi.forall { case (s, incl) =>
+              val d = cmp(mx, bytesOfStr(s)); if (incl) d <= 0 else d < 0 }
+        }
+      case AllEq(c, v) =>
+        val ph = physOf(c)
+        zeroNulls(ph) && (v match {
+          case s: String => strMinMax(ph).exists { case (mn, mx) =>
+            val b = bytesOfStr(s)
+            java.util.Arrays.equals(mn, b) && java.util.Arrays.equals(mx, b)
+          }
+          case other => statsSpace(other).exists(b =>
+            minMax(ph).exists { case (mn, mx) => mn == b && mx == b })
+        })
+      case AllIn(c, vs) =>
+        val ph = physOf(c)
+        zeroNulls(ph) && {
+          val strPin = strMinMax(ph).collect {
+            case (mn, mx) if java.util.Arrays.equals(mn, mx) => mn }
+          val numPin = minMax(ph).collect { case (mn, mx) if mn == mx => mn }
+          strPin.exists(pin => vs.exists {
+            case s: String => java.util.Arrays.equals(bytesOfStr(s), pin)
+            case _ => false
+          }) || numPin.exists(pin =>
+            vs.exists(v => statsSpace(v).contains(pin)))
+        }
+      case AllNull(c, isNull) =>
+        val ph = physOf(c)
+        if (!isNull) zeroNulls(ph)
+        else (for (nn <- nullsField(s"#nulls.$ph");
+                   nr <- nullsField("#rows")) yield nn == nr)
+          .getOrElse(false)
+    }
+    preds.forall(prove)
+  }
 
   /** Logical columns a predicate tree touches. */
   private[sources] def predCols(p: SkipPred): Seq[String] = p match {

@@ -1223,6 +1223,78 @@ class TxnSpec extends SparkTestBase {
     assert(t.readRange("b", 110, 110).select("v").as[Long].head() == -7L)
   }
 
+  test("DELETE drops provably fully-matched files as pure metadata — never reads them") {
+    val t = TxnTable.fresh(spark, dir("delete_filedrop"))
+    val rng = new scala.util.Random(7)
+    rng.shuffle((0L until 400L).toList).grouped(100)
+      .foreach(g => t.append(g.map(k => (k, k * 3)).toDF("k", "v")))
+    t.compact(target = 4, clusterBy = Seq("k")) // 4 k-disjoint files
+    // bottom file: fully covered by `k <= botMax` — delete it from DISK;
+    // if the statement read it, it would die. The prover must drop it
+    // from the log on commit stats alone (pure remove-only commit).
+    val bottom = t.readRange("k", 0, 0).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(bottom.size == 1)
+    val botMax = spark.read.parquet(bottom.head)
+      .agg(max("k")).as[Long].head()
+    Files.delete(Paths.get(java.net.URI.create(bottom.head)))
+    val v1 = t.deleteWhere(col("k") <= botMax)
+    val h1 = t.history().filter(col("version") === v1)
+      .select("n_removed_files", "n_added_files")
+      .as[(Long, Long)].head()
+    assert(h1 == ((1L, 0L)),
+      s"pure metadata drop must remove 1 file and add none, got $h1")
+    // MIXED statement: the next file is fully covered (delete it from
+    // disk too — same no-read proof), the one after only partially —
+    // one metadata drop + one boundary rewrite in a single commit
+    val f2 = t.readRange("k", botMax + 1, botMax + 1).inputFiles
+      .filter(_.contains("/d-")).toSeq
+    assert(f2.size == 1)
+    val f2Max = spark.read.parquet(f2.head).agg(max("k")).as[Long].head()
+    Files.delete(Paths.get(java.net.URI.create(f2.head)))
+    val v2 = t.deleteWhere(col("k") <= f2Max + 10L)
+    val h2 = t.history().filter(col("version") === v2)
+      .select("n_removed_files").as[Long].head()
+    assert(h2 == 2, s"metadata drop + boundary rewrite, removed $h2")
+    val got = t.read().as[(Long, Long)].collect().toMap
+    assert(got.keySet == ((f2Max + 11L) until 400L).toSet, s"wrong survivors")
+    assert(got(f2Max + 11L) == (f2Max + 11L) * 3)
+  }
+
+  test("metadata-only delete refuses NULL-bearing and strict-boundary files") {
+    // SQL DELETE keeps rows whose condition is NULL — a file with nulls
+    // in the compared column can never be whole-file-dropped. Proof by
+    // refusal: with the file gone from disk, the statement MUST fail
+    // trying to scan it rather than silently dropping the NULL row.
+    val tn = TxnTable.fresh(spark, dir("filedrop_nulls"))
+    tn.append(Seq[(java.lang.Long, Long)]((1L, 10L), (2L, 20L), (null, 30L))
+      .toDF("k", "v").coalesce(1))
+    val fn = tn.read().inputFiles.filter(_.contains("/d-")).toSeq
+    assert(fn.size == 1)
+    Files.delete(Paths.get(java.net.URI.create(fn.head)))
+    intercept[Throwable] { tn.deleteWhere(col("k") < 100L) }
+    // content check on an intact twin: the NULL-k row survives
+    val tn2 = TxnTable.fresh(spark, dir("filedrop_nulls2"))
+    tn2.append(Seq[(java.lang.Long, Long)]((1L, 10L), (2L, 20L), (null, 30L))
+      .toDF("k", "v"))
+    tn2.deleteWhere(col("k") < 100L)
+    assert(tn2.read().select("v").as[Long].collect().toSet == Set(30L))
+    // strictness: max == bound proves under <= but NOT under < (the
+    // max-valued row survives a strict bound — skip preds widen here,
+    // the all-match prover must not)
+    val ta = TxnTable.fresh(spark, dir("filedrop_le"))
+    ta.append((0L until 100L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    val fa = ta.read().inputFiles.filter(_.contains("/d-")).toSeq
+    Files.delete(Paths.get(java.net.URI.create(fa.head)))
+    ta.deleteWhere(col("k") <= 99L) // provable: metadata-only, no read
+    assert(ta.read().count() == 0L)
+    val tb = TxnTable.fresh(spark, dir("filedrop_lt"))
+    tb.append((0L until 100L).map(k => (k, k)).toDF("k", "v").coalesce(1))
+    val fb = tb.read().inputFiles.filter(_.contains("/d-")).toSeq
+    Files.delete(Paths.get(java.net.URI.create(fb.head)))
+    intercept[Throwable] { tb.deleteWhere(col("k") < 99L) } // must scan
+  }
+
   test("mergeWhen interplay: auto-evolving star merge into an IDENTITY table with BY SOURCE clauses") {
     import graft.sources.MergeClause._
     val t = TxnTable.fresh(spark, dir("mergewhen_interplay"))

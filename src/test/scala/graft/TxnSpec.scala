@@ -1293,6 +1293,21 @@ class TxnSpec extends SparkTestBase {
     val fb = tb.read().inputFiles.filter(_.contains("/d-")).toSeq
     Files.delete(Paths.get(java.net.URI.create(fb.head)))
     intercept[Throwable] { tb.deleteWhere(col("k") < 99L) } // must scan
+    // a provably-TRUE condition needs no stats at all: bare
+    // `DELETE FROM '<path>'` (→ deleteWhere(lit(true))) truncates as
+    // one remove-only commit — proven the same way, all files gone
+    // from disk first
+    val tt = TxnTable.fresh(spark, dir("filedrop_truncate"))
+    tt.append((0L until 50L).map(k => (k, k)).toDF("k", "v"))
+    tt.append((50L until 100L).map(k => (k, k)).toDF("k", "v"))
+    tt.read().inputFiles.filter(_.contains("/d-"))
+      .foreach(f => Files.delete(Paths.get(java.net.URI.create(f))))
+    val ss = graft.sources.GraftSql.session(spark, dir("filedrop_cat"))
+    ss.sql(s"DELETE FROM '${tt.root}'")
+    assert(tt.read().count() == 0L)
+    val ht = tt.history().orderBy(col("version").desc).limit(1)
+      .select("n_removed_files", "n_added_files").as[(Long, Long)].head()
+    assert(ht._1 >= 2L && ht._2 == 0L, s"truncate must be remove-only: $ht")
   }
 
   test("mergeWhen interplay: auto-evolving star merge into an IDENTITY table with BY SOURCE clauses") {

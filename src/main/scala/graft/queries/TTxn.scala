@@ -473,8 +473,11 @@ object TTxn {
       // the cutoff comes from TABLE METADATA (tableStats reads the log,
       // never data) at half the key range, so the sweep provably drops
       // interior files at EVERY scale factor — a fixed literal would
-      // stop exercising the metadata path the moment the tier grows
-      val cut = t.tableStats().colMinMax("l_orderkey")._2.toLong / 2
+      // stop exercising the metadata path the moment the tier grows.
+      // An EMPTY table records no bounds → cutoff 0, delete is a no-op
+      // (RobustnessSpec's empty-input sweep).
+      val cut = t.tableStats().colMinMax.get("l_orderkey")
+        .map(_._2.toLong / 2).getOrElse(0L)
       t.deleteWhere(col("l_orderkey") < cut)
       agg(t.read())
     }),

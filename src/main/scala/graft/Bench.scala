@@ -36,52 +36,77 @@ object Bench {
     // Untimed warmup: the first queries otherwise absorb one-off JVM costs
     // (JIT, codegen compilation cache, parquet reader + shuffle machinery
     // init) that are not query latency. One scan-agg and one window query
-    // touch all the hot paths.
-    for (w <- Seq("d_agg_basic", "e_win_ranking"))
+    // touch all the hot paths; i_cooccur_pmi and p_sql_recursive carry
+    // their own first-touch class-load (token self-join machinery,
+    // recursive-CTE iteration classes — r18: 1.8x/1.2x driver vs quiet
+    // for exactly this), so they warm as full keys like d_agg_basic does.
+    for (w <- Seq("d_agg_basic", "e_win_ranking", "i_cooccur_pmi",
+        "p_sql_recursive"))
       try { SparkEntry.queries(w)(spark, sfDir).count() }
       catch { case _: Throwable => () }
+    // The txn keys' shared fixtures (multi-commit histories, staged merge
+    // sources) are per-JVM: built here untimed, so the first txn key in
+    // the suite doesn't absorb fixture orchestration that is not its
+    // query latency (each build self-guards; a failure rebuilds timed).
+    try graft.queries.TTxn.warmFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"txn fixture warm failed: ${e.getMessage}")
+    }
     // The txn path-SQL keys' first touch pays parser/command/staging
     // classload — BENCH_r16 showed t_txn_sql_insert at 11.6 s noisy vs
     // 1.11 s quiet-min for exactly this reason. One untimed 2-row
     // lifecycle (CREATE/INSERT/UPDATE/MERGE/DELETE through the
     // delegating parser) loads those classes before anything is timed,
     // so the driver-facing total reflects steady state.
+    // Each warm statement guards ITSELF: one failure must not disable
+    // the statements after it — a shared try/catch would silently
+    // re-charge first-touch class-load to the first timed key of
+    // whichever route lost its warmup (r18 advice).
+    def warmSql(ss: org.apache.spark.sql.SparkSession)(stmt: String): Unit =
+      try { ss.sql(stmt); () }
+      catch { case e: Throwable =>
+        System.err.println(s"bench warm statement failed: ${e.getMessage}")
+      }
     try {
       val wdir = s"${System.getProperty("java.io.tmpdir")}" +
         s"/graft_scratch/bench_warm_${java.util.UUID.randomUUID()}"
       val ss = graft.sources.GraftSql.session(spark, s"$wdir/cat")
-      ss.sql(s"CREATE TABLE '$wdir/t' (k BIGINT, v DOUBLE)")
-      ss.sql(s"INSERT INTO '$wdir/t' " +
+      val w = warmSql(ss) _
+      w(s"CREATE TABLE '$wdir/t' (k BIGINT, v DOUBLE)")
+      w(s"INSERT INTO '$wdir/t' " +
         "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)")
-      ss.sql(s"UPDATE '$wdir/t' SET v = v + 1 WHERE k = 1")
-      ss.sql(s"MERGE INTO '$wdir/t' t USING (SELECT CAST(2 AS BIGINT) AS k, " +
+      w(s"UPDATE '$wdir/t' SET v = v + 1 WHERE k = 1")
+      w(s"MERGE INTO '$wdir/t' t USING (SELECT CAST(2 AS BIGINT) AS k, " +
         "CAST(2.0 AS DOUBLE) AS v) s ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-      ss.sql(s"DELETE FROM '$wdir/t' WHERE k = 1")
+      w(s"DELETE FROM '$wdir/t' WHERE k = 1")
       // the conditional-clause / BY SOURCE / catalog-route merge classes
       // load on first touch too (r17: t_txn_sql_merge_bysource 11.6 s
       // driver vs 4.0 s quiet-min for exactly this) — one untimed merge
       // through the path clause grammar and one through Spark's own
       // MergeIntoTable resolution warms both front doors
-      ss.sql(s"MERGE INTO '$wdir/t' t USING (SELECT CAST(3 AS BIGINT) AS k, " +
+      w(s"MERGE INTO '$wdir/t' t USING (SELECT CAST(3 AS BIGINT) AS k, " +
         "CAST(3.0 AS DOUBLE) AS v) s ON t.k = s.k " +
         "WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v + 1 " +
         "WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v) " +
         "WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE")
-      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
-      ss.sql("CREATE TABLE graft.main.bench_warm (k BIGINT, v DOUBLE) " +
+      // a QUALIFY select loads the lowering path (star-except + window
+      // filter) before any timed key touches it
+      w(s"SELECT k FROM (SELECT CAST(1 AS BIGINT) AS k) " +
+        "QUALIFY row_number() OVER (ORDER BY k) = 1")
+      w("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      w("CREATE TABLE graft.main.bench_warm (k BIGINT, v DOUBLE) " +
         "USING `graft-txn`")
-      ss.sql("INSERT INTO graft.main.bench_warm " +
+      w("INSERT INTO graft.main.bench_warm " +
         "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)")
-      ss.sql("MERGE INTO graft.main.bench_warm t USING " +
+      w("MERGE INTO graft.main.bench_warm t USING " +
         "(SELECT CAST(1 AS BIGINT) AS k, CAST(2.0 AS DOUBLE) AS v) s " +
         "ON t.k = s.k " +
         "WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v + 1 " +
         "WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v) " +
         "WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE")
     } catch { case e: Throwable =>
-      // a silently-dead warm block quietly re-charges first-touch
-      // class-load to whichever timed key runs first — surface it
+      // session construction itself failed — surface it
       System.err.println(s"bench warm lifecycle failed: ${e.getMessage}")
     }
     // SPARK_GRAFT_KEYS=k1,k2 restricts the run — lets a key be timed in an

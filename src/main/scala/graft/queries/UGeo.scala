@@ -136,34 +136,88 @@ object UGeo {
     * unpersists the previous phase-1 materialization EAGERLY. Bounded
     * to live sessions × 1 and collision-free (r17 verdict hygiene #1:
     * the identityHashCode-keyed static maps grew without bound, never
-    * unpersisted, and a reused hash could alias a dead session). */
-  private final class GeoMemo(val dir: String) {
-    var cand: DataFrame = _
-    var p1: DataFrame = _
+    * unpersisted, and a reused hash could alias a dead session).
+    *
+    * r19 (r18 advice): the VALUE side holds the memoized frames through
+    * `WeakReference` only — a Dataset strongly references its session,
+    * so a strong frame inside the value would make the WeakHashMap key
+    * strongly reachable from its own value and the entry could never be
+    * collected. With weak frames, a dead session's whole entry is
+    * GC-collectible; a GC that clears a ref early merely rebuilds the
+    * plan, and `cache()` on the identical canonical plan re-binds the
+    * existing CacheManager entry, so no duplicate storage appears. Each
+    * session memoizes up to [[MaxDirs]] dirs LRU (one-dir-per-session
+    * used to thrash rebuild+unpersist when a session alternated dirs);
+    * evicting a dir unpersists its phase-1 materialization if the frame
+    * is still reachable — a cleared ref means those blocks stay until
+    * the session's CacheManager goes, the documented residual of weak
+    * holding. */
+  private final class GeoMemo {
+    var cand = new java.lang.ref.WeakReference[DataFrame](null)
+    var p1 = new java.lang.ref.WeakReference[DataFrame](null)
   }
+  private val MaxDirs = 4
   private val memo = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession, GeoMemo]()
+    org.apache.spark.sql.SparkSession,
+    java.util.LinkedHashMap[String, GeoMemo]]()
 
   private def memoFor(s: org.apache.spark.sql.SparkSession,
       d: String): GeoMemo = memo.synchronized {
-    val cur = memo.get(s)
-    if (cur != null && cur.dir == d) cur
+    var dirs = memo.get(s)
+    if (dirs == null) {
+      dirs = new java.util.LinkedHashMap[String, GeoMemo](8, 0.75f, true)
+      memo.put(s, dirs)
+    }
+    val cur = dirs.get(d)
+    if (cur != null) cur
     else {
-      if (cur != null && cur.p1 != null) { cur.p1.unpersist(); () }
-      val next = new GeoMemo(d)
-      memo.put(s, next)
+      if (dirs.size >= MaxDirs) {
+        val it = dirs.entrySet().iterator()
+        val eldest = it.next()
+        it.remove()
+        val old = eldest.getValue.p1.get()
+        if (old != null) { old.unpersist(); () }
+      }
+      val next = new GeoMemo
+      dirs.put(d, next)
       next
     }
   }
 
+  /** Get-or-build through a weak slot, under the memo's own lock. */
+  private def viaRef(m: GeoMemo,
+      get: GeoMemo => java.lang.ref.WeakReference[DataFrame],
+      set: (GeoMemo, java.lang.ref.WeakReference[DataFrame]) => Unit)(
+      build: => DataFrame): DataFrame = m.synchronized {
+    val cur = get(m).get()
+    if (cur != null) cur
+    else {
+      val built = build
+      set(m, new java.lang.ref.WeakReference(built))
+      built
+    }
+  }
+
+  /** Sites replicated into their (2r+1)x(2r+1) cell neighborhood;
+    * `minCheb` > 0 keeps only the SHELL at Chebyshev distance ≥ it —
+    * the 16-cell frame of a 5x5 region minus its 3x3 interior, which is
+    * all the knn fallback needs on top of the already-ranked interior
+    * candidates (16x replication instead of 25x, and no re-ranking of
+    * rows phase 1 already ordered). */
   private def ringSites(s: org.apache.spark.sql.SparkSession, d: String,
-      cs: String, r: Range): DataFrame = Tables.customer(s, d)
-    .select(col("c_custkey").as("site_id"),
-      expr(siteKLat).as("skl"), expr(siteKLon).as("sko"))
-    .withColumn("di", explode(array(r.map(lit): _*)))
-    .withColumn("dj", explode(array(r.map(lit): _*)))
-    .select(col("site_id"), col("skl"), col("sko"),
-      expr(cellSql("skl", "sko", "DIV", cs, "di", "dj")).as("cell"))
+      cs: String, r: Range, minCheb: Int = 0): DataFrame = {
+    val offsets = for {
+      di <- r; dj <- r
+      if math.max(math.abs(di), math.abs(dj)) >= minCheb
+    } yield (di, dj)
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("site_id"),
+        expr(siteKLat).as("skl"), expr(siteKLon).as("sko"))
+      .withColumn("dij", explode(array(offsets.map { case (i, j) =>
+        struct(lit(i).as("di"), lit(j).as("dj")) }: _*)))
+      .select(col("site_id"), col("skl"), col("sko"),
+        expr(cellSql("skl", "sko", "DIV", cs, "dij.di", "dij.dj")).as("cell"))
+  }
 
   private def gridPts(s: org.apache.spark.sql.SparkSession, d: String,
       cs: String): DataFrame = Tables.orders(s, d)
@@ -179,34 +233,25 @@ object UGeo {
       .orderBy(col("dist_km"), col("site_id"))))
     .filter(col("rn") <= 3)
 
-  private def topk(cand: DataFrame) =
-    rank3(cand.withColumn("dist_km", gridDist))
-
   /** The shared 3x3-ring candidate DEFINITION: broadcast equi-join on
     * the cell id + the rounded distance, ~18 rows per point. The plan is
     * memoized (not the data — see the block comment above for the
     * measured caching trade); bucket aggregates it, knn ranks it. */
   private def candidates(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val m = memoFor(s, d)
-    m.synchronized {
-      if (m.cand == null) m.cand = {
-        val cs = cellUnitsOf(siteCount(s, d)).toString
-        gridPts(s, d, cs).join(ringSites(s, d, cs, -1 to 1), "cell")
-          .withColumn("dist_km", gridDist)
-      }
-      m.cand
+      d: String): DataFrame =
+    viaRef(memoFor(s, d), _.cand, _.cand = _) {
+      val cs = cellUnitsOf(siteCount(s, d)).toString
+      gridPts(s, d, cs).join(ringSites(s, d, cs, -1 to 1), "cell")
+        .withColumn("dist_km", gridDist)
     }
-  }
 
   /** Phase-1 ranking: top-3 per point over the shared candidates, plus
     * the knn exterior-cut safety stats (see the knn key's comment for
     * the bound's derivation). Cached — knn reads it twice. */
   private def phase1(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val m = memoFor(s, d)
-    m.synchronized {
-      if (m.p1 == null) m.p1 = {
+      d: String): DataFrame =
+    viaRef(memoFor(s, d), _.p1, _.p1 = _) {
+      {
         val csI = cellUnitsOf(siteCount(s, d))
         val cs = csI.toString
         val w3 = Window.partitionBy("o_orderkey")
@@ -226,9 +271,7 @@ object UGeo {
               sin(radians(col("d_lon_u") / 10000.0) / 2))))
           .cache()
       }
-      m.p1
     }
-  }
 
   val m: ListMap[String, Q] = ListMap(
     "g_geo_haversine" -> ((s, d) =>
@@ -305,20 +348,33 @@ object UGeo {
       // fixture scale; past the threshold AQE falls back to a shuffled
       // join instead of shipping a multi-GB broadcast (round-10 change)
       val inner = phase1(s, d)
-      val pts = gridPts(s, d, cs)
       val proven = inner.filter(col("safe"))
-      // unproven points = bound unmet (read off `inner`, ~1% of keys) ∪
-      // zero-candidate points (never reached `inner`; found by a
-      // dimension-side cell anti-join, so the point table is never
-      // shuffled to discover either set)
-      val unproven = inner.filter(!col("safe")).select("o_orderkey").distinct()
-      val missing = pts.join(
+      // Phase 2 never rebuilds the 25x replication (r18: gridPts + 5x5
+      // ringSites were reconstructed from scratch for the 0.7% tail).
+      // The 5x5 top-3 of an unproven point = top-3 of (its ALREADY
+      // RANKED 3x3 top-3 ∪ its 16-cell SHELL candidates): any in-ring
+      // candidate outside the top-3 is dominated by three union members
+      // and can never enter the union's top-3, so re-ranking the union
+      // is exact. Unproven coordinates come off the cached phase-1
+      // frame; only the zero-candidate points (cell outside every site
+      // ring — never reached phase 1) still need the point table, via
+      // the same dimension-side cell anti-join as before, and their 5x5
+      // set IS their shell set (the 3x3 interior is empty).
+      val unp = inner.filter(!col("safe"))
+      val unpPts = unp.select(col("o_orderkey"), col("pkl"), col("pko"))
+        .distinct()
+      val missingPts = gridPts(s, d, cs).join(
         ringSites(s, d, cs, -1 to 1).select("cell").distinct(),
         Seq("cell"), "left_anti")
-        .select("o_orderkey")
-      val fallback = topk(
-        pts.join(unproven.unionByName(missing).distinct(), "o_orderkey")
-          .join(ringSites(s, d, cs, -2 to 2), "cell"))
+        .select("o_orderkey", "pkl", "pko")
+      val fbPts = unpPts.unionByName(missingPts)
+        .withColumn("cell", expr(cellSql("pkl", "pko", "DIV", cs)))
+      val shellCand = fbPts
+        .join(ringSites(s, d, cs, -2 to 2, minCheb = 2), "cell")
+        .withColumn("dist_km", gridDist)
+        .select("o_orderkey", "site_id", "dist_km")
+      val fallback = rank3(shellCand.unionByName(
+        unp.select("o_orderkey", "site_id", "dist_km")))
       proven.select("o_orderkey", "site_id", "dist_km", "rn")
         .unionByName(fallback.select("o_orderkey", "site_id", "dist_km", "rn"))
         .orderBy("o_orderkey", "rn")

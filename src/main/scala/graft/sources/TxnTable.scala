@@ -704,6 +704,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
       protocol: Option[(Int, Int)] = None,
       constraints: Option[Seq[(String, String)]] = None,
       props: Option[Map[String, String]] = None): Boolean = {
+    onBeforePublish()
     // writer gate: a log that requires a newer writer refuses the commit
     // with the named error (the read side's gate sits in tailEntries)
     if (v > 0) {
@@ -745,10 +746,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     finally Files.delete(tmp)
   }
 
-  /** TEST SEAM: invoked immediately before a DML's first publish attempt
-    * (after staging is complete). Lets a spec deterministically land a
-    * concurrent commit in the stage→publish window — the race that is
-    * otherwise a thread-timing lottery. Production value is a no-op. */
+  /** TEST SEAM: invoked at the top of EVERY publish attempt (after
+    * staging is complete — tryCommit is only ever called on fully-staged
+    * payloads). Lets a spec deterministically land a concurrent commit
+    * or vacuum in the stage→publish window — the race that is otherwise
+    * a thread-timing lottery. Re-entrant callers must latch (the specs
+    * do). Production value is a no-op. */
   private[graft] var onBeforePublish: () => Unit = () => ()
 
   /** Can a fully-staged commit based on snapshot `vBase` re-publish on
@@ -816,7 +819,6 @@ final class TxnTable(val spark: SparkSession, val root: String,
       cdc: Option[String], stats: FileStats,
       guard: Option[(String, BigDecimal, BigDecimal)], what: String,
       props: Option[Map[String, String]] = None): Long = {
-    onBeforePublish()
     var v = vBase
     var res = -1L
     while (res < 0) {
@@ -3718,28 +3720,46 @@ final class TxnTable(val spark: SparkSession, val root: String,
         (byCount ++ byAge).distinct.sorted
       }
     val keep = keepVs.flatMap(liveFiles).toSet
+    // The age horizon EVERY never-published artifact sweep respects: a
+    // file referenced by NO log entry is either a crash orphan or an
+    // IN-FLIGHT commit's staging (staged data dirs, manifests and DV/CDC
+    // sidecars are all written BEFORE their entry publishes, so they are
+    // invisible to the snapshot fold while the commit is in its
+    // stage→publish window). Deleting a young one would fail — or,
+    // for a manifest, CORRUPT — a commit that is about to win its slot;
+    // only artifacts older than any plausible publish window go. Files
+    // referenced by SOME entry but outside every retained snapshot were
+    // definitely published, so their retention alone decides them.
+    val horizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    def aged(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < horizonMs
+    val es = entries(tip)
+    val everAdded: Set[String] = es.flatMap(addsOf).toSet
     val all = ls(rootP)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
       .flatMap(d => ls(d))
       .map(p => rootP.relativize(p).toString)
     val gone = all.filterNot(keep)
+      .filter(f => everAdded(f) || aged(rootP.resolve(f)))
     if (!dryRun) gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
     // manifests and DV sidecars referenced by ANY entry stay (time travel
-    // replays them); only race-orphaned ones — written, never published — go
-    val es = entries(tip)
+    // replays them); only race-orphaned ones — written, never published,
+    // past the horizon — go
     val refd = es.flatMap(_.manifest)
       .map(m => rootP.resolve(m).getFileName.toString).toSet
     val orphans = ls(logP).filter { p =>
       val n = p.getFileName.toString
-      n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n)
+      n.startsWith("m-") && n.endsWith(".parquet") && !refd.contains(n) &&
+        aged(p)
     }
     if (!dryRun) orphans.foreach(Files.deleteIfExists(_))
     // DV and CDC sidecar dirs referenced by any entry stay (time travel /
-    // feed replays); race-orphaned ones go
+    // feed replays); race-orphaned ones past the horizon go
     def sweepSidecars(dirName: String, refd: Set[String]): Int = {
       val base = rootP.resolve(dirName)
       if (!Files.isDirectory(base)) return 0
-      val orphanDirs = ls(base).filter(p => !refd.contains(p.getFileName.toString))
+      val orphanDirs = ls(base).filter(p =>
+        !refd.contains(p.getFileName.toString) && aged(p))
       if (!dryRun) orphanDirs.foreach { d =>
         val w = Files.walk(d)
         try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -3752,9 +3772,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val nCdc = sweepSidecars("_cdc",
       es.flatMap(_.cdc).map(rootP.resolve(_).getFileName.toString).toSet)
     // crash-orphaned publish temporaries (.tmp-*, .ckpt-tmp-*, .ptr-tmp-*):
-    // a live one may belong to an IN-FLIGHT commit on another writer, so
-    // only sweep past an age horizon no commit publish can plausibly span
-    val horizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    // same horizon — a live one may belong to an in-flight publish
     val tmps = ls(logP).filter { p =>
       val n = p.getFileName.toString
       // '.<name>.crc' are Hadoop local-FS checksum shadows: orphaned once

@@ -112,13 +112,23 @@ class TxnSpec extends SparkTestBase {
     Seq((666L, "ghost")).toDF("k", "v").write
       .parquet(Paths.get(t.root).resolve("d-orphan").toString)
     assert(t.read().count() == 1)
-    // vacuum collects the orphan too — it deletes every d-* file the
-    // LATEST live set doesn't reference, exactly untracked-file GC
-    assert(t.vacuum() >= 1)
-    val leftover = Files.list(Paths.get(t.root).resolve("d-orphan"))
+    def orphanParquets = Files.list(Paths.get(t.root).resolve("d-orphan"))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(_.endsWith(".parquet")).toList
-    assert(leftover.isEmpty, s"orphan survived vacuum: $leftover")
+    // a FRESH unreferenced staging dir may belong to an IN-FLIGHT commit
+    // (stage→publish window) — vacuum must NOT touch it (r19: deleting
+    // it would fail the commit that is about to win its slot)
+    t.vacuum()
+    assert(orphanParquets.nonEmpty,
+      "vacuum deleted a fresh staged dir an in-flight commit could own")
+    assert(t.read().count() == 1)
+    // past the age horizon it is a crash orphan: swept like untracked GC
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.list(Paths.get(t.root).resolve("d-orphan")).iterator().asScala
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    assert(t.vacuum() >= 1)
+    assert(orphanParquets.isEmpty, "aged crash orphan must be swept")
     assert(t.read().count() == 1)
   }
 
@@ -1062,6 +1072,54 @@ class TxnSpec extends SparkTestBase {
     assert(Files.exists(freshTmp),
       "a fresh tmp may belong to an in-flight commit and must survive")
     assert(t.read().count() == 1)
+  }
+
+  test("vacuum concurrent with an in-flight commit: staged data, manifest and DV survive the sweep") {
+    // the race the age horizon exists for: a writer has STAGED its
+    // payload (data dir / DV sidecar — invisible to the snapshot fold)
+    // and not yet published. A concurrent vacuum on another handle fires
+    // inside exactly that window (onBeforePublish seam); if it swept any
+    // unreferenced-but-fresh artifact, the publish would land a commit
+    // whose files are gone. manifestThreshold = 0 forces every commit
+    // through a manifest so the manifested log shape is under test too.
+    val t = TxnTable.fresh(spark, dir("vacrace"), manifestThreshold = 0)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))   // v0
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v1: v0 sweepable
+    val other = TxnTable.at(spark, t.root, manifestThreshold = 0)
+    var swept = -1
+    t.onBeforePublish = () => if (swept < 0) swept = other.vacuum()
+    try {
+      t.append(Seq((3L, "c")).toDF("k", "v"))            // v2 — racing vacuum
+    } finally t.onBeforePublish = () => ()
+    assert(swept >= 1, "the racing vacuum still reclaims v0's replaced data")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "append racing vacuum lost staged data")
+    // same window, DV delete (sidecar staged before publish): the
+    // sidecar must survive the sweep
+    var swept2 = -1
+    t.onBeforePublish = () => if (swept2 < 0) swept2 = other.vacuum()
+    try t.deleteWhere(org.apache.spark.sql.functions.col("k") === 2L,
+      dv = true)
+    finally t.onBeforePublish = () => ()
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")),
+      "DV delete racing vacuum lost its sidecar")
+    // an UNREFERENCED manifest: fresh = maybe in-flight (the window
+    // between writeManifest and the link publish) — survives; aged =
+    // crash orphan — swept. Entry-referenced manifests always stay.
+    val logDir = Paths.get(t.root).resolve("_txn_log")
+    val freshM = logDir.resolve("m-fresh-orphan.parquet")
+    val agedM = logDir.resolve("m-aged-orphan.parquet")
+    Files.write(freshM, Array[Byte](1))
+    Files.write(agedM, Array[Byte](1))
+    Files.setLastModifiedTime(agedM, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    t.vacuum()
+    assert(Files.exists(freshM),
+      "a fresh unreferenced manifest may belong to an in-flight commit")
+    assert(!Files.exists(agedM), "aged orphan manifest must be swept")
+    Files.delete(freshM)
   }
 
   test("model fuzz: random DML sequences match an in-memory reference, inline and manifest modes") {

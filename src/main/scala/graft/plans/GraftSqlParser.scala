@@ -310,7 +310,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterDropConstraint(t, name) => pathTarget(t)
       .map(GraftAlterCommand(_, AlterOp.DropConstraint(name)): LogicalPlan)
       .getOrElse(delegate.parsePlan(sqlText))
-    case _ => delegate.parsePlan(sqlText)
+    // QUALIFY last: the statement regexes above never contain a
+    // top-level QUALIFY, and a CTAS/INSERT whose inner query carries one
+    // re-enters this parser when that query is parsed at run time
+    case s => GraftSqlParser.rewriteQualify(s)
+      .map(delegate.parsePlan)
+      .getOrElse(delegate.parsePlan(s))
   }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -391,6 +396,69 @@ object GraftSqlParser {
       i += 1
     }
     -1
+  }
+
+  /** Index of the LAST top-level occurrence of `kw` (same rules as
+    * `indexOfTop`). -1 when absent. */
+  private[graft] def lastIndexOfTop(s: String, kw: String): Int = {
+    var last = -1
+    var from = 0
+    var i = indexOfTop(s, kw)
+    while (i >= 0) {
+      last = from + i
+      from = last + kw.length
+      i = indexOfTop(s.substring(from), kw)
+    }
+    last
+  }
+
+  /** Lower a top-level `QUALIFY <pred>` — the rank-filter clause Spark's
+    * grammar lacks — onto window + filter: the predicate (which may
+    * itself contain window functions) is computed as a helper column
+    * INSIDE the original select (so it sees the same scope the select
+    * list does, including non-projected source columns), the outer
+    * select filters on it and star-excepts it away, and any trailing
+    * ORDER BY / LIMIT move to the outer block:
+    * {{{
+    *   SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+    *   ⇒ SELECT * EXCEPT (__graft_qualify__) FROM (
+    *       SELECT <list>, (<pred>) AS __graft_qualify__ FROM ...
+    *     ) WHERE __graft_qualify__ [ORDER BY ...] [LIMIT n]
+    * }}}
+    * Supported shape: a plain top-level SELECT. Documented refusals
+    * (None → the caller delegates and Spark refuses loudly): DISTINCT
+    * (a helper column would change its semantics), top-level set
+    * operations (QUALIFY would be ambiguous), WITH-led statements, and
+    * a select list already using star-EXCEPT (indistinguishable from a
+    * set operation at this level). The LAST top-level QUALIFY is the
+    * clause — an earlier bare `qualify` can only be a column alias,
+    * whose head has no top-level FROM after it and falls out as None. */
+  private[graft] def rewriteQualify(sql: String): Option[String] = {
+    if (!sql.toLowerCase.contains("qualify")) return None
+    val body = sql.trim.stripSuffix(";")
+    val qi = lastIndexOfTop(body, "QUALIFY")
+    if (qi < 0) return None
+    val head = body.take(qi).trim
+    if (!head.regionMatches(true, 0, "SELECT", 0, 6) || head.length < 7)
+      return None
+    if (head.drop(6).trim.regionMatches(true, 0, "DISTINCT", 0, 8))
+      return None
+    if (Seq("UNION", "INTERSECT", "EXCEPT")
+        .exists(indexOfTop(head, _) >= 0)) return None
+    val fi = indexOfTop(head, "FROM")
+    if (fi < 6) return None
+    val selectList = head.substring(6, fi).trim
+    val fromRest = head.drop(fi).trim
+    if (selectList.isEmpty || fromRest.isEmpty) return None
+    val tail = body.drop(qi + "QUALIFY".length)
+    val cut = Seq(indexOfTop(tail, "ORDER"), indexOfTop(tail, "LIMIT"))
+      .filter(_ >= 0).minOption.getOrElse(tail.length)
+    val pred = tail.take(cut).trim
+    if (pred.isEmpty) return None
+    val post = tail.drop(cut).trim
+    Some(s"SELECT * EXCEPT (__graft_qualify__) FROM (SELECT $selectList, " +
+      s"($pred) AS __graft_qualify__ $fromRest) WHERE __graft_qualify__" +
+      (if (post.isEmpty) "" else s" $post"))
   }
 
   /** Split a statement body at its top-level WHERE: (before, condition).

@@ -1113,6 +1113,25 @@ object TTxn {
           "ORDER BY _change_type, _commit_version, l_returnflag")
     }),
 
+    "t_txn_sql_qualify" -> ((s, d) => {
+      // QUALIFY — the rank-filter clause Spark's grammar lacks
+      // (Snowflake/DuckDB dialect): the delegating parser lowers
+      // `QUALIFY <pred>` onto window + filter (the predicate computed as
+      // a helper column inside the original select, so it sees the same
+      // scope — including the non-projected ordering column — then
+      // star-excepted away after the filter). Top-2 rows per flag by
+      // quantity over the SQL-driven demo table; the oracle runs
+      // DuckDB's NATIVE QUALIFY over the recomputed final state, so a
+      // mis-lowered predicate, a leaked helper column, or a wrong window
+      // scope breaks schema or hash.
+      sqlHistory(s, d).sql(
+        "SELECT l_returnflag, l_orderkey, l_linenumber, " +
+          "round(l_quantity, 4) AS qty FROM graft.main.demo " +
+          "QUALIFY row_number() OVER (PARTITION BY l_returnflag " +
+          "ORDER BY l_quantity DESC, l_orderkey, l_linenumber) <= 2 " +
+          "ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber")
+    }),
+
     "t_txn_sql_delete" -> ((s, d) => {
       // DELETE FROM through the PATH front door — the statement Spark's
       // grammar cannot express (`DELETE FROM '/path'`), intercepted by
@@ -2047,6 +2066,27 @@ object TTxn {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the v1 snapshot (lines 1, 2) survives an overwrite + age-windowed vacuum
     "t_txn_vacuum_age" -> oracleAgg("l_linenumber IN (1, 2)"),
+    // DuckDB's native QUALIFY over the demo table's recomputed final
+    // state (line 1 as-is, line 2 doubled, line 6 inserted, +100 where
+    // flag R, rows over 120 deleted) — the lowering must agree with the
+    // dialect that has the clause natively
+    "t_txn_sql_qualify" ->
+      ("WITH merged AS (" +
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+        "FROM lineitem WHERE l_linenumber = 1 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "l_quantity * 2 FROM lineitem WHERE l_linenumber = 2 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "l_quantity FROM lineitem WHERE l_linenumber = 6), " +
+        "updated AS (SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "CASE WHEN l_returnflag = 'R' THEN l_quantity + 100 " +
+        "ELSE l_quantity END AS l_quantity FROM merged), " +
+        "final AS (SELECT * FROM updated WHERE NOT l_quantity > 120) " +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, " +
+        "round(l_quantity, 4) AS qty FROM final " +
+        "QUALIFY row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_quantity DESC, l_orderkey, l_linenumber) <= 2 " +
+        "ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber"),
     // the SQL-driven history: line 1 as-is, line 2 doubled by the MERGE,
     // line 6 inserted; +100 where flag R (UPDATE); rows over 120 deleted
     "t_txn_sql" ->

@@ -1992,6 +1992,51 @@ class TxnSpec extends SparkTestBase {
     assert(sqlS.sql("SELECT 1 + 1").as[Int].head() == 2)
   }
 
+  test("QUALIFY: window-predicate filter lowers; refusal shapes delegate loudly; aliases never misfire") {
+    import graft.plans.GraftSqlParser.rewriteQualify
+    // top-k per group straight through sql(): helper column invisible
+    val rows = sqlS.sql(
+      "SELECT k, v FROM (SELECT 1 AS k, 10 AS v UNION ALL " +
+        "SELECT 1, 20 UNION ALL SELECT 2, 30) " +
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 " +
+        "ORDER BY k")
+    assert(rows.columns.toSeq == Seq("k", "v"),
+      "the helper column must not leak into the output")
+    assert(rows.as[(Int, Int)].collect().toSeq == Seq((1, 20), (2, 30)))
+    // the predicate may reference NON-PROJECTED source columns (it is
+    // computed inside the original select's scope)
+    assert(sqlS.sql(
+      "SELECT k FROM (SELECT 1 AS k, 5 AS h UNION ALL SELECT 2, 9) " +
+        "QUALIFY max(h) OVER (PARTITION BY k) > 7").as[Int].collect()
+      .toSeq == Seq(2))
+    // trailing LIMIT moves to the outer block
+    assert(sqlS.sql(
+      "SELECT k, v FROM (SELECT 1 AS k, 10 AS v UNION ALL SELECT 2, 30) " +
+        "QUALIFY row_number() OVER (ORDER BY v DESC) <= 2 " +
+        "ORDER BY v DESC LIMIT 1").as[(Int, Int)].collect()
+      .toSeq == Seq((2, 30)))
+    // a bare `qualify` column alias is NOT the clause — no misfire,
+    // Spark parses it as the non-reserved word it is
+    assert(sqlS.sql("SELECT 1 AS qualify").columns.toSeq == Seq("qualify"))
+    assert(rewriteQualify("SELECT a qualify FROM t").isEmpty)
+    // documented refusals: DISTINCT / set ops / WITH return None (the
+    // parser then delegates and Spark refuses the clause loudly)
+    assert(rewriteQualify(
+      "SELECT DISTINCT k FROM t QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
+    assert(rewriteQualify(
+      "SELECT k FROM a UNION SELECT k FROM b " +
+        "QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
+    assert(rewriteQualify(
+      "WITH x AS (SELECT 1 AS k) SELECT k FROM x " +
+        "QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
+    intercept[Exception](sqlS.sql(
+      "SELECT DISTINCT k FROM (SELECT 1 AS k) " +
+        "QUALIFY rank() OVER (ORDER BY k) = 1").collect())
+    // a QUALIFY inside a string literal never triggers the rewrite
+    assert(sqlS.sql("SELECT 'QUALIFY x' AS s").as[String].head()
+      == "QUALIFY x")
+  }
+
   test("OPTIMIZE ZORDER BY: derived-key relayout prunes BOTH dimensions, key never stored") {
     val t = TxnTable.fresh(spark, dir("zorder_native"))
     val rng = new scala.util.Random(7)

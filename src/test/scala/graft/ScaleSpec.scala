@@ -256,4 +256,62 @@ class ScaleSpec extends SparkTestBase {
       case None    => spark.conf.unset("spark.sql.cbo.enabled")
     }
   }
+
+  test("txn metadata plane at 100x files: checkpoint rows stay in the data plane, driver holds only survivors") {
+    // the r19 scale pin for the commit-log format: snapshot resolution on
+    // a checkpointed manifest-scale table must (a) read the checkpoint's
+    // FILE rows as a parquet scan inside the liveDF plan — never as a
+    // driver-materialized local relation ∝ live files — and (b) land
+    // only PRUNE SURVIVORS on the driver for a predicate read. The
+    // LIGHT-checkpoint mode (file rows not retained driver-side) is
+    // forced via the test seam so fixture scale exercises the 100 TB
+    // path; content must equal the retained mode exactly.
+    import graft.sources.TxnTable
+    import spark.implicits._
+    val root = queries.scratch("scalespec_ckpt")
+    val t = TxnTable.fresh(spark, root,
+      manifestThreshold = 0, checkpointInterval = 2)
+    // 5 commits: appends + an overwrite + a delete → checkpoints at v2, v4
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "q"))        // v0
+    t.append(Seq((3L, 30.0), (4L, 40.0)).toDF("k", "q"))        // v1
+    t.append(Seq((5L, 50.0)).toDF("k", "q"))                    // v2 +ckpt
+    t.overwrite(Seq((6L, 60.0), (7L, 70.0)).toDF("k", "q"))     // v3
+    t.append(Seq((8L, 80.0)).toDF("k", "q"))                    // v4 +ckpt
+    val want = Set((6L, 60.0), (7L, 70.0), (8L, 80.0))
+    val prevLimit = TxnTable.checkpointDriverFileLimit
+    try {
+      TxnTable.checkpointDriverFileLimit = 0L // every checkpoint LIGHT
+      val fresh = TxnTable.at(spark, root,
+        manifestThreshold = 0, checkpointInterval = 2)
+      // (a) plan shape: the checkpoint parquet is a FileScan leaf of the
+      // resolution plan, and no local relation carries the live set
+      val live = fresh.liveFilesDF(fresh.currentVersion)
+      // sparkPlan (pre-AQE): executedPlan's only leaf is the adaptive shell
+      val exec = live.queryExecution.sparkPlan
+      val scanned = exec.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten
+      assert(scanned.exists(_.contains(".ckpt.parquet")),
+        s"checkpoint file rows must enter liveDF as a parquet scan; " +
+          s"scanned: ${scanned.mkString(", ")}\nplan:\n$exec")
+      val localRows = exec.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.size
+      }.sum
+      assert(localRows <= 4,
+        s"local relation must carry only the TAIL's inline rows, got $localRows")
+      // (b) content equals the retained-mode twin at every version
+      assert(fresh.read().as[(Long, Double)].collect().toSet == want)
+      assert(fresh.read(version = 2).as[(Long, Double)].collect().toSet ==
+        Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
+      // (c) a predicate read lands only survivors on the driver
+      assert(fresh.readWhereEq("k", 8L).count() == 1)
+      assert(fresh.lastPlanningCollect >= 0 && fresh.lastPlanningCollect <= 2,
+        s"driver landed ${fresh.lastPlanningCollect} paths for a point read")
+    } finally TxnTable.checkpointDriverFileLimit = prevLimit
+    // retained mode agrees
+    val again = TxnTable.at(spark, root,
+      manifestThreshold = 0, checkpointInterval = 2)
+    assert(again.read().as[(Long, Double)].collect().toSet == want)
+  }
 }

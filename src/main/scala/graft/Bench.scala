@@ -44,6 +44,17 @@ object Bench {
         "p_sql_recursive"))
       try { SparkEntry.queries(w)(spark, sfDir).count() }
       catch { case _: Throwable => () }
+    // the geo knn's window-group-limit + ring-fallback codegen compiles
+    // on first touch (~1.7 s of the timed key); warm it at the GOLDEN
+    // tier, never the bench tier — the key memoizes its cached phase-1
+    // per (session, dir), so a same-dir warm would hand the timed run a
+    // pre-built cache and fake the number. Codegen caches on generated
+    // source, which is plan-shape- (not size-) keyed, so the tiny tier
+    // warms the same compiled classes the timed run uses.
+    if (sfDir != "/root/testdata/sf0.001")
+      try { SparkEntry.queries("c_join_geo_knn")(
+        spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
     // The txn keys' shared fixtures (multi-commit histories, staged merge
     // sources) are per-JVM: built here untimed, so the first txn key in
     // the suite doesn't absorb fixture orchestration that is not its

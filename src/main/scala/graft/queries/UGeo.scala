@@ -60,10 +60,19 @@ object UGeo {
   private val siteKLon = "(c_custkey * 523 % 5000)"
 
   /** Residue -> degrees inside the box [39.8, 40.2) x [-75.4, -74.9).
-    * CAST AS DOUBLE keeps Spark off its decimal-literal arithmetic path
-    * so both engines evaluate (and emit) IEEE doubles. */
-  private def latOf(k: String) = s"CAST(39.8 + $k / 10000.0 AS DOUBLE)"
-  private def lonOf(k: String) = s"CAST(-75.4 + $k / 10000.0 AS DOUBLE)"
+    * The INNER cast makes the division itself IEEE double in BOTH
+    * engines: DuckDB always divided int/double as double, but Spark
+    * parsed `k / 10000.0` as DECIMAL division (the 10000.0 literal is
+    * DecimalType) — semantically fine after the outer cast, but decimal
+    * division generates ~10x the bytecode of a double divide, and
+    * inlined 8x into the haversine it pushed the fused candidate stage
+    * past what JIT compiles well (r19: the knn ranking stage ran 2.5x
+    * slower on the decimal path). Double division is also bit-identical
+    * to the oracle's evaluation order, a strictly tighter match. */
+  private def latOf(k: String) =
+    s"CAST(39.8 + CAST($k AS DOUBLE) / 10000.0 AS DOUBLE)"
+  private def lonOf(k: String) =
+    s"CAST(-75.4 + CAST($k AS DOUBLE) / 10000.0 AS DOUBLE)"
 
   /** Haversine great-circle distance in km — ONE formula string, fed
     * verbatim to Spark and DuckDB (both evaluate IEEE doubles; the
@@ -219,11 +228,21 @@ object UGeo {
         expr(cellSql("skl", "sko", "DIV", cs, "dij.di", "dij.dj")).as("cell"))
   }
 
+  /** Point side of the grid join. The orders scan is ONE input split at
+    * fixture scale (a single small parquet file), which would run the
+    * entire candidate stage — broadcast join, haversine, rank's partial
+    * window-group-limit — on one core while the rest idle; a cheap
+    * cell-hash repartition of the 150k-row point table unlocks the full
+    * parallelism for the 2.6M-row candidate work above it. At cluster
+    * scale the scan already arrives in many splits and the repartition
+    * is a no-op-sized shuffle either way. */
   private def gridPts(s: org.apache.spark.sql.SparkSession, d: String,
       cs: String): DataFrame = Tables.orders(s, d)
     .select(col("o_orderkey"), expr(ordKLat).as("pkl"),
       expr(ordKLon).as("pko"),
       expr(cellSql("pkl", "pko", "DIV", cs)).as("cell"))
+    .repartition(math.max(2, s.sparkContext.defaultParallelism),
+      col("cell"))
 
   private def gridDist = round(expr(havSql(
     latOf("pkl"), lonOf("pko"), latOf("skl"), lonOf("sko"))), 4)

@@ -363,9 +363,19 @@ final class TxnTable(val spark: SparkSession, val root: String,
       loadFiles =
         if (withFiles) { val l = live.result(); val s = stats.result();
           () => (l, s) }
-        else () => { val full = scanCheckpoint(v, withFiles = true)
-          full.filesAndStats })
+        else () => {
+          lightCheckpointLoads.incrementAndGet()
+          val full = scanCheckpoint(v, withFiles = true)
+          full.filesAndStats
+        })
   }
+
+  /** How many times a LIGHT checkpoint's file rows were materialized
+    * driver-side by this handle — the observable ScaleSpec uses to prove
+    * the plain read path NEVER does it (only commit-time/maintenance
+    * folds may). Test-only. */
+  private[graft] val lightCheckpointLoads =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   private def readCheckpoint(v: Long): Checkpoint = {
     // footer row count decides retained vs LIGHT before decoding a row:
@@ -1101,10 +1111,36 @@ final class TxnTable(val spark: SparkSession, val root: String,
     * the file-relation's own cardinality; any DV anti-join above scales
     * its estimate off this). Column stats are keyed by PHYSICAL name,
     * which is what the leaf relation's attributes carry. */
+  /** Per-file stats for `relFiles` at `v`, without pulling the WHOLE
+    * stats fold onto the driver when the table resolves through a light
+    * checkpoint: the driver-foldable path reuses the (cached) full fold;
+    * otherwise the lookup rides the distributed liveDF(withStats) plan
+    * and collects ∝ relFiles — the same transient planning-time scale as
+    * the path collect that produced relFiles in the first place. */
+  private def statsFor(v: Long, relFiles: Seq[String]): FileStats = {
+    val (ck, es) = tailEntries(v)
+    if (driverFoldable(ck, es)) statsAt(v)
+    else {
+      import org.apache.spark.sql.functions.col
+      val base = liveDF(v, withStats = true)
+      // a huge isin list bloats the plan; past that, collect the live
+      // (path, stats) pairs — transient, ∝ live files, never retained
+      val rows =
+        if (relFiles.size <= 1000)
+          base.filter(col("path").isin(relFiles: _*)).collect()
+        else {
+          val want = relFiles.toSet
+          base.collect().filter(r => want(r.getString(0)))
+        }
+      rows.flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _))
+        .toMap
+    }
+  }
+
   private def leafCatalogStats(v: Long, relFiles: Seq[String])
       : org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
-    val stats = statsAt(v)
+    val stats = statsFor(v, relFiles)
     val rows = relFiles.map(rowCountOf(_, stats)).sum
     val bytes = relFiles.map(bytesOf(_, stats)).sum
     val (mm, nn) = foldColStats(relFiles, stats)

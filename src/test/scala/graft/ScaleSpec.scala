@@ -308,6 +308,12 @@ class ScaleSpec extends SparkTestBase {
       assert(fresh.readWhereEq("k", 8L).count() == 1)
       assert(fresh.lastPlanningCollect >= 0 && fresh.lastPlanningCollect <= 2,
         s"driver landed ${fresh.lastPlanningCollect} paths for a point read")
+      // (d) none of the reads above materialized the light checkpoint's
+      // file rows driver-side — opening + reading a huge table must
+      // never pin O(files) driver heap (only commit-time folds may)
+      assert(fresh.lightCheckpointLoads.get() == 0,
+        s"read path materialized a light checkpoint " +
+          s"${fresh.lightCheckpointLoads.get()} times")
     } finally TxnTable.checkpointDriverFileLimit = prevLimit
     // retained mode agrees
     val again = TxnTable.at(spark, root,

@@ -312,10 +312,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .getOrElse(delegate.parsePlan(sqlText))
     // QUALIFY last: the statement regexes above never contain a
     // top-level QUALIFY, and a CTAS/INSERT whose inner query carries one
-    // re-enters this parser when that query is parsed at run time
-    case s => GraftSqlParser.rewriteQualify(s)
-      .map(delegate.parsePlan)
-      .getOrElse(delegate.parsePlan(s))
+    // re-enters this parser when that query is parsed at run time.
+    // A rewrite that fails to PARSE falls back to the original text —
+    // the string-level lowering must never break a statement the
+    // delegate accepts (a genuine QUALIFY then still fails loudly, on
+    // the original, in the delegate's grammar).
+    case s => GraftSqlParser.rewriteQualify(s) match {
+      case Some(r) =>
+        try delegate.parsePlan(r)
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            delegate.parsePlan(s)
+        }
+      case None => delegate.parsePlan(s)
+    }
   }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -368,32 +378,83 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** True iff position `i` opens a span the keyword scanner must skip
+    * whole: a single-quoted string ('' escapes), a backtick-quoted
+    * identifier (`` escapes), a `--` line comment, or a bracketed
+    * comment (which Spark nests). */
+  private def spanOpensAt(s: String, i: Int): Boolean = {
+    val c = s.charAt(i)
+    c == '\'' || c == '`' ||
+      (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') ||
+      (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*')
+  }
+
+  /** Index just past the span opening at `i` (`spanOpensAt` holds).
+    * An unterminated span runs to end-of-string — the delegate's own
+    * lexer reports that error, not this scanner. */
+  private def skipSpan(s: String, i: Int): Int = s.charAt(i) match {
+    case q @ ('\'' | '`') =>
+      var j = i + 1
+      while (j < s.length) {
+        if (s.charAt(j) == q) {
+          if (j + 1 < s.length && s.charAt(j + 1) == q) j += 2 // doubled escape
+          else return j + 1
+        } else j += 1
+      }
+      j
+    case '-' => // "--" comment: to (and past) the newline
+      val nl = s.indexOf('\n', i)
+      if (nl < 0) s.length else nl + 1
+    case _ => // "/* ... */", nested per Spark's lexer (hints included)
+      var j = i + 2; var d = 1
+      while (j < s.length && d > 0) {
+        if (s.regionMatches(false, j, "/*", 0, 2)) { d += 1; j += 2 }
+        else if (s.regionMatches(false, j, "*/", 0, 2)) { d -= 1; j += 2 }
+        else j += 1
+      }
+      j
+  }
+
+  /** First index at/after `from` that is neither whitespace nor inside a
+    * comment — the "next token starts here" scanner the DISTINCT / WITH
+    * peeks use (quoted spans are NOT skipped: a quote IS a token). */
+  private[plans] def skipWsAndComments(s: String, from: Int): Int = {
+    var i = from
+    var moved = true
+    while (moved && i < s.length) {
+      moved = false
+      while (i < s.length && s.charAt(i).isWhitespace) { i += 1; moved = true }
+      if (i < s.length && (s.regionMatches(false, i, "--", 0, 2) ||
+          s.regionMatches(false, i, "/*", 0, 2))) {
+        i = skipSpan(s, i); moved = true
+      }
+    }
+    i
+  }
+
   /** Index of the first TOP-LEVEL occurrence of keyword `kw` in `s` —
-    * case-insensitive, word-bounded, outside parens and single-quoted
-    * strings ('' escapes). -1 when absent. The scanner every statement
-    * splitter here uses, so a keyword inside a string literal or a
-    * subquery can never split the statement. */
+    * case-insensitive, word-bounded, outside parens, single-quoted
+    * strings ('' escapes), backtick identifiers, and `--` / bracketed
+    * comments. -1 when absent. The scanner every statement splitter here
+    * uses, so a keyword inside a string literal, a quoted identifier, a
+    * comment, or a subquery can never split the statement. */
   private[plans] def indexOfTop(s: String, kw: String): Int = {
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
-          else inStr = false
+      if (spanOpensAt(s, i)) i = skipSpan(s, i)
+      else {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !isWord(s.charAt(i + kw.length))) =>
+            return i
+          case _ => ()
         }
-      } else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || !isWord(s.charAt(i - 1))) &&
-            (i + kw.length >= s.length || !isWord(s.charAt(i + kw.length))) =>
-          return i
-        case _ => ()
+        i += 1
       }
-      i += 1
     }
     -1
   }
@@ -425,23 +486,38 @@ object GraftSqlParser {
     *       SELECT <list>, (<pred>) AS __graft_qualify__ FROM ...
     *     ) WHERE __graft_qualify__ [ORDER BY ...] [LIMIT n]
     * }}}
-    * Supported shape: a plain top-level SELECT. Documented refusals
-    * (None → the caller delegates and Spark refuses loudly): DISTINCT
-    * (a helper column would change its semantics), top-level set
-    * operations (QUALIFY would be ambiguous), WITH-led statements, and
-    * a select list already using star-EXCEPT (indistinguishable from a
-    * set operation at this level). The LAST top-level QUALIFY is the
-    * clause — an earlier bare `qualify` can only be a column alias,
-    * whose head has no top-level FROM after it and falls out as None. */
+    * Supported shapes: a plain top-level SELECT, and a WITH-led
+    * statement (the CTE prefix — whose bodies are parenthesized and so
+    * never top-level — is carried verbatim and the final SELECT is
+    * rewritten). Documented refusals (None → the caller delegates and
+    * Spark refuses loudly): DISTINCT (a helper column would change its
+    * semantics, detected past any leading hint/comment), top-level set
+    * operations (QUALIFY would be ambiguous), and a select list already
+    * using star-EXCEPT (indistinguishable from a set operation at this
+    * level). The LAST top-level QUALIFY is the clause — an earlier bare
+    * `qualify` can only be a column alias, whose head has no top-level
+    * FROM after it and falls out as None. */
   private[graft] def rewriteQualify(sql: String): Option[String] = {
     if (!sql.toLowerCase.contains("qualify")) return None
     val body = sql.trim.stripSuffix(";")
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    val w0 = skipWsAndComments(body, 0)
+    if (body.regionMatches(true, w0, "WITH", 0, 4) &&
+        (w0 + 4 >= body.length || !isWord(body.charAt(w0 + 4)))) {
+      // WITH-led: the main query is the first TOP-LEVEL SELECT (every
+      // CTE body sits inside its parens); rewrite it, keep the prefix
+      val si = indexOfTop(body, "SELECT")
+      return if (si <= w0) None
+      else rewriteQualify(body.drop(si)).map(body.take(si) + _)
+    }
     val qi = lastIndexOfTop(body, "QUALIFY")
     if (qi < 0) return None
     val head = body.take(qi).trim
     if (!head.regionMatches(true, 0, "SELECT", 0, 6) || head.length < 7)
       return None
-    if (head.drop(6).trim.regionMatches(true, 0, "DISTINCT", 0, 8))
+    val di = skipWsAndComments(head, 6)
+    if (head.regionMatches(true, di, "DISTINCT", 0, 8) &&
+        (di + 8 >= head.length || !isWord(head.charAt(di + 8))))
       return None
     if (Seq("UNION", "INTERSECT", "EXCEPT")
         .exists(indexOfTop(head, _) >= 0)) return None

@@ -1120,13 +1120,16 @@ object TTxn {
       // a helper column inside the original select, so it sees the same
       // scope — including the non-projected ordering column — then
       // star-excepted away after the filter). Top-2 rows per flag by
-      // quantity over the SQL-driven demo table; the oracle runs
-      // DuckDB's NATIVE QUALIFY over the recomputed final state, so a
-      // mis-lowered predicate, a leaked helper column, or a wrong window
-      // scope breaks schema or hash.
+      // quantity over the SQL-driven demo table, through the WITH-led
+      // shape (the CTE prefix is carried verbatim and the final SELECT
+      // rewritten); the oracle runs DuckDB's NATIVE QUALIFY over the
+      // recomputed final state, so a mis-lowered predicate, a leaked
+      // helper column, a wrong window scope, or a mangled CTE prefix
+      // breaks schema or hash.
       sqlHistory(s, d).sql(
-        "SELECT l_returnflag, l_orderkey, l_linenumber, " +
-          "round(l_quantity, 4) AS qty FROM graft.main.demo " +
+        "WITH demo AS (SELECT * FROM graft.main.demo) " +
+          "SELECT l_returnflag, l_orderkey, l_linenumber, " +
+          "round(l_quantity, 4) AS qty FROM demo " +
           "QUALIFY row_number() OVER (PARTITION BY l_returnflag " +
           "ORDER BY l_quantity DESC, l_orderkey, l_linenumber) <= 2 " +
           "ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber")

@@ -2019,22 +2019,40 @@ class TxnSpec extends SparkTestBase {
     // Spark parses it as the non-reserved word it is
     assert(sqlS.sql("SELECT 1 AS qualify").columns.toSeq == Seq("qualify"))
     assert(rewriteQualify("SELECT a qualify FROM t").isEmpty)
-    // documented refusals: DISTINCT / set ops / WITH return None (the
-    // parser then delegates and Spark refuses the clause loudly)
+    // documented refusals: DISTINCT / set ops return None (the parser
+    // then delegates and Spark refuses the clause loudly) — DISTINCT
+    // detected even behind a leading hint or comment
     assert(rewriteQualify(
       "SELECT DISTINCT k FROM t QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
     assert(rewriteQualify(
-      "SELECT k FROM a UNION SELECT k FROM b " +
+      "SELECT /*+ REPARTITION(2) */ DISTINCT k FROM t " +
         "QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
     assert(rewriteQualify(
-      "WITH x AS (SELECT 1 AS k) SELECT k FROM x " +
+      "SELECT k FROM a UNION SELECT k FROM b " +
         "QUALIFY rank() OVER (ORDER BY k) = 1").isEmpty)
     intercept[Exception](sqlS.sql(
       "SELECT DISTINCT k FROM (SELECT 1 AS k) " +
         "QUALIFY rank() OVER (ORDER BY k) = 1").collect())
+    // WITH-led: the CTE prefix is carried and the final SELECT rewritten
+    assert(sqlS.sql(
+      "WITH x AS (SELECT 1 AS k, 10 AS v UNION ALL SELECT 1, 20 " +
+        "UNION ALL SELECT 2, 30) SELECT k, v FROM x " +
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 " +
+        "ORDER BY k").as[(Int, Int)].collect().toSeq
+      == Seq((1, 20), (2, 30)))
     // a QUALIFY inside a string literal never triggers the rewrite
     assert(sqlS.sql("SELECT 'QUALIFY x' AS s").as[String].head()
       == "QUALIFY x")
+    // ... nor inside a comment or a backtick identifier: previously-valid
+    // statements mentioning the word stay untouched (and parse)
+    assert(rewriteQualify(
+      "SELECT a FROM t -- qualify: keep top rows\nWHERE a > 1").isEmpty)
+    assert(rewriteQualify(
+      "SELECT a /* qualify later */ FROM t WHERE a > 1").isEmpty)
+    assert(rewriteQualify("SELECT `qualify` FROM t").isEmpty)
+    assert(sqlS.sql(
+      "SELECT k FROM (SELECT 2 AS k) -- qualify: keep top rows\n" +
+        "WHERE k > 1").as[Int].head() == 2)
   }
 
   test("OPTIMIZE ZORDER BY: derived-key relayout prunes BOTH dimensions, key never stored") {

@@ -1121,21 +1121,37 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val (ck, es) = tailEntries(v)
     if (driverFoldable(ck, es)) statsAt(v)
     else {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{broadcast, col}
       val base = liveDF(v, withStats = true)
-      // a huge isin list bloats the plan; past that, collect the live
-      // (path, stats) pairs — transient, ∝ live files, never retained
+      // a small isin list embeds in the plan; past that, semi-join the
+      // live (path, stats) plan against a broadcast relation of the
+      // PLANNED paths — the collect lands only the ≤ relFiles matches,
+      // never the live set (relFiles is already driver-resident, so the
+      // broadcast adds no new driver scale; at 100 TB the live set is
+      // millions of rows and must stay in the data plane)
       val rows =
-        if (relFiles.size <= 1000)
+        if (relFiles.size <= statsAttachIsinLimit)
           base.filter(col("path").isin(relFiles: _*)).collect()
         else {
-          val want = relFiles.toSet
-          base.collect().filter(r => want(r.getString(0)))
+          import spark.implicits._
+          val want = relFiles.toDF("__want_path")
+          base.join(broadcast(want), col("path") === col("__want_path"))
+            .select("path", "stats").collect()
         }
+      lastStatsAttachCollect = rows.length
       rows.flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _))
         .toMap
     }
   }
+
+  /** TEST SEAM: isin-vs-join crossover for the stats attach (production
+    * value keeps short planned lists inside the plan literal). */
+  @volatile private[graft] var statsAttachIsinLimit: Int = 1000
+
+  /** TEST SEAM: how many (path, stats) rows the most recent manifest-
+    * scale stats attach landed on the driver — ScaleSpec pins ≤ the
+    * planned-file count, never the live set. */
+  @volatile private[graft] var lastStatsAttachCollect: Int = -1
 
   private def leafCatalogStats(v: Long, relFiles: Seq[String])
       : org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {

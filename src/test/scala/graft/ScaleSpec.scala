@@ -314,6 +314,21 @@ class ScaleSpec extends SparkTestBase {
       assert(fresh.lightCheckpointLoads.get() == 0,
         s"read path materialized a light checkpoint " +
           s"${fresh.lightCheckpointLoads.get()} times")
+      // (e) the WIDE stats attach (implicit CBO stats on a no-predicate
+      // read) through the broadcast-join path lands only planned-file
+      // rows on the driver — never the live (path, stats) set. The isin
+      // crossover is forced to 0 via the seam so the join path runs at
+      // fixture scale; a fresh handle defeats the per-handle stats cache.
+      val fresh2 = TxnTable.at(spark, root,
+        manifestThreshold = 0, checkpointInterval = 2)
+      fresh2.statsAttachIsinLimit = 0
+      val wide = fresh2.read()
+      assert(wide.as[(Long, Double)].collect().toSet == want)
+      val nPlanned = wide.inputFiles.length
+      assert(fresh2.lastStatsAttachCollect >= 0 &&
+        fresh2.lastStatsAttachCollect <= nPlanned,
+        s"wide stats attach landed ${fresh2.lastStatsAttachCollect} rows " +
+          s"on the driver for $nPlanned planned files")
     } finally TxnTable.checkpointDriverFileLimit = prevLimit
     // retained mode agrees
     val again = TxnTable.at(spark, root,

@@ -769,10 +769,15 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val (ck, es) = tailEntries(version)
     if (driverFoldable(ck, es))
       // ordered driver fold, seeded from the checkpoint's live set —
-      // pre-checkpoint manifests never need re-reading
+      // pre-checkpoint manifests never need re-reading. Path-KEYED like
+      // the distributed fold: a path added twice without an intervening
+      // remove (the at-least-once publish a lying create-if-absent
+      // forces — see the publish-fault specs) must stay live ONCE, or
+      // the scan reads the file twice.
       es.foldLeft(ck.fold(Vector.empty[String])(_.live)) { (live, e) =>
-        live.filterNot(e.inlineRemove.contains) ++ e.inlineAdd
-      }
+        val kept = live.filterNot(e.inlineRemove.contains)
+        kept ++ e.inlineAdd.filterNot(kept.contains)
+      }.distinct
     else liveFilesDF(version).collect().map(_.getString(0)).toSeq.sorted
   }
 
@@ -823,10 +828,23 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tmp = logP.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    try { Files.createLink(entryFile(v), tmp); maybeCheckpoint(v); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally Files.delete(tmp)
+    // the ONE atomic step in the whole commit path, behind an injectable
+    // seam so specs can make the storage lie (throw after creating,
+    // return false but create) and prove the log survives — see
+    // TxnTable.PublishStore
+    try {
+      if (publishStore.createIfAbsent(entryFile(v), tmp)) {
+        maybeCheckpoint(v); true
+      } else false
+    } finally Files.delete(tmp)
   }
+
+  /** TEST SEAM: the atomic create-if-absent primitive `tryCommit`
+    * publishes through. Production value is the POSIX hard-link store;
+    * fault specs swap in stores that throw after creating or lie about
+    * losing, to pin what each storage fault can and cannot corrupt. */
+  @volatile private[graft] var publishStore: TxnTable.PublishStore =
+    TxnTable.LocalLinkStore
 
   /** TEST SEAM: invoked at the top of EVERY publish attempt (after
     * staging is complete — tryCommit is only ever called on fully-staged
@@ -3854,17 +3872,45 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // only artifacts older than any plausible publish window go. Files
     // referenced by SOME entry but outside every retained snapshot were
     // definitely published, so their retention alone decides them.
-    val horizonMs = System.currentTimeMillis() - 60L * 60 * 1000
+    // The default one hour generously bounds a local publish window;
+    // operators with slower writers (an object-store multipart stage can
+    // outlive an hour) widen it per table via the
+    // `graft.vacuum.horizonHours` property.
+    val horizonHours = propertiesAt(tip)
+      .get(TxnTable.VacuumHorizonProp).map(_.toDouble).getOrElse(1.0)
+    val horizonMs =
+      System.currentTimeMillis() - (horizonHours * 3600 * 1000).toLong
     def aged(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis < horizonMs
     val es = entries(tip)
-    val everAdded: Set[String] = es.flatMap(addsOf).toSet
     val all = ls(rootP)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
       .flatMap(d => ls(d))
       .map(p => rootP.relativize(p).toString)
-    val gone = all.filterNot(keep)
-      .filter(f => everAdded(f) || aged(rootP.resolve(f)))
+    val nonKeep = all.filterNot(keep)
+    val (agedGone, freshCand) = nonKeep.partition(f => aged(rootP.resolve(f)))
+    // the ever-added set only decides FRESH non-keep candidates (a file
+    // some entry added but no retained snapshot references is sweepable
+    // at any age; aged ones sweep regardless) — and addsOf reads each
+    // manifested entry's manifest driver-side, so consult the history
+    // only when a fresh candidate actually exists, and stop as soon as
+    // every candidate is accounted for: steady-state vacuums (no
+    // in-flight young files) pay ZERO manifest reads here, and a bounded
+    // number otherwise — never O(history) unconditionally.
+    val freshGone =
+      if (freshCand.isEmpty) Nil
+      else {
+        val want = scala.collection.mutable.Set(freshCand: _*)
+        val hit = Seq.newBuilder[String]
+        val it = es.iterator
+        while (want.nonEmpty && it.hasNext) {
+          val matched = addsOf(it.next()).filter(want)
+          matched.foreach(want -= _)
+          hit ++= matched
+        }
+        hit.result()
+      }
+    val gone = agedGone ++ freshGone
     if (!dryRun) gone.foreach(f => Files.deleteIfExists(rootP.resolve(f)))
     // manifests and DV sidecars referenced by ANY entry stay (time travel
     // replays them); only race-orphaned ones — written, never published,
@@ -3966,6 +4012,33 @@ object TxnTable {
     * feature gate every evolving log format needs. */
   val SupportedReader = 2
   val SupportedWriter = 2
+
+  /** Table property naming the vacuum age horizon (hours) for
+    * never-published artifacts — how long an in-flight commit's staged
+    * files are shielded from the sweep (default 1.0; see `vacuum`). */
+  val VacuumHorizonProp = "graft.vacuum.horizonHours"
+
+  /** The atomic create-if-absent primitive every commit publishes
+    * through — the contract an object store must honor (conditional PUT
+    * / if-none-match) for the log to be correct there. `src` is always
+    * FULLY written before the call, so a winning publish is never torn.
+    * Returns true iff this call created `dst`; false iff `dst` already
+    * existed. Injectable per table handle (`publishStore`) so fault
+    * specs can exercise a storage layer that throws after creating or
+    * lies about losing. */
+  trait PublishStore {
+    def createIfAbsent(dst: java.nio.file.Path,
+        src: java.nio.file.Path): Boolean
+  }
+
+  /** Production store: POSIX hard link — atomic, fails iff `dst`
+    * exists. */
+  object LocalLinkStore extends PublishStore {
+    def createIfAbsent(dst: java.nio.file.Path,
+        src: java.nio.file.Path): Boolean =
+      try { java.nio.file.Files.createLink(dst, src); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
 
   /** The log actions this build understands. `parse` refuses anything
     * else loudly (see the forward-compat gate there). */

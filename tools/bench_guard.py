@@ -19,6 +19,12 @@ however large its raw ratio.
 Usage:
     tools/bench_guard.py <driver.json> <quiet.json> <sf_dir> [band]
 
+The pinned reference for routine gating is BASELINE_KEYS.json (the
+checked-in per-key quiet-min map): run
+    tools/bench_guard.py BENCH_rN.json BASELINE_KEYS.json <sf_dir> 2
+and the 2x gate is meaningful for ALL keys, not just the headliners —
+exit code 1 iff any key's drift-corrected median exceeds the band.
+
 Emits a markdown table (paste into BENCH_NOTES) followed by one JSON
 line with the full result list. Exit code 1 iff any key's verdict is
 "regression".
@@ -53,6 +59,8 @@ def load_queries(path):
         obj = json.loads(text)
         if isinstance(obj, dict) and "queries" in obj:
             return obj["queries"]
+        if isinstance(obj, dict) and "min" in obj:
+            return obj["min"]  # quiet two-window protocol output
         if isinstance(obj, dict) and "tail" in obj:
             text = obj["tail"]
     except json.JSONDecodeError:

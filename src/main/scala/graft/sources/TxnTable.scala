@@ -3261,31 +3261,37 @@ final class TxnTable(val spark: SparkSession, val root: String,
       when(condCol(cnd), lit(i)).otherwise(acc)
     }
     val gks = keyCols.indices.map(i => s"_gk$i")
-    // `_sid` tags each SOURCE row with a unique id so the multi-match
-    // guard below can count source rows per key off the persisted pair
-    // join itself (ids need only be distinct within one computation;
-    // the frame is persisted before the guard reads them)
     val decided = boxed(inTouched, tA)
-      .join(boxed(src, sA).withColumn("_sid",
-        org.apache.spark.sql.functions.monotonically_increasing_id()), gks,
-        "inner")
+      .join(boxed(src, sA), gks, "inner")
       .withColumn("_ci", mIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // multi-match guard (same refusal as `merge`): a target KEY matched
-    // by more than one source row refuses. Counted over `decided` — the
-    // pair join this merge builds anyway — instead of a second
-    // src×target scan: distinct `_sid` per key is exactly the number of
-    // matching source rows (target-side duplicate rows multiply pairs,
-    // not distinct sids, so testdata's duplicate keys cannot false-
-    // positive). Runs before any side effect (first action also
-    // materializes the persist the clause application reuses).
+    // by more than one source row refuses. Decided SOURCE-SIDE — a
+    // grouped count ∝ source rows, then a semi-join of the (usually
+    // empty) duplicate-key set against the touched target keys — which
+    // is equivalent to counting matches over the pair join (a key pairs
+    // with ≥2 source rows iff the source holds ≥2 rows for it AND the
+    // target has it) but never shuffles the pairs: at 100 TB the pair
+    // join is the big frame and the source the small one. Null-keyed
+    // source rows can never match (null ≠ null in the equi-join), so
+    // they are excluded before counting. Runs before any side effect.
     if (touched.nonEmpty) {
-      val dup = prof("mw.guard")(decided
-        .groupBy(gks.map(col): _*)
-        .agg(org.apache.spark.sql.functions.countDistinct(col("_sid"))
-          .as("_nsrc"))
-        .filter(col("_nsrc") > 1).limit(1).collect())
+      val srcKeys = boxed(src, sA).select(gks.map(col): _*)
+        .filter(gks.map(col(_).isNotNull).reduce(_ && _))
+      val dupKeys = srcKeys.groupBy(gks.map(col): _*).count()
+        .filter(col("count") > 1).drop("count")
+      // two-phase: the source-only probe decides the COMMON case (no
+      // duplicate keys at all) without touching the target side; only
+      // an actual duplicate pays the semi-join that checks whether the
+      // target holds it
+      val dup = prof("mw.guard")(
+        if (dupKeys.limit(1).collect().isEmpty)
+          Array.empty[org.apache.spark.sql.Row]
+        else dupKeys
+          .join(boxed(inTouched, tA).select(gks.map(col): _*), gks,
+            "left_semi")
+          .limit(1).collect())
       if (dup.nonEmpty) throw new IllegalStateException(
         "merge: multiple source rows match the same target key (" +
           keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }

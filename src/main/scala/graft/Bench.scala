@@ -75,6 +75,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"ann fixture warm failed: ${e.getMessage}")
     }
+    // the bucketed-join tables are a pre-existing layout property at
+    // scale (bucketing shuffles once at ingest, not per query) — built
+    // untimed like the txn fixtures
+    try graft.queries.PPipeline.warmFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"pipeline fixture warm failed: ${e.getMessage}")
+    }
     // The txn path-SQL keys' first touch pays parser/command/staging
     // classload — BENCH_r16 showed t_txn_sql_insert at 11.6 s noisy vs
     // 1.11 s quiet-min for exactly this reason. One untimed 2-row

@@ -173,4 +173,20 @@ class LshRecallSpec extends SparkTestBase {
     assert(rows(1)._2._1 == probeN,
       "probe-recall nprobe=2 row must describe the dedicated probe key's set")
   }
+
+  test("shared full-corpus PQ build reproduces the standalone PQ keys bit-identically") {
+    // r20: i_ann_pq / i_ann_pq_recall serve from the per-(session, dir)
+    // pqFullShared training build; the standalone forms train their own.
+    // Both rank through annPqRank, and all columns are integers, so the
+    // rows must match exactly — a drifted shared build breaks this before
+    // it can break the oracle.
+    val emb = Tables.embeddings(spark, sfDir)
+    val pqKey = SparkEntry.queries("i_ann_pq")(spark, sfDir).collect().toSeq
+    val pqStandalone = graft.queries.OCurate.annPq(emb).collect().toSeq
+    assert(pqKey == pqStandalone, "i_ann_pq shared != standalone")
+    val rKey = SparkEntry.queries("i_ann_pq_recall")(spark, sfDir)
+      .collect().toSeq
+    val rStandalone = graft.queries.OCurate.annPqRecall(emb).collect().toSeq
+    assert(rKey == rStandalone, "i_ann_pq_recall shared != standalone")
+  }
 }

@@ -565,7 +565,18 @@ object ILlmOps {
       val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("a_id") =!= col("b_id"))
+      // broadcast the b side EXPLICITLY: PairwiseCap bounds it at ~2000
+      // rows at any corpus size, but the planner cannot see that (the
+      // in-plan count crossJoin defeats size estimation) and falls back
+      // to CartesianProduct — which materializes every (va, vb) pair row
+      // (~1 KB each) through a partition-pair RDD instead of streaming
+      // the scan over an in-memory build side (r20; guide §3.1). The
+      // streamed a side is ONE input split at calibration scale, which
+      // would run all cap² pair work on one core — the cheap a_id-hash
+      // repartition unlocks full parallelism (the gridPts precedent)
+      a.repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("a_id"))
+        .join(broadcast(b), col("a_id") =!= col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
         .groupBy("a_id")
         .agg(expr("graft_topk(cos, b_id, 5, false)").as("top"))
@@ -583,7 +594,11 @@ object ILlmOps {
       val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("a_id") =!= col("b_id"))
+      // explicit broadcast + a_id-hash repartition of the single-split
+      // stream side: same rationale as i_cosine_topk
+      a.repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("a_id"))
+        .join(broadcast(b), col("a_id") =!= col("b_id"))
         // greatest(_, 0.0) guards catastrophic cancellation: for
         // near-identical vectors na²+nb²−2·dot can land slightly below 0
         // in FP, and sqrt of that is NaN downstream
@@ -753,7 +768,11 @@ object ILlmOps {
       val e = cappedVecs(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("a_id") < col("b_id"))
+      // explicit broadcast + a_id-hash repartition of the single-split
+      // stream side: same rationale as i_cosine_topk
+      a.repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("a_id"))
+        .join(broadcast(b), col("a_id") < col("b_id"))
         .withColumn("cos", expr(dot) / (col("na") * col("nb")))
         .filter(col("cos") > 0.35)
         .select(col("a_id"), col("b_id"), r4(col("cos")).as("cos"))

@@ -152,7 +152,10 @@ object NTrainOps {
         ((0 to 7).map(i => col(s"s$i").as(s"b$i")) :+ col("w").as("wb")): _*)
       val agree = (0 to 7).map(i =>
         when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _).cast("double")
-      a.join(b, col("a_id") < col("b_id"))
+      // explicit broadcast: the doc_id < 50 bound keeps the b side tiny,
+      // but the signature join upstream defeats size estimation and the
+      // planner falls back to CartesianProduct (r20; guide §3.1)
+      a.join(broadcast(b), col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           r4(agree / 8).as("est"),
           r4(size(array_intersect(col("wa"), col("wb"))).cast("double") /

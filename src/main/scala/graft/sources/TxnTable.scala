@@ -2908,8 +2908,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val updKeys = ups.select(keyExpr: _*).distinct()
     // the update-key [min, max] in stats space — the head column's range
     // also drives the disjointness guard a lost-race reconciliation
-    // checks intervening adds against
-    val (keyRange, keyPreds) = mergeKeyRanges(updKeys, keyCols)
+    // checks intervening adds against. Computed straight off the SOURCE:
+    // min/max are blind to duplicates, so the former distinct()+agg job
+    // (a full exchange of the source keys) is one partial aggregate over
+    // the persisted source (r21, guide §2.4)
+    val (keyRange, keyPreds) = prof("m.keyRanges")(
+      mergeKeyRanges(updates, keyCols))
     val candidates: Seq[String] =
       if (keyPreds.isEmpty) liveFiles(v) else filesSurviving(v, keyPreds)
     // `_f` is the table-relative provenance tag (matches the log's file
@@ -2918,16 +2922,23 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tagged =
       if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
       else scanTagged(v, candidates).drop("_idx")
-    val touched = tagged
-      .join(updKeys, keyCols)
-      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted
-    // the touched files' rows feed up to THREE consumers (the unmatched-
-    // row rewrite, the CDC pre-image, the existing-key set) — materialize
-    // them once; bounded by touched-file bytes, which the merge rewrites
-    // anyway (spill-safe level, unpersisted before return)
-    val inTouched = tagged.filter(col("_f").isin(touched: _*)).drop("_f")
+    // ONE candidate scan (r21 fusion): each candidate row left-joins the
+    // distinct update keys once (`_m` marks a match — updKeys is
+    // distinct, so no row duplication), persisted; touched-file
+    // discovery, the unmatched-row rewrite, the existing-key set and the
+    // CDC pre-image are all filters over this frame. Before r21 the
+    // candidates were scanned for discovery and the touched files
+    // re-scanned inside the staged write. Persist is ∝ candidate bytes
+    // ≈ the touched bytes the merge rewrites anyway (spill-safe level,
+    // unpersisted before return).
+    val joinedCand = tagged
+      .join(updKeys.withColumn("_m", lit(true)), keyCols, "left_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    val touched = prof("m.touched")(joinedCand.filter(col("_m").isNotNull)
+      .select("_f").distinct().collect().map(_.getString(0)).toSeq.sorted)
+    val inTouched = (if (touched.isEmpty) joinedCand.limit(0)
+      else joinedCand.filter(col("_f").isin(touched: _*))).drop("_f")
     // NO multi-match guard here, deliberately: this entry point is
     // KEY-REPLACE (the key's rows become exactly the source's rows for
     // that key — all duplicates land, none is "picked"), so duplicate
@@ -2987,9 +2998,11 @@ final class TxnTable(val spark: SparkSession, val root: String,
         (matchedSide.unionByName(insertWithIds), delta, cleanup)
       }
     // rewritten content: touched files' unmatched rows + ALL update rows
-    // (matched replacements and brand-new keys land together)
+    // (matched replacements and brand-new keys land together). The `_m`
+    // marker from the fused candidate join replaces the former anti-join
+    // re-scan of the touched files.
     val touchedRows = if (touched.isEmpty) upsI.limit(0)
-      else inTouched.join(updKeys, keyCols, "left_anti")
+      else inTouched.filter(col("_m").isNull).drop("_m")
     // change-data-feed sidecar, written AT COMMIT TIME because the
     // pre-images are unrecoverable afterwards (the rewrite destroys
     // them). A key that exists in the table necessarily lives in a
@@ -2998,7 +3011,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val cdcRel: Option[String] = if (!cdc) None else {
       val rel = s"_cdc/c-${UUID.randomUUID()}"
       val existKeys = inTouched.select(keyExpr: _*).distinct()
-      val pre = inTouched.join(updKeys, keyCols, "left_semi")
+      val pre = inTouched.filter(col("_m").isNotNull).drop("_m")
         .withColumn("_change_type", lit("update_preimage"))
       val post = upsI.join(existKeys, keyCols, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
@@ -3017,7 +3030,8 @@ final class TxnTable(val spark: SparkSession, val root: String,
         .sortWithinPartitions(cb.map(col): _*)
     val sc = unionSchema(schemaAt(v), upsI.schema, freshPhysFor())
     val (files, rows, fstats) =
-      try stage(toPhysical(enforced(staged, constraintsAt(v)), sc))
+      try prof("m.stage")(
+        stage(toPhysical(enforced(staged, constraintsAt(v)), sc)))
       finally idCleanup()
     // lost publish races re-validate and re-claim WITHOUT re-staging when
     // every intervening commit is provably disjoint (file sets + key
@@ -3029,10 +3043,12 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val guard = keyRange.map { case (lo, hi) =>
       (physicalIn(Some(sc), keyCols.head), lo, hi)
     }
-    publishReconciling(v, "merge", rows, files, touched, Some(sc),
-      cdcRel, fstats, guard, "merge",
-      props = if (hwDelta.isEmpty) None else Some(propertiesAt(v) ++ hwDelta))
-    } finally { inTouched.unpersist(); () }
+    prof("m.publish")(
+      publishReconciling(v, "merge", rows, files, touched, Some(sc),
+        cdcRel, fstats, guard, "merge",
+        props = if (hwDelta.isEmpty) None
+          else Some(propertiesAt(v) ++ hwDelta)))
+    } finally { joinedCand.unpersist(); () }
   }
 
   /** Conditional MERGE — the full WHEN-clause surface (`merge` above is
@@ -3137,16 +3153,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
           "the engine computes/allocates it")
     }
     val keyExpr = keyCols.map(c => col(s"`$c`"))
-    // distinct keys feed THREE actions (range extraction, touched-file
-    // discovery, the unmatched-in-file anti-join) — persist so the
-    // distinct shuffle runs once, not per action
-    val updKeys = src.select(keyExpr: _*).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // touched-file discovery, stats-pruned exactly like `merge` —
-    // every rangeable key column contributes a skip predicate (r18)
+    // key [min, max] straight off the SOURCE: min/max are blind to
+    // duplicates, so the former distinct()+agg job (a full exchange of
+    // the source keys) is one partial aggregate over the persisted
+    // source — this action also materializes the source persist (r21,
+    // guide §2.4: remove shuffles outright)
     val (keyRange, keyPreds) = prof("mw.keyRanges")(
-      mergeKeyRanges(updKeys, keyCols))
+      mergeKeyRanges(src, keyCols))
     // BY SOURCE clauses can fire on a row in ANY file (their subject is
     // the absence of a source match), so their presence widens candidate
     // discovery beyond the source-key range — but their own CONDITIONS
@@ -3194,56 +3207,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val tagged =
       if (candidates.isEmpty) readTagged(v).drop("_idx").limit(0)
       else scanTagged(v, candidates).drop("_idx")
-    def condColOn(df: DataFrame, c: Option[String])
-        : org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.{coalesce => co, expr => ex, lit => li}
-      c.map(e => co(ex(e), li(false))).getOrElse(li(true))
-    }
-    val touched: Seq[String] =
-      if (bySource.isEmpty)
-        // no BY SOURCE clause: touched = files holding any matched key
-        prof("mw.matchTouched")(tagged
-          .join(updKeys, keyCols)
-          .select("_f").distinct().collect().map(_.getString(0))
-          .toSeq.sorted)
-      else prof("mw.touched") {
-        // ONE candidate scan decides both touch classes: a left-outer
-        // join against the source keys tags each row matched (`_m`) or
-        // not, and an unmatched row contributes its file iff some BY
-        // SOURCE clause fires on it — evaluated in the same t-struct
-        // scope the application uses, so discovery and application can
-        // never disagree (previously two scans: an inner join for the
-        // matched files and an anti join for the by-source ones)
-        val um = updKeys.withColumn("_m", lit(true))
-        val j = tagged.join(um, keyCols, "left_outer")
-        val boxedJ = j.select(col("_f") +: col("_m") +:
-          Seq(struct(tagged.columns.filter(_ != "_f").toSeq
-            .map(c => col(s"`$c`")): _*).as(tA)): _*)
-        val fires = bySource.map {
-          case MergeClause.UpdateBySource(c, _) => condColOn(boxedJ, c)
-          case MergeClause.DeleteBySource(c) => condColOn(boxedJ, c)
-          case _ => lit(false)
-        }.reduce(_ || _)
-        boxedJ.filter(col("_m").isNotNull || fires)
-          .select("_f").distinct().collect().map(_.getString(0))
-          .toSeq.sorted
-      }
-    // rows of the touched files (DVs already applied), persisted once
-    // for the guard, the pair join, the key split and the CDC images
-    val inTouched = (if (touched.isEmpty) tagged.limit(0)
-      else tagged.filter(col("_f").isin(touched: _*)))
-      .drop("_f")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    val tCols = inTouched.columns.toSeq
+    val tCols = tagged.columns.filterNot(_ == "_f").toSeq
     val sCols = src.columns.toSeq
     val types = schemaAt(v).map(_.fields.map(f =>
       f.name -> f.dataType).toMap).getOrElse(
         Map.empty[String, org.apache.spark.sql.types.DataType])
-    // ---- matched side: (target row, source row) pairs as two structs
-    def boxed(df: DataFrame, alias: String): DataFrame =
-      df.select(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)
-        .as(alias) +:
+    def boxed(df: DataFrame, cols: Seq[String], alias: String): DataFrame =
+      df.select(struct(cols.map(c => col(s"`$c`")): _*).as(alias) +:
         keyCols.zipWithIndex.map { case (k, i) =>
           col(s"`$k`").as(s"_gk$i") }: _*)
     def condCol(c: Option[String]): org.apache.spark.sql.Column =
@@ -3261,28 +3231,61 @@ final class TxnTable(val spark: SparkSession, val root: String,
       when(condCol(cnd), lit(i)).otherwise(acc)
     }
     val gks = keyCols.indices.map(i => s"_gk$i")
-    // `_sid` tags each SOURCE row with a unique id so the multi-match
-    // guard below can detect duplicate source rows per key off the
-    // persisted pair join itself (ids need only be distinct within one
-    // computation; the frame is persisted before the guard reads them)
-    val decided = boxed(inTouched, tA)
-      .join(boxed(src, sA).withColumn("_sid",
-        org.apache.spark.sql.functions.monotonically_increasing_id()), gks,
-        "inner")
-      .withColumn("_ci", mIdx)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- the ONE candidate scan (r21 fusion): every candidate row
+    // left-joins the full boxed source exactly once; touched-file
+    // discovery, the multi-match guard, clause application, the insert
+    // anti-join and the CDC images are all filters over this persisted
+    // frame. Before r21 the candidates were scanned for discovery and
+    // the touched files re-scanned + re-joined for the pair frame — one
+    // whole extra pass over the merge's data. `_sid` tags each SOURCE
+    // row uniquely for the guard (ids need only be distinct within one
+    // computation; the frame is persisted before the guard reads them).
+    // A matched target row appears once per matching source row; an
+    // unmatched one exactly once with a NULL source struct. Persist is
+    // ∝ candidate bytes: with stats-pruned discovery that is ≈ the
+    // touched bytes the merge rewrites anyway, and an unconditional
+    // BY SOURCE clause — the full-scan degenerate — rewrites every file,
+    // so the persist never exceeds the job's own write volume class.
+    val pairAll = {
+      val tBoxed = tagged.select(col("_f") +:
+        struct(tCols.map(c => col(s"`$c`")): _*).as(tA) +:
+        keyCols.zipWithIndex.map { case (k, i) =>
+          col(s"`$k`").as(s"_gk$i") }: _*)
+      tBoxed.join(boxed(src, sCols, sA).withColumn("_sid",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+        gks, "left_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
+    val matchedRow = col("_sid").isNotNull
+    // touched = files holding any matched key, plus (BY SOURCE) files
+    // where some clause fires on an unmatched row — the clause evaluated
+    // in the same t-struct scope the application uses, so discovery and
+    // application can never disagree. This collect materializes the
+    // persisted pair frame; everything after rides the cache.
+    val touched: Seq[String] = prof("mw.touched") {
+      val touches =
+        if (bySource.isEmpty) matchedRow
+        else matchedRow || bySource.map {
+          case MergeClause.UpdateBySource(c, _) => condCol(c)
+          case MergeClause.DeleteBySource(c) => condCol(c)
+          case _ => lit(false)
+        }.reduce(_ || _)
+      pairAll.filter(touches)
+        .select("_f").distinct().collect().map(_.getString(0))
+        .toSeq.sorted
+    }
+    val decided = pairAll.filter(matchedRow).withColumn("_ci", mIdx)
     // multi-match guard (same refusal as `merge`): a target KEY matched
-    // by more than one source row refuses. Decided over `decided` — the
-    // pair join this merge builds anyway, so the guard's action IS the
-    // persist materialization every later pass reuses (an r20 A/B
-    // measured a separate source-side probe job at +0.6-0.8 s per merge
-    // against this fused form; the pair frame is source-scaled — one
-    // row per matching source row × target duplicates — so fusion wins
-    // at 100 TB too). ≥2 distinct sids per key ⇔ min ≠ max, a one-pass
-    // min/max aggregate instead of countDistinct's two-phase distinct
-    // machinery; target-side duplicate rows repeat the SAME sid and can
-    // never false-positive. Runs before any side effect.
+    // by more than one source row refuses. Runs over the persisted pair
+    // frame (an r20 A/B measured a separate source-side probe job at
+    // +0.6-0.8 s per merge against this fused form; the pair frame is
+    // source-scaled — one row per matching source row × target
+    // duplicates — so fusion wins at 100 TB too). ≥2 distinct sids per
+    // key ⇔ min ≠ max, a one-pass min/max aggregate instead of
+    // countDistinct's two-phase distinct machinery; target-side
+    // duplicate rows repeat the SAME sid and can never false-positive.
+    // Runs before any side effect.
     if (touched.nonEmpty) {
       val dup = prof("mw.guard")(decided
         .groupBy(gks.map(col): _*)
@@ -3329,8 +3332,14 @@ final class TxnTable(val spark: SparkSession, val root: String,
     val deleteIdx = matched.zipWithIndex.collect {
       case (_: MergeClause.Delete, i) => i }
     // ---- insert side: source rows whose key exists NOWHERE in the
-    // table (every matched key lives in a touched file by construction)
-    val matchedKeys = inTouched.select(keyExpr: _*).distinct()
+    // table. A source key that exists in the table necessarily matched
+    // (its file is a candidate by the key-range prune and the pair join
+    // found it), so the matched keys OF THE PAIR FRAME are exactly the
+    // source∩table keys — the anti-join needs no second scan of the
+    // touched files (r21; before: distinct over all touched-file rows).
+    val matchedKeys = pairAll.filter(matchedRow)
+      .select(keyCols.zipWithIndex.map { case (k, i) =>
+        col(s"_gk$i").as(k) }: _*).distinct()
     val unmatchedSrc = src.join(matchedKeys, keyCols, "left_anti")
     val sBoxed = unmatchedSrc.select(
       struct(sCols.map(c => col(s"`$c`")): _*).as(sA))
@@ -3372,8 +3381,13 @@ final class TxnTable(val spark: SparkSession, val root: String,
     // ---- BY SOURCE side: target rows in touched files with NO source
     // match — first-true clause applies (UPDATE in the target-only
     // scope, or DELETE), none → kept verbatim. Without BY SOURCE
-    // clauses these rows carry through untouched as before.
-    val unmatchedInFile = inTouched.join(updKeys, keyCols, "left_anti")
+    // clauses these rows carry through untouched as before. Unmatched
+    // rows appear EXACTLY once in the pair frame (null source struct),
+    // so the former anti-join over a re-scan of the touched files is a
+    // cached filter (r21).
+    val unmatchedInFile = (if (touched.isEmpty) pairAll.limit(0)
+      else pairAll.filter(col("_sid").isNull &&
+        col("_f").isin(touched: _*))).select(tFlat: _*)
     val bDecided: DataFrame = {
       val boxed = unmatchedInFile.select(
         struct(tCols.map(c => col(s"`$c`")): _*).as(tA))
@@ -3452,7 +3466,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
         Seq(unmatchedRows, keptMatched) ++ updatedAll.toSeq
       else Nil) ++ insertFinal.toSeq
     val merged = parts match {
-      case Seq() => inTouched.limit(0)
+      case Seq() => tagged.drop("_f").limit(0)
       case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     val cb = declaredClusterBy(v)
@@ -3480,9 +3494,7 @@ final class TxnTable(val spark: SparkSession, val root: String,
         cdcRel, fstats, guard, "merge",
         props = if (hwDelta.isEmpty) None
           else Some(propertiesAt(v) ++ hwDelta)))
-    } finally { decided.unpersist(); () }
-    } finally { inTouched.unpersist(); () }
-    } finally { updKeys.unpersist(); () }
+    } finally { pairAll.unpersist(); () }
   }
 
   /** DELETE WHERE. Rows where `cond` is NULL are KEPT (SQL DELETE
